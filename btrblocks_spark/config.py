@@ -1,0 +1,110 @@
+"""Engine configuration.
+
+Mirrors the reference's ``BtrBlocksConfig`` (reference:
+``btrblocks.hpp:22-69``): block size, per-type enabled scheme sets, cascade
+depth, sampling parameters, and scheme-selection mode. Ours adds Spark-side
+knobs (shuffle partitions, target file size) because at 100 TB those are the
+levers that matter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from enum import Enum
+
+
+class SchemeSelection(str, Enum):
+    """Reference: ``SchemeSelection`` in btrblocks.hpp:46-48."""
+
+    SAMPLE = "sample"  # estimate compression ratio on run-structured samples
+    TRY_ALL = "try_all"  # encode with every scheme, keep the smallest
+
+
+# Scheme identifiers (reference: scheme/SchemeType.hpp). We keep the names,
+# not the numeric codes — our on-disk physical encoding is Parquet, and the
+# scheme is recorded in table metadata for planner lineage + decode hints.
+INTEGER_SCHEMES = (
+    "uncompressed",
+    "one_value",
+    "dict",
+    "rle",
+    "pfor",  # patched bit-packing class (delegated to Parquet physically)
+    "bp",
+    "frequency",
+    "for",
+    "delta",  # PFOR_DELTA: usable iff sorted (scheme/integer/PBP.cpp:60-65)
+    "truncation",
+)
+DOUBLE_SCHEMES = (
+    "uncompressed",
+    "one_value",
+    "dict",
+    "rle",
+    "frequency",
+    "pseudodecimal",  # signature scheme (scheme/double/Pseudodecimal.cpp)
+)
+STRING_SCHEMES = (
+    "uncompressed",
+    "one_value",
+    "dict",
+    "fsst",  # functional stand-in: ZSTD page compression (SURVEY.md M5)
+)
+
+
+@dataclass(frozen=True)
+class BtrBlocksConfig:
+    """Engine config. Defaults mirror the reference defaults.
+
+    Reference values: block_size 65536 (btrblocks.hpp:24), sample_count 10 /
+    sample_size 64 (btrblocks.hpp:25-26), cascade depth 3 (btrblocks.hpp:31),
+    column-part target 16 MiB (storage/Chunk.cpp:12).
+    """
+
+    block_size: int = 65536
+    sample_count: int = 10
+    sample_size: int = 64
+    max_cascade_depth: int = 3
+    scheme_selection: SchemeSelection = SchemeSelection.SAMPLE
+    integer_schemes: tuple[str, ...] = ("uncompressed", "one_value", "dict", "rle", "pfor", "bp")
+    double_schemes: tuple[str, ...] = DOUBLE_SCHEMES
+    string_schemes: tuple[str, ...] = STRING_SCHEMES
+    # force a scheme for every column of the type (tests; reference
+    # test/test-cases/TestHelper.hpp:15-35 EnforceScheme)
+    force_integer_scheme: str | None = None
+    force_double_scheme: str | None = None
+    force_string_scheme: str | None = None
+    # gates (reference: scheme/integer/RLE.cpp:12-16, templated/Frequency.hpp:23-48,
+    # scheme/string/Fsst.cpp:119-127, string/DynamicDictionary.cpp:54-56)
+    rle_min_avg_run: float = 2.0
+    frequency_min_top_share: float = 0.9
+    fsst_min_total_length: int = 16 * 1024
+    dict_fsst_min_unique_pool: int = 16 * 1024
+    # Spark-side physical knobs
+    part_target_bytes: int = 16 * 1024 * 1024  # ColumnPart threshold analog
+    compression_codec: str = "zstd"
+
+    def with_(self, **kw) -> "BtrBlocksConfig":
+        return replace(self, **kw)
+
+    def schemes_for(self, spark_type: str) -> tuple[str, ...]:
+        t = spark_type.lower()
+        if t in ("int", "integer", "bigint", "long", "smallint", "short", "tinyint"):
+            return self.integer_schemes
+        if t in ("double", "float"):
+            return self.double_schemes
+        if t in ("string", "varchar"):
+            return self.string_schemes
+        return ("uncompressed",)
+
+    def forced_scheme_for(self, spark_type: str) -> str | None:
+        t = spark_type.lower()
+        if t in ("int", "integer", "bigint", "long", "smallint", "short", "tinyint"):
+            return self.force_integer_scheme
+        if t in ("double", "float"):
+            return self.force_double_scheme
+        if t in ("string", "varchar"):
+            return self.force_string_scheme
+        return None
+
+
+DEFAULT_CONFIG = BtrBlocksConfig()

@@ -1,0 +1,853 @@
+"""Relational query surface (SURVEY.md §2b) — pure Spark built-ins.
+
+Every query here is registered with a DuckDB oracle whose results are
+**bit-identical** to the Spark results. Determinism conventions:
+
+  - Sums/averages over doubles are order-dependent in IEEE arithmetic, so
+    every double summand is cast to DECIMAL (exact) before SUM; the final
+    aggregate is cast back to DOUBLE (a deterministic nearest-double
+    conversion). Averages = CAST(decimal_sum AS DOUBLE) / COUNT — a single
+    double division, identical in both engines.
+  - Per-row scalar double expressions are IEEE-deterministic as long as both
+    engines evaluate the *same expression tree* — so Spark code and oracle
+    SQL mirror each other exactly.
+  - Window/top-k queries always order by a full unique key (no ties).
+  - Integer aggregates are cast to BIGINT on both sides.
+
+Reference parity: projection/filter/join/agg/window/setops per the operator
+inventory in SURVEY.md §2b (the reference's implied query surface; its scan
+and lookup operator stubs are `scheme/CompressionScheme.hpp:45-47`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+
+def _dec(c, prec: int = 18, scale: int = 4):
+    return F.col(c).cast(f"decimal({prec},{scale})")
+
+
+def _dsum(c, prec: int = 18, scale: int = 4):
+    """Exact decimal sum of a double column, returned as DOUBLE."""
+    return F.sum(_dec(c, prec, scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan → filter → agg → sort)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(25,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection: select / rename / arithmetic / cast
+# ---------------------------------------------------------------------------
+
+_SCAN_PROJECT_ORACLE = """
+SELECT
+  l_orderkey AS order_key,
+  l_linenumber,
+  CAST(l_quantity AS INTEGER) AS qty_int,
+  l_extendedprice * (1 + l_tax) AS gross_price,
+  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+  l_returnflag || '/' || l_linestatus AS flag_status
+FROM lineitem
+WHERE l_linenumber <= 2
+"""
+
+
+@register("scan_project", _SCAN_PROJECT_ORACLE)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        (F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax"))).alias("gross_price"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters: comparison / BETWEEN / IN / LIKE / IS NULL / AND-OR-NOT
+# ---------------------------------------------------------------------------
+
+_FILTER_BASIC_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_discount >= 0.05
+  AND l_linenumber IN (1, 2, 3)
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+  AND l_returnflag <> 'A'
+"""
+
+
+@register("filter_basic", _FILTER_BASIC_ORACLE)
+def filter_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") >= 0.05)
+        & F.col("l_linenumber").isin(1, 2, 3)
+        & (F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") != "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+_FILTER_LIKE_NULL_ORACLE = """
+SELECT p_partkey, p_name, p_type,
+       NULLIF(p_brand, 'Brand#1') AS brand_or_null,
+       (NULLIF(p_brand, 'Brand#1') IS NULL) AS is_top_brand
+FROM part
+WHERE (p_type LIKE '%A%' OR p_name LIKE '%red%')
+  AND NOT (p_size < 5 AND p_retailprice < 500)
+"""
+
+
+@register("filter_like_null", _FILTER_LIKE_NULL_ORACLE)
+def filter_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    brand_or_null = F.nullif(F.col("p_brand"), F.lit("Brand#1"))
+    return p.filter(
+        (F.col("p_type").like("%A%") | F.col("p_name").like("%red%"))
+        & ~((F.col("p_size") < 5) & (F.col("p_retailprice") < 500))
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        brand_or_null.alias("brand_or_null"),
+        brand_or_null.isNull().alias("is_top_brand"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: inner / left / right / full / semi / anti / broadcast / cross
+# ---------------------------------------------------------------------------
+
+_JOIN_INNER_ORACLE = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000
+"""
+
+
+@register("join_inner", _JOIN_INNER_ORACLE)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+_JOIN_LEFT_ORACLE = """
+SELECT c.c_custkey, c.c_name,
+       COUNT(o.o_orderkey) AS order_count,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register("join_left", _JOIN_LEFT_ORACLE)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spent"),
+        )
+    )
+
+
+_JOIN_RIGHT_ORACLE = """
+SELECT n.n_name, s.s_suppkey, s.s_name
+FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+@register("join_right", _JOIN_RIGHT_ORACLE)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+_JOIN_FULL_ORACLE = """
+SELECT a.c_custkey AS cust_a, b.o_orderkey AS order_b, a.c_acctbal, b.o_totalprice
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) a
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) b
+  ON a.c_custkey = b.o_custkey
+"""
+
+
+@register("join_full", _JOIN_FULL_ORACLE)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("o_orderkey").alias("order_b"),
+        "c_acctbal",
+        "o_totalprice",
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@register("join_semi", _JOIN_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+"""
+
+
+@register("join_anti", _JOIN_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_JOIN_BROADCAST_ORACLE = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS line_count
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size > 40
+GROUP BY p.p_brand
+"""
+
+
+@register("join_broadcast", _JOIN_BROADCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-side broadcast: `part` is small; never shuffle lineitem for it."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum("l_quantity").alias("total_qty"), F.count("*").alias("line_count"))
+    )
+
+
+_JOIN_CROSS_ORACLE = """
+SELECT r.r_name, x.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
+"""
+
+
+@register("join_cross", _JOIN_CROSS_ORACLE)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    x = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(x).select("r_name", "o_orderstatus")
+
+
+_JOIN_MULTI_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS order_count
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('AMERICA', 'ASIA') AND o.o_orderstatus <> 'F'
+GROUP BY n.n_name
+"""
+
+
+@register("join_multi", _JOIN_MULTI_ORACLE)
+def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join; dims broadcast, fact tables shuffle only on join keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(revenue.cast("decimal(25,4)")).cast("double").alias("revenue"),
+            F.count_distinct(F.col("o_orderkey")).alias("order_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: global / group+having / rollup / cube / grouping sets / distinct
+# ---------------------------------------------------------------------------
+
+_AGG_GLOBAL_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+       CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+FROM lineitem
+"""
+
+
+@register("agg_global", _AGG_GLOBAL_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        _dsum("l_quantity").alias("sum_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_AGG_GROUP_HAVING_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+HAVING COUNT(*) > 100
+"""
+
+
+@register("agg_group_having", _AGG_GROUP_HAVING_ORACLE)
+def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("order_count"),
+            _dsum("o_totalprice").alias("total_value"),
+        )
+        .filter(F.col("order_count") > 100)
+    )
+
+
+_AGG_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", _AGG_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("grp_id"),
+        F.count("*").alias("n"),
+        _dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+_AGG_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS grp_id,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube", _AGG_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")).alias("grp_id"),
+        F.count("*").alias("n"),
+    )
+
+
+_AGG_GROUPING_SETS_ORACLE = """
+SELECT c_mktsegment, c_nationkey,
+       GROUPING(c_mktsegment) + 2 * GROUPING(c_nationkey) AS grp_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+@register("agg_grouping_sets", _AGG_GROUPING_SETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               GROUPING(c_mktsegment) + 2 * GROUPING(c_nationkey) AS grp_id,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+@register("distinct_flags", _DISTINCT_ORACLE)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct()
+
+
+_DEDUP_BY_KEY_ORACLE = """
+SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("dedup_by_key", _DEDUP_BY_KEY_ORACLE)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep the earliest row per key.
+
+    (`dropDuplicates` keeps an arbitrary row — not oracle-comparable; the
+    deterministic formulation is the one you'd use in production anyway.)
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").alias("first_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+_WINDOW_RANK_ORACLE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+"""
+
+
+@register("window_rank", _WINDOW_RANK_ORACLE)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_WINDOW_LAG_LEAD_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       o_totalprice - COALESCE(LAG(o_totalprice) OVER w, o_totalprice) AS price_delta
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("window_lag_lead", _WINDOW_LAG_LEAD_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lag_p = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        lag_p.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(lag_p, F.col("o_totalprice"))).alias("price_delta"),
+    )
+
+
+_WINDOW_FRAME_ORACLE = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty
+FROM lineitem
+WHERE l_suppkey <= 10
+"""
+
+
+@register("window_frame", _WINDOW_FRAME_ORACLE)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    qty = _dec("l_quantity")
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_qty"),
+        F.sum(qty).over(w.rowsBetween(-2, Window.currentRow)).cast("double").alias("window3_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("topk_orders", _TOPK_ORACLE)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark turns orderBy+limit into TakeOrderedAndProject — no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+_SORT_NULLS_ORACLE = """
+SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null, c_acctbal
+FROM customer
+ORDER BY seg_or_null NULLS FIRST, c_acctbal DESC, c_custkey
+LIMIT 50
+"""
+
+
+@register("sort_nulls_first", _SORT_NULLS_ORACLE)
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+            "c_acctbal",
+        )
+        .orderBy(
+            F.col("seg_or_null").asc_nulls_first(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+_SET_UNION_ALL_ORACLE = """
+SELECT c_custkey AS key, 'customer' AS src FROM customer WHERE c_acctbal > 9500
+UNION ALL
+SELECT o_custkey AS key, 'orders' AS src FROM orders WHERE o_totalprice > 450000
+"""
+
+
+@register("set_union_all", _SET_UNION_ALL_ORACLE)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.select(F.col("c_custkey").alias("key"), F.lit("customer").alias("src")).unionAll(
+        o.select(F.col("o_custkey").alias("key"), F.lit("orders").alias("src"))
+    )
+
+
+_SET_UNION_DISTINCT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("set_union_distinct", _SET_UNION_DISTINCT_ORACLE)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+_SET_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("set_intersect", _SET_INTERSECT_ORACLE)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+_SET_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("set_except", _SET_EXCEPT_ORACLE)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string / math / null) — IEEE-deterministic only
+# ---------------------------------------------------------------------------
+
+_SCALAR_STRING_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_type) AS type_lower,
+       SUBSTR(p_name, 1, 6) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       TRIM(CONCAT('  ', p_brand, '  ')) AS brand_trim,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+FROM part
+"""
+
+
+@register("scalar_string", _SCALAR_STRING_ORACLE)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 6).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("brand_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+_SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 1000.0) AS abs_diff,
+       FLOOR(l_quantity / 7.0) AS qty_bucket,
+       CEIL(l_extendedprice / 100.0) AS price_bucket,
+       SQRT(l_extendedprice) AS price_sqrt,
+       l_orderkey % 97 AS key_mod,
+       CAST(l_quantity AS BIGINT) * l_linenumber AS qty_times_line
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+"""
+
+
+@register("scalar_math", _SCALAR_MATH_ORACLE)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/abs/floor/ceil are IEEE-exact (sqrt is correctly rounded by the
+    standard) — safe for bit-exact oracle compare, unlike log/exp/pow."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 100.0).alias("price_bucket"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        (F.col("l_quantity").cast("bigint") * F.col("l_linenumber")).alias("qty_times_line"),
+    )
+
+
+_SCALAR_NULL_ORACLE = """
+SELECT e.event_id,
+       COALESCE(NULLIF(e.event_type, 'error'), 'recovered') AS type_or_recovered,
+       (NULLIF(e.event_type, 'error') IS NULL) AS was_error,
+       COALESCE(NULLIF(e.value, 0.0), -1.0) AS value_or_neg
+FROM events e
+WHERE e.user_id % 5 = 0
+"""
+
+
+@register("scalar_null_fns", _SCALAR_NULL_ORACLE)
+def scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    type_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.filter(F.col("user_id") % 5 == 0).select(
+        "event_id",
+        F.coalesce(type_or_null, F.lit("recovered")).alias("type_or_recovered"),
+        type_or_null.isNull().alias("was_error"),
+        F.coalesce(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias("value_or_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — portable KMV sketch (md5-based, engine-agnostic)
+# ---------------------------------------------------------------------------
+
+def _hex_to_long_sql(col_expr: str, nhex: int = 12) -> str:
+    """SQL expression converting the first `nhex` chars of a lowercase hex
+    string to a BIGINT — written with only POSITION/SUBSTR so the identical
+    text runs in both Spark SQL and DuckDB."""
+    terms = []
+    for i in range(nhex):
+        mult = 16 ** (nhex - 1 - i)
+        terms.append(
+            f"(CAST(POSITION(SUBSTR({col_expr}, {i + 1}, 1) IN '0123456789abcdef') AS BIGINT) - 1) * {mult}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT md5(CAST(l_orderkey AS STRING)) AS h FROM lineitem
+),
+vals AS (
+  SELECT {_hex_to_long_sql('h')} AS hv FROM hashed
+),
+topk AS (
+  SELECT hv FROM vals ORDER BY hv LIMIT 64
+)
+SELECT 63.0 * (281474976710656.0 / CAST(MAX(hv) AS DOUBLE)) AS approx_distinct_orders,
+       COUNT(*) AS k_used
+FROM topk
+"""
+
+
+@register("agg_approx_distinct_kmv", _KMV_SQL.replace("AS STRING", "AS VARCHAR"))
+def agg_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT DISTINCT via a K-Minimum-Values sketch over md5 —
+    the engine-agnostic analog of the reference's `unique_count` estimate
+    (stats/NumberStats.hpp:89-121) that hash-matches the oracle exactly.
+    (Spark's native HLL — `approx_count_distinct` — is exposed in
+    `stats_approx_native`, rows-only checked, since HLL internals differ.)
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_KMV_SQL)
+
+
+_APPROX_NATIVE = None  # no oracle: engine-specific HLL
+
+
+@register("agg_approx_native")
+def agg_approx_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native HLL approx distinct (rows-only check — HLL estimates are
+    engine-specific by construction)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    )

@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for the engine.
+
+Designed for a multi-executor cluster (AQE, shuffle sizing, Arrow) but runs on
+``local[N]`` here. All settings are plain public Spark confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "btrblocks-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Notes on the conf choices, which matter at 100 TB:
+      - AQE on: runtime coalescing of shuffle partitions + skew-join handling.
+      - ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+        cluster this is overridden (AQE coalesces down anyway).
+      - Arrow on: every pandas/mapInArrow kernel crosses the JVM↔Python
+        boundary in columnar batches, not rows.
+      - UTC session timezone: deterministic timestamp semantics vs the oracle.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(cpus, 32)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,33 @@
+"""Every registered query must match its DuckDB oracle bit-exactly at
+sf0.001 (the driver's gate runs the same compare at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from btrblocks_spark.oracle import compare
+from btrblocks_spark.queries import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_vs_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLES:
+        ok, msg = compare(df, ORACLES[name], sf_dir)
+        assert ok, f"{name}: {msg}"
+    else:
+        # rows-only contract: runs and has a stable schema
+        assert df.columns, f"{name}: empty schema"
+        assert df.count() >= 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
