@@ -1,0 +1,228 @@
+"""Statistics / profiling queries — the reference's "analyzer" surface.
+
+T1 numeric chunk stats (reference ``stats/NumberStats.hpp:78-130``): one pass
+computing min, max, null_count, unique_count, average_run_length, is_sorted.
+T2 string stats (``stats/StringStats.cpp:5-37``): distinct count, total
+length, total unique length.
+
+Run-length and sortedness are order-dependent; the reference sees columns in
+file order. Our tables have stable unique keys, so every profile fixes an
+explicit order (the analog of file order) and both engines window over it.
+
+Chunking (``storage/Relation.cpp:42-69``: ranges of block_size rows) is
+expressed as ``(row_number - 1) / block_size`` over the same stable order —
+the profile-per-chunk query is the exact analog of per-chunk stats feeding
+the scheme picker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# T1: numeric column profile (min/max/nulls/distinct/run-length/sortedness)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_PROFILE_ORACLE = """
+WITH ordered AS (
+  SELECT l_quantity AS v,
+         LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber) AS prev
+  FROM lineitem
+)
+SELECT
+  'l_quantity' AS column_name,
+  COUNT(*) AS n_rows,
+  CAST(MIN(v) AS DOUBLE) AS min_v,
+  CAST(MAX(v) AS DOUBLE) AS max_v,
+  COUNT(*) - COUNT(v) AS null_count,
+  COUNT(DISTINCT v) AS unique_count,
+  CAST(COUNT(*) AS DOUBLE) /
+    SUM(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END) AS avg_run_length,
+  CAST(MIN(CASE WHEN prev IS NULL OR v >= prev THEN 1 ELSE 0 END) AS BOOLEAN) AS is_sorted
+FROM ordered
+"""
+
+
+@register("stats_numeric_profile", _NUMERIC_PROFILE_ORACLE)
+def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ordered = l.select(
+        F.col("l_quantity").alias("v"),
+        F.lag("l_quantity").over(w).alias("prev"),
+    )
+    run_start = F.when(F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1).otherwise(0)
+    sorted_flag = F.when(F.col("prev").isNull() | (F.col("v") >= F.col("prev")), 1).otherwise(0)
+    return ordered.agg(
+        F.lit("l_quantity").alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        (F.count("*") - F.count("v")).alias("null_count"),
+        F.count_distinct("v").alias("unique_count"),
+        (F.count("*").cast("double") / F.sum(run_start)).alias("avg_run_length"),
+        F.min(sorted_flag).cast("boolean").alias("is_sorted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: string column profile
+# ---------------------------------------------------------------------------
+
+_STRING_PROFILE_ORACLE = """
+SELECT
+  'o_orderpriority' AS column_name,
+  COUNT(*) AS n_rows,
+  COUNT(o_orderpriority) AS set_count,
+  COUNT(*) - COUNT(o_orderpriority) AS null_count,
+  COUNT(DISTINCT o_orderpriority) AS unique_count,
+  CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) AS total_length,
+  (SELECT CAST(SUM(LENGTH(x)) AS BIGINT)
+   FROM (SELECT DISTINCT o_orderpriority AS x FROM orders)) AS total_unique_length
+FROM orders
+"""
+
+
+@register("stats_string_profile", _STRING_PROFILE_ORACLE)
+def stats_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    uniq_len = (
+        o.select("o_orderpriority")
+        .distinct()
+        .agg(F.sum(F.length("o_orderpriority")).cast("bigint"))
+        .collect()[0][0]
+    )
+    return o.agg(
+        F.lit("o_orderpriority").alias("column_name"),
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("set_count"),
+        (F.count("*") - F.count("o_orderpriority")).alias("null_count"),
+        F.count_distinct("o_orderpriority").alias("unique_count"),
+        F.sum(F.length("o_orderpriority")).cast("bigint").alias("total_length"),
+        F.lit(uniq_len).cast("bigint").alias("total_unique_length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-chunk profile: stats grouped by block_size-row chunk (scheme-picker feed)
+# ---------------------------------------------------------------------------
+
+_CHUNK_PROFILE_ORACLE = """
+WITH ordered AS (
+  SELECT l_extendedprice AS v,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 4096) AS BIGINT)
+           AS chunk_id
+  FROM lineitem
+)
+SELECT chunk_id,
+       COUNT(*) AS n_rows,
+       CAST(MIN(v) AS DOUBLE) AS min_v,
+       CAST(MAX(v) AS DOUBLE) AS max_v,
+       COUNT(DISTINCT v) AS unique_count,
+       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+FROM ordered
+GROUP BY chunk_id
+"""
+
+
+@register("stats_chunk_profile", _CHUNK_PROFILE_ORACLE)
+def stats_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked stats: the Spark analog of per-chunk `NumberStats` feeding
+    `SchemePicker` (compression/SchemePicker.hpp:70-221). block_size=4096
+    here so small SFs still produce multiple chunks."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    ordered = l.select(
+        F.col("l_extendedprice").alias("v"),
+        F.floor((F.row_number().over(w) - 1) / F.lit(4096)).cast("bigint").alias("chunk_id"),
+    )
+    return ordered.groupBy("chunk_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        F.count_distinct("v").alias("unique_count"),
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events profile over epoch-nanos ts (timestamp handling + time bucketing)
+# ---------------------------------------------------------------------------
+
+_EVENTS_PROFILE_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(CAST(epoch_ns(ts) AS BIGINT) / 3600000000000) AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+GROUP BY event_type, hour_bucket
+"""
+
+
+@register("events_time_rollup", _EVENTS_PROFILE_ORACLE)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup over the event stream table (ts is epoch-nanos
+    BIGINT on the Spark side — see tables.load_table)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.floor(F.col("ts") / F.lit(3600000000000)).cast("bigint").alias("hour_bucket"),
+            "user_id",
+            "value",
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization via run detection — the RLE encode analog as a query
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH ordered AS (
+  SELECT o_orderstatus AS v,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS idx,
+         CASE WHEN LAG(o_orderstatus) OVER (ORDER BY o_orderkey) IS DISTINCT FROM o_orderstatus
+              THEN 1 ELSE 0 END AS is_start
+  FROM orders
+),
+runs AS (
+  SELECT v, idx, SUM(is_start) OVER (ORDER BY idx) AS run_id FROM ordered
+)
+SELECT run_id, v AS run_value, COUNT(*) AS run_length, MIN(idx) AS start_idx
+FROM runs
+GROUP BY run_id, v
+"""
+
+
+@register("rle_runs", _RUNS_ORACLE)
+def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding as a relational transform (reference RLE compress,
+    scheme/templated/RLE.hpp:20-85): sessionize equal-value runs in key order
+    into (run_value, run_length, start_idx)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    ordered = o.select(
+        F.col("o_orderstatus").alias("v"),
+        F.row_number().over(w).alias("idx"),
+        F.when(
+            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    runs = ordered.withColumn("run_id", F.sum("is_start").over(Window.orderBy("idx")))
+    return runs.groupBy("run_id", F.col("v").alias("run_value")).agg(
+        F.count("*").alias("run_length"),
+        F.min("idx").alias("start_idx"),
+    )
