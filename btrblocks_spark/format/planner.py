@@ -1,0 +1,209 @@
+"""Scheme planner — the reference's "query optimizer"
+(compression/SchemePicker.hpp:70-221 + scheme gates).
+
+Decision tree per column chunk (P2):
+  1. all-null or single distinct set value → ONE_VALUE
+     (SchemePicker.hpp:118-123)
+  2. cascade depth exhausted → UNCOMPRESSED (SchemePicker.hpp:124-129)
+  3. candidate gating (stats-driven, §4.1):
+       RLE iff avg_run_length > 2          (scheme/integer/RLE.cpp:12-16)
+       FREQUENCY iff top share ≥ 0.9       (templated/Frequency.hpp:23-48)
+       DELTA iff sorted                    (scheme/integer/PBP.cpp:60-65)
+       TRUNCATION iff range fits u16       (scheme/integer/Truncation.cpp)
+       FSST iff unique ≥ set/2 and total_length > 16 KiB
+                                           (scheme/string/Fsst.cpp:119-127)
+  4. SAMPLE mode: estimate compressed size per candidate on a
+     run-preserving sample, argmax ratio (scheme/CompressionScheme.cpp:8-46);
+     TRY_ALL mode: encode fully, keep smallest (SchemePicker.hpp:141-161)
+  5. regression guard: best ratio < 1 → UNCOMPRESSED
+     (SchemePicker.hpp:181-190)
+
+Pure Python over numpy arrays — runs identically driver-side (small tables)
+and inside executors via applyInPandas (the 100 TB path: the planner ships
+to the data, never the reverse).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from btrblocks_spark.config import DEFAULT_CONFIG, BtrBlocksConfig, SchemeSelection
+from btrblocks_spark.format import codecs
+from btrblocks_spark.format.sampling import run_sample
+
+_KIND_BY_SPARK_TYPE = {
+    "integer": "int",
+    "int": "int",
+    "bigint": "int",
+    "long": "int",
+    "smallint": "int",
+    "short": "int",
+    "tinyint": "int",
+    "double": "double",
+    "float": "double",
+    "string": "string",
+    "varchar": "string",
+}
+
+
+def kind_of(spark_type: str) -> str:
+    return _KIND_BY_SPARK_TYPE.get(spark_type.lower(), "skip")
+
+
+def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[str]:
+    """Stat-gated candidates (step 3)."""
+    set_vals = values[mask] if mask is not None and not mask.all() else values
+    n = len(set_vals)
+    if n == 0:
+        return ["one_value"]
+    enabled = set(
+        config.schemes_for(
+            {"int": "integer", "double": "double", "string": "string"}[kind]
+        )
+    ) | {"uncompressed"}
+    cands = ["uncompressed"]
+
+    if kind in ("int", "double"):
+        arr = set_vals
+        uniq = np.unique(arr)
+        if len(uniq) == 1:
+            return ["one_value"]
+        runs = 1 + int((arr[1:] != arr[:-1]).sum()) if n > 1 else 1
+        avg_run = n / runs
+        if "rle" in enabled and avg_run > config.rle_min_avg_run:
+            cands.append("rle")
+        if "dict" in enabled and len(uniq) < n:
+            cands.append("dict")
+        counts = np.unique(arr, return_counts=True)[1]
+        if "frequency" in enabled and counts.max() / n >= config.frequency_min_top_share:
+            cands.append("frequency")
+        if kind == "int":
+            rng = int(arr.max()) - int(arr.min())
+            if "truncation" in enabled and rng <= 0xFFFF:
+                cands.append("truncation")
+            if "for" in enabled:
+                cands.append("for")
+            if "delta" in enabled and bool(np.all(np.diff(arr) >= 0)):
+                cands.append("delta")
+            if "bp" in enabled:
+                cands.append("bp")
+            if "pfor" in enabled:
+                cands.append("pfor")
+        else:
+            if "pseudodecimal" in enabled:
+                sig, exp, exc = codecs._pseudodecimal_split(
+                    np.asarray(arr, dtype=np.float64), np.ones(n, dtype=bool)
+                )
+                if exc.mean() <= 0.5:
+                    cands.append("pseudodecimal")
+    else:  # string
+        uniq = set(set_vals.tolist())
+        if len(uniq) == 1:
+            return ["one_value"]
+        if "dict" in enabled:
+            cands.append("dict")
+        total_len = sum(len(x) for x in set_vals)
+        if (
+            "fsst" in enabled
+            and len(uniq) >= n / 2
+            and total_len > config.fsst_min_total_length
+        ):
+            cands.append("fsst")
+    return cands
+
+
+def choose_scheme(
+    spark_type: str,
+    values,
+    mask=None,
+    config: BtrBlocksConfig = DEFAULT_CONFIG,
+    forced: str | None = None,
+) -> dict:
+    """Pick the best scheme for one column chunk. Returns
+    {scheme, est_ratio, raw_size, est_size, candidates}."""
+    kind = kind_of(spark_type)
+    if kind == "skip":
+        return {"scheme": "skip", "est_ratio": 1.0, "raw_size": 0, "est_size": 0, "candidates": []}
+
+    if kind == "int":
+        values = np.asarray(values, dtype=np.int64)
+    elif kind == "double":
+        values = np.asarray(values, dtype=np.float64)
+    else:
+        values = np.asarray(values, dtype=object)
+    n = len(values)
+    if mask is None:
+        mask = np.array([x is not None for x in values]) if kind == "string" else ~(
+            np.isnan(values) if kind == "double" else np.zeros(n, dtype=bool)
+        )
+    mask = np.asarray(mask, dtype=bool)
+
+    raw_size = (
+        n * 4 if kind == "int" else n * 8 if kind == "double" else int(sum(len(x or "") for x in values)) + 4 * n
+    )
+
+    forced = forced or config.forced_scheme_for(spark_type)
+    if forced:
+        enc = codecs.encode(kind, forced, values, mask, depth=config.max_cascade_depth)
+        return {
+            "scheme": forced,
+            "est_ratio": raw_size / max(enc.size_bytes, 1),
+            "raw_size": raw_size,
+            "est_size": enc.size_bytes,
+            "candidates": [forced],
+        }
+
+    # step 1: trivial cases
+    set_vals = values[mask]
+    if len(set_vals) == 0 or (
+        len(np.unique(set_vals)) == 1 if kind != "string" else len(set(set_vals.tolist())) == 1
+    ):
+        enc = codecs.encode(kind, "one_value", values, mask)
+        return {
+            "scheme": "one_value",
+            "est_ratio": raw_size / max(enc.size_bytes, 1),
+            "raw_size": raw_size,
+            "est_size": enc.size_bytes,
+            "candidates": ["one_value"],
+        }
+
+    cands = candidate_schemes(kind, values, mask, config)
+
+    if config.scheme_selection == SchemeSelection.TRY_ALL:
+        est_values, est_mask = values, mask
+    else:
+        est_values, est_mask = run_sample(values, mask, config.sample_count, config.sample_size)
+
+    best, best_size = "uncompressed", None
+    sizes = {}
+    for scheme in cands:
+        try:
+            enc = codecs.encode(kind, scheme, est_values, est_mask, depth=config.max_cascade_depth)
+        except ValueError:
+            continue
+        sizes[scheme] = enc.size_bytes
+        if best_size is None or enc.size_bytes < best_size:
+            best, best_size = scheme, enc.size_bytes
+
+    # scale sample estimate to full chunk
+    sample_raw = (
+        len(est_values) * 4
+        if kind == "int"
+        else len(est_values) * 8
+        if kind == "double"
+        else int(sum(len(x or "") for x in est_values)) + 4 * len(est_values)
+    )
+    scale = raw_size / max(sample_raw, 1)
+    est_size = int((best_size or sample_raw) * scale)
+
+    # step 5: regression guard
+    if est_size >= raw_size:
+        best, est_size = "uncompressed", raw_size
+
+    return {
+        "scheme": best,
+        "est_ratio": raw_size / max(est_size, 1),
+        "raw_size": raw_size,
+        "est_size": est_size,
+        "candidates": cands,
+    }

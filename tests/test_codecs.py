@@ -1,0 +1,149 @@
+"""Bit-exact round-trip tests for every codec kernel — the analog of the
+reference's per-scheme tests (test/test-cases/V1.cpp:20-167, V2.cpp:14-99):
+pin a scheme, encode a column shaped for it, assert set-position equality
+after decode (null-aware contract, storage/Chunk.cpp:48-96)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from btrblocks_spark.format import codecs
+
+RNG = np.random.default_rng(42)
+N = 65_000  # reference DatasetGenerator default rows (test/DatasetGenerator.cpp:16)
+
+
+def _mask(n, null_frac=0.1):
+    m = RNG.random(n) >= null_frac
+    m[0] = True
+    return m
+
+
+# --- shaped integer columns (test/DatasetGenerator.cpp:23-356 shapes) -------
+
+INT_SHAPES = {
+    "one_value": np.full(N, 7, dtype=np.int64),
+    "truncation": RNG.integers(1000, 1000 + 250, N),
+    "dict": RNG.choice(np.array([3, 17, 99, 1024, -5]), N),
+    "rle": np.repeat(RNG.integers(0, 50, N // 20 + 1), 20)[:N],
+    "frequency": np.where(RNG.random(N) < 0.98, 42, RNG.integers(0, 10_000, N)),
+    "for": RNG.integers(10**8, 10**8 + 500, N),
+    "delta": np.sort(RNG.integers(0, 10**6, N)),
+    "bp": RNG.integers(0, 2**12, N),
+    "pfor": np.where(RNG.random(N) < 0.02, RNG.integers(0, 2**30, N), RNG.integers(0, 256, N)),
+    "uncompressed": RNG.integers(-(2**31), 2**31 - 1, N),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(INT_SHAPES))
+def test_int_round_trip(scheme):
+    values = INT_SHAPES[scheme].astype(np.int64)
+    mask = _mask(N) if scheme != "delta" else np.ones(N, dtype=bool)
+    if scheme == "one_value":
+        pass  # all equal, mask irrelevant
+    filled = values.copy()
+    filled[~mask] = filled[mask][0]
+    enc = codecs.encode_int(scheme, filled, mask)
+    out = codecs.decode_int(enc)
+    np.testing.assert_array_equal(out[mask], filled[mask])
+    assert enc.size_bytes > 0
+
+
+def test_int_compression_beats_raw():
+    """Shaped columns must compress (ratio >= ~1), mirroring the reference's
+    ratio assertion (test/test-cases/TestHelper.cpp:22)."""
+    for scheme in ("one_value", "truncation", "dict", "rle", "frequency"):
+        values = INT_SHAPES[scheme].astype(np.int64)
+        enc = codecs.encode_int(scheme, values, np.ones(N, dtype=bool))
+        assert enc.size_bytes < N * 4, f"{scheme}: {enc.size_bytes} >= raw"
+
+
+DOUBLE_SHAPES = {
+    "one_value": np.full(N, 3.25),
+    "dict": RNG.choice(np.array([0.5, 1.25, 99.75, -3.5]), N),
+    "rle": np.repeat(RNG.choice(np.array([1.5, 2.5, 3.5]), N // 20 + 1), 20)[:N],
+    "frequency": np.where(RNG.random(N) < 0.97, 2.5, RNG.random(N) * 100),
+    "pseudodecimal": np.round(RNG.random(N) * 10_000, 2),
+    "uncompressed": RNG.standard_normal(N),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(DOUBLE_SHAPES))
+def test_double_round_trip(scheme):
+    values = DOUBLE_SHAPES[scheme].astype(np.float64)
+    mask = _mask(N)
+    filled = values.copy()
+    filled[~mask] = filled[mask][0]
+    enc = codecs.encode_double(scheme, filled, mask)
+    out = codecs.decode_double(enc)
+    # bit-exact comparison (SURVEY §7 risk note): compare via int64 views
+    np.testing.assert_array_equal(
+        out[mask].view(np.int64), filled[mask].view(np.int64)
+    )
+
+
+def test_pseudodecimal_edge_cases():
+    """-0.0 and non-finite are exceptions (Pseudodecimal.cpp:87-90); exact
+    round-trip incl. values needing high exponents and int32-overflow sigs."""
+    vals = np.array([-0.0, 0.0, np.inf, -np.inf, np.nan, 1.1, 123.456,
+                     1e-22, 1e22, 2**40 + 0.5, 0.1 + 0.2, -17.25,
+                     1.0, 2.5, 3.75, 42.0, 0.01, 99.99, -8.125, 7.0])
+    mask = np.ones(len(vals), dtype=bool)
+    enc = codecs.encode_double("pseudodecimal", vals, mask)
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+    # -0.0 must be an exception, +0.0 must not
+    assert bool(enc.streams["exc_mask"][0]) is True
+    assert bool(enc.streams["exc_mask"][1]) is False
+
+
+def test_pseudodecimal_bails_on_randoms():
+    vals = RNG.standard_normal(1000)  # irrational-ish: ~all exceptions
+    with pytest.raises(ValueError):
+        codecs.encode_double("pseudodecimal", vals, np.ones(1000, dtype=bool))
+
+
+STRINGS = np.array(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"],
+    dtype=object,
+)
+
+STRING_SHAPES = {
+    "one_value": np.array(["only"] * N, dtype=object),
+    "dict": RNG.choice(STRINGS, N),
+    "fsst": np.array([f"http://host/path/{i % 5000}/page" for i in range(N)], dtype=object),
+    "uncompressed": np.array([f"s{i}" for i in range(N)], dtype=object),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(STRING_SHAPES))
+def test_string_round_trip(scheme):
+    values = STRING_SHAPES[scheme]
+    mask = _mask(N)
+    filled = values.copy()
+    filled[~mask] = filled[mask][0]
+    enc = codecs.encode_string(scheme, filled, mask)
+    out = codecs.decode_string(enc)
+    assert all(out[i] == filled[i] for i in np.flatnonzero(mask)[:2000])
+    assert all(out[i] == filled[i] for i in np.flatnonzero(mask)[-2000:])
+
+
+def test_rle_nulls_merge_into_runs():
+    """Reference RLE.hpp:35-46: a null row extends the current run."""
+    vals = np.array([5, 5, 0, 5, 7, 0, 7], dtype=np.int64)
+    mask = np.array([1, 1, 0, 1, 1, 0, 1], dtype=bool)
+    enc = codecs.encode_int("rle", vals, mask)
+    np.testing.assert_array_equal(enc.streams["run_values"], [5, 7])
+    np.testing.assert_array_equal(enc.streams["run_lengths"], [4, 3])
+    out = codecs.decode_int(enc)
+    np.testing.assert_array_equal(out[mask], np.array([5, 5, 5, 7, 7]))
+
+
+def test_all_null_column():
+    vals = np.zeros(100, dtype=np.int64)
+    mask = np.zeros(100, dtype=bool)
+    enc = codecs.encode_int("one_value", vals, mask)
+    assert enc.size_bytes <= 32
+    out = codecs.decode_int(enc)
+    assert len(out) == 100

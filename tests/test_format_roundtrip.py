@@ -1,0 +1,105 @@
+"""Writer → reader round-trip on real testdata — the csvtobtr -verify analog
+(tools/conversion/csvtobtr.cpp:49-66): write a chunked table, read it back,
+assert exact equality; check metadata sidecar contents and chunk reads."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.config import DEFAULT_CONFIG
+from btrblocks_spark.format.chunker import with_chunk_id, with_global_index
+from btrblocks_spark.format.reader import read_column_chunk, read_table, scheme_summary
+from btrblocks_spark.format.verify import frames_equal, round_trip_verify
+from btrblocks_spark.format.writer import write_table
+from btrblocks_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def tmp_table_dir():
+    d = tempfile.mkdtemp(prefix="btr_fmt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def written(spark, sf_dir, tmp_table_dir):
+    df = load_table(spark, sf_dir, "lineitem")
+    cfg = DEFAULT_CONFIG.with_(block_size=2048)
+    meta = write_table(df, tmp_table_dir, ["l_orderkey", "l_linenumber"], cfg, "lineitem")
+    return df, meta, tmp_table_dir
+
+
+def test_global_index_dense(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    n = df.count()
+    idx = with_global_index(df, ["o_orderkey"])
+    stats = idx.agg(
+        F.min("_idx").alias("lo"),
+        F.max("_idx").alias("hi"),
+        F.countDistinct("_idx").alias("nd"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["nd"]) == (0, n - 1, n)
+    # index order matches key order: sorted-by-key == sorted-by-idx
+    keys_by_idx = [r["o_orderkey"] for r in idx.orderBy("_idx").select("o_orderkey").collect()]
+    assert keys_by_idx == sorted(keys_by_idx)
+
+
+def test_chunk_sizes(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    n = df.count()
+    bs = 1000
+    chunked = with_chunk_id(df, ["o_orderkey"], bs)
+    per_chunk = {r["_chunk"]: r["c"] for r in chunked.groupBy("_chunk").agg(F.count("*").alias("c")).collect()}
+    full, last = divmod(n, bs)
+    for cid, cnt in per_chunk.items():
+        if cid < full:
+            assert cnt == bs
+        else:
+            assert cnt == last
+
+
+def test_round_trip(spark, written):
+    df, meta, path = written
+    assert round_trip_verify(df, spark, path)
+
+
+def test_metadata_contents(written):
+    df, meta, path = written
+    assert meta["num_rows"] == df.count()
+    assert meta["num_chunks"] == (meta["num_rows"] + 2047) // 2048
+    assert set(meta["columns"]) == set(df.columns)
+    # every chunk of every column got a scheme
+    for col, info in meta["columns"].items():
+        assert len(info["chunks"]) == meta["num_chunks"]
+        for ch in info["chunks"]:
+            assert ch["scheme"] != ""
+    # a compressible column should be recognized: linenumber 1..7 → small range
+    ln = meta["columns"]["l_linenumber"]["chunks"][0]
+    assert ln["scheme"] in ("truncation", "bp", "pfor", "dict", "rle", "for")
+    assert meta["totals"]["est_compression_ratio"] > 1.0
+
+
+def test_scheme_summary_df(spark, written):
+    _df, meta, path = written
+    s = scheme_summary(spark, path)
+    assert s.count() == meta["num_chunks"] * len(meta["columns"])
+    assert s.filter(F.col("scheme") == "").count() == 0
+
+
+def test_read_column_chunk(spark, written):
+    df, meta, path = written
+    chunk1 = read_column_chunk(spark, path, "l_quantity", 1)
+    rows = chunk1.count()
+    assert rows == min(2048, meta["num_rows"] - 2048)
+    lo, hi = chunk1.agg(F.min("_idx"), F.max("_idx")).first()
+    assert lo == 2048 and hi == 2048 + rows - 1
+
+
+def test_frames_equal_detects_diff(spark, sf_dir):
+    df = load_table(spark, sf_dir, "region")
+    assert frames_equal(df, df)
+    assert not frames_equal(df, df.limit(3))
