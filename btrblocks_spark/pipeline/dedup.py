@@ -1,0 +1,229 @@
+"""Deduplication operators over a document corpus.
+
+Five strategies, ordered by cost/recall tradeoff:
+
+  exact          hash-groupBy on normalized text — one shuffle on a 32-byte
+                 hash key (never the full text), keep min doc_id.
+  minhash+LSH    word-shingles → k minhash permutations → banding →
+                 candidate pairs from band-bucket joins. The 100 TB path:
+                 each stage is a map + one agg/join keyed on (band, bucket);
+                 bucket keys are uniformly distributed by construction.
+  simhash        32-bit sign-aggregated token-hash signature; near-dup
+                 candidates from byte-band buckets, verified by Hamming
+                 distance.
+  n-gram Jaccard inverted-index join on distinct shingles (candidate pairs
+                 share >= 1 shingle), exact Jaccard = |A∩B| / |A∪B|.
+                 Hot shingles are the skew risk at scale — AQE skew-join
+                 handles moderate skew; stopword-shingle filtering is the
+                 structural fix (drop shingles with document-frequency above
+                 a cap, standard in large-scale dedup).
+  embedding cos  sign-sketch LSH buckets over an embedding column, exact
+                 cosine within bucket only (never the n² cross join).
+
+All arithmetic is portable (md5-based hashes, integer mod) so every operator
+is verified bit-exactly against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from btrblocks_spark.pipeline.text import (
+    MERSENNE31,
+    MINHASH_PERMS,
+    hash32,
+    normalized,
+    shingles,
+)
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash of normalized text, keep the min
+    id. Shuffles only (hash, id) — at 100 TB the text column never moves."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalized(F.col(text_col))).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_perm: int = 8, n: int = 3) -> DataFrame:
+    """k-permutation MinHash over word n-gram shingles: sig_i(doc) =
+    min over shingles of (a_i * h + b_i) mod 2^31-1. One row per doc with
+    columns s0..s{k-1}. Single map-side-combinable aggregation."""
+    sh = shingles(docs, n).distinct().withColumn("h", hash32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, num_perm: int = 8, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows; docs sharing any band bucket are candidate
+    duplicates. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale: the join is keyed on (band, bucket-hash) — uniform buckets, no
+    broadcast needed; output is bounded by real near-dup density."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, n)
+    buckets = None
+    for b in range(bands):
+        cols = [f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionAll(part)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over word tokens: bit i of the signature is the sign
+    of sum over tokens of (bit i of token-hash ? +1 : -1), term-frequency
+    weighted by construction (repeated tokens vote repeatedly)."""
+    from btrblocks_spark.pipeline.text import tokens
+
+    th = tokens(docs).withColumn("h", hash32(F.col("w")))
+    bits = th.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    )
+    votes = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup candidates: docs sharing any of the 4 signature bytes
+    (byte-band LSH — two signatures within Hamming distance 6 of each other
+    agree on at least one byte when differing bits spread), verified with
+    exact Hamming distance <= ``max_hamming``."""
+    sigs = simhash_signatures(docs)
+    bands = None
+    for i in range(4):
+        part = sigs.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index join: candidates share >= 1
+    shingle; jaccard = inter / (|A| + |B| - inter). Returns pairs with
+    jaccard >= threshold (rounded to 6 dp for engine parity)."""
+    sh = shingles(docs, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- embedding sign-sketch LSH ----------------------------------------------
+
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplanes: sign(p,i) = +1 iff the
+    md5-derived hash of "p_i" is even. Computed driver-side and embedded as
+    literals in both the Spark plan and the oracle SQL (bit-identical)."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16)
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def embedding_sketch(vecs: DataFrame, num_planes: int = 8, dim: int = 64,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Sign-sketch bucket per vector: bit p = (dot(v, plane_p) > 0).
+    Pure JVM-side array arithmetic (zip_with/aggregate) — no Python UDF."""
+    planes = hyperplane_signs(num_planes, dim)
+    v = F.expr(f"transform({vec_col}, x -> cast(x as double))")
+    out = vecs.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+    bucket = None
+    for p, signs in enumerate(planes):
+        arr = "array(" + ",".join(f"{s}D" for s in signs) + ")"
+        proj = F.expr(f"aggregate(zip_with(v, {arr}, (x, s) -> x * s), 0D, (acc, x) -> acc + x)")
+        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return out.withColumn("bucket", bucket)
+
+
+def cosine_expr(va: str, vb: str) -> F.Column:
+    """Cosine similarity between two double-array columns with a fixed
+    left-fold summation order (bit-reproducible across engines)."""
+    dot = f"aggregate(zip_with({va}, {vb}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    na = f"sqrt(aggregate(zip_with({va}, {va}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    nb = f"sqrt(aggregate(zip_with({vb}, {vb}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    return F.expr(f"({dot}) / (({na}) * ({nb}))")
+
+
+def embedding_cosine_pairs(
+    vecs: DataFrame, threshold: float = 0.4, num_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Embedding near-dup pairs: candidates from shared sign-sketch bucket,
+    exact cosine within bucket only. At 100 TB the n² cross join never
+    happens — the join is keyed on the sketch bucket."""
+    sk = embedding_sketch(vecs, num_planes, dim)
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_expr("a.v", "b.v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,185 @@
+"""Text analysis operators: tokenization, shingling, portable hashing,
+language-ID, quality scoring, token counting, fingerprinting.
+
+All operators are pure Spark built-ins (JVM-side, whole-stage codegen; no
+Python UDFs in the hot path) and use *portable* deterministic arithmetic —
+``md5``-derived 32-bit hashes — so results are reproducible bit-exactly on
+any engine (the DuckDB oracle runs the same formulas).
+
+Scale notes (100 TB): every operator here is embarrassingly parallel per
+document — no shuffle except the final per-doc ``groupBy(doc_id)``, which is
+a map-side-combinable aggregation on the table's natural key (near-zero
+skew: one group per document). Window functions partition by ``doc_id``
+(small per-doc windows), never globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 32-bit multiplicative-hash constants for MinHash permutations (primes).
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1299721, 15485863),
+    (1299827, 32452843),
+    (1299833, 49979687),
+    (1299709, 67867967),
+    (1300021, 86028121),
+    (1300033, 104395301),
+    (1300109, 122949823),
+    (1300151, 141650939),
+]
+MERSENNE31 = 2147483647
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (deterministic, dependency-free).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "las", "por"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+# BPE-ish tokenizer regex: letter runs | digit runs | single punctuation.
+# Kept RE2/Java-regex compatible so Spark and the oracle agree.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5 as an unsigned int.
+    Identical in Spark (`conv(substr(md5(x),1,8),16,10)`) and DuckDB
+    (`('0x'||substr(md5(x),1,8))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalized(col: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per (doc, position, word); whitespace tokenization."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Word n-gram shingles via lead() windows over token positions
+    (per-doc windows — parallel across docs, no global shuffle)."""
+    t = tokens(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(w) for i in range(1, n)])
+    # shingle and the completeness guard must come from the SAME window pass:
+    # filtering first would make lead() see the filtered frame and emit
+    # truncated shingles at the tail.
+    return (
+        t.select("doc_id", sh.alias("shingle"), F.lead("w", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID: for each language, count tokens that hit
+    its stopword list; predict the argmax (ties broken by language code).
+    Returns (doc_id, pred_lang, best_hits)."""
+    t = tokens(docs).withColumn("w", F.lower("w"))
+    votes = None
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        v = (
+            t.filter(F.col("w").isin(*words))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("hits"))
+            .withColumn("lang", F.lit(lang))
+        )
+        votes = v if votes is None else votes.unionAll(v)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"), F.col("hits").alias("best_hits"))
+    )
+    # docs with zero stopword hits anywhere -> 'und' (undetermined)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("best_hits", F.lit(0)).alias("best_hits"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: token count, mean token length,
+    punctuation ratio, stopword ratio, and a composite [0,1] score.
+    All integer/ratio arithmetic — deterministic across engines."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    t = tokens(docs).withColumn("lw", F.lower("w"))
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("w")).alias("chars_in_tokens"),
+        F.sum(F.when(F.col("lw").isin(*all_stop), 1).otherwise(0)).alias("stop_hits"),
+        F.countDistinct("lw").alias("uniq_tokens"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("n_punct"),
+    )
+    return (
+        base.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("chars_in_tokens") / F.col("n_tokens"), 6).alias("mean_tok_len"),
+            F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+            F.round(F.col("stop_hits") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+            F.round(F.col("uniq_tokens") / F.col("n_tokens"), 6).alias("ttr"),
+            # composite: reward length (saturating), distinct vocab, low punct
+            F.round(
+                F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+                + (F.col("uniq_tokens") / F.col("n_tokens")) * 0.4
+                + (F.lit(1.0) - F.least(F.col("n_punct") / F.col("n_chars") * 10, F.lit(1.0))) * 0.2,
+                6,
+            ).alias("quality"),
+        )
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens
+    (letter-runs | digit-runs | punctuation) per document."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length("text") / F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)), 6
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Document fingerprinting: whole-text content hash (md5 of normalized
+    text) + winnowing-style min-shingle-hash fingerprint."""
+    sh = shingles(docs, n).withColumn("h", hash32(F.col("shingle")))
+    minsh = sh.groupBy("doc_id").agg(F.min("h").alias("min_shingle_hash"))
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(normalized(F.col("text"))).alias("content_hash"),
+        )
+        .join(minsh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("min_shingle_hash", F.lit(-1)).alias("min_shingle_hash"),
+        )
+    )

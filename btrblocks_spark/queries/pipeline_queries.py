@@ -1,0 +1,445 @@
+"""Training-data pipeline queries + DuckDB oracles.
+
+Every oracle replicates the Spark operator's exact arithmetic: md5-derived
+32-bit hashes, fixed left-fold array sums, explicit DOUBLE casts, identical
+tie-breaks — so the compare is bit-exact (see oracle.py).
+
+Shared cross-engine primitives:
+  hash32(x):  Spark  cast(conv(substr(md5(x),1,8),16,10) as bigint)
+              DuckDB ('0x' || substr(md5(x),1,8))::BIGINT
+  shingles:   lead() windows over whitespace token positions
+  dot(a,b):   left-fold aggregate/list_reduce over elementwise products
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btrblocks_spark.pipeline.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    hyperplane_signs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from btrblocks_spark.pipeline.multimodal import attach_payload, extract_features
+from btrblocks_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from btrblocks_spark.pipeline.text import (
+    LANG_STOPWORDS,
+    MINHASH_PERMS,
+    BPE_TOKEN_RE,
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE fragments
+# ---------------------------------------------------------------------------
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)"""
+
+_SHINGLES = (
+    _TOKS
+    + """,
+sh AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL
+)"""
+)
+
+_SHD = _SHINGLES + """,
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sh_hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shd
+)"""
+
+_MINHASH_AGGS = ",\n       ".join(
+    f"min(({a} * h + {b}) % 2147483647) AS s{i}"
+    for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+
+_SIGS = _SHD + f""",
+sigs AS (
+  SELECT doc_id,
+       {_MINHASH_AGGS}
+  FROM sh_hashed GROUP BY doc_id
+)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Left-fold dot product matching Spark's aggregate(zip_with(...))."""
+    return (
+        f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), "
+        "(x, y) -> x + y)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"WITH {_SIGS} SELECT * FROM sigs",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_BANDS = ",\nbands AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, "
+    f"md5(s{2*b}::VARCHAR || '_' || s{2*b+1}::VARCHAR) AS bucket FROM sigs"
+    for b in range(4)
+) + "\n)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SIGS}{_BANDS}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH = (
+    _TOKS
+    + """,
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
+),
+votes AS (
+  SELECT doc_id, t.b,
+         sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(0, 32) AS t(b)
+  GROUP BY doc_id, t.b
+),
+simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_SIMHASH} SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM simh",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_SIMBANDS = ",\nsbands AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, {i} AS band, "
+    f"(CAST(simhash AS BIGINT) >> {8*i}) & 255 AS key FROM simh"
+    for i in range(4)
+) + "\n)"
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH {_SIMHASH}{_SIMBANDS}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sbands a JOIN sbands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _planes_cte(num_planes: int) -> str:
+    planes = hyperplane_signs(num_planes, 64)
+    cols = ", ".join(
+        "CAST([" + ",".join(str(s) for s in row) + "] AS DOUBLE[]) AS p" + str(p)
+        for p, row in enumerate(planes)
+    )
+    return f"planes AS (SELECT {cols})"
+
+
+def _sketch_cte(num_planes: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql('v', f'p{p}')} > 0 THEN CAST({1 << p} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for p in range(num_planes)
+    )
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_planes_cte(num_planes)},
+sk AS (SELECT vec_id, v, {bits} AS bucket FROM e CROSS JOIN planes)"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH {_sketch_cte(8)}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
+FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cosine_sql('a.v', 'b.v')}, 6) >= 0.4
+""",
+)
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'v')}, 6) AS cosine
+  FROM q CROSS JOIN e WHERE vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+WITH {_sketch_cte(4)},
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM sk WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q_id, sk.vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'sk.v')}, 6) AS cosine
+  FROM q JOIN sk USING (bucket) WHERE sk.vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_VALUES = ",\n         ".join(
+    "('" + lang + "', [" + ",".join(f"'{w}'" for w in words) + "])"
+    for lang, words in sorted(LANG_STOPWORDS.items())
+)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w FROM documents
+),
+langs(lang, words) AS (
+  VALUES {_LANG_VALUES}
+),
+votes AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN langs ON list_contains(words, w)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM votes
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       coalesce(b.hits, 0) AS best_hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+_ALL_STOP = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH {_TOKS},
+t AS (SELECT doc_id, w, lower(w) AS lw FROM toks),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(length(w)) AS chars_in_tokens,
+         sum(CASE WHEN lw IN ({_ALL_STOP}) THEN 1 ELSE 0 END) AS stop_hits,
+         count(DISTINCT lw) AS uniq_tokens
+  FROM t GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents
+)
+SELECT b.doc_id, n_tokens,
+       round(chars_in_tokens / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len,
+       round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+       round(stop_hits / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round(uniq_tokens / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(
+         least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         + (CAST(1.0 AS DOUBLE)
+            - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+                    CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+       6) AS quality
+FROM base b JOIN per_doc USING (doc_id)
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe_tokens,
+       length(text) AS n_chars,
+       round(length(text) / CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS DOUBLE), 6)
+         AS chars_per_bpe_token
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH {_SHINGLES},
+minsh AS (
+  SELECT doc_id, min(('0x' || substr(md5(shingle), 1, 8))::BIGINT) AS min_shingle_hash
+  FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       coalesce(m.min_shingle_hash, -1) AS min_shingle_hash
+FROM documents d LEFT JOIN minsh m USING (doc_id)
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, text, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents
+)
+SELECT doc_id,
+       (['png', 'jpeg', 'wav'])[(h % 3) + 1] AS fmt,
+       CAST(64 + h % 512 AS INTEGER) AS width,
+       CAST(64 + (h >> 4) % 512 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM h
+""",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attach_payload(load_table(spark, sf_dir, "documents")).drop("payload")
+
+
+@register("multimodal_decode_features")  # mapInPandas kernel: rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)

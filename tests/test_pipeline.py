@@ -1,0 +1,128 @@
+"""Pipeline-operator tests beyond the oracle sweep: multimodal plumbing
+shapes, dedup semantics on hand-built corpora, ANN recall sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.pipeline.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from btrblocks_spark.pipeline.multimodal import (
+    attach_payload,
+    extract_features,
+    frame_sample_stub,
+    resize_stub,
+)
+from btrblocks_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from btrblocks_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (3, "The  quick brown FOX jumps over the lazy dog today"),  # normalized dup
+        (4, "the quick brown fox jumps over the lazy cat today"),  # near dup (1 word)
+        (5, "completely different text about database compression schemes"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized(corpus):
+    out = dedup_exact(corpus)
+    groups = {r["keep_doc_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[1] == 3  # 1, 2, 3 collapse
+    assert groups[4] == 1
+    assert groups[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(corpus).collect()}
+    assert (1, 2) in pairs  # identical text always collides
+    assert (1, 4) in pairs  # 1-word-off: most bands agree
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard_scores(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(corpus).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in (a, b) for (a, b) in pairs)
+
+
+def test_simhash_near_pairs(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(corpus).collect()}
+    assert pairs[(1, 2)] == 0
+    assert not any(5 in (a, b) for (a, b) in pairs)
+
+
+def test_ann_topk_shapes(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(vecs, [0, 1], k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_ann_lsh_subset_of_corpus(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    approx = lsh_bucketed_topk(vecs, [0], k=5)
+    # approximate neighbors are valid vec_ids and never the query itself
+    rows = approx.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+def test_attach_payload_schema(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    row = media.first()
+    assert isinstance(row["payload"], bytearray | bytes)
+    assert row["fmt"] in ("png", "jpeg", "wav")
+    assert 64 <= row["width"] < 576 and 64 <= row["height"] < 576
+    assert row["n_bytes"] == len(row["payload"])
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    a = sorted(map(tuple, extract_features(media).collect()))
+    b = sorted(map(tuple, extract_features(media).collect()))
+    assert a == b
+    assert all(0 < r[5] < 256 for r in a)  # byte_mean in byte range
+
+
+def test_real_decode_is_stubbed(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(2)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(media, real_decode=True).collect()
+
+
+def test_resize_stub_updates_metadata(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(5)
+    out = resize_stub(media, 224, 224).collect()
+    assert len(out) == 5
+    assert all(r["width"] == 224 and r["height"] == 224 for r in out)
+
+
+def test_frame_sample_shapes(spark, sf_dir):
+    media = attach_payload(load_table(spark, sf_dir, "documents")).limit(5)
+    frames = frame_sample_stub(media, every_n=1).collect()
+    # every doc < 4 KiB here -> exactly one frame each, frame 0
+    assert len(frames) == 5
+    assert all(r["frame_no"] == 0 for r in frames)
+    assert all(len(r["frame_bytes"]) > 0 for r in frames)
