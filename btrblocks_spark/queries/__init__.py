@@ -29,19 +29,13 @@ def register(name: str, oracle: str | None = None):
 
 def _load_all() -> None:
     # import for registration side effects
-    from btrblocks_spark.queries import relational  # noqa: F401
-    try:
-        from btrblocks_spark.queries import stats  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from btrblocks_spark.queries import pipeline_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from btrblocks_spark.queries import format_queries  # noqa: F401
-    except ImportError:
-        pass
+    from btrblocks_spark.queries import (  # noqa: F401
+        events_queries,
+        format_queries,
+        pipeline_queries,
+        relational,
+        stats,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

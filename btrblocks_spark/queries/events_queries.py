@@ -1,0 +1,110 @@
+"""Event-stream batch queries — the batch twins of the streaming operators
+(streaming/ops.py): gap-based sessionization and watermark-window rollups
+expressed as pure SQL-comparable window/agg plans.
+
+ts parity: Spark reads the parquet TIMESTAMP(NANOS) column as BIGINT
+epoch-nanos (tables.load_table); the oracle uses epoch_ns(ts) for the same
+integer nanoseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+_GAP_US = 600 * 1_000_000  # 10-minute idle gap (microseconds: DuckDB
+# TIMESTAMP is us-precision, so both engines compute on identical us values)
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a session starts when the idle gap
+    to the previous event of the same user exceeds 10 minutes. The streaming
+    twin (streaming.sessionize) computes the same sessions incrementally
+    with applyInPandasWithState.
+
+    Scale: both windows partition by user_id — parallel across users; no
+    global ordering anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        # integer division: ts/1000 in double loses ULPs at 1.7e18
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "events_top_users",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, event_type, count(*) AS n, round(sum(value), 4) AS total
+  FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+  SELECT user_id, event_type, n, total,
+         row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rnk
+  FROM per_user
+)
+SELECT event_type, rnk, user_id, n, total FROM ranked WHERE rnk <= 10
+""",
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value per event type — partial agg then a
+    per-type top-k window (k small: no global sort)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("event_type", "rnk", "user_id", "n", "total")
+    )

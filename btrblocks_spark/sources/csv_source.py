@@ -1,0 +1,122 @@
+"""CSV ingest/export with the reference's parser semantics.
+
+Ingest (reference S1, btrfiles/Parser.cpp:21-192):
+  - '|' default separator
+  - non-string fields are trimmed before parse
+  - empty string and the literal "null" parse as NULL for int/double
+    (Parser.cpp:99-127); for strings only the literal "null" is NULL
+    (empty string stays an empty string)
+  - schema is declared externally (YAML in the reference,
+    btrfiles/btrfiles.hpp:8-38) — never inferred
+  - unsupported declared types are SKIPped (dropped at ingest,
+    btrfiles/btrfiles.hpp:20-22)
+
+Export (reference S6, tools/conversion/btrtocsv.cpp:37-170):
+  - '|' separator, nulls as the literal "null"
+
+Scale: `spark.read.csv` is a splittable distributed scan; the trim/null
+normalization is a projection (whole-stage codegen, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Declared-type mapping. The reference supports {integer, double, string} and
+# aliases smallint→integer, float→double (btrfiles/Relation.cpp:17-21); our
+# engine keeps the wider Spark types natively (SURVEY §1.2).
+_TYPE_MAP = {
+    "integer": IntegerType(),
+    "int": IntegerType(),
+    "smallint": ShortType(),
+    "bigint": LongType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "string": StringType(),
+}
+
+NULL_LITERAL = "null"
+DEFAULT_SEP = "|"
+
+
+def schema_from_decl(columns: list[dict]) -> tuple[StructType, list[str]]:
+    """Build a StructType from a [{name, type}] declaration (the YAML schema
+    analog). Unsupported types are SKIPped: returned separately and dropped
+    at ingest. All fields nullable (nulls are first-class, SURVEY §1.2)."""
+    fields, skipped = [], []
+    for col in columns:
+        t = col["type"].lower()
+        if t in _TYPE_MAP:
+            fields.append(StructField(col["name"], _TYPE_MAP[t], nullable=True))
+        else:
+            skipped.append(col["name"])
+    return StructType(fields), skipped
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict],
+    sep: str = DEFAULT_SEP,
+    header: bool = False,
+) -> DataFrame:
+    """Typed CSV scan with the reference's parse semantics. Reads every
+    declared column as a string first, then applies trim + null rules and
+    casts — so "  42 " parses as 42 and "null"/"" parse as NULL exactly like
+    the reference parser (Parser.cpp:88-127)."""
+    schema, skipped = schema_from_decl(columns)
+    raw_schema = StructType(
+        [StructField(f.name, StringType(), True) for f in schema.fields]
+    )
+    # Null handling: the CSV reader (univocity) maps *unquoted* empty fields
+    # to NULL unconditionally; *quoted* empty strings ("") survive via
+    # emptyValue. That matches the writer below (it quotes empty strings),
+    # so empty-vs-null round-trips exactly. nullValue is pinned to a
+    # sentinel so the literal-"null" rule is applied by our expressions,
+    # not the reader.
+    raw = spark.read.csv(
+        path,
+        schema=raw_schema,
+        sep=sep,
+        header=header,
+        nullValue="\u0000",
+        emptyValue="",
+    )
+
+    exprs = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, StringType):
+            # strings: only the literal "null" is NULL; no trim
+            e = F.when(c == NULL_LITERAL, F.lit(None)).otherwise(c)
+        else:
+            trimmed = F.trim(c)
+            e = (
+                F.when((trimmed == "") | (trimmed == NULL_LITERAL), F.lit(None))
+                .otherwise(trimmed)
+                .cast(f.dataType)
+            )
+        exprs.append(e.alias(f.name))
+    return raw.select(*exprs)
+
+
+def export_csv(df: DataFrame, path: str, sep: str = DEFAULT_SEP, header: bool = False) -> None:
+    """btrtocsv-style export: '|' separator, nulls as the literal "null"."""
+    (
+        df.write.mode("overwrite")
+        .option("sep", sep)
+        .option("nullValue", NULL_LITERAL)
+        .option("header", str(header).lower())
+        .csv(path)
+    )

@@ -1,0 +1,187 @@
+"""Streaming operators: source, watermarked windows, chunk-aligned append
+sink, and a custom stateful sessionizer."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),  # epoch-nanos (nanosAsLong)
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
+    """readStream over a directory of event parquet files. New files are
+    picked up per microbatch (the chunk-append read path). Converts
+    epoch-nano ts to a proper timestamp column ``event_time``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(events_dir)
+    )
+    # integer division: double-precision ts/1000 loses ULPs at 1.7e18 ns
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_rollup(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation with late-data watermark: count + sum per
+    (window, event_type). State is bounded: windows older than the watermark
+    are finalized and dropped."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def chunked_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    block_size: int = 65536,
+    trigger_available_now: bool = True,
+):
+    """Chunk-aligned streaming sink: each microbatch is appended as Parquet
+    files capped at ``block_size`` rows (the ColumnPart sizing analog) via
+    foreachBatch. Returns the StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .option("maxRecordsPerFile", block_size)
+            .option("compression", "zstd")
+            .parquet(os.path.join(path, "data"))
+        )
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- custom stateful operator: session windows ------------------------------
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", LongType(), True),
+        StructField("total", DoubleType(), True),
+    ]
+)
+
+
+def _session_fn(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+            return
+
+        rows: list[dict[str, Any]] = []
+        start_us = last_us = None
+        n, total = 0, 0.0
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time")
+            for t, v in zip(pdf["event_time"], pdf["value"]):
+                t_us = int(t.value // 1000)
+                if last_us is not None and t_us - last_us > gap_us:
+                    rows.append(
+                        {
+                            "user_id": user_id,
+                            "session_start": pd.Timestamp(start_us, unit="us"),
+                            "session_end": pd.Timestamp(last_us, unit="us"),
+                            "n_events": n,
+                            "total_value": round(total, 6),
+                        }
+                    )
+                    start_us, n, total = t_us, 0, 0.0
+                if start_us is None:
+                    start_us = t_us
+                last_us = t_us
+                n += 1
+                total += float(v) if v == v else 0.0  # NaN-safe
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def sessionize(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: session windows with an idle-gap timeout,
+    via applyInPandasWithState. Emits one row per *closed* session (a new
+    event after the gap closes the previous session; processing-time timeout
+    flushes idle state). State is per user_id — hash-partitioned, bounded."""
+    return (
+        stream.select("user_id", "event_time", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,73 @@
+"""CSV ingest/export semantics — the reference parser rules
+(btrfiles/Parser.cpp:88-127): trim non-strings, ""/"null" → NULL for
+numerics, only literal "null" → NULL for strings; export writes nulls as
+"null" with '|' separator; round-trip preserves values."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from btrblocks_spark.sources import export_csv, read_csv, schema_from_decl
+from btrblocks_spark.tables import load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="btr_csv_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+DECL = [
+    {"name": "id", "type": "integer"},
+    {"name": "score", "type": "double"},
+    {"name": "name", "type": "string"},
+    {"name": "when", "type": "timestamp"},  # unsupported -> SKIP
+]
+
+
+def test_schema_skip_unsupported():
+    schema, skipped = schema_from_decl(DECL)
+    assert [f.name for f in schema.fields] == ["id", "score", "name"]
+    assert skipped == ["when"]
+
+
+def test_parse_semantics(spark, tmpdir):
+    csv = os.path.join(tmpdir, "in.csv")
+    with open(csv, "w") as fh:
+        fh.write(" 1 |2.5|alpha\n")        # trimmed int
+        fh.write("null| null |null\n")     # nulls: int, double (trimmed), string
+        fh.write("3||\n")                  # unquoted empty -> NULL (reader rule)
+        fh.write('5|0.5|""\n')             # quoted empty -> empty string
+        fh.write("4|  -7.25 |beta\n")
+    df = read_csv(spark, csv, DECL)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] == 2.5 and rows[1]["name"] == "alpha"
+    assert None in rows  # id "null" -> NULL
+    null_row = rows[None]
+    assert null_row["score"] is None and null_row["name"] is None
+    assert rows[3]["score"] is None and rows[3]["name"] is None
+    assert rows[5]["name"] == ""
+    assert rows[4]["score"] == -7.25
+
+
+def test_round_trip_with_nulls(spark, sf_dir, tmpdir):
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    out = os.path.join(tmpdir, "export")
+    export_csv(src, out)
+    decl = [
+        {"name": "c_custkey", "type": "bigint"},
+        {"name": "c_name", "type": "string"},
+        {"name": "c_acctbal", "type": "double"},
+    ]
+    back = read_csv(spark, out, decl)
+    assert back.count() == src.count()
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

@@ -1,0 +1,104 @@
+"""Structured Streaming tests: incremental source pickup, watermarked
+windowed aggregation parity with the batch query, chunk-aligned append sink,
+and the stateful sessionizer (availableNow triggers — bounded runs)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.streaming import (
+    chunked_append,
+    sessionize,
+    stream_source,
+    windowed_rollup,
+)
+from btrblocks_spark.tables import load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="btr_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmpdir):
+    """Stage the events table as a multi-file streaming source directory."""
+    src = load_table(spark, sf_dir, "events")
+    d = os.path.join(tmpdir, "events_src")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(stream_df, name: str, mode: str = "append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir, events_dir):
+    stream = stream_source(spark, events_dir)
+    q = _run_to_memory(windowed_rollup(stream), "rollup_test", mode="append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from rollup_test").collect()
+    }
+    q.stop()
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    # the watermark may hold back the final (open) windows; everything
+    # emitted must match the batch result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+
+
+def test_chunked_append_sink(spark, events_dir, tmpdir):
+    out = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    stream = stream_source(spark, events_dir)
+    q = chunked_append(stream, out, ckpt, block_size=500)
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(os.path.join(out, "data"))
+    n = written.count()
+    src_n = spark.read.parquet(events_dir).count()
+    assert n == src_n
+    # chunk alignment: no file exceeds block_size rows
+    per_file = written.groupBy(F.input_file_name()).count().collect()
+    assert all(r["count"] <= 500 for r in per_file)
+    # restart with no new data appends nothing (exactly-once bookkeeping)
+    q2 = chunked_append(stream_source(spark, events_dir), out, ckpt, block_size=500)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "data")).count() == src_n
+
+
+def test_sessionize_stateful(spark, events_dir):
+    stream = stream_source(spark, events_dir)
+    q = _run_to_memory(sessionize(stream, gap_seconds=600), "sessions_test")
+    rows = spark.sql("select * from sessions_test").collect()
+    q.stop()
+    # closed sessions only: end >= start, positive counts, session per user
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] > 0
