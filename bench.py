@@ -1,19 +1,27 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "format": {...}}.
 
-Timing materializes every query with the noop sink (full execution, no
-collect/driver cost) after a JVM/table warm-up pass — the analog of the
-reference's decompression-speed harness warm-up
+Query timing materializes with the noop sink (full execution, no driver
+collect) after a JVM/table warm-up pass — the analog of the reference's
+decompression-speed harness warm-up
 (tools/conversion/decompression-speed.cpp:91-239).
+
+The "format" section reports the reference's own metric set (BASELINE.md):
+compression ratio (size-weighted estimate from the scheme planner + actual
+on-disk bytes), write (compress) wall time, and scan (decompress) MB/s,
+measured by writing the lineitem table through the chunked writer and
+timing a full re-scan.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,8 +30,7 @@ from btrblocks_spark.queries import all_queries
 from btrblocks_spark.session import get_spark
 
 # Headline set: one per operator family (scan+agg, star join, window, rollup,
-# time-series, run-detection). Pipeline/format additions register here as
-# they land.
+# time-series, run-detection, dedup, ANN, text, sessionize).
 HEADLINE = [
     "q1_pricing_summary",
     "join_multi",
@@ -31,16 +38,58 @@ HEADLINE = [
     "window_rank",
     "agg_rollup",
     "events_time_rollup",
+    "events_sessionize",
     "rle_runs",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
     "text_quality",
+    "text_fingerprint",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def bench_format(spark, sf_dir: str) -> dict:
+    """Write lineitem through the chunked writer; report ratio + speeds."""
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.tables import load_table
+
+    out = tempfile.mkdtemp(prefix="btr_bench_fmt_")
+    try:
+        df = load_table(spark, sf_dir, "lineitem")
+        meta = write_table(df, out, ["l_orderkey", "l_linenumber"], table_name="lineitem")
+
+        data_dir = os.path.join(out, "data")
+        ondisk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(data_dir)
+            for f in fs
+        )
+        raw = meta["totals"]["raw_bytes"]
+
+        t0 = time.perf_counter()
+        materialize(spark.read.parquet(data_dir))
+        scan_sec = time.perf_counter() - t0
+
+        return {
+            "rows": meta["num_rows"],
+            "chunks": meta["num_chunks"],
+            "write_sec": meta["write_seconds"],
+            "raw_bytes": raw,
+            "ondisk_bytes": ondisk,
+            "disk_compression_ratio": round(raw / max(ondisk, 1), 4),
+            "est_compression_ratio": meta["totals"]["est_compression_ratio"],
+            "scan_sec": round(scan_sec, 3),
+            "scan_mb_s": round(raw / 1e6 / max(scan_sec, 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -61,6 +110,8 @@ def main() -> None:
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    fmt = bench_format(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "format": fmt,
             }
         )
     )

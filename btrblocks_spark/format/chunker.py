@@ -65,6 +65,7 @@ def with_global_index(
         .drop("_pid", "_offset")
     )
     out._btr_persisted = part  # release via unpersist_index
+    out._btr_total_rows = acc  # row count, free byproduct of the offset job
     return out
 
 
@@ -89,4 +90,5 @@ def with_chunk_id(
         chunk_col, F.floor(F.col(index_col) / F.lit(block_size)).cast("long")
     )
     out._btr_persisted = getattr(indexed, "_btr_persisted", None)
+    out._btr_total_rows = getattr(indexed, "_btr_total_rows", None)
     return out

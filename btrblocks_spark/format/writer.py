@@ -129,13 +129,19 @@ def write_table(
     # (required for a stable index across jobs — see chunker.py)
     chunked = with_chunk_id(df, order_keys, config.block_size)
     try:
+        num_rows = chunked._btr_total_rows  # free byproduct of the offset job
+        num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
         plan_rows = [r.asDict() for r in plan_chunks(chunked, col_types, config).collect()]
 
         data_path = os.path.join(path, "data")
+        # chunk-aligned layout: one range partition per chunk, sorted by the
+        # global index → one output file ≈ one chunk (the ColumnPart sizing
+        # analog); maxRecordsPerFile caps stragglers if range sampling merges
+        # adjacent chunks into one partition
         writer = (
-            chunked.drop("_chunk")
-            .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "_idx")
+            chunked.repartitionByRange(int(num_chunks), "_chunk", "_idx")
             .sortWithinPartitions("_idx")
+            .drop("_chunk")
             .write.mode("overwrite")
             .option("compression", config.compression_codec)
             .option("maxRecordsPerFile", config.block_size)
@@ -153,12 +159,9 @@ def write_table(
                 f"parquet.enable.dictionary#{col}", str(scheme in _DICT_SCHEMES).lower()
             )
         writer.parquet(data_path)
-
-        num_rows = chunked.count()
     finally:
         unpersist_index(chunked)
 
-    num_chunks = (num_rows + config.block_size - 1) // config.block_size
     columns: dict[str, dict] = {}
     for r in sorted(plan_rows, key=lambda x: (x["column"], x["chunk"])):
         col = r.pop("column")

@@ -74,15 +74,19 @@ def minhash_lsh_pairs(
     broadcast needed; output is bounded by real near-dup density."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, n)
-    buckets = None
-    for b in range(bands):
-        cols = [f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+    # one posexplode instead of a per-band union: the signature aggregation
+    # is evaluated once, not ``bands`` times
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                "_", *[f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
         )
-        buckets = part if buckets is None else buckets.unionAll(part)
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket")
+    )
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b_, ["band", "bucket"])
@@ -120,15 +124,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     agree on at least one byte when differing bits spread), verified with
     exact Hamming distance <= ``max_hamming``."""
     sigs = simhash_signatures(docs)
-    bands = None
-    for i in range(4):
-        part = sigs.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # single-pass banding (posexplode) — the signature subtree runs once
+    key_exprs = [
+        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)) for i in range(4)
+    ]
+    bands = sigs.select(
+        "doc_id", "simhash", F.posexplode(F.array(*key_exprs)).alias("band", "key")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "key"])

@@ -88,15 +88,18 @@ def language_id(docs: DataFrame) -> DataFrame:
     its stopword list; predict the argmax (ties broken by language code).
     Returns (doc_id, pred_lang, best_hits)."""
     t = tokens(docs).withColumn("w", F.lower("w"))
-    votes = None
-    for lang, words in sorted(LANG_STOPWORDS.items()):
-        v = (
-            t.filter(F.col("w").isin(*words))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("hits"))
-            .withColumn("lang", F.lit(lang))
-        )
-        votes = v if votes is None else votes.unionAll(v)
+    # one broadcast join against the (word, lang) list instead of one
+    # filtered aggregation per language: the token scan runs once
+    spark = docs.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, lang) for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws],
+        "w string, lang string",
+    )
+    votes = (
+        t.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
     best = (
         votes.withColumn("rn", F.row_number().over(w))
