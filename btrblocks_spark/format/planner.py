@@ -170,31 +170,42 @@ def choose_scheme(
     cands = candidate_schemes(kind, values, mask, config)
 
     if config.scheme_selection == SchemeSelection.TRY_ALL:
-        est_values, est_mask = values, mask
+        est_values, est_mask, scale = values, mask, 1.0
     else:
         est_values, est_mask = run_sample(values, mask, config.sample_count, config.sample_size)
+        sample_raw = (
+            len(est_values) * 4
+            if kind == "int"
+            else len(est_values) * 8
+            if kind == "double"
+            else int(sum(len(x or "") for x in est_values)) + 4 * len(est_values)
+        )
+        scale = raw_size / max(sample_raw, 1)
+
+    # Cardinality/entropy-sensitive schemes are estimated on the FULL chunk:
+    # a 640-value run sample sees a high-cardinality dictionary as
+    # ~all-distinct and a large string pool as incompressible, systematically
+    # under-picking dict/fsst (one unique/zlib pass per chunk is cheap — the
+    # stats pass already paid it).
+    _FULL_EST = {"dict", "fsst"}
 
     best, best_size = "uncompressed", None
     sizes = {}
     for scheme in cands:
         try:
-            enc = codecs.encode(kind, scheme, est_values, est_mask, depth=config.max_cascade_depth)
+            if scheme in _FULL_EST:
+                enc = codecs.encode(kind, scheme, values, mask, depth=config.max_cascade_depth)
+                full_size = float(enc.size_bytes)
+            else:
+                enc = codecs.encode(kind, scheme, est_values, est_mask, depth=config.max_cascade_depth)
+                full_size = enc.size_bytes * scale
         except ValueError:
             continue
-        sizes[scheme] = enc.size_bytes
-        if best_size is None or enc.size_bytes < best_size:
-            best, best_size = scheme, enc.size_bytes
+        sizes[scheme] = full_size
+        if best_size is None or full_size < best_size:
+            best, best_size = scheme, full_size
 
-    # scale sample estimate to full chunk
-    sample_raw = (
-        len(est_values) * 4
-        if kind == "int"
-        else len(est_values) * 8
-        if kind == "double"
-        else int(sum(len(x or "") for x in est_values)) + 4 * len(est_values)
-    )
-    scale = raw_size / max(sample_raw, 1)
-    est_size = int((best_size or sample_raw) * scale)
+    est_size = int(best_size if best_size is not None else raw_size)
 
     # step 5: regression guard
     if est_size >= raw_size:

@@ -44,11 +44,19 @@ def test_regression_guard_random_ints():
     assert plan["est_size"] == plan["raw_size"]
 
 
-def test_rle_shape_picks_rle():
+def test_rle_shape_picks_run_aware_scheme():
+    """30-long runs of 1000 distinct values: RLE and dict-with-RLE'd-codes
+    model within ~5% of each other — either is a correct argmax."""
     vals = np.repeat(RNG.integers(0, 1000, N // 30 + 1), 30)[:N].astype(np.int64)
     plan = choose_scheme("integer", vals)
-    assert plan["scheme"] == "rle"
+    assert plan["scheme"] in ("rle", "dict")
     assert plan["est_ratio"] > 5
+    # long-run low-cardinality: dict-with-RLE'd-codes or RLE, at a huge ratio
+    # (the reference's own codes-RLE auto-switch, DynamicDictionary.cpp:183-196)
+    vals2 = np.repeat(RNG.integers(0, 10, N // 200 + 1), 200)[:N].astype(np.int64)
+    plan2 = choose_scheme("integer", vals2)
+    assert plan2["scheme"] in ("rle", "dict")
+    assert plan2["est_ratio"] > 50
 
 
 def test_small_range_picks_packing_class():
