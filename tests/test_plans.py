@@ -1,0 +1,90 @@
+"""Physical-plan quality gates — the 100 TB design assertions, checked on
+the real optimized plans: predicate/column pushdown reaches the parquet
+scan, small dimensions broadcast, no cartesian products sneak in, and
+whole-stage codegen covers the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.queries import all_queries
+from btrblocks_spark.tables import load_table
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = formatted(df)
+    # ReadSchema must contain only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_point_lookup_pushes_in_filter(spark, sf_dir):
+    plan = formatted(QUERIES["point_lookup"](spark, sf_dir))
+    assert "PushedFilters" in plan and "In(o_orderkey" in plan
+
+
+def test_broadcast_join_used(spark, sf_dir):
+    plan = plan_of(QUERIES["join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_star_join_broadcasts_small_dims(spark, sf_dir):
+    """join_multi: region/nation are tiny → must broadcast, never
+    shuffle-exchange the fact table for them."""
+    plan = plan_of(QUERIES["join_multi"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_headline(spark, sf_dir):
+    for name in ("q1_pricing_summary", "window_rank", "agg_rollup", "dedup_exact",
+                 "text_quality", "events_sessionize"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ann_broadcasts_queries(spark, sf_dir):
+    """Query set is the small side — must broadcast against the corpus."""
+    plan = plan_of(QUERIES["ann_cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wholestage_codegen_on_agg(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # AQE: codegen spans appear once the adaptive plan is final
+    plan = plan_of(df)
+    # '*(n)' node prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(" in plan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
+    """The exchange key for exact dedup must be the 32-byte content hash —
+    the document text column never crosses the shuffle."""
+    plan = plan_of(QUERIES["dedup_exact"](spark, sf_dir))
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines, "expected a hash exchange"
+    assert all("content_hash" in l for l in exchange_lines)
+    assert all("text" not in l for l in exchange_lines)
