@@ -41,7 +41,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 INT_SCHEMES = ("uncompressed", "one_value", "truncation", "for", "delta", "bp", "pfor", "dict", "rle", "frequency")
-DOUBLE_SCHEMES = ("uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal")
+DOUBLE_SCHEMES = (
+    "uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal",
+    "double_bp", "max_exponent",  # legacy (scheme/double/DoubleBP.cpp, MaxExponent.cpp)
+)
 STRING_SCHEMES = ("uncompressed", "one_value", "dict", "fsst")
 
 _EXP10 = np.array([10.0**e for e in range(23)])
@@ -275,11 +278,15 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
         e.size_bytes = 16 + msize
 
     elif scheme == "dict":
-        uniq = np.unique(set_vals)
-        codes = np.searchsorted(uniq, filled)
+        # dictionary over the int64 BIT view: float == collapses -0.0/0.0
+        # and NaN payloads, which would corrupt the bit-exact round-trip
+        set_bits = set_vals.view(np.int64)
+        filled_bits = filled.view(np.int64)
+        uniq_bits = np.unique(set_bits)
+        codes = np.searchsorted(uniq_bits, filled_bits)
         codes[~mask] = 0
-        e.streams = {"dict": uniq, "codes": codes}
-        e.size_bytes = len(uniq) * 8 + _int_stream_size(codes, depth - 1) + 8 + msize
+        e.streams = {"dict": uniq_bits.view(np.float64), "codes": codes}
+        e.size_bytes = len(uniq_bits) * 8 + _int_stream_size(codes, depth - 1) + 8 + msize
 
     elif scheme == "rle":
         iv = filled.view(np.int64)
@@ -288,11 +295,19 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
         e.size_bytes = len(run_vals_bits) * 8 + _int_stream_size(run_lens, depth - 1) + 16 + msize
 
     elif scheme == "frequency":
-        vals, counts = np.unique(set_vals, return_counts=True)
-        top = float(vals[np.argmax(counts)])
-        exc_mask = mask & (filled != top)
+        # top-value identity on the bit view (see dict): -0.0 and NaN must
+        # not silently merge with 0.0 / other NaNs
+        set_bits = set_vals.view(np.int64)
+        filled_bits = filled.view(np.int64)
+        vals_b, counts = np.unique(set_bits, return_counts=True)
+        top_bits = int(vals_b[np.argmax(counts)])
+        exc_mask = mask & (filled_bits != top_bits)
         exc_vals = filled[exc_mask]
-        e.streams = {"top": top, "exc_mask": exc_mask, "exc_values": exc_vals}
+        e.streams = {
+            "top": np.int64(top_bits).view(np.float64).item(),
+            "exc_mask": exc_mask,
+            "exc_values": exc_vals,
+        }
         e.size_bytes = 16 + _mask_size(exc_mask) + len(exc_vals) * 8 + msize
 
     elif scheme == "pseudodecimal":
@@ -308,6 +323,50 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
         e.size_bytes = (
             _int_stream_size(sig[~exc_mask], depth - 1)
             + _int_stream_size(exp[~exc_mask].astype(np.int64), depth - 1)
+            + _mask_size(exc_mask)
+            + int(exc_mask.sum()) * 8
+            + 16
+            + msize
+        )
+
+    elif scheme == "double_bp":
+        # DOUBLE_BP (legacy, scheme/double/DoubleBP.cpp:16-57): reinterpret
+        # each double as 2×u32 and bit-pack the hi/lo streams separately
+        bits = filled.view(np.uint64)
+        hi = (bits >> 32).astype(np.uint32)
+        lo = (bits & 0xFFFFFFFF).astype(np.uint32)
+        e.streams = {"hi": hi, "lo": lo}
+        hi_bits = _bits(int(hi.max()) - int(hi.min())) if n else 1
+        lo_bits = _bits(int(lo.max()) - int(lo.min())) if n else 1
+        e.size_bytes = n * (hi_bits + lo_bits) // 8 + 24 + msize
+
+    elif scheme == "max_exponent":
+        # MaxExponent (legacy, scheme/double/MaxExponent.cpp:57-179): one
+        # exponent for the whole chunk + integer significands; values that
+        # do not convert exactly at that exponent become patches
+        sig_pd, exp_pd, exc_pd = _pseudodecimal_split(filled, mask)
+        conv = mask & ~exc_pd
+        max_e = int(exp_pd[conv].max()) if conv.any() else 0
+        scaled = np.round(filled * _EXP10[max_e])
+        ok = (
+            mask
+            & np.isfinite(filled)
+            & (np.abs(scaled) < 2**63 - 1)
+            & (scaled / _EXP10[max_e] == filled)
+            & ~((filled == 0.0) & np.signbit(filled))
+        )
+        exc_mask = mask & ~ok
+        if mask.any() and exc_mask[mask].mean() > 0.5:
+            raise ValueError("max_exponent: >50% exceptions")
+        sig = np.where(ok, scaled, 0.0).astype(np.int64)
+        e.streams = {
+            "exponent": max_e,
+            "significands": sig,
+            "exc_mask": exc_mask,
+            "exc_values": filled[exc_mask],
+        }
+        e.size_bytes = (
+            _int_stream_size(sig[ok], depth - 1)
             + _mask_size(exc_mask)
             + int(exc_mask.sum()) * 8
             + 16
@@ -360,6 +419,13 @@ def decode_double(e: Encoded) -> np.ndarray:
         return out
     if e.scheme == "pseudodecimal":
         out = s["significands"] / _EXP10[s["exponents"]]
+        out[s["exc_mask"]] = s["exc_values"]
+        return out
+    if e.scheme == "double_bp":
+        bits = (s["hi"].astype(np.uint64) << 32) | s["lo"].astype(np.uint64)
+        return bits.view(np.float64).copy()
+    if e.scheme == "max_exponent":
+        out = s["significands"] / _EXP10[s["exponent"]]
         out[s["exc_mask"]] = s["exc_values"]
         return out
     raise ValueError(f"unknown double scheme {e.scheme}")

@@ -34,6 +34,145 @@ def format_scheme_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RLE_RUNS_CTE = """
+WITH ordered AS (
+  SELECT o_orderstatus AS v,
+         row_number() OVER (ORDER BY o_orderkey) AS idx,
+         CASE WHEN lag(o_orderstatus) OVER (ORDER BY o_orderkey)
+                   IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS is_start
+  FROM orders
+),
+runs AS (
+  SELECT v, count(*) AS run_length,
+         min(idx) AS start_idx
+  FROM (SELECT v, idx,
+               sum(is_start) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM ordered)
+  GROUP BY v, run_id
+)"""
+
+
+def _rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE-encode o_orderstatus ordered by o_orderkey → one row per run
+    (value, run_length, start_idx). The I4 encode as a relational op.
+
+    Scale note: this whole-table variant uses a global window so it stays
+    SQL-oracle-comparable. The PRODUCTION encode path is chunk-local
+    (codecs._rle_encode inside the writer's applyInPandas) — in the
+    reference too, runs never cross chunk boundaries (Datablock::compress
+    is chunk-at-a-time), so the scalable path is embarrassingly parallel
+    per chunk with no global window anywhere."""
+    from pyspark.sql.window import Window
+
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = Window.orderBy("o_orderkey")
+    flagged = df.select(
+        F.col("o_orderstatus").alias("v"),
+        F.row_number().over(w).alias("idx"),
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_start").over(Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("v", "run_id").agg(
+        F.count("*").alias("run_length"), F.min("idx").alias("start_idx")
+    )
+
+
+@register(
+    "rle_compressed_domain_agg",
+    oracle=_RLE_RUNS_CTE
+    + """
+SELECT v,
+       sum(run_length) AS n_rows,
+       count(*) AS n_runs,
+       max(run_length) AS longest_run,
+       min(start_idx) AS first_idx
+FROM runs GROUP BY v
+""",
+)
+def rle_compressed_domain_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain execution: aggregate directly over the RLE runs —
+    count(*) becomes sum(run_length), first-occurrence becomes min(start_idx)
+    — without ever materializing the decoded rows. The capability the
+    reference's scan stub points at (CompressionScheme.hpp:47), done on
+    the run representation itself."""
+    runs = _rle_runs(spark, sf_dir)
+    return runs.groupBy("v").agg(
+        F.sum("run_length").alias("n_rows"),
+        F.count("*").alias("n_runs"),
+        F.max("run_length").alias("longest_run"),
+        F.min("start_idx").alias("first_idx"),
+    )
+
+
+@register(
+    "rle_decode_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS v, count(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def rle_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE decode as a relational op: explode each run back into
+    ``run_length`` rows (sequence + explode — JVM-side, no Python), then
+    re-aggregate; must equal aggregation over the raw table. Encode→decode
+    round-trip proved inside the engine itself."""
+    runs = _rle_runs(spark, sf_dir)
+    decoded = runs.select(
+        "v", F.explode(F.sequence(F.lit(1), F.col("run_length"))).alias("_i")
+    )
+    return decoded.groupBy("v").agg(F.count("*").alias("n"))
+
+
+@register(
+    "dict_codespace_filter",
+    oracle="""
+WITH dict AS (
+  SELECT v, dense_rank() OVER (ORDER BY v) - 1 AS code
+  FROM (SELECT DISTINCT c_mktsegment AS v FROM customer)
+),
+encoded AS (
+  SELECT c.c_custkey, d.code
+  FROM customer c JOIN dict d ON c.c_mktsegment = d.v
+),
+target AS (SELECT code FROM dict WHERE v = 'BUILDING')
+SELECT count(*) AS n_building,
+       (SELECT code FROM target) AS building_code,
+       (SELECT count(*) FROM dict) AS dict_size
+FROM encoded WHERE code = (SELECT code FROM target)
+""",
+)
+def dict_codespace_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary compressed-domain filtering (SURVEY §4.1's custom-rule
+    candidate, done as a plan): build the sorted dictionary with dense_rank,
+    encode via broadcast probe, rewrite the string predicate to an integer
+    code comparison, and filter in code space."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    dict_df = (
+        cust.select(F.col("c_mktsegment").alias("v"))
+        .distinct()
+        .withColumn("code", F.dense_rank().over(Window.orderBy("v")) - 1)
+    )
+    encoded = cust.join(F.broadcast(dict_df), cust.c_mktsegment == dict_df.v).select(
+        "c_custkey", "code"
+    )
+    target = dict_df.filter(F.col("v") == "BUILDING").select("code").first()["code"]
+    dict_size = dict_df.count()
+    return encoded.filter(F.col("code") == target).agg(
+        F.count("*").alias("n_building"),
+        F.lit(target).cast("long").alias("building_code"),
+        F.lit(dict_size).alias("dict_size"),
+    )
+
+
 @register(
     "scan_predicate_bitmap",
     oracle="""
