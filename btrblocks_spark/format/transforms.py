@@ -1,0 +1,168 @@
+"""Signature encodings as explicit DataFrame↔DataFrame transforms
+(SURVEY M5): each scheme maps a (key, value) table to its encoded
+representation and back, entirely with Spark built-ins — the relational
+formulation of the codec kernels in codecs.py.
+
+  dict     encode: sorted-distinct dictionary via dense_rank; probe via
+           broadcast join → (key, code) + (code, value) dictionary
+           decode: broadcast join back
+  rle      encode: run detection via lag()+cumsum windows per partition key
+           decode: sequence+explode
+  for/delta encode: min-bias / lag-difference; decode: bias add / cumsum
+  frequency encode: top value + exception rows; decode: coalesce over
+           exceptions
+  pseudodecimal encode: (significand, exponent) where exact; decode:
+           significand / 10^exponent (exceptions carried as raw doubles)
+
+Scale notes: dict builds shuffle only the distinct set; rle windows
+partition by the chunk key (chunk-local runs, reference-faithful —
+Datablock::compress is chunk-at-a-time); everything else is a projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --- dictionary -------------------------------------------------------------
+
+def dict_encode(df: DataFrame, col: str, key: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (encoded, dictionary): encoded = (key, code), dictionary =
+    (code, value) with codes = dense rank of sorted distinct values."""
+    dictionary = (
+        df.select(F.col(col).alias("value"))
+        .where(F.col(col).isNotNull())
+        .distinct()
+        .withColumn("code", F.dense_rank().over(Window.orderBy("value")) - 1)
+        .select("code", "value")
+    )
+    encoded = (
+        df.join(F.broadcast(dictionary), df[col] == dictionary["value"], "left")
+        .select(F.col(key).alias("key"), "code")
+    )
+    return encoded, dictionary
+
+
+def dict_decode(encoded: DataFrame, dictionary: DataFrame, col: str = "value") -> DataFrame:
+    return (
+        encoded.join(F.broadcast(dictionary), "code", "left")
+        .select("key", F.col("value").alias(col))
+    )
+
+
+# --- RLE (chunk-local: runs partition by part_col) --------------------------
+
+def rle_encode(df: DataFrame, col: str, order: str, part_col: str | None = None) -> DataFrame:
+    """(part, run_no, value, run_length) — runs never cross partitions
+    (the chunk-locality of the reference's RLE)."""
+    part = F.col(part_col) if part_col else F.lit(0)
+    w = Window.partitionBy(part).orderBy(order)
+    flagged = df.select(
+        part.alias("part"),
+        F.col(order).alias("_o"),
+        F.col(col).alias("value"),
+        F.when(
+            F.lag(col).over(w).isNull() | (F.lag(col).over(w) != F.col(col)), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    runs = flagged.withColumn(
+        "run_no",
+        F.sum("is_start").over(
+            Window.partitionBy("part").orderBy("_o").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return runs.groupBy("part", "run_no", "value").agg(
+        F.count("*").alias("run_length"), F.min("_o").alias("start_order")
+    )
+
+
+def rle_decode(runs: DataFrame) -> DataFrame:
+    """Explode runs back to one row per original position (part, pos, value)."""
+    return runs.select(
+        "part", "value", "start_order",
+        F.posexplode(F.sequence(F.lit(1), F.col("run_length"))).alias("off", "_one"),
+    ).select("part", "value", (F.col("start_order") + F.col("off")).alias("pos"))
+
+
+# --- FOR / delta ------------------------------------------------------------
+
+def for_encode(df: DataFrame, col: str, key: str) -> tuple[DataFrame, int]:
+    bias = df.agg(F.min(col)).first()[0]
+    return (
+        df.select(F.col(key).alias("key"), (F.col(col) - F.lit(bias)).alias("residual")),
+        bias,
+    )
+
+
+def for_decode(encoded: DataFrame, bias: int, col: str = "value") -> DataFrame:
+    return encoded.select("key", (F.col("residual") + F.lit(bias)).alias(col))
+
+
+def delta_encode(df: DataFrame, col: str, order: str) -> DataFrame:
+    w = Window.orderBy(order)
+    return df.select(
+        F.col(order).alias("key"),
+        (F.col(col) - F.coalesce(F.lag(col).over(w), F.lit(0))).alias("delta"),
+    )
+
+
+def delta_decode(encoded: DataFrame, col: str = "value") -> DataFrame:
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    return encoded.select("key", F.sum("delta").over(w).alias(col))
+
+
+# --- frequency --------------------------------------------------------------
+
+def frequency_encode(df: DataFrame, col: str, key: str) -> tuple[DataFrame, object]:
+    top = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).first()[0]
+    )
+    exceptions = df.where(F.col(col) != F.lit(top)).select(
+        F.col(key).alias("key"), F.col(col).alias("exc_value")
+    )
+    return exceptions, top
+
+
+def frequency_decode(df_keys: DataFrame, exceptions: DataFrame, top, key: str, col: str = "value") -> DataFrame:
+    return (
+        df_keys.select(F.col(key).alias("key"))
+        .join(exceptions, "key", "left")
+        .select("key", F.coalesce("exc_value", F.lit(top)).alias(col))
+    )
+
+
+# --- pseudodecimal ----------------------------------------------------------
+
+def pseudodecimal_encode(df: DataFrame, col: str, key: str, max_exp: int = 6) -> DataFrame:
+    """(key, significand, exponent, patch): smallest exponent e with an exact
+    round-trip; non-convertible values keep the raw double in ``patch``.
+    Pure expression tree — no UDF."""
+    c = F.col(col)
+    result = None
+    for e in range(max_exp + 1):
+        scaled = F.round(c * F.lit(float(10**e)))
+        ok = (
+            (F.abs(scaled) <= F.lit(float(2**31 - 1)))
+            & (scaled / F.lit(float(10**e)) == c)
+        )
+        cand = F.when(ok, F.struct(scaled.cast("long").alias("sig"), F.lit(e).alias("exp")))
+        result = cand if result is None else F.coalesce(result, cand)
+    return df.select(
+        F.col(key).alias("key"),
+        result.getField("sig").alias("significand"),
+        result.getField("exp").alias("exponent"),
+        F.when(result.isNull(), c).alias("patch"),
+    )
+
+
+def pseudodecimal_decode(encoded: DataFrame, col: str = "value") -> DataFrame:
+    return encoded.select(
+        "key",
+        F.coalesce(
+            F.col("patch"),
+            F.col("significand") / F.pow(F.lit(10.0), F.col("exponent")),
+        ).alias(col),
+    )

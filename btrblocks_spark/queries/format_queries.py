@@ -178,7 +178,8 @@ def dict_codespace_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH idx AS (
       SELECT l_quantity, l_discount,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS _idx
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                l_extendedprice, l_discount) - 1 AS _idx
       FROM lineitem
     ), chunked AS (
       SELECT *, CAST(FLOOR(_idx / 2048) AS BIGINT) AS chunk FROM idx
@@ -201,7 +202,8 @@ def scan_predicate_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.format.chunker import with_chunk_id
 
     df = load_table(spark, sf_dir, "lineitem")
-    chunked = with_chunk_id(df, ["l_orderkey", "l_linenumber"], 2048)
+    keys = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    chunked = with_chunk_id(df, keys, 2048)
     sel = (F.col("l_quantity") > 30) & (F.col("l_discount") >= 0.05)
     return (
         chunked.groupBy(F.col("_chunk").alias("chunk"))
@@ -238,7 +240,8 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH idx AS (
       SELECT l_quantity, l_discount, l_returnflag,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS _idx
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+                                l_extendedprice, l_discount, l_returnflag) - 1 AS _idx
       FROM lineitem
     ), chunked AS (
       SELECT *, CAST(FLOOR(_idx / 2048) AS BIGINT) AS chunk FROM idx
@@ -259,7 +262,12 @@ def format_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.format.chunker import with_chunk_id
 
     df = load_table(spark, sf_dir, "lineitem")
-    chunked = with_chunk_id(df, ["l_orderkey", "l_linenumber"], 2048)
+    # (l_orderkey, l_linenumber) is NOT unique in this testdata — extend the
+    # sort key until it totally orders every column the stats read, else
+    # row_number ties can split chunks differently across engines
+    keys = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag"]
+    chunked = with_chunk_id(df, keys, 2048)
     return (
         chunked.groupBy(F.col("_chunk").alias("chunk"))
         .agg(

@@ -1,0 +1,91 @@
+"""DataFrame-level encode/decode round-trips for every signature transform
+(format/transforms.py) on real testdata columns."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.format import transforms as T
+from btrblocks_spark.tables import load_table
+
+
+def _vals(df, key, col):
+    return {r["k"]: r["v"] for r in df.select(F.col(key).alias("k"), F.col(col).alias("v")).collect()}
+
+
+def test_dict_round_trip(spark, sf_dir):
+    df = load_table(spark, sf_dir, "customer")
+    encoded, dictionary = T.dict_encode(df, "c_mktsegment", "c_custkey")
+    assert dictionary.count() == df.select("c_mktsegment").distinct().count()
+    # codes are dense 0..n-1
+    codes = sorted(r["code"] for r in dictionary.collect())
+    assert codes == list(range(len(codes)))
+    decoded = T.dict_decode(encoded, dictionary)
+    assert _vals(decoded, "key", "value") == _vals(df, "c_custkey", "c_mktsegment")
+
+
+def test_rle_round_trip_chunk_local(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", (F.col("o_orderkey") % 4).alias("part_key")
+    )
+    runs = T.rle_encode(df, "o_orderstatus", "o_orderkey", "part_key")
+    # compression: far fewer runs than rows
+    assert runs.count() < df.count()
+    decoded = T.rle_decode(runs)
+    assert decoded.count() == df.count()
+    # per-(part,value) cardinalities survive
+    a = sorted(map(tuple, df.groupBy("part_key", "o_orderstatus").count().collect()))
+    b = sorted(map(tuple, decoded.groupBy("part", "value").count().collect()))
+    assert [(x[2]) for x in a] == [(x[2]) for x in b]
+
+
+def test_for_round_trip(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders")
+    encoded, bias = T.for_encode(df, "o_custkey", "o_orderkey")
+    assert encoded.agg(F.min("residual")).first()[0] == 0
+    decoded = T.for_decode(encoded, bias)
+    assert _vals(decoded, "key", "value") == _vals(df, "o_orderkey", "o_custkey")
+
+
+def test_delta_round_trip(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    encoded = T.delta_encode(df, "o_orderkey", "o_orderkey")
+    decoded = T.delta_decode(encoded)
+    got = {r["key"]: r["value"] for r in decoded.collect()}
+    assert all(k == v for k, v in got.items())
+
+
+def test_frequency_round_trip(spark, sf_dir):
+    # orders: o_orderkey is unique (lineitem's (orderkey, linenumber) is NOT
+    # unique in this testdata) and o_orderstatus is heavily skewed
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    exceptions, top = T.frequency_encode(df, "o_orderstatus", "o_orderkey")
+    assert exceptions.count() < df.count()
+    decoded = T.frequency_decode(df, exceptions, top, "o_orderkey", "o_orderstatus")
+    assert _vals(decoded, "key", "o_orderstatus") == _vals(df, "o_orderkey", "o_orderstatus")
+
+
+def test_pseudodecimal_round_trip(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    encoded = T.pseudodecimal_encode(df, "o_totalprice", "o_orderkey")
+    # totalprice is a 2-decimal value -> all exact, no patches
+    assert encoded.filter(F.col("patch").isNotNull()).count() == 0
+    assert encoded.agg(F.max("exponent")).first()[0] <= 2
+    decoded = T.pseudodecimal_decode(encoded)
+    assert _vals(decoded, "key", "value") == _vals(df, "o_orderkey", "o_totalprice")
+
+
+def test_pseudodecimal_patches_irrationals(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0 / 3.0), (3, 123.456), (4, float("nan"))],
+        "key long, v double",
+    )
+    encoded = T.pseudodecimal_encode(df, "v", "key")
+    rows = {r["key"]: r for r in encoded.collect()}
+    assert rows[1]["patch"] is None and rows[1]["exponent"] == 1
+    assert rows[2]["patch"] is not None  # 1/3 has no exact decimal form
+    assert rows[3]["exponent"] == 3
+    import math
+
+    assert math.isnan(rows[4]["patch"])
