@@ -33,6 +33,9 @@ from btrblocks_spark.session import get_spark
 # time-series, run-detection, dedup, ANN, text, sessionize).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "join_multi",
     "join_broadcast",
     "window_rank",
