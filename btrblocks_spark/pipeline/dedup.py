@@ -99,23 +99,25 @@ def minhash_lsh_pairs(
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over word tokens: bit i of the signature is the sign
     of sum over tokens of (bit i of token-hash ? +1 : -1), term-frequency
-    weighted by construction (repeated tokens vote repeatedly)."""
+    weighted by construction (repeated tokens vote repeatedly).
+
+    Shape: 32 conditional sums in ONE aggregation over the token stream —
+    no 32× bit-explode blowup, single map-side-combinable groupBy."""
     from btrblocks_spark.pipeline.text import tokens
 
     th = tokens(docs).withColumn("h", hash32(F.col("w")))
-    bits = th.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    )
-    votes = bits.groupBy("doc_id", "b").agg(
-        F.sum(
-            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1)
-        ).alias("v")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0)
-        ).alias("simhash")
-    )
+    ones = [
+        F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}") for b in range(32)
+    ]
+    votes = th.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    # bit b set iff ones > zeros  <=>  2*ones_b > n
+    sig = None
+    for b in range(32):
+        bit = F.when(2 * F.col(f"o{b}") > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:

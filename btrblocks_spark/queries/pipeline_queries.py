@@ -151,15 +151,76 @@ th AS (
   SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
 ),
 votes AS (
-  SELECT doc_id, t.b,
-         sum(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM th CROSS JOIN range(0, 32) AS t(b)
-  GROUP BY doc_id, t.b
+  SELECT doc_id, count(*) AS n,
+         sum((h >> 0) & 1) AS o0,
+         sum((h >> 1) & 1) AS o1,
+         sum((h >> 2) & 1) AS o2,
+         sum((h >> 3) & 1) AS o3,
+         sum((h >> 4) & 1) AS o4,
+         sum((h >> 5) & 1) AS o5,
+         sum((h >> 6) & 1) AS o6,
+         sum((h >> 7) & 1) AS o7,
+         sum((h >> 8) & 1) AS o8,
+         sum((h >> 9) & 1) AS o9,
+         sum((h >> 10) & 1) AS o10,
+         sum((h >> 11) & 1) AS o11,
+         sum((h >> 12) & 1) AS o12,
+         sum((h >> 13) & 1) AS o13,
+         sum((h >> 14) & 1) AS o14,
+         sum((h >> 15) & 1) AS o15,
+         sum((h >> 16) & 1) AS o16,
+         sum((h >> 17) & 1) AS o17,
+         sum((h >> 18) & 1) AS o18,
+         sum((h >> 19) & 1) AS o19,
+         sum((h >> 20) & 1) AS o20,
+         sum((h >> 21) & 1) AS o21,
+         sum((h >> 22) & 1) AS o22,
+         sum((h >> 23) & 1) AS o23,
+         sum((h >> 24) & 1) AS o24,
+         sum((h >> 25) & 1) AS o25,
+         sum((h >> 26) & 1) AS o26,
+         sum((h >> 27) & 1) AS o27,
+         sum((h >> 28) & 1) AS o28,
+         sum((h >> 29) & 1) AS o29,
+         sum((h >> 30) & 1) AS o30,
+         sum((h >> 31) & 1) AS o31
+  FROM th GROUP BY doc_id
 ),
 simh AS (
   SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
-  FROM votes GROUP BY doc_id
+         (CASE WHEN 2 * o0 > n THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o1 > n THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o2 > n THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o3 > n THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o4 > n THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o5 > n THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o6 > n THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o7 > n THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o8 > n THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o9 > n THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o10 > n THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o11 > n THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o12 > n THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o13 > n THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o14 > n THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o15 > n THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o16 > n THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o17 > n THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o18 > n THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o19 > n THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o20 > n THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o21 > n THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o22 > n THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o23 > n THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o24 > n THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o25 > n THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o26 > n THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o27 > n THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o28 > n THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o29 > n THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o30 > n THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN 2 * o31 > n THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM votes
 )"""
 )
 
