@@ -27,7 +27,7 @@ from btrblocks_spark.pipeline.dedup import (
     simhash_signatures,
 )
 from btrblocks_spark.pipeline.multimodal import attach_payload, extract_features
-from btrblocks_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from btrblocks_spark.pipeline.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
 from btrblocks_spark.pipeline.text import (
     LANG_STOPWORDS,
     MINHASH_PERMS,
@@ -392,6 +392,48 @@ SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+asg AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cosine_sql('e.v', 'c.cv')}, 6) DESC, c.c_id) AS rn
+  FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+probe AS (
+  SELECT q_id, qv, c_id AS cell,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY round({_cosine_sql('qv', 'cv')}, 6) DESC, c_id) AS rn
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT q_id, cells.vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'cells.v')}, 6) AS cosine
+  FROM (SELECT * FROM probe WHERE rn <= 2) p JOIN cells USING (cell)
+  WHERE cells.vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (centroids = vec_id % 31 == 0),
+    nearest-cell assignment, nprobe=2 probing. See similarity.ivf_topk."""
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS,
+        k=5, centroid_stride=31, nprobe=2,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,12 @@ from btrblocks_spark.pipeline.multimodal import (
     frame_sample_stub,
     resize_stub,
 )
-from btrblocks_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from btrblocks_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_cells,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from btrblocks_spark.tables import load_table
 
 
@@ -84,6 +89,36 @@ def test_ann_lsh_subset_of_corpus(spark, sf_dir):
     rows = approx.collect()
     assert 0 < len(rows) <= 5
     assert all(r["neighbor_id"] != 0 for r in rows)
+
+
+def test_ann_ivf_partitions_corpus(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cells = ivf_cells(vecs, centroid_stride=31)
+    rows = cells.collect()
+    # every vector is in exactly one cell; every cell key is a centroid id
+    assert len(rows) == vecs.count()
+    assert all(r["cell"] % 31 == 0 for r in rows)
+    # centroids land in their own cell (self-cosine 1.0 beats everything)
+    assert all(r["cell"] == r["vec_id"] for r in rows if r["vec_id"] % 31 == 0)
+
+
+def test_ann_ivf_topk_valid_and_probed_only(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(vecs, [0, 3], k=4, centroid_stride=31, nprobe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["q_id"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert 0 < len(rs) <= 4
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+    # neighbors must come from the query's nprobe probed cells only
+    cells = {r["vec_id"]: r["cell"] for r in ivf_cells(vecs, 31).collect()}
+    for q, rs in by_q.items():
+        probed_cells = {cells[r["neighbor_id"]] for r in rs}
+        assert len(probed_cells) <= 2
 
 
 # --- multimodal plumbing ----------------------------------------------------
