@@ -40,6 +40,68 @@ def read_column_chunk(spark: SparkSession, path: str, column: str, chunk: int) -
     return df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi)).select("_idx", column)
 
 
+def prune_chunks(meta: dict, column: str, lo=None, hi=None) -> list[int]:
+    """Chunk ids whose [min, max] stats range intersects [lo, hi] — the
+    driver-side half of stats-based data skipping (SURVEY §4.1: our T1 chunk
+    stats feeding row-group-skipping, the reference's implied use of
+    per-chunk min/max). O(num_chunks) sidecar rows, no data read.
+
+    Chunks with any nulls are kept when the bound check can't exclude them
+    (a null row never matches a range predicate, but the chunk may hold
+    non-null matches — min/max already exclude nulls, so no correction is
+    needed beyond empty-chunk handling)."""
+    info = meta["columns"][column]
+    kind = info["type"]
+    cast = float if kind in ("double", "float") else int
+    keep = []
+    for ch in info["chunks"]:
+        if ch["n_rows"] == ch["null_count"]:  # all-null chunk: no match possible
+            continue
+        mn, mx = cast(ch["min_repr"]), cast(ch["max_repr"])
+        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            keep.append(ch["chunk"])
+    return keep
+
+
+def read_table_skipping(
+    spark: SparkSession, path: str, column: str, lo=None, hi=None
+) -> tuple[DataFrame, list[int]]:
+    """Range scan with chunk skipping: the sidecar stats select surviving
+    chunks; each becomes an ``_idx`` interval filter, which the Parquet
+    reader executes as row-group skipping (data is written sorted by
+    ``_idx``, so chunk ↔ contiguous row groups). The residual value
+    predicate still applies — stats pruning is conservative.
+
+    Returns (DataFrame, pruned chunk ids). At 100 TB this is the difference
+    between scanning every file and touching only the chunks a range query
+    needs — without any shuffle, and composable with Catalyst's own
+    pushdown (both filters land in PushedFilters)."""
+    meta = read_metadata(path)
+    bs = meta["block_size"]
+    chunks = prune_chunks(meta, column, lo, hi)
+    df = spark.read.parquet(os.path.join(path, "data"))
+    if not chunks:
+        cond = F.lit(False)
+    else:
+        # coalesce adjacent chunk ids into maximal _idx intervals
+        intervals: list[list[int]] = []
+        for c in sorted(chunks):
+            if intervals and intervals[-1][1] == c:
+                intervals[-1][1] = c + 1
+            else:
+                intervals.append([c, c + 1])
+        cond = None
+        for a, b in intervals:
+            clause = (F.col("_idx") >= a * bs) & (F.col("_idx") < b * bs)
+            cond = clause if cond is None else cond | clause
+    out = df.filter(cond)
+    if lo is not None:
+        out = out.filter(F.col(column) >= lo)
+    if hi is not None:
+        out = out.filter(F.col(column) <= hi)
+    return out.drop("_idx"), chunks
+
+
 def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
     """btrmeta analog: one row per column×chunk with scheme + stats + sizes
     (tools/conversion/btrmeta.cpp:22-60, BtrReader::getSchemeDescription)."""

@@ -839,6 +839,100 @@ def agg_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_KMV_SQL)
 
 
+# ---------------------------------------------------------------------------
+# subquery predicates (Catalyst rewrites these to semi/anti joins — the
+# declarative path to the same physical plans as join_semi/join_anti)
+# ---------------------------------------------------------------------------
+
+_IN_SUBQUERY_ORACLE = """
+SELECT l_partkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+GROUP BY l_partkey
+"""
+
+
+@register("filter_in_subquery", _IN_SUBQUERY_ORACLE)
+def filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (SELECT ...) predicate — Catalyst plans it as a left-semi join
+    (broadcast here: the filtered part side is small). Declared via SQL so
+    the subquery rewrite itself is exercised."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_IN_SUBQUERY_ORACLE)
+
+
+_EXISTS_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 250000)
+"""
+
+
+@register("filter_exists_correlated", _EXISTS_ORACLE)
+def filter_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one query — one semi and one anti
+    join after decorrelation, both on o_custkey."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_ORACLE)
+
+
+_SCALAR_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >
+      1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*)
+           FROM orders)
+"""
+
+
+@register("filter_scalar_subquery", _SCALAR_SUBQUERY_ORACLE)
+def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (orders above 1.5× the mean
+    price). The subquery runs once and is broadcast as a literal; the mean
+    uses the decimal-sum determinism convention."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SUBQUERY_ORACLE)
+
+
+_PIVOT_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
+       CAST(SUM(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register("agg_pivot", _PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) with an explicit value list —
+    the explicit list keeps it one pass with no values-discovery job."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
 _APPROX_NATIVE = None  # no oracle: engine-specific HLL
 
 

@@ -12,7 +12,14 @@ from pyspark.sql import functions as F
 
 from btrblocks_spark.config import DEFAULT_CONFIG
 from btrblocks_spark.format.chunker import with_chunk_id, with_global_index
-from btrblocks_spark.format.reader import read_column_chunk, read_table, scheme_summary
+from btrblocks_spark.format.reader import (
+    prune_chunks,
+    read_column_chunk,
+    read_metadata,
+    read_table,
+    read_table_skipping,
+    scheme_summary,
+)
 from btrblocks_spark.format.verify import frames_equal, round_trip_verify
 from btrblocks_spark.format.writer import write_table
 from btrblocks_spark.tables import load_table
@@ -97,6 +104,33 @@ def test_read_column_chunk(spark, written):
     assert rows == min(2048, meta["num_rows"] - 2048)
     lo, hi = chunk1.agg(F.min("_idx"), F.max("_idx")).first()
     assert lo == 2048 and hi == 2048 + rows - 1
+
+
+def test_prune_chunks_by_stats(spark, written):
+    """Sidecar min/max stats prune chunks for a range predicate, and the
+    pruned scan returns exactly what a plain filter returns."""
+    df, meta, path = written
+    sidecar = read_metadata(path)
+    # l_orderkey is the leading order key → monotone across chunks → a tight
+    # range must prune most chunks
+    keys = sorted(r["l_orderkey"] for r in df.select("l_orderkey").distinct().collect())
+    lo, hi = keys[len(keys) // 2], keys[len(keys) // 2 + 2]
+    kept = prune_chunks(sidecar, "l_orderkey", lo, hi)
+    assert 0 < len(kept) < sidecar["num_chunks"]
+
+    pruned, kept2 = read_table_skipping(spark, path, "l_orderkey", lo, hi)
+    assert kept2 == kept
+    expect = df.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+    assert frames_equal(pruned, expect.select(pruned.columns))
+
+
+def test_prune_chunks_empty_range(spark, written):
+    _df, _meta, path = written
+    sidecar = read_metadata(path)
+    kept = prune_chunks(sidecar, "l_orderkey", 10**12, None)
+    assert kept == []
+    pruned, _ = read_table_skipping(spark, path, "l_orderkey", 10**12, None)
+    assert pruned.count() == 0
 
 
 def test_try_all_write_path(spark, sf_dir, tmp_table_dir):
