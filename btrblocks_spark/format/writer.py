@@ -6,20 +6,24 @@ O(num_chunks · num_columns) small rows):
 
   1. chunk the table: global index over ``order_keys`` → chunk_id
      (storage/Relation.cpp:42-69 analog).
-  2. per (chunk) group, inside executors via ``applyInPandas``: compute
-     per-column stats (T1/T2) and run the scheme planner on a run-preserving
-     sample — the reference's per-column TBB loop becomes Spark tasks.
-  3. write data as Parquet sorted by the global index with
-     ``maxRecordsPerFile = block_size`` (one file ≈ one chunk — the
+  2. stage: ONE hash shuffle by chunk_id (uniform by construction — equal
+     row counts per chunk, no skew), sorted by the global index within
+     partitions, persisted. Both the planner and the data write consume this
+     staging, so the whole pipeline is exactly two full-data shuffles (index
+     + stage) regardless of table size.
+  3. plan: ``mapInPandas`` over the staging — streams Arrow batches, holds
+     at most one chunk in memory, computes per-column stats (T1/T2) and runs
+     the scheme planner on a run-preserving sample. The reference's
+     per-column TBB loop becomes Spark tasks; no extra shuffle.
+  4. write data as Parquet from the same staging with
+     ``maxRecordsPerFile = block_size`` — rows are _idx-sorted within
+     partitions and every non-final chunk has exactly block_size rows, so
+     files split on exact chunk boundaries (one file ≈ one chunk — the
      ColumnPart sizing analog, storage/Chunk.cpp:233-266), ZSTD pages,
      per-column dictionary on/off driven by the chosen scheme.
-  4. write the metadata sidecar ``_btr_metadata.json`` (the btr ``metadata``
+  5. write the metadata sidecar ``_btr_metadata.json`` (the btr ``metadata``
      file, compression/Datablock.hpp:23-35): schema, chunking, per
      column-chunk scheme + stats + size estimate.
-
-At 100 TB: step 2's shuffle is by chunk_id (uniform by construction — equal
-row counts per chunk, no skew); step 3 reuses the same range partitioning, so
-the table is written with exactly one shuffle.
 """
 
 from __future__ import annotations
@@ -96,21 +100,67 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     }
 
 
-def plan_chunks(chunked: DataFrame, col_types: list[tuple[str, str]], config: BtrBlocksConfig) -> DataFrame:
+def _plan_pdf(pdf: pd.DataFrame, chunk: int, col_types, config) -> pd.DataFrame:
+    rows = []
+    for col, col_type in col_types:
+        row = _column_stats_and_plan(col, col_type, pdf[col], config)
+        row["chunk"] = chunk
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _plan_partition_fn(col_types: list[tuple[str, str]], config: BtrBlocksConfig):
+    """mapInPandas kernel: stream Arrow batches of a chunk-staged partition
+    (ascending ``_idx`` ⇒ ascending ``_chunk``, each chunk contiguous),
+    flushing one chunk's plan at a time — memory stays O(block_size) however
+    many chunks a partition holds."""
+
+    def plan_stream(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for ck, g in pdf.groupby("_chunk", sort=True):
+                if cur is None:
+                    cur = ck
+                elif ck != cur:
+                    yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config)
+                    buf, cur = [], ck
+                buf.append(g)
+        if buf:
+            yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config)
+
+    return plan_stream
+
+
+def _stage_by_chunk(chunked: DataFrame, num_chunks: int) -> DataFrame:
+    """Hash-partition by chunk id (co-locates every chunk whole), sorted by
+    the global index within partitions. Partition count is capped so a task
+    handles several chunks at large num_chunks (streamed, O(block_size)
+    memory) instead of scheduling millions of tiny tasks."""
+    spark = chunked.sparkSession
+    cap = max(spark.sparkContext.defaultParallelism * 4, 8)
+    num_parts = int(max(1, min(num_chunks, cap)))
+    return chunked.repartition(num_parts, "_chunk").sortWithinPartitions("_idx")
+
+
+def plan_chunks(
+    chunked: DataFrame,
+    col_types: list[tuple[str, str]],
+    config: BtrBlocksConfig,
+    num_chunks: int | None = None,
+) -> DataFrame:
     """Distributed per-chunk stats + scheme selection (one row per
-    chunk×column)."""
-
-    def plan_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_idx")
-        chunk = int(pdf["_chunk"].iloc[0])
-        rows = []
-        for col, col_type in col_types:
-            row = _column_stats_and_plan(col, col_type, pdf[col], config)
-            row["chunk"] = chunk
-            rows.append(row)
-        return pd.DataFrame(rows)
-
-    return chunked.groupBy("_chunk").applyInPandas(plan_one, _PLAN_SCHEMA)
+    chunk×column). One hash shuffle by chunk id; planning itself streams
+    inside partitions with no further movement."""
+    if num_chunks is None:
+        total = getattr(chunked, "_btr_total_rows", None)
+        num_chunks = (
+            (total + config.block_size - 1) // config.block_size if total else 10**9
+        )
+    staged = _stage_by_chunk(chunked, int(num_chunks))
+    return staged.mapInPandas(_plan_partition_fn(col_types, config), _PLAN_SCHEMA)
 
 
 def write_table(
@@ -128,20 +178,31 @@ def write_table(
     # with_chunk_id persists the range-partitioned staging frame itself
     # (required for a stable index across jobs — see chunker.py)
     chunked = with_chunk_id(df, order_keys, config.block_size)
+    staged = None
     try:
         num_rows = chunked._btr_total_rows  # free byproduct of the offset job
         num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
-        plan_rows = [r.asDict() for r in plan_chunks(chunked, col_types, config).collect()]
+
+        # single chunk-staging shuffle, shared by the plan job and the data
+        # write (persisted so the second job reads cache, not a re-shuffle)
+        from pyspark.storagelevel import StorageLevel
+
+        staged = _stage_by_chunk(chunked, int(num_chunks))
+        staged.persist(StorageLevel.MEMORY_AND_DISK)
+        plan_rows = [
+            r.asDict()
+            for r in staged.mapInPandas(
+                _plan_partition_fn(col_types, config), _PLAN_SCHEMA
+            ).collect()
+        ]
 
         data_path = os.path.join(path, "data")
-        # chunk-aligned layout: one range partition per chunk, sorted by the
-        # global index → one output file ≈ one chunk (the ColumnPart sizing
-        # analog); maxRecordsPerFile caps stragglers if range sampling merges
-        # adjacent chunks into one partition
+        # chunk-aligned layout: rows are _idx-sorted within partitions and
+        # every non-final chunk has exactly block_size rows, so
+        # maxRecordsPerFile splits files on exact chunk boundaries → one
+        # output file ≈ one chunk (the ColumnPart sizing analog)
         writer = (
-            chunked.repartitionByRange(int(num_chunks), "_chunk", "_idx")
-            .sortWithinPartitions("_idx")
-            .drop("_chunk")
+            staged.drop("_chunk")
             .write.mode("overwrite")
             .option("compression", config.compression_codec)
             .option("maxRecordsPerFile", config.block_size)
@@ -160,6 +221,8 @@ def write_table(
             )
         writer.parquet(data_path)
     finally:
+        if staged is not None:
+            staged.unpersist()
         unpersist_index(chunked)
 
     columns: dict[str, dict] = {}
