@@ -80,6 +80,32 @@ def test_wholestage_codegen_on_agg(spark, sf_dir):
     assert "*(" in plan
 
 
+def test_in_subquery_plans_as_semi_join(spark, sf_dir):
+    """Catalyst must decorrelate IN (SELECT ...) to a (broadcast) left-semi
+    join — never a cartesian or a per-row subquery."""
+    plan = plan_of(QUERIES["filter_in_subquery"](spark, sf_dir))
+    assert "LeftSemi" in plan or "SemiJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_plans_as_semi_and_anti(spark, sf_dir):
+    plan = plan_of(QUERIES["filter_exists_correlated"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pivot_map_side_combined(spark, sf_dir):
+    """Explicit pivot values → no values-discovery job, and every exchange
+    carries partially-aggregated data (map-side combine), never raw rows.
+    Spark's canonical pivot is two agg passes → at most two tiny exchanges."""
+    df = QUERIES["agg_pivot"](spark, sf_dir)
+    plan = plan_of(df)
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert 1 <= len(exchanges) <= 2, exchanges
+    assert "partial_pivotfirst" in plan and "partial_sum" in plan
+
+
 def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
     """The exchange key for exact dedup must be the 32-byte content hash —
     the document text column never crosses the shuffle."""
