@@ -51,6 +51,9 @@ HEADLINE = [
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "filter_in_subquery",
+    "agg_pivot",
 ]
 
 
@@ -80,6 +83,21 @@ def bench_format(spark, sf_dir: str) -> dict:
         materialize(spark.read.parquet(data_dir))
         scan_sec = time.perf_counter() - t0
 
+        # per-column: most-used root scheme + est ratio (the reference's
+        # regression_benchmark / bench.sh metric set, BASELINE.md)
+        per_column = {}
+        for col, info in meta["columns"].items():
+            counts: dict[str, int] = {}
+            raw = est = 0
+            for ch in info["chunks"]:
+                counts[ch["scheme"]] = counts.get(ch["scheme"], 0) + 1
+                raw += ch["raw_size"]
+                est += ch["est_size"]
+            per_column[col] = {
+                "scheme": max(counts, key=counts.get),
+                "est_ratio": round(raw / max(est, 1), 2),
+            }
+
         return {
             "rows": meta["num_rows"],
             "chunks": meta["num_chunks"],
@@ -90,6 +108,7 @@ def bench_format(spark, sf_dir: str) -> dict:
             "est_compression_ratio": meta["totals"]["est_compression_ratio"],
             "scan_sec": round(scan_sec, 3),
             "scan_mb_s": round(raw / 1e6 / max(scan_sec, 1e-9), 1),
+            "per_column": per_column,
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)
