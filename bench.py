@@ -88,14 +88,14 @@ def bench_format(spark, sf_dir: str) -> dict:
         per_column = {}
         for col, info in meta["columns"].items():
             counts: dict[str, int] = {}
-            raw = est = 0
+            col_raw = col_est = 0
             for ch in info["chunks"]:
                 counts[ch["scheme"]] = counts.get(ch["scheme"], 0) + 1
-                raw += ch["raw_size"]
-                est += ch["est_size"]
+                col_raw += ch["raw_size"]
+                col_est += ch["est_size"]
             per_column[col] = {
                 "scheme": max(counts, key=counts.get),
-                "est_ratio": round(raw / max(est, 1), 2),
+                "est_ratio": round(col_raw / max(col_est, 1), 2),
             }
 
         return {
