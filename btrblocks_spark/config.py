@@ -47,7 +47,7 @@ STRING_SCHEMES = (
     "uncompressed",
     "one_value",
     "dict",
-    "fsst",  # functional stand-in: ZSTD page compression (SURVEY.md M5)
+    "fsst",  # real FSST symbol-table codec (format/fsst.py)
 )
 
 

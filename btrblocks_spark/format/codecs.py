@@ -16,10 +16,11 @@ Parity map (reference file:line → here):
   pseudodecimal   scheme/double/Pseudodecimal.cpp:56-270 ((significand, exponent)
                   decomposition with exact round-trip test, -0.0 and non-decimal
                   values as patches, >50% exceptions bails)
-  fsst_proxy      scheme/string/Fsst.cpp:17-127 — zlib as the entropy-coder
-                  stand-in (no FSST lib in this environment; declared in SURVEY M5)
-  string dict     scheme/string/DynamicDictionary.cpp:22-208 (dict pool compressed
-                  when ≥16 KiB, DynamicDictionary.cpp:54-56)
+  fsst            scheme/string/Fsst.cpp:17-127 — real FSST symbol-table codec
+                  (pure-Python implementation of the published algorithm,
+                  format/fsst.py), per-string random access, exact round-trip
+  string dict     scheme/string/DynamicDictionary.cpp:22-208 (dict pool
+                  FSST-compressed when ≥16 KiB, DynamicDictionary.cpp:54-56)
 
 Null semantics: the engine uses true Spark nulls; codecs carry an explicit
 set-mask (reference 1-byte bitmap, common/Units.hpp:65) and guarantee
@@ -35,10 +36,11 @@ recursively costed through the scheme picker up to the cascade depth
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
+
+from btrblocks_spark.format import fsst as _fsst
 
 INT_SCHEMES = ("uncompressed", "one_value", "truncation", "for", "delta", "bp", "pfor", "dict", "rle", "frequency")
 DOUBLE_SCHEMES = (
@@ -464,17 +466,31 @@ def encode_string(scheme: str, values, mask: np.ndarray | None = None, depth: in
         lookup = {s_: i for i, s_ in enumerate(uniq)}
         codes = np.array([lookup.get(x, 0) for x in filled], dtype=np.int64)
         pool = "".join(uniq.tolist()).encode("utf-8")
-        # dict pool itself compressed when >= 16 KiB (DynamicDictionary.cpp:54-56)
-        pool_size = len(zlib.compress(pool, 6)) if len(pool) >= 16 * 1024 else len(pool)
+        # dict pool itself FSST-compressed when >= 16 KiB
+        # (DynamicDictionary.cpp:54-56); sample-scaled size estimate — the
+        # pool stays materialized for decode, only the cost model compresses
+        pool_size = (
+            _fsst.estimate_compressed_size(pool) if len(pool) >= 16 * 1024 else len(pool)
+        )
         e.streams = {"dict": uniq, "codes": codes}
         e.size_bytes = pool_size + 4 * len(uniq) + _int_stream_size(codes, depth - 1) + 8 + msize
 
     elif scheme == "fsst":
-        payload = "\x00".join(x for x in filled).encode("utf-8")
-        comp = zlib.compress(payload, 6)
-        lengths = np.array([len(x) for x in filled], dtype=np.int64)
-        e.streams = {"compressed": comp, "lengths": lengths}
-        e.size_bytes = len(comp) + _int_stream_size(lengths, depth - 1) + 8 + msize
+        # real FSST (format/fsst.py): one symbol table per chunk, per-string
+        # greedy encode, offsets cascaded as an integer stream — the layout
+        # of the reference's Fsst.cpp:17-80
+        raw = [x.encode("utf-8") for x in filled]
+        table = _fsst.train(raw)
+        payloads = [_fsst.compress(table, s) for s in raw]
+        code_lengths = np.array([len(p) for p in payloads], dtype=np.int64)
+        e.streams = {"table": table, "payload": b"".join(payloads), "code_lengths": code_lengths}
+        e.size_bytes = (
+            int(code_lengths.sum())
+            + table.serialized_size()
+            + _int_stream_size(code_lengths, depth - 1)
+            + 8
+            + msize
+        )
 
     else:
         raise ValueError(f"unknown string scheme {scheme}")
@@ -490,9 +506,12 @@ def decode_string(e: Encoded):
     if e.scheme == "dict":
         return s["dict"][s["codes"]]
     if e.scheme == "fsst":
-        payload = zlib.decompress(s["compressed"]).decode("utf-8")
-        parts = payload.split("\x00")
-        return np.array(parts, dtype=object)
+        table, payload = s["table"], s["payload"]
+        out, pos = [], 0
+        for ln in s["code_lengths"]:
+            out.append(_fsst.decompress(table, payload[pos : pos + ln]).decode("utf-8"))
+            pos += int(ln)
+        return np.array(out, dtype=object)
     raise ValueError(f"unknown string scheme {e.scheme}")
 
 

@@ -1,0 +1,77 @@
+"""FSST codec unit tests (format/fsst.py) — the reference's signature string
+scheme (scheme/string/Fsst.cpp:17-127), here a pure-Python implementation of
+the published algorithm."""
+
+import numpy as np
+import pytest
+
+from btrblocks_spark.format import codecs, fsst
+
+
+def test_round_trip_urls():
+    strings = [f"https://example.com/user/{i}/profile".encode() for i in range(5000)]
+    table = fsst.train(strings)
+    assert 0 < len(table.symbols) <= fsst.MAX_SYMBOLS
+    assert all(1 <= len(s) <= fsst.MAX_SYMBOL_LEN for s in table.symbols)
+    enc = [fsst.compress(table, s) for s in strings]
+    assert [fsst.decompress(table, e) for e in enc] == strings
+    # shared structure must actually compress
+    assert sum(map(len, enc)) < 0.5 * sum(map(len, strings))
+
+
+def test_escape_path_round_trips_unseen_bytes():
+    table = fsst.train([b"aaaaaaaabbbbbbbb"] * 4)
+    data = bytes(range(256))  # mostly bytes the table never saw
+    assert fsst.decompress(table, fsst.compress(table, data)) == data
+
+
+def test_training_is_deterministic():
+    strings = [f"row-{i % 97}-suffix".encode() for i in range(2000)]
+    t1, t2 = fsst.train(strings), fsst.train(strings)
+    assert t1.symbols == t2.symbols
+
+
+def test_empty_and_non_ascii():
+    strings = [b"", "naïve café — ünïcode".encode("utf-8"), b"", b"plain"]
+    table = fsst.train(strings)
+    for s in strings:
+        assert fsst.decompress(table, fsst.compress(table, s)) == s
+
+
+def test_estimate_tracks_actual_size():
+    data = b"".join(f"prefix/{i % 1000}/tail;".encode() for i in range(20000))
+    est = fsst.estimate_compressed_size(data)
+    table = fsst.train([data])
+    actual = len(fsst.compress(table, data)) + table.serialized_size()
+    assert 0.5 * actual <= est <= 2 * actual
+
+
+def test_codec_layer_round_trip_with_nulls():
+    values = np.array(
+        [f"https://host/{i}/x" if i % 7 else None for i in range(4000)], dtype=object
+    )
+    mask = np.array([v is not None for v in values])
+    filled = values.copy()
+    filled[~mask] = ""
+    enc = codecs.encode_string("fsst", filled, mask)
+    out = codecs.decode_string(enc)
+    np.testing.assert_array_equal(out[mask], filled[mask])
+    assert enc.size_bytes < sum(len(x) for x in filled[mask])
+
+
+def test_symbols_never_span_strings():
+    # two strings that would form an attractive cross-boundary symbol if
+    # training concatenated them
+    strings = [b"ABCD", b"EFGH"] * 3000
+    table = fsst.train(strings)
+    assert b"DEFG" not in table.symbols
+    assert b"CDEF" not in table.symbols
+
+
+@pytest.mark.parametrize("scheme", ["fsst", "dict"])
+def test_planner_estimates_with_real_fsst(scheme):
+    from btrblocks_spark.format.planner import choose_scheme
+
+    vals = np.array([f"https://example.com/user/{i}/profile" for i in range(20000)], dtype=object)
+    plan = choose_scheme("string", vals, forced=scheme)
+    assert plan["est_ratio"] > 1.5
