@@ -13,14 +13,20 @@ formulation of the codec kernels in codecs.py.
            exceptions
   pseudodecimal encode: (significand, exponent) where exact; decode:
            significand / 10^exponent (exceptions carried as raw doubles)
+  fsst     encode: one symbol table per chunk trained+applied inside
+           executors (applyInPandas, Arrow-batched); decode: broadcast the
+           per-chunk tables, vectorized pandas UDF
 
 Scale notes: dict builds shuffle only the distinct set; rle windows
 partition by the chunk key (chunk-local runs, reference-faithful —
-Datablock::compress is chunk-at-a-time); everything else is a projection.
+Datablock::compress is chunk-at-a-time); fsst shuffles each chunk to one
+task (the writer's chunk staging) and ships back one ~2 KiB table per
+chunk; everything else is a projection.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -131,6 +137,72 @@ def frequency_decode(df_keys: DataFrame, exceptions: DataFrame, top, key: str, c
         df_keys.select(F.col(key).alias("key"))
         .join(exceptions, "key", "left")
         .select("key", F.coalesce("exc_value", F.lit(top)).alias(col))
+    )
+
+
+# --- FSST (chunk-local symbol tables, scheme/string/Fsst.cpp analog) --------
+
+def fsst_encode(
+    df: DataFrame, col: str, key: str, part_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (encoded, tables): encoded = (part, key, codes binary),
+    tables = (part, table binary) — one FSST symbol table per chunk, trained
+    and applied inside executors. Rows are key-sorted in the kernel so the
+    trained table (and therefore the encoding) is deterministic regardless
+    of Spark's partition-internal row order."""
+    from btrblocks_spark.format import fsst
+
+    part = F.col(part_col) if part_col else F.lit(0).cast("long")
+    src = df.select(
+        part.alias("part"), F.col(key).alias("key"), F.col(col).alias("value")
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("key")
+        raw = [(x or "").encode("utf-8") for x in pdf["value"]]
+        table = fsst.train(raw)
+        return pd.DataFrame(
+            {
+                "part": pdf["part"],
+                "key": pdf["key"],
+                "codes": [fsst.compress(table, s) for s in raw],
+            }
+        )
+
+    def table_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("key")
+        raw = [(x or "").encode("utf-8") for x in pdf["value"]]
+        return pd.DataFrame(
+            {"part": [pdf["part"].iloc[0]], "table": [fsst.serialize(fsst.train(raw))]}
+        )
+
+    grouped = src.groupBy("part")
+    encoded = grouped.applyInPandas(encode_group, "part long, key long, codes binary")
+    tables = grouped.applyInPandas(table_group, "part long, table binary")
+    return encoded, tables
+
+
+def fsst_decode(encoded: DataFrame, tables: DataFrame, col: str = "value") -> DataFrame:
+    """Join the (tiny) per-chunk tables broadcast, then decode vectorized in
+    Arrow batches. Table blobs are deserialized once per distinct blob, not
+    per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _decode(codes: pd.Series, blobs: pd.Series) -> pd.Series:
+        from btrblocks_spark.format import fsst
+
+        cache: dict[bytes, object] = {}
+        out = []
+        for c, b in zip(codes, blobs):
+            t = cache.get(b)
+            if t is None:
+                t = cache[b] = fsst.deserialize(bytes(b))
+            out.append(fsst.decompress(t, bytes(c)).decode("utf-8"))
+        return pd.Series(out, dtype="object")
+
+    return encoded.join(F.broadcast(tables), "part").select(
+        "part", "key", _decode("codes", "table").alias(col)
     )
 
 

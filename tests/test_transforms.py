@@ -89,3 +89,25 @@ def test_pseudodecimal_patches_irrationals(spark):
     import math
 
     assert math.isnan(rows[4]["patch"])
+
+
+def test_fsst_round_trip_distributed(spark, sf_dir):
+    """FSST as a distributed transform: per-chunk symbol tables trained in
+    executors, vectorized decode (scheme/string/Fsst.cpp analog)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("chunk")
+    )
+    encoded, tables = T.fsst_encode(docs, "text", "doc_id", part_col="chunk")
+    assert tables.count() == 4
+    # compression actually happened on real text
+    sizes = (
+        encoded.join(docs, encoded.key == docs.doc_id)
+        .agg(
+            F.sum(F.length("codes")).alias("enc"),
+            F.sum(F.octet_length("text")).alias("raw"),
+        )
+        .first()
+    )
+    assert sizes["enc"] < sizes["raw"]
+    decoded = T.fsst_decode(encoded, tables)
+    assert _vals(decoded, "key", "value") == _vals(docs, "doc_id", "text")
