@@ -189,11 +189,13 @@ def write_table(
 
         staged = _stage_by_chunk(chunked, int(num_chunks))
         staged.persist(StorageLevel.MEMORY_AND_DISK)
+        # _idx is only for ordering the staged write; don't ship it through
+        # Arrow to the plan kernel (column-pruned pass, ~8 bytes/row less)
         plan_rows = [
             r.asDict()
-            for r in staged.mapInPandas(
-                _plan_partition_fn(col_types, config), _PLAN_SCHEMA
-            ).collect()
+            for r in staged.drop("_idx")
+            .mapInPandas(_plan_partition_fn(col_types, config), _PLAN_SCHEMA)
+            .collect()
         ]
 
         data_path = os.path.join(path, "data")
