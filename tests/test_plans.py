@@ -66,6 +66,29 @@ def test_no_cartesian_in_headline(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+# join_cross deliberately declares a CROSS JOIN (§2b set-op surface); the ANN
+# family cross-joins a handful of broadcast query vectors/centroids against
+# the corpus — that plans as BroadcastNestedLoopJoin, never CartesianProduct.
+_CROSS_OK = {"join_cross"}
+
+
+def test_no_cartesian_in_any_registered_query(spark, sf_dir):
+    """Fleet-wide scale gate: no registered query may plan an un-broadcast
+    cartesian product — at 100 TB that is always a bug, not a strategy."""
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _CROSS_OK:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:  # planning itself must not fail either
+            bad.append(f"{name}: failed to plan ({exc})")
+            continue
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct in plan")
+    assert not bad, "\n".join(bad)
+
+
 def test_ann_broadcasts_queries(spark, sf_dir):
     """Query set is the small side — must broadcast against the corpus."""
     plan = plan_of(QUERIES["ann_cosine_topk"](spark, sf_dir))
