@@ -145,3 +145,141 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("event_type", "rnk", "user_id", "n", "total")
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+),
+clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+errors AS (SELECT * FROM e WHERE event_type = 'error')
+SELECT c.event_id AS click_id,
+       c.user_id AS user_id,
+       c.ts_us AS click_ts_us,
+       r.event_id AS error_id,
+       r.ts_us AS error_ts_us,
+       r.value AS error_value
+FROM clicks c ASOF LEFT JOIN errors r
+  ON c.user_id = r.user_id AND c.ts_us >= r.ts_us
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark lacks natively: each 'click' event is
+    joined to the most recent 'error' event of the same user at-or-before
+    its timestamp (left semantics: clicks before any error keep nulls).
+
+    Spark-first formulation: union both sides tagged, ONE shuffle on
+    user_id, then ``last(error_payload, ignorenulls=True)`` over an ordered
+    running window — never a per-row range probe and never a range-join
+    blowup. Ordering (ts_us, side) makes an error at the exact click
+    timestamp visible to it (>= semantics), and (user_id, ts_us) pairs are
+    unique in this data so the match is deterministic.
+
+    Scale: one hash exchange per side on user_id; state is one running
+    struct per partition row — the standard distributed as-of pattern (the
+    streaming twin would be applyInPandasWithState keyed the same way)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.struct(
+            F.col("event_id").alias("error_id"),
+            F.col("ts_us").alias("error_ts_us"),
+            F.col("value").alias("error_value"),
+        ).alias("err"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("struct<error_id:long,error_ts_us:long,error_value:double>").alias("err"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        err.unionByName(clk)
+        .withColumn("last_err", F.last("err", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts_us").alias("click_ts_us"),
+            F.col("last_err.error_id").alias("error_id"),
+            F.col("last_err.error_ts_us").alias("error_ts_us"),
+            F.col("last_err.error_value").alias("error_value"),
+        )
+    )
+
+
+_RANGE_US = 600 * 1_000_000  # 10-minute lookback
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+),
+clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+errors AS (SELECT * FROM e WHERE event_type = 'error')
+SELECT c.event_id AS click_id,
+       r.event_id AS error_id,
+       c.ts_us - r.ts_us AS gap_us
+FROM clicks c
+JOIN errors r
+  ON c.user_id = r.user_id
+ AND r.ts_us >= c.ts_us - {_RANGE_US}
+ AND r.ts_us < c.ts_us
+""",
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded RANGE join: every (click, error) pair of the same user where
+    the error happened within the 10 minutes before the click.
+
+    Spark-first formulation: equi-join on (user_id, time_bucket) with the
+    click side exploded to its two candidate 10-minute buckets, then the
+    exact range filter. The inequality never reaches the join — candidates
+    per row are bounded by bucket density, so at 100 TB this stays a plain
+    hash join (the unbounded alternative — equi-join on user_id alone, then
+    filter — degrades with per-user history length; bucketing caps it)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type"
+    )
+    bucket = (F.col("ts_us") / F.lit(_RANGE_US)).cast("long")
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        bucket.alias("jbin"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("error_ts_us"),
+    )
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts_us").alias("click_ts_us"),
+            F.explode(F.array(bucket, bucket - 1)).alias("jbin"),
+        )
+    )
+    return (
+        clk.join(err, ["user_id", "jbin"])
+        .filter(
+            (F.col("error_ts_us") >= F.col("click_ts_us") - F.lit(_RANGE_US))
+            & (F.col("error_ts_us") < F.col("click_ts_us"))
+        )
+        .select(
+            "click_id",
+            "error_id",
+            (F.col("click_ts_us") - F.col("error_ts_us")).alias("gap_us"),
+        )
+    )
