@@ -42,6 +42,8 @@ HEADLINE = [
     "agg_rollup",
     "events_time_rollup",
     "events_sessionize",
+    "events_asof_join",
+    "events_hypertable_rollup",
     "rle_runs",
     "dedup_exact",
     "dedup_minhash_lsh",

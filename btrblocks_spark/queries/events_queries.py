@@ -283,3 +283,62 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("click_ts_us") - F.col("error_ts_us")).alias("gap_us"),
         )
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day_bucket,
+         epoch_us(ts) // 3600000000 AS hour_bucket,
+         value
+  FROM events
+),
+hourly AS (
+  SELECT event_type, day_bucket, hour_bucket,
+         count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+  FROM e GROUP BY 1, 2, 3
+)
+SELECT event_type, day_bucket, hour_bucket, 'hour' AS grain, n_events, total_value
+FROM hourly
+UNION ALL
+SELECT event_type, day_bucket, NULL, 'day',
+       SUM(n_events), CAST(SUM(total_value) AS DECIMAL(38,2))
+FROM hourly GROUP BY 1, 2
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour-grain rollup computed
+    from raw events ONCE, day grain re-aggregated from the hourly partials
+    — never a second scan of the raw table. This is the materialized-rollup
+    dependency chain of a time-series store (and why the per-grain
+    aggregates here are restricted to re-aggregatable ones: count/sum, not
+    count-distinct).
+
+    Scale: raw→hour is one map-side-combinable shuffle on a low-cardinality
+    key; hour→day re-aggregates the tiny hourly table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts div 1000) div 86400000000").alias("day_bucket"),
+        F.expr("(ts div 1000) div 3600000000").alias("hour_bucket"),
+        "value",
+    )
+    hourly = e.groupBy("event_type", "day_bucket", "hour_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )
+    daily = hourly.groupBy("event_type", "day_bucket").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
+    )
+    return hourly.select(
+        "event_type", "day_bucket", "hour_bucket", F.lit("hour").alias("grain"),
+        "n_events", "total_value",
+    ).unionByName(
+        daily.select(
+            "event_type", "day_bucket", F.lit(None).cast("long").alias("hour_bucket"),
+            F.lit("day").alias("grain"), "n_events", "total_value",
+        )
+    )
