@@ -342,3 +342,50 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("day").alias("grain"), "n_events", "total_value",
         )
     )
+
+
+_SALT_BUCKETS = 16
+
+
+@register(
+    "events_salted_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY event_type) AS type_rank
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id AS event_id, e.event_type AS event_type, d.type_rank AS type_rank
+FROM events e JOIN dim d USING (event_type)
+""",
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: event_type has only 5 distinct values, so a
+    plain shuffle join on it collapses to 5 partitions however many
+    executors exist. The fact side gets a deterministic salt
+    (event_id % 16); the dimension is replicated across all 16 salt values;
+    the join key becomes (event_type, salt) — 80-way parallelism instead of
+    5, identical results.
+
+    The shuffle_hash hint models the 100 TB case where the dimension is too
+    big to broadcast (broadcasting would sidestep the skew and hide the
+    pattern); salting is what remains when neither broadcast nor AQE skew
+    splitting applies (AQE splits oversized partitions of the SAME key only
+    for sort-merge joins with statistics — a 5-value key needs the
+    structural fix)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_rank", F.row_number().over(Window.orderBy("event_type")))
+    )
+    salted_fact = e.withColumn("_salt", (F.col("event_id") % _SALT_BUCKETS).cast("int"))
+    salted_dim = dim.select(
+        "event_type",
+        "type_rank",
+        F.explode(F.array(*[F.lit(i) for i in range(_SALT_BUCKETS)])).alias("_salt"),
+    )
+    return (
+        salted_fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "_salt"])
+        .select("event_id", "event_type", "type_rank")
+    )

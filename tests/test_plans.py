@@ -137,3 +137,14 @@ def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
     assert exchange_lines, "expected a hash exchange"
     assert all("content_hash" in l for l in exchange_lines)
     assert all("text" not in l for l in exchange_lines)
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    """The whole point of salting: the exchange key must be
+    (event_type, _salt), not the 5-value event_type alone."""
+    plan = plan_of(QUERIES["events_salted_join"](spark, sf_dir))
+    join_lines = [l for l in plan.splitlines() if "ShuffledHashJoin" in l]
+    assert join_lines, "expected a shuffled hash join"
+    # both join key lists carry the salt (the dim's internal 5-row distinct
+    # exchange is unsalted and irrelevant)
+    assert all(l.count("_salt") >= 2 for l in join_lines), join_lines
