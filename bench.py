@@ -36,6 +36,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "join_multi",
     "join_broadcast",
     "window_rank",
