@@ -389,3 +389,52 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_fact.join(salted_dim.hint("shuffle_hash"), ["event_type", "_salt"])
         .select("event_id", "event_type", "type_rank")
     )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id,
+         epoch_ns(ts) // 1000000000 AS ts_sec,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_sec,
+       CAST(SUM(v) OVER w AS DOUBLE) AS sliding_value,
+       COUNT(*) OVER w AS sliding_n
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window via a RANGE frame: per user, the sum and
+    count of events in the trailing 10 minutes of each event — the frame is
+    bounded by the ORDER BY *value* (seconds), not a row count, so sparse
+    and dense activity periods get the correct physical frame.
+
+    Determinism: epoch seconds by integer division (no double ULPs at 1.7e18
+    nanos); the summed value goes through DECIMAL(18,2) so the frame sum is
+    exact and engine-order-independent.
+
+    Scale: partitioned by user_id — each user's timeline is one window
+    partition, parallel across users, no global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000000").alias("ts_sec"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.sum("v").over(w).cast("double").alias("sliding_value"),
+        F.count("*").over(w).alias("sliding_n"),
+    )

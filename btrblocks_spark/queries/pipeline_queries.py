@@ -577,3 +577,51 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+WITH t AS (
+  -- parallel unnests zip positionally in DuckDB; range(n) is 0-based
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT dim,
+       count(*) AS n,
+       min(x) AS min_x,
+       max(x) AS max_x,
+       CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_x
+FROM t
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding corpus: unnest the
+    ``array<float>`` column with ordinality (posexplode) and aggregate each
+    dimension — the columnar-stats analog (SURVEY §2a T1) applied to a vector
+    column, and the array-function coverage query (explode with position).
+
+    Determinism: min/max compare exact doubles (float32 widens exactly);
+    the sum rounds each element to 6 decimals then accumulates in
+    DECIMAL(18,6), so it is order-independent and engine-exact.
+
+    Scale: explode is map-side (no shuffle); the single shuffle is the
+    groupBy on dim (dim cardinality = vector width, small) with map-side
+    partial aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    return (
+        t.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).cast("double").alias("sum_x"),
+        )
+        .orderBy("dim")
+    )

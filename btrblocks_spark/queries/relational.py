@@ -945,3 +945,47 @@ def agg_approx_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(25,4)) AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(25,4)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', CAST(l_discount AS DECIMAL(25,4)) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', CAST(l_tax AS DECIMAL(25,4)) FROM lineitem
+)
+SELECT l_returnflag, measure,
+       count(*) AS n,
+       CAST(SUM(val) AS DOUBLE) AS total
+FROM long
+GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): four measure columns fold into (measure, val) rows,
+    then aggregate per (flag, measure) — the inverse reshape of agg_pivot.
+
+    ``DataFrame.unpivot`` expands map-side (no shuffle, no values-discovery
+    job — the measure list is static); the single shuffle is the final
+    16-group aggregation with map-side partials. The oracle spells the same
+    reshape as UNION ALL, the portable-SQL equivalent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = l.select("l_returnflag", *measures).unpivot(
+        ["l_returnflag"], measures, "measure", "raw_val"
+    )
+    return (
+        long.select(
+            "l_returnflag", "measure", F.col("raw_val").cast("decimal(25,4)").alias("val")
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(F.count("*").alias("n"), F.sum("val").cast("double").alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )

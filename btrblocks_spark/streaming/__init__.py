@@ -10,6 +10,9 @@ append-only (SURVEY §2b/§7) — so the streaming layer provides:
                       chunks through the format writer's sizing rules
   sessionize          custom stateful operator (session windows with idle
                       gap) via applyInPandasWithState
+  dedup_stream        watermark-bounded exact dedup
+                      (dropDuplicatesWithinWatermark) — streaming twin of
+                      pipeline.dedup.dedup_exact
 
 Scale notes: every operator keys state by user/session id — state is
 hash-partitioned across executors and bounded by the watermark (expired
@@ -20,9 +23,16 @@ state is dropped). The append sink writes whole chunks per microbatch; at
 
 from btrblocks_spark.streaming.ops import (
     chunked_append,
+    dedup_stream,
     sessionize,
     stream_source,
     windowed_rollup,
 )
 
-__all__ = ["stream_source", "windowed_rollup", "chunked_append", "sessionize"]
+__all__ = [
+    "stream_source",
+    "windowed_rollup",
+    "chunked_append",
+    "sessionize",
+    "dedup_stream",
+]

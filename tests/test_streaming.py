@@ -102,3 +102,23 @@ def test_sessionize_stateful(spark, events_dir):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] > 0
+
+
+def test_dedup_stream(spark, sf_dir, tmpdir):
+    """Duplicated source files → stream dedup returns each event_id once."""
+    from btrblocks_spark.streaming import dedup_stream
+
+    src = load_table(spark, sf_dir, "events")
+    d = os.path.join(tmpdir, "events_dup")
+    src.repartition(2).write.mode("overwrite").parquet(d)
+    src.repartition(3).write.mode("append").parquet(d)  # every event twice
+
+    stream = stream_source(spark, d)
+    # generous watermark delay: every duplicate in the test data must still
+    # be inside the retained state window, so the dedup is exact here
+    q = _run_to_memory(dedup_stream(stream, watermark="10 days"), "dedup_test")
+    got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_test").collect()[0]
+    q.stop()
+
+    want = src.select("event_id").distinct().count()
+    assert got["c"] == got["d"] == want
