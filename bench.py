@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "text_quality",
+    "curation_retained_docs",
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

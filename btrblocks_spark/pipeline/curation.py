@@ -1,0 +1,77 @@
+"""Corpus curation: deterministic stratified sampling and the end-to-end
+retention pipeline (language filter + quality threshold + exact-dedup
+canonicalization) — the composition a training-data job actually runs over
+the documents table.
+
+Determinism: sampling uses the portable hash32 (md5-derived) against a
+per-stratum keep-rate in per-mille, so the *same rows* are kept on any
+engine, any partitioning, any run — unlike ``df.sample``/``sampleBy``,
+whose RNG is engine- and partitioning-dependent. That reproducibility is
+what makes a 100 TB curation run auditable and resumable.
+
+Scale: every step is shuffle-minimal — sampling is a map-side filter;
+dedup canonicalization shuffles md5 hashes (16 bytes/row), never text;
+quality/language aggregate per doc_id, combinable map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from btrblocks_spark.pipeline.text import hash32, language_id, normalized, quality_scores
+
+
+def sample_bucket(stratum: Column, row_id: Column) -> Column:
+    """Deterministic per-row bucket in [0, 1000): hash32 of 'stratum#id'."""
+    key = F.concat_ws("#", stratum, row_id.cast("string"))
+    return hash32(key) % 1000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    even_rate_per_mille: int = 800,
+    odd_rate_per_mille: int = 300,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows: strata with an
+    even numeric suffix keep ``even_rate_per_mille``/1000 of their rows,
+    odd keep ``odd_rate_per_mille``/1000 (models boosting/downsampling
+    sources of different quality). Pure map-side filter — no shuffle, no
+    RNG; pushes down to the scan."""
+    suffix_even = (F.substring(F.col(stratum_col), 4, 10).cast("int") % 2) == 0
+    rate = F.when(suffix_even, F.lit(even_rate_per_mille)).otherwise(
+        F.lit(odd_rate_per_mille)
+    )
+    bucket = sample_bucket(F.col(stratum_col), F.col(id_col))
+    return docs.filter(bucket < rate)
+
+
+def retained_docs(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+) -> DataFrame:
+    """The curation composite: a document survives iff
+      1. it is the canonical copy of its normalized content (min doc_id per
+         content hash — exact dedup),
+      2. its predicted language is in ``langs``,
+      3. its composite quality score ≥ ``min_quality``.
+
+    Returns (doc_id, pred_lang, quality, n_tokens), one row per survivor.
+    """
+    canon = (
+        docs.select("doc_id", F.md5(normalized(F.col("text"))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    qual = quality_scores(docs).select("doc_id", "quality", "n_tokens")
+    return (
+        canon.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(F.col("pred_lang").isin(*langs) & (F.col("quality") >= min_quality))
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )

@@ -625,3 +625,88 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation (stratified sampling + end-to-end retention composite)
+# ---------------------------------------------------------------------------
+
+from btrblocks_spark.pipeline.curation import retained_docs, stratified_sample  # noqa: E402
+
+
+@register(
+    "curation_stratified_sample",
+    oracle="""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 300 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling — same kept-set on any engine,
+    partitioning, or run (hash-mod, not RNG)."""
+    return stratified_sample(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@register(
+    "curation_retained_docs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+lt AS (SELECT doc_id, w, lower(w) AS lw FROM toks),
+langs(lang, words) AS (
+  VALUES {_LANG_VALUES}
+),
+votes AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM lt JOIN langs ON list_contains(words, lw)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM votes
+),
+pred AS (SELECT doc_id, lang AS pred_lang FROM best WHERE rn = 1),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN lw IN ({_ALL_STOP}) THEN 1 ELSE 0 END) AS stop_hits,
+         count(DISTINCT lw) AS uniq_tokens
+  FROM lt GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents
+),
+qual AS (
+  SELECT b.doc_id, n_tokens,
+         round(
+           least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+                      CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         6) AS quality
+  FROM base b JOIN per_doc USING (doc_id)
+),
+canon AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM documents)
+  GROUP BY content_hash
+)
+SELECT c.doc_id, p.pred_lang, q.quality, q.n_tokens
+FROM canon c JOIN pred p USING (doc_id) JOIN qual q USING (doc_id)
+WHERE p.pred_lang IN ('en', 'de', 'fr') AND q.quality >= 0.5
+""",
+)
+def q_retained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composite: exact-dedup canonical + language
+    allowlist + quality threshold, one row per surviving document."""
+    return retained_docs(load_table(spark, sf_dir, "documents"))
