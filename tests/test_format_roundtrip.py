@@ -169,3 +169,42 @@ def test_frames_equal_detects_diff(spark, sf_dir):
     df = load_table(spark, sf_dir, "region")
     assert frames_equal(df, df)
     assert not frames_equal(df, df.limit(3))
+
+
+def test_compact_table(spark, sf_dir):
+    """Many small appended files → one chunk-aligned table, same rows."""
+    import os
+
+    from btrblocks_spark.format.compact import compact_table
+    from btrblocks_spark.format.verify import frames_equal
+
+    src = load_table(spark, sf_dir, "orders")
+    small_dir = tempfile.mkdtemp(prefix="btr_small_")
+    dest_dir = tempfile.mkdtemp(prefix="btr_compacted_")
+    try:
+        # simulate a streaming sink's accumulation: three appends, tiny files
+        for i in range(3):
+            (
+                src.filter(F.col("o_orderkey") % 3 == i)
+                .write.mode("append")
+                .option("maxRecordsPerFile", 200)
+                .parquet(small_dir)
+            )
+        n_small = sum(
+            f.endswith(".parquet") for _, _, fs in os.walk(small_dir) for f in fs
+        )
+
+        cfg = DEFAULT_CONFIG.with_(block_size=4096)
+        meta = compact_table(spark, small_dir, dest_dir, ["o_orderkey"], cfg, "orders")
+
+        assert meta["compaction"]["input_files"] == n_small
+        assert 0 < meta["compaction"]["output_files"] < n_small
+        assert meta["num_rows"] == src.count()
+        # non-final chunks exactly block_size rows (chunk-aligned layout held)
+        sizes = [c["n_rows"] for c in meta["columns"]["o_orderkey"]["chunks"]]
+        assert all(s == 4096 for s in sizes[:-1]) and 0 < sizes[-1] <= 4096
+        got, _meta2 = read_table(spark, dest_dir)
+        assert frames_equal(got.select(*src.columns), src)
+    finally:
+        shutil.rmtree(small_dir, ignore_errors=True)
+        shutil.rmtree(dest_dir, ignore_errors=True)
