@@ -94,8 +94,9 @@ def bench_format(spark, sf_dir: str) -> dict:
             materialize(spark.read.parquet(data_dir))
             scan_sec = min(scan_sec, time.perf_counter() - t0)
 
-        # per-column: most-used root scheme + est ratio (the reference's
-        # regression_benchmark / bench.sh metric set, BASELINE.md)
+        # per-column: most-used root scheme + est ratio + single-column scan
+        # speed (the reference's regression_benchmark / decompression-speed
+        # per-column metric set, BASELINE.md)
         per_column = {}
         for col, info in meta["columns"].items():
             counts: dict[str, int] = {}
@@ -104,9 +105,15 @@ def bench_format(spark, sf_dir: str) -> dict:
                 counts[ch["scheme"]] = counts.get(ch["scheme"], 0) + 1
                 col_raw += ch["raw_size"]
                 col_est += ch["est_size"]
+            col_sec = float("inf")
+            for _ in range(2 if col_raw else 0):  # skip-scheme columns: no data
+                t0 = time.perf_counter()
+                materialize(spark.read.parquet(data_dir).select(col))
+                col_sec = min(col_sec, time.perf_counter() - t0)
             per_column[col] = {
                 "scheme": max(counts, key=counts.get),
                 "est_ratio": round(col_raw / max(col_est, 1), 2),
+                "scan_mb_s": round(col_raw / 1e6 / max(col_sec, 1e-9), 1),
             }
 
         return {
