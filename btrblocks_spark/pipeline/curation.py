@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from btrblocks_spark.pipeline.text import hash32, language_id, normalized, quality_scores
+from btrblocks_spark.pipeline.text import hash32, normalized
 
 
 def sample_bucket(stratum: Column, row_id: Column) -> Column:
@@ -61,17 +61,49 @@ def retained_docs(
 
     Returns (doc_id, pred_lang, quality, n_tokens), one row per survivor.
     """
+    from btrblocks_spark.pipeline.text import _lang_pick, _lang_vote_aggs
+
     canon = (
         docs.select("doc_id", F.md5(normalized(F.col("text"))).alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    lang = language_id(docs).select("doc_id", "pred_lang")
-    qual = quality_scores(docs).select("doc_id", "quality", "n_tokens")
+    # ONE token pass computes language votes AND quality inputs (the
+    # text-level metrics ride through the explode, recovered with first())
+    # — one scan + one groupBy(doc_id) instead of two explodes, a vocab
+    # join, and a window
+    # (the expensive exprs sit in a Project BELOW the Generate — exploding a
+    # column reference, not an inline explode(...), else Catalyst evaluates
+    # them per token; see quality_scores)
+    pre = docs.select(
+        "doc_id",
+        F.length("text").alias("_n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("_n_punct"),
+        F.split("text", " ").alias("_toks"),
+    )
+    t = pre.select(
+        "doc_id", "_n_chars", "_n_punct", F.explode("_toks").alias("w")
+    ).withColumn("lw", F.lower("w"))
+    per_doc = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("lw").alias("uniq_tokens"),
+        F.first("_n_chars").alias("n_chars"),
+        F.first("_n_punct").alias("n_punct"),
+        *_lang_vote_aggs(),
+    )
+    pred, _best = _lang_pick()
+    quality = F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.col("uniq_tokens") / F.col("n_tokens")) * 0.4
+        + (F.lit(1.0) - F.least(F.col("n_punct") / F.col("n_chars") * 10, F.lit(1.0))) * 0.2,
+        6,
+    )
+    scored = per_doc.select(
+        "doc_id", pred.alias("pred_lang"), quality.alias("quality"), "n_tokens"
+    )
     return (
-        canon.join(lang, "doc_id")
-        .join(qual, "doc_id")
+        canon.join(scored, "doc_id")
         .filter(F.col("pred_lang").isin(*langs) & (F.col("quality") >= min_quality))
         .select("doc_id", "pred_lang", "quality", "n_tokens")
     )

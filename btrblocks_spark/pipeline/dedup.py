@@ -54,8 +54,10 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def minhash_signatures(docs: DataFrame, num_perm: int = 8, n: int = 3) -> DataFrame:
     """k-permutation MinHash over word n-gram shingles: sig_i(doc) =
     min over shingles of (a_i * h + b_i) mod 2^31-1. One row per doc with
-    columns s0..s{k-1}. Single map-side-combinable aggregation."""
-    sh = shingles(docs, n).distinct().withColumn("h", hash32(F.col("shingle")))
+    columns s0..s{k-1}. Single map-side-combinable aggregation — no
+    ``distinct()`` shuffle: min() is multiplicity-invariant, so aggregating
+    the raw shingle stream gives the same signature as the distinct set."""
+    sh = shingles(docs, n).withColumn("h", hash32(F.col("shingle")))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS[:num_perm])

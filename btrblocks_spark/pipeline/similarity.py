@@ -70,6 +70,31 @@ def cosine_topk(
     )
 
 
+def _centroid_array(corpus: DataFrame, centroid_stride: int) -> DataFrame:
+    """All centroids collected into ONE single-row array column ``_cents``
+    (struct<c_id, cv>) — broadcast to every task so centroid scoring is a
+    per-row array fold, never a join."""
+    return (
+        corpus.filter(F.col("vec_id") % centroid_stride == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .agg(F.collect_list(F.struct("c_id", "cv")).alias("_cents"))
+    )
+
+
+def _scored_cents(vec: str) -> str:
+    """SQL expr: centroid array scored against column ``vec`` — array of
+    struct(cos, ncid) where ncid = -c_id, so the natural struct ordering
+    (cos asc, ncid asc) makes the MAX element exactly the window winner
+    ``ORDER BY cos DESC, c_id ASC`` (max cos, then min c_id)."""
+    dot = f"aggregate(zip_with({vec}, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nv = f"sqrt(aggregate(zip_with({vec}, {vec}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    nc = "sqrt(aggregate(zip_with(c.cv, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    return (
+        f"transform(_cents, c -> struct(round(({dot}) / (({nv}) * ({nc})), 6) AS cos, "
+        "-c.c_id AS ncid))"
+    )
+
+
 def ivf_cells(
     vecs: DataFrame,
     centroid_stride: int = 31,
@@ -81,23 +106,20 @@ def ivf_cells(
     — deterministic, so the index is reproducible and oracle-checkable
     (k-means would converge data-dependently; the plumbing is identical).
 
-    Returns (vec_id, v, cell). One broadcast-join pass over the corpus, no
-    shuffle of the vectors themselves; at scale this is the ingest-time step
+    Returns (vec_id, v, cell). The nearest-centroid argmax is a map-side
+    ``array_max`` fold over the broadcast centroid array — no corpus
+    blowup, no shuffle, no window; at scale this is the ingest-time step
     whose output is written ``partitionBy("cell")``."""
     corpus = _as_double(vecs, vec_col, id_col)
-    centroids = corpus.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "c_id",
-            F.round(cosine_expr("v", "cv"), 6).alias("c_cos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("cell"))
+    cents = _centroid_array(corpus, centroid_stride)
+    # coalesce(-1) makes `cell` non-nullable: a downstream equi-join on it
+    # would otherwise infer an isnotnull(cell) filter, and because `cell` is
+    # this whole fold expression the filter would evaluate it a SECOND time
+    # per row (measured 2x cost at sf0.1)
+    return corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        F.expr(f"coalesce(-array_max({_scored_cents('v')}).ncid, -1)").alias("cell"),
     )
 
 
@@ -114,23 +136,24 @@ def ivf_topk(
     cells whose centroids are nearest to the query. Each corpus vector
     lives in exactly one cell, so no candidate dedup is needed."""
     corpus = _as_double(vecs, vec_col, id_col)
-    centroids = corpus.filter(F.col("vec_id") % centroid_stride == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-    )
+    cents = _centroid_array(corpus, centroid_stride)
     cells = ivf_cells(vecs, centroid_stride, vec_col, id_col)
     queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
+    # top-nprobe cells per query, map-side: sort the scored centroid array
+    # descending (reverse of the natural asc struct order) and explode the
+    # first nprobe — same result as a rank-window over a probe join
     probed = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(F.broadcast(cents))
         .select(
-            "q_id", "qv", "c_id",
-            F.round(cosine_expr("qv", "cv"), 6).alias("p_cos"),
+            "q_id",
+            "qv",
+            F.explode(
+                F.expr(f"slice(reverse(array_sort({_scored_cents('qv')})), 1, {nprobe})")
+            ).alias("_p"),
         )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", "qv", F.col("c_id").alias("cell"))
+        .select("q_id", "qv", F.expr("-_p.ncid").alias("cell"))
     )
     scored = (
         F.broadcast(probed)

@@ -9,15 +9,14 @@ any engine (the DuckDB oracle runs the same formulas).
 Scale notes (100 TB): every operator here is embarrassingly parallel per
 document — no shuffle except the final per-doc ``groupBy(doc_id)``, which is
 a map-side-combinable aggregation on the table's natural key (near-zero
-skew: one group per document). Window functions partition by ``doc_id``
-(small per-doc windows), never globally.
+skew: one group per document). Shingling and tokenization are narrow maps
+(array functions over the scan) — no windows anywhere in the hot path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # 32-bit multiplicative-hash constants for MinHash permutations (primes).
 MINHASH_PERMS: list[tuple[int, int]] = [
@@ -68,53 +67,69 @@ def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Word n-gram shingles via lead() windows over token positions
-    (per-doc windows — parallel across docs, no global shuffle)."""
-    t = tokens(docs, text_col, id_col)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = F.concat_ws(" ", F.col("w"), *[F.lead("w", i).over(w) for i in range(1, n)])
-    # shingle and the completeness guard must come from the SAME window pass:
-    # filtering first would make lead() see the filtered frame and emit
-    # truncated shingles at the tail.
-    return (
-        t.select("doc_id", sh.alias("shingle"), F.lead("w", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
+    """Word n-gram shingles, fully map-side: build the n-gram array with
+    array functions (sequence + slice over the token array) and explode.
+    No window, no shuffle — at 100 TB shingling is a pure narrow map over
+    the scan, which is what makes every downstream dedup shape one-shuffle."""
+    arr = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}), i -> array_join(slice(_toks, i, {n}), ' '))"
     )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("_toks"))
+        # sequence(1, k) needs k >= 1: guard short docs (sequence would run
+        # backwards for start > stop, emitting truncated shingles)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size("_toks") >= n, grams).otherwise(
+                    F.expr("cast(array() as array<string>)")
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def _lang_vote_aggs() -> list[Column]:
+    """One conditional count per language over a lowercased token stream
+    (column ``lw``) — all languages tallied in a single aggregation pass."""
+    return [
+        F.sum(F.when(F.col("lw").isin(*words), 1).otherwise(0)).alias(f"_hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def _lang_pick(prefix: str = "_hits_") -> tuple[Column, Column]:
+    """(pred_lang, best_hits) from the per-language hit columns. Argmax with
+    ties broken by ascending language code — the when-chain runs in sorted
+    order, so the first language reaching the max wins, matching
+    ``ORDER BY hits DESC, lang`` row_number semantics."""
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"{prefix}{lang}") for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"{prefix}{lang}") == best, F.lit(lang))
+    return pred, best
 
 
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID: for each language, count tokens that hit
     its stopword list; predict the argmax (ties broken by language code).
-    Returns (doc_id, pred_lang, best_hits)."""
-    t = tokens(docs).withColumn("w", F.lower("w"))
-    # one broadcast join against the (word, lang) list instead of one
-    # filtered aggregation per language: the token scan runs once
-    spark = docs.sparkSession
-    vocab = spark.createDataFrame(
-        [(w, lang) for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws],
-        "w string, lang string",
-    )
-    votes = (
-        t.join(F.broadcast(vocab), "w")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    best = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"), F.col("hits").alias("best_hits"))
-    )
-    # docs with zero stopword hits anywhere -> 'und' (undetermined)
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("best_hits", F.lit(0)).alias("best_hits"),
-        )
+    Returns (doc_id, pred_lang, best_hits).
+
+    Shape: ONE aggregation — per-language hits are conditional sums over a
+    single token stream (map-side combinable, no vocab join, no window, no
+    join back for zero-hit docs: they aggregate to all-zero hits → 'und').
+    ``coalesce(text, '')`` keeps null-text docs in the stream (zero hits),
+    matching the oracle's LEFT JOIN semantics."""
+    t = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("w"),
+    ).withColumn("lw", F.lower("w"))
+    votes = t.groupBy("doc_id").agg(*_lang_vote_aggs())
+    pred, best = _lang_pick()
+    return votes.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("best_hits")
     )
 
 
@@ -123,20 +138,32 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     punctuation ratio, stopword ratio, and a composite [0,1] score.
     All integer/ratio arithmetic — deterministic across engines."""
     all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    t = tokens(docs).withColumn("lw", F.lower("w"))
+    # carry the per-doc text-level metrics THROUGH the explode and recover
+    # them with first() in the same aggregation — one scan, one shuffle, no
+    # join of a "base" frame back against the token aggregate.
+    # CAREFUL: the expensive exprs are computed in a Project BELOW the
+    # Generate (explode of a column *reference*) — putting explode(...) in
+    # the same select would make Catalyst's generator extraction evaluate
+    # them per token, not per document (measured 10x slower).
+    pre = docs.select(
+        "doc_id",
+        F.length("text").alias("_n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("_n_punct"),
+        F.split("text", " ").alias("_toks"),
+    )
+    t = pre.select(
+        "doc_id", "_n_chars", "_n_punct", F.explode("_toks").alias("w")
+    ).withColumn("lw", F.lower("w"))
     per_doc = t.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum(F.length("w")).alias("chars_in_tokens"),
         F.sum(F.when(F.col("lw").isin(*all_stop), 1).otherwise(0)).alias("stop_hits"),
         F.countDistinct("lw").alias("uniq_tokens"),
-    )
-    base = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("n_punct"),
+        F.first("_n_chars").alias("n_chars"),
+        F.first("_n_punct").alias("n_punct"),
     )
     return (
-        base.join(per_doc, "doc_id")
+        per_doc
         .select(
             "doc_id",
             "n_tokens",
