@@ -65,6 +65,29 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 8, n: int = 3) -> DataFr
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _bucket_pairs(banded: DataFrame, key_cols: list[str], payload_cols: list[str]) -> DataFrame:
+    """All unordered member pairs within each LSH bucket: collect members
+    per bucket, emit i<j position pairs map-side (columns ``a``/``b`` =
+    member structs).
+
+    This shape evaluates the (expensive) signature pipeline exactly ONCE —
+    a bucket self-join evaluates it twice, since neither classic exchange
+    reuse nor AQE stage reuse is guaranteed to deduplicate self-join sides.
+    Pair blowup per bucket is k² either way; at corpus scale buckets must
+    be fine-grained (minhash band hashes are) or df-capped (see
+    ``ngram_jaccard_pairs``)."""
+    buckets = (
+        banded.groupBy(*key_cols)
+        .agg(F.collect_list(F.struct(*payload_cols)).alias("_ms"))
+        .filter(F.size("_ms") > 1)
+    )
+    pairs = (
+        "flatten(transform(_ms, (x, i) -> "
+        "transform(slice(_ms, i + 2, size(_ms)), y -> struct(x AS a, y AS b))))"
+    )
+    return buckets.select(F.explode(F.expr(pairs)).alias("_p")).select("_p.a", "_p.b")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 8, bands: int = 4, n: int = 3
 ) -> DataFrame:
@@ -72,8 +95,10 @@ def minhash_lsh_pairs(
     ``num_perm/bands`` rows; docs sharing any band bucket are candidate
     duplicates. Returns distinct (doc_a, doc_b) with doc_a < doc_b.
 
-    Scale: the join is keyed on (band, bucket-hash) — uniform buckets, no
-    broadcast needed; output is bounded by real near-dup density."""
+    Scale: bucket keys are md5 band hashes — two docs share a bucket only
+    on an exact band match, so bucket size tracks true dup-cluster size
+    (fine-grained, near-zero skew); pair generation is map-side from the
+    collected bucket members (see ``_bucket_pairs``)."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, n)
     # one posexplode instead of a per-band union: the signature aggregation
@@ -86,14 +111,15 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sigs.select(
+    banded = sigs.select(
         "doc_id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket")
     )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(banded, ["band", "bucket"], ["doc_id"])
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -129,6 +155,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     exact Hamming distance <= ``max_hamming``."""
     sigs = simhash_signatures(docs)
     # single-pass banding (posexplode) — the signature subtree runs once
+    # per join side. Unlike minhash (fine-grained md5 band buckets), the
+    # byte bands here have only 256 buckets, so the collected-bucket pair
+    # generation of _bucket_pairs is WORSE than the codegen'd equi-join
+    # (measured 2.3s vs 1.4s at sf0.1): big buckets favor the join, which
+    # distributes the k² pair work across stream-side partitions.
     key_exprs = [
         F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)) for i in range(4)
     ]
@@ -162,22 +193,34 @@ def ngram_jaccard_pairs(
     candidate pairs; capping k bounds the blowup). Sizes |A|,|B| are then
     measured on the SAME capped shingle sets so jaccard stays a true
     set similarity of the filtered representation."""
-    sh = shingles(docs, n).distinct()
+    from pyspark.sql.window import Window
+
+    # ONE linear chain — the shingle set is computed exactly once. The df
+    # cap and the per-doc set sizes are window counts folded into the chain
+    # (a keep-list join or a separate sizes aggregate would re-evaluate the
+    # shingle subtree once per reuse); set sizes are measured AFTER the cap
+    # so jaccard stays a true similarity of the filtered representation.
+    shd = shingles(docs, n).distinct()
     if max_doc_freq is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        keep = df_counts.filter(F.col("_df") <= max_doc_freq).select("shingle")
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+        shd = (
+            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    # inverted index: postings per shingle, pairs map-side; one pair row
+    # per shared shingle, so the pair-count IS the intersection size
+    pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
+    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
+            F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -235,14 +278,18 @@ def embedding_cosine_pairs(
     exact cosine within bucket only. At 100 TB the n² cross join never
     happens — the join is keyed on the sketch bucket."""
     sk = embedding_sketch(vecs, num_planes, dim)
-    a, b = sk.alias("a"), sk.alias("b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        _bucket_pairs(sk, ["bucket"], ["vec_id", "v"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_expr("a.v", "b.v"), 6).alias("cosine"),
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            # cosine is symmetric but the oracle folds (a, b) with a = the
+            # smaller id — keep the operand order identical
+            F.when(
+                F.col("a.vec_id") <= F.col("b.vec_id"),
+                F.round(cosine_expr("a.v", "b.v"), 6),
+            ).otherwise(F.round(cosine_expr("b.v", "a.v"), 6)).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
