@@ -230,6 +230,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iter: int = 12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected components
+    of the pair graph via iterative min-label propagation. Every document
+    gets ``cluster_id`` = the minimum doc_id reachable through near-dup
+    edges (singletons: their own id) — the canonicalization step a real
+    dedup pipeline runs after LSH pair mining.
+
+    Algorithm (the standard large-graph CC shape on Spark):
+      labels <- node id; repeat: label <- min(label, neighbors' labels)
+      until fixed point. Each round is one join + one min-aggregate, both
+      keyed on node id; ``localCheckpoint`` truncates lineage per round so
+      plans don't grow exponentially. Rounds needed = graph diameter
+      (near-dup clusters are shallow — a handful). The fixed point is
+      unique, so the result is deterministic and oracle-checkable against
+      a recursive-CTE reachability closure (min over reachable nodes).
+
+    The driver-side loop controls ITERATION only (a few scalar counts);
+    all data movement is distributed joins/aggregates — this is how
+    GraphFrames/GraphX structure CC as well.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    )
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+    )
+
+
 # --- embedding sign-sketch LSH ----------------------------------------------
 
 def hyperplane_signs(num_planes: int, dim: int) -> list[list[int]]:

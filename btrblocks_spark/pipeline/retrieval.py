@@ -1,0 +1,140 @@
+"""Keyword retrieval over the document corpus: TF-IDF / BM25 scoring and
+top-k search — the text-side complement of the embedding ANN operators
+(similarity.py) in a training-data / retrieval pipeline.
+
+Shape (all Spark built-ins, one linear chain):
+  1. token stream with per-doc length carried through the explode
+     (dl = whitespace token count — same tokenizer as text.py),
+  2. term frequencies for the query terms only (map-side filter on a
+     literal IN-list BEFORE the aggregation — the token stream for
+     non-query terms never shuffles),
+  3. document frequencies + corpus stats (N, avgdl) as tiny one-row /
+     per-term aggregates, broadcast back onto the tf rows,
+  4. per-term BM25 contribution, summed per doc through DECIMAL(18,6) so
+     accumulation order cannot change the result across engines,
+  5. global top-k by (score desc, doc_id asc) — k is small; Spark plans
+     TakeOrderedAndProject, not a full sort.
+
+Determinism: idf uses natural log — both engines are IEEE-754 doubles; each
+per-term idf and contribution is rounded to 6 dp before the
+order-independent decimal sum, so the compare is exact.
+
+Scale: the only full-corpus work is the token scan + one groupBy(doc_id,
+term) on query terms (map-side combinable). df/N/avgdl are scalar-sized.
+At 100 TB this is the standard "score a keyword query without an index"
+plan; a pre-built inverted index (postings as a chunked table) would
+replace step 2's scan with a point read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25.
+
+    idf(t)  = round(ln((N - df + 0.5) / (df + 0.5) + 1), 6)   [BM25+ form]
+    w(t, d) = round(idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)), 6)
+    score   = Σ w(t, d)   (decimal-summed, order-independent)
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    # per-doc token stream with dl computed BELOW the Generate (explode of
+    # a column reference — an inline explode would re-evaluate siblings per
+    # token; see text.quality_scores)
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("w"))
+    tok = pre.select("doc_id", "dl", F.lower("w").alias("term")).filter(
+        F.col("term").isin(*terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    # corpus stats: N docs + average doc length (exact: long sum / count)
+    stats = docs.select(
+        F.size(F.split(F.col(text_col), " ")).alias("_dl")
+    ).agg(
+        F.count("*").alias("n_docs"), F.sum("_dl").alias("_sum_dl")
+    ).select("n_docs", (F.col("_sum_dl") / F.col("n_docs")).alias("avgdl"))
+    # document frequency per query term (tf already has one row per
+    # (doc, term) — count(*) is the df)
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    contrib = F.round(
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf)
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def tfidf_terms(
+    docs: DataFrame,
+    min_df: int = 2,
+    top_terms_per_doc: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top TF-IDF terms per document (the classic keyword-extraction pass).
+
+    tfidf = round(tf * round(ln(N / df), 6), 6); top terms per doc by
+    (tfidf desc, term asc) via a per-doc rank window. df is computed over
+    the distinct (term, doc) pairs of the SAME aggregated frame — the
+    token stream is scanned once."""
+    from pyspark.sql.window import Window
+
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("doc_id", F.explode("_toks").alias("w"))
+    tf = (
+        pre.select("doc_id", F.lower("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df per term: window count over the (doc, term) rows — stays in the
+    # same chain (no second scan, no self-join); N arrives as a broadcast
+    # one-row aggregate (kept lazy — no driver action at plan-build time)
+    w_term = Window.partitionBy("term")
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(w_term))
+        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n))
+    )
+    tfidf = F.round(
+        F.col("tf") * F.round(F.log(F.col("n_docs") / F.col("df")), 6), 6
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w_doc))
+        .filter(F.col("rnk") <= top_terms_per_doc)
+        .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
+    )

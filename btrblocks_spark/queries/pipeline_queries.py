@@ -233,6 +233,40 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM prs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM prs
+),
+reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over minhash-LSH near-dup pairs (iterative
+    min-label propagation; see dedup.dedup_clusters). The oracle computes
+    the same fixed point as a recursive reachability closure — both sides
+    converge to min-reachable-doc_id, so the compare is exact."""
+    from btrblocks_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 _SIMBANDS = ",\nsbands AS (\n" + "\n  UNION ALL\n".join(
     f"  SELECT doc_id, CAST(simhash AS BIGINT) AS simhash, {i} AS band, "
     f"(CAST(simhash AS BIGINT) >> {8*i}) & 255 AS key FROM simh"
@@ -548,6 +582,86 @@ FROM documents d LEFT JOIN minsh m USING (doc_id)
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# keyword retrieval (BM25 / TF-IDF)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         lower(unnest(string_split(text, ' '))) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM tok WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) / count(*) AS avgdl
+  FROM documents
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT doc_id,
+         round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+         6) AS c
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score,
+       count(*) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the corpus (see retrieval.bm25_topk)."""
+    from btrblocks_spark.pipeline.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+@register(
+    "text_tfidf_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dft AS (
+  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tf
+),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * round(ln(n_docs / df), 6), 6) AS tfidf
+  FROM dft CROSS JOIN n WHERE df >= 2
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tf, df, tfidf FROM ranked WHERE rnk <= 3
+""",
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF keywords per document (see retrieval.tfidf_terms)."""
+    from btrblocks_spark.pipeline.retrieval import tfidf_terms
+
+    return tfidf_terms(load_table(spark, sf_dir, "documents"), min_df=2, top_terms_per_doc=3)
 
 
 # ---------------------------------------------------------------------------

@@ -161,3 +161,31 @@ def test_frame_sample_shapes(spark, sf_dir):
     assert len(frames) == 5
     assert all(r["frame_no"] == 0 for r in frames)
     assert all(len(r["frame_bytes"]) > 0 for r in frames)
+
+
+# --- connected-components clustering ----------------------------------------
+
+
+def test_dedup_clusters_chain_converges(spark):
+    """A 5-link chain (0-1-2-3-4) needs multiple propagation rounds; all
+    nodes must converge to cluster 0. Separate component {10,11} -> 10;
+    singleton 99 keeps its own id."""
+    from btrblocks_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 99]], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_no_pairs(spark):
+    from btrblocks_spark.pipeline.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 2}
