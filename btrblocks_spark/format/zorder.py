@@ -1,0 +1,97 @@
+"""Z-order (Morton) clustering — a multi-dimensional sort key for the
+chunked writer, so chunk min/max stats prune on EVERY interleaved column,
+not just the leading sort key.
+
+Linear order `ORDER BY a, b` makes chunk stats selective on `a` only: a
+filter on `b` alone touches every chunk. Interleaving the bits of `a` and
+`b` gives a space-filling curve — rows close in (a, b) space land in the
+same chunk, so min/max intervals are tight in BOTH dimensions and the
+reader's ``prune_chunks`` (format/reader.py) skips chunks for 2-D box
+predicates. This is the standard lakehouse technique (Delta/Iceberg
+Z-ORDER); here it composes with the reference's chunk-stats metadata
+(stats/NumberStats.hpp:78-130 analog) instead of Parquet row-group stats.
+
+The key is a pure JVM-side bit expression (shiftleft / AND / OR on
+longs) — identical arithmetic runs in DuckDB for the oracle compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# magic-number bit spreading: x (16 bits) -> x with a zero bit between
+# every original bit (32 bits). Classic Morton encode, expressible with
+# shifts and masks in any engine.
+_SPREAD_STEPS = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread16(col: Column) -> Column:
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _spread16_sql(expr: str) -> str:
+    x = f"({expr} & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"(({x} | ({x} << {shift})) & {mask})"
+    return x
+
+
+def zorder_key(col_a: Column | str, col_b: Column | str) -> Column:
+    """32-bit Morton key interleaving the low 16 bits of two integer
+    columns (a in even bit positions, b in odd). Values are masked to 16
+    bits — callers with wider domains should first quantize (e.g. rank or
+    divide) to 2^16 buckets; for chunk pruning only the *ordering* of the
+    key matters, not exact bit width."""
+    a = F.col(col_a).cast("long") if isinstance(col_a, str) else col_a.cast("long")
+    b = F.col(col_b).cast("long") if isinstance(col_b, str) else col_b.cast("long")
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1)).alias("zkey")
+
+
+def zorder_key_sql(expr_a: str, expr_b: str) -> str:
+    """The identical key as ANSI/DuckDB SQL text (for oracle parity)."""
+    return f"({_spread16_sql(expr_a)} | ({_spread16_sql(expr_b)} << 1))"
+
+
+def with_zorder(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    out_col: str = "zkey",
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Attach the Morton key; write the table with ``order_keys=[out_col]``
+    to get 2-D-prunable chunks from the ordinary chunked writer.
+
+    ``quantize_bits``: when set, each dimension is first normalized to
+    [0, 2^bits) over its own min..max. REQUIRED when the dimensions have
+    very different ranges — raw interleaving lets the wider dimension's
+    high bits dominate the curve, and chunks then span the narrow
+    dimension's whole range (no pruning). Bounds are a one-row broadcast
+    aggregate, so the whole thing stays one lazy narrow plan."""
+    if quantize_bits is None:
+        return df.withColumn(out_col, zorder_key(col_a, col_b))
+    scale = 1 << quantize_bits
+    bounds = df.agg(
+        F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
+        F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),
+    )
+    qa = F.floor(
+        (F.col(col_a) - F.col("_alo")) * scale / (F.col("_ahi") - F.col("_alo") + 1)
+    ).cast("long")
+    qb = F.floor(
+        (F.col(col_b) - F.col("_blo")) * scale / (F.col("_bhi") - F.col("_blo") + 1)
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, _spread16(qa).bitwiseOR(F.shiftleft(_spread16(qb), 1)))
+        .drop("_alo", "_ahi", "_blo", "_bhi")
+    )

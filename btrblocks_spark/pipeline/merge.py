@@ -1,0 +1,58 @@
+"""Incremental table maintenance: MERGE / upsert (last-writer-wins) — the
+operation that keeps a curated table current as new batches arrive, without
+rewriting rows that didn't change.
+
+``merge_upsert`` implements Delta-style MERGE semantics on plain
+DataFrames:
+  matched (key in both)        -> the update row wins         op = 'update'
+  not matched (update only)    -> the update row is inserted  op = 'insert'
+  not matched by source        -> the target row is kept      op = 'keep'
+
+Shape: union + ONE window over the merge key — a single hash shuffle on
+the key, no join. (A full-outer-join formulation shuffles both sides too,
+but then needs per-column coalesce; the union/window form generalizes to
+multi-row update batches via the ``order_by`` tie-break and keeps column
+handling trivial.) At 100 TB the shuffle is on the merge key — the same
+partitioning the chunked writer uses for the table, so with a pre-bucketed
+target this becomes a one-sided shuffle of just the (small) update batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Merge ``updates`` into ``target`` by ``keys``, update-wins.
+
+    Both frames must share a schema (unionByName). ``order_by`` breaks ties
+    *within* a multi-row update batch (e.g. a version / event-time column,
+    descending = latest wins); update rows always beat target rows.
+    Returns the merged table plus an ``op`` column ('update' | 'insert' |
+    'keep') so downstream audit/stats can count row-level effects.
+    """
+    tagged = target.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    order = [F.desc("_src")] + list(order_by or [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wp = Window.partitionBy(*keys)
+    op = (
+        F.when((F.col("_src") == 1) & (F.col("_has_target") == 1), F.lit("update"))
+        .when(F.col("_src") == 1, F.lit("insert"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_has_target", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wp))
+        .filter(F.col("_rn") == 1)
+        .withColumn("op", op)
+        .drop("_src", "_rn", "_has_target")
+    )

@@ -280,3 +280,43 @@ def format_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk")
     )
+
+
+def _zorder_oracle() -> str:
+    from btrblocks_spark.format.zorder import zorder_key_sql
+
+    z = zorder_key_sql("l_partkey", "l_suppkey")
+    return f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey, {z} AS zkey FROM lineitem
+)
+SELECT zkey // 16384 AS zbucket,
+       count(*) AS n,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM z GROUP BY 1
+"""
+
+
+@register("format_zorder_profile", oracle=_zorder_oracle())
+def format_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile: the interleaved key computed
+    with identical bit arithmetic in both engines, aggregated per key range
+    ("zbucket" ~ a chunk under zkey ordering) with min/max of BOTH source
+    dimensions — exactly the stats the chunked writer would persist and
+    the reader's prune_chunks would consult. Tight intervals in both
+    dimensions are what make 2-D box predicates prunable (see
+    format/zorder.py and test_format_roundtrip zorder tests)."""
+    from btrblocks_spark.format.zorder import with_zorder
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = with_zorder(li.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey")
+    return z.groupBy(
+        F.floor(F.col("zkey") / 16384).alias("zbucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )

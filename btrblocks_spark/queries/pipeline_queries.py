@@ -742,6 +742,58 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental maintenance (MERGE / upsert)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+WITH t AS (SELECT c_custkey, c_acctbal FROM customer),
+upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+  FROM orders WHERE o_custkey % 7 = 0 GROUP BY o_custkey
+),
+ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, CAST(0.0 AS DOUBLE) AS c_acctbal
+  FROM t WHERE c_custkey % 97 = 0
+),
+u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+       coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+       CASE WHEN u.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'update'
+            WHEN u.c_custkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS op
+FROM t FULL JOIN u ON t.c_custkey = u.c_custkey
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE an update batch (recomputed balances for a customer subset +
+    synthetic new customer rows) into the customer table, update-wins.
+    The oracle states the same semantics as a full outer join; the engine
+    uses the one-shuffle union+window form (see merge.merge_upsert)."""
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = (
+        orders.filter(F.col("o_custkey") % 7 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("c_acctbal")
+        )
+    )
+    ins = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return merge_upsert(cust, upd.unionByName(ins), ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
 # curation (stratified sampling + end-to-end retention composite)
 # ---------------------------------------------------------------------------
 

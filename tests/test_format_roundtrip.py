@@ -208,3 +208,45 @@ def test_compact_table(spark, sf_dir):
     finally:
         shutil.rmtree(small_dir, ignore_errors=True)
         shutil.rmtree(dest_dir, ignore_errors=True)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir):
+    """Writing under a Morton key gives chunk stats that prune on BOTH
+    interleaved dimensions; a linear (l_partkey-led) order prunes only its
+    leading key. Box predicate: tight range on each dim separately."""
+    from btrblocks_spark.format.zorder import with_zorder
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    cfg = DEFAULT_CONFIG.with_(block_size=512)
+    zdir = tempfile.mkdtemp(prefix="btr_z_")
+    ldir = tempfile.mkdtemp(prefix="btr_l_")
+    try:
+        write_table(
+            with_zorder(df, "l_partkey", "l_suppkey", quantize_bits=8),
+            zdir, ["zkey", "l_partkey", "l_suppkey"], cfg, "li_z",
+        )
+        write_table(df, ldir, ["l_partkey", "l_suppkey"], cfg, "li_lin")
+        zmeta, lmeta = read_metadata(zdir), read_metadata(ldir)
+        n = zmeta["num_chunks"]
+        assert n == lmeta["num_chunks"] and n >= 8
+
+        pk_hi = df.agg(F.max("l_partkey")).first()[0]
+        sk_hi = df.agg(F.max("l_suppkey")).first()[0]
+        # narrow range on the NON-leading dimension (l_suppkey)
+        z_sk = prune_chunks(zmeta, "l_suppkey", 0, sk_hi // 8)
+        l_sk = prune_chunks(lmeta, "l_suppkey", 0, sk_hi // 8)
+        # linear order can't prune on suppkey at all (every chunk spans it)
+        assert len(l_sk) == n
+        # z-order keeps a strict subset
+        assert len(z_sk) < n
+        # and still prunes on the other dimension too
+        z_pk = prune_chunks(zmeta, "l_partkey", 0, pk_hi // 8)
+        assert len(z_pk) < n
+
+        # pruned read under zorder is exact for the box predicate
+        got, _ = read_table_skipping(spark, zdir, "l_suppkey", 0, sk_hi // 8)
+        expect = df.filter(F.col("l_suppkey") <= sk_hi // 8)
+        assert got.filter(F.col("l_suppkey") <= sk_hi // 8).count() == expect.count()
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+        shutil.rmtree(ldir, ignore_errors=True)

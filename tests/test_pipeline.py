@@ -189,3 +189,32 @@ def test_dedup_clusters_no_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 2}
+
+
+# --- merge / upsert ---------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    got = {r["k"]: (r["v"], r["op"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", "keep"), 2: ("B", "update"), 3: ("c", "keep"), 4: ("D", "insert")}
+
+
+def test_merge_upsert_version_tiebreak(spark):
+    from pyspark.sql import functions as F
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 0)], "k long, v string, ver int")
+    updates = spark.createDataFrame(
+        [(1, "old", 5), (1, "new", 9)], "k long, v string, ver int"
+    )
+    got = merge_upsert(target, updates, ["k"], order_by=[F.desc("ver")]).collect()
+    assert len(got) == 1 and got[0]["v"] == "new" and got[0]["op"] == "update"
