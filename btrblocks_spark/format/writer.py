@@ -184,11 +184,12 @@ def write_table(
         num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
 
         # single chunk-staging shuffle, shared by the plan job and the data
-        # write (persisted so the second job reads cache, not a re-shuffle)
+        # write (persisted so the second job reads cache, not a re-shuffle;
+        # DISK_ONLY — see chunker.py on why it beats the columnar cache)
         from pyspark.storagelevel import StorageLevel
 
         staged = _stage_by_chunk(chunked, int(num_chunks))
-        staged.persist(StorageLevel.MEMORY_AND_DISK)
+        staged.persist(StorageLevel.DISK_ONLY)
         # _idx is only for ordering the staged write; don't ship it through
         # Arrow to the plan kernel (column-pruned pass, ~8 bytes/row less)
         plan_rows = [
