@@ -59,6 +59,10 @@ HEADLINE = [
     "ann_ivf_topk",
     "filter_in_subquery",
     "agg_pivot",
+    "dedup_clusters",
+    "text_bm25_topk",
+    "merge_upsert_customers",
+    "format_zorder_profile",
 ]
 
 

@@ -226,3 +226,31 @@ def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("run_length"),
         F.min("idx").alias("start_idx"),
     )
+
+
+@register("stats_hll_sketch_union")  # rows-only: HLL estimates are engine-specific
+def stats_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB path for the
+    reference's per-chunk ``unique_count`` stat (stats/NumberStats.hpp:89):
+    build an HLL sketch per chunk (here: per orderdate bucket, standing in
+    for the writer's chunk grain), then UNION the sketches to answer
+    table-level distinct questions WITHOUT rescanning — sketch union is
+    associative, so chunk sketches persisted in the metadata sidecar roll
+    up to any grain for free.
+
+    Verification is rows-only (HLL register layouts are engine-specific);
+    the test asserts the estimate is within 5% of the exact count."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.withColumn("bucket", F.dayofmonth("o_orderdate"))
+        .groupBy("bucket")
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_bucket"),
+        )
+    )
+    return per_bucket.agg(
+        F.count("*").alias("n_buckets"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_distinct_custkeys"),
+        F.sum("exact_bucket").alias("sum_bucket_distinct"),
+    )

@@ -187,6 +187,55 @@ def sessionize(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each 'click' event to the
+    same user's preceding 'view' event within ``max_delay`` (ad-attribution
+    shape). Both sides are watermarked, and the join condition bounds the
+    event-time distance, so Spark can evict state for rows that can no
+    longer match — the requirement for an unbounded stream-stream join to
+    run with bounded memory.
+
+    Equality key: user_id (state is hash-partitioned by it); the time
+    bound is the interval condition. Returns (user_id, view_time,
+    click_time, view_id, click_id, delay_seconds)."""
+    v = (
+        views.withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("event_time").alias("view_time"),
+        )
+    )
+    c = (
+        clicks.withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_time") <= F.col("click_time"))
+        & (F.col("click_time") <= F.col("view_time") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return v.join(c, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_time",
+        "click_time",
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("click_time") - F.unix_timestamp("view_time")).alias(
+            "delay_seconds"
+        ),
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: drop repeated event_ids with state bounded by
     the event-time watermark (``dropDuplicatesWithinWatermark``) — the

@@ -218,3 +218,20 @@ def test_merge_upsert_version_tiebreak(spark):
     )
     got = merge_upsert(target, updates, ["k"], order_by=[F.desc("ver")]).collect()
     assert len(got) == 1 and got[0]["v"] == "new" and got[0]["op"] == "update"
+
+
+# --- mergeable HLL sketches -------------------------------------------------
+
+
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Unioned per-bucket HLL sketches must estimate the table-level
+    distinct count within 5% of exact."""
+    from btrblocks_spark.queries import all_queries
+
+    row = all_queries()["stats_hll_sketch_union"](spark, sf_dir).first()
+    exact = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(row["est_distinct_custkeys"] - exact) / exact < 0.05
+    # per-bucket distinct sums overcount (customers span buckets) — sanity
+    assert row["sum_bucket_distinct"] >= exact

@@ -148,3 +148,44 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     # both join key lists carry the salt (the dim's internal 5-row distinct
     # exchange is unsalted and irrelevant)
     assert all(l.count("_salt") >= 2 for l in join_lines), join_lines
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Co-located join via bucketing: orders and lineitem bucketed 8-ways
+    on the order key join with ZERO exchanges — each task zips bucket i
+    with bucket i. This is the 100 TB answer to recurring joins on a key:
+    pay the shuffle once at layout time, never per query."""
+    from pyspark.sql import functions as F
+    from btrblocks_spark.tables import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"])
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"]
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(
+            bl, bo["o_orderkey"] == bl["l_orderkey"]
+        ).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        # force SMJ (no broadcast) so the bucketed layout is what's exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in join_section, join_section
+        # the aggregation on the bucket key also needs no exchange
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # correctness vs the plain (shuffled) join
+        expect = (
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expect.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

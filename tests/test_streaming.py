@@ -122,3 +122,51 @@ def test_dedup_stream(spark, sf_dir, tmpdir):
 
     want = src.select("event_id").distinct().count()
     assert got["c"] == got["d"] == want
+
+
+def test_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (view -> click attribution within 30 min)
+    must equal the equivalent batch interval join."""
+    from btrblocks_spark.streaming.ops import interval_join
+
+    stream = stream_source(spark, events_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    q = _run_to_memory(
+        interval_join(views, clicks), "interval_join_test", mode="append"
+    )
+    got = sorted(
+        (r["user_id"], r["view_id"], r["click_id"], r["delay_seconds"])
+        for r in spark.sql("select * from interval_join_test").collect()
+    )
+    q.stop()
+
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"),
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    expect = sorted(
+        (r["v_user"], r["view_id"], r["click_id"], r["delay"])
+        for r in bv.join(
+            bc,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("view_time") <= F.col("click_time"))
+            & (F.col("click_time") <= F.col("view_time") + F.expr("INTERVAL 30 minutes")),
+        )
+        .withColumn(
+            "delay",
+            F.unix_timestamp("click_time") - F.unix_timestamp("view_time"),
+        )
+        .collect()
+    )
+    assert got == expect
+    assert len(got) > 0
