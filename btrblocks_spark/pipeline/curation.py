@@ -48,6 +48,63 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    token_budget: int = 512,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    packs (training-batch construction for LLM pipelines). Documents are
+    packed in deterministic (stratum, doc_id) order; a document goes to the
+    pack its running-total START falls in — packs can overflow by at most
+    one document, never split one.
+
+    Shape: ONE window (running token sum per stratum, ordered by doc_id) —
+    a single shuffle on the stratum key; pack_id arithmetic is map-side.
+    At 100 TB strata are shards; each shard's window is independent."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        n_tok.alias("n_tokens"),
+        (F.sum(n_tok).over(w) - n_tok).alias("tokens_before"),
+    )
+    return t.select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / token_budget).cast("long").alias("pack_id"),
+    )
+
+
+def upsample_strata(
+    docs: DataFrame,
+    factor_minority: int = 3,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Class-balanced resampling by integer replication: strata with an odd
+    numeric suffix (the 'minority' sources under stratified_sample's
+    convention) are replicated ``factor_minority`` times, each copy tagged
+    with a replica index (so downstream shuffles spread copies). Map-side
+    only — explode of a generated sequence, no shuffle, no RNG."""
+    suffix_odd = (F.substring(F.col(stratum_col), 4, 10).cast("int") % 2) == 1
+    factor = F.when(suffix_odd, F.lit(factor_minority)).otherwise(F.lit(1))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.explode(F.sequence(F.lit(1), factor)).alias("replica"),
+    )
+
+
 def retained_docs(
     docs: DataFrame,
     min_quality: float = 0.5,

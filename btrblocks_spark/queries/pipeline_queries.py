@@ -818,6 +818,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source AS stratum,
+         len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - len(string_split(text, ' ')) AS tokens_before
+  FROM documents
+)
+SELECT doc_id, stratum, n_tokens,
+       CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
+FROM t
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing (training-batch construction);
+    one window per stratum, deterministic pack assignment."""
+    from btrblocks_spark.pipeline.curation import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), token_budget=512)
+
+
+@register(
+    "curation_upsample",
+    oracle="""
+SELECT doc_id, source AS stratum, unnest(range(1, f + 1)) AS replica
+FROM (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 3 ELSE 1 END AS f
+  FROM documents
+)
+""",
+)
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-replication upsampling of minority strata (map-side, no
+    RNG); replica index lets downstream shuffles spread the copies."""
+    from btrblocks_spark.pipeline.curation import upsample_strata
+
+    return upsample_strata(load_table(spark, sf_dir, "documents"), factor_minority=3)
+
+
+@register(
     "curation_retained_docs",
     oracle=f"""
 WITH toks AS (

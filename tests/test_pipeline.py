@@ -235,3 +235,21 @@ def test_hll_sketch_union_accuracy(spark, sf_dir):
     assert abs(row["est_distinct_custkeys"] - exact) / exact < 0.05
     # per-bucket distinct sums overcount (customers span buckets) — sanity
     assert row["sum_bucket_distinct"] >= exact
+
+
+# --- sequence packing -------------------------------------------------------
+
+
+def test_pack_sequences_budget(spark):
+    """Docs pack greedily in doc_id order: pack changes when the running
+    START crosses the budget; a doc never splits."""
+    from btrblocks_spark.pipeline.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "src1") for i, n in
+         [(1, 300), (2, 300), (3, 300), (4, 600), (5, 10)]],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r["pack_id"] for r in pack_sequences(docs, 512).collect()}
+    # starts: 0, 300, 600, 900, 1500 -> packs 0, 0, 1, 1, 2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
