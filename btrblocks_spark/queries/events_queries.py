@@ -298,14 +298,15 @@ WITH e AS (
 hourly AS (
   SELECT event_type, day_bucket, hour_bucket,
          count(*) AS n_events,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS x
   FROM e GROUP BY 1, 2, 3
 )
-SELECT event_type, day_bucket, hour_bucket, 'hour' AS grain, n_events, total_value
+SELECT event_type, day_bucket, hour_bucket, 'hour' AS grain, n_events,
+       x / CAST(10000 AS DOUBLE) AS total_value
 FROM hourly
 UNION ALL
 SELECT event_type, day_bucket, NULL, 'day',
-       SUM(n_events), CAST(SUM(total_value) AS DECIMAL(38,2))
+       SUM(n_events), SUM(x) / CAST(10000 AS DOUBLE)
 FROM hourly GROUP BY 1, 2
 """,
 )
@@ -327,15 +328,15 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = e.groupBy("event_type", "day_bucket", "hour_bucket").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("x"),
     )
     daily = hourly.groupBy("event_type", "day_bucket").agg(
         F.sum("n_events").alias("n_events"),
-        F.sum("total_value").cast("decimal(38,2)").alias("total_value"),
+        (F.sum("x") / F.lit(10000.0)).alias("total_value"),
     )
     return hourly.select(
         "event_type", "day_bucket", "hour_bucket", F.lit("hour").alias("grain"),
-        "n_events", "total_value",
+        "n_events", (F.col("x") / F.lit(10000.0)).alias("total_value"),
     ).unionByName(
         daily.select(
             "event_type", "day_bucket", F.lit(None).cast("long").alias("hour_bucket"),
@@ -397,11 +398,11 @@ def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT event_id, user_id,
          epoch_ns(ts) // 1000000000 AS ts_sec,
-         CAST(value AS DECIMAL(18,2)) AS v
+         CAST(round(value * 10000) AS BIGINT) AS v
   FROM events
 )
 SELECT event_id, user_id, ts_sec,
-       CAST(SUM(v) OVER w AS DOUBLE) AS sliding_value,
+       SUM(v) OVER w / CAST(10000 AS DOUBLE) AS sliding_value,
        COUNT(*) OVER w AS sliding_n
 FROM t
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
@@ -415,8 +416,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dense activity periods get the correct physical frame.
 
     Determinism: epoch seconds by integer division (no double ULPs at 1.7e18
-    nanos); the summed value goes through DECIMAL(18,2) so the frame sum is
-    exact and engine-order-independent.
+    nanos); the summed value uses the scaled-long pattern (relational._xsum)
+    so the frame sum is exact and engine-order-independent.
 
     Scale: partitioned by user_id — each user's timeline is one window
     partition, parallel across users, no global sort."""
@@ -424,7 +425,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.expr("ts DIV 1000000000").alias("ts_sec"),
-        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -435,6 +436,6 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_sec",
-        F.sum("v").over(w).cast("double").alias("sliding_value"),
+        (F.sum("v").over(w) / F.lit(10000.0)).alias("sliding_value"),
         F.count("*").over(w).alias("sliding_n"),
     )

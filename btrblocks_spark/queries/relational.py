@@ -4,10 +4,14 @@ Every query here is registered with a DuckDB oracle whose results are
 **bit-identical** to the Spark results. Determinism conventions:
 
   - Sums/averages over doubles are order-dependent in IEEE arithmetic, so
-    every double summand is cast to DECIMAL (exact) before SUM; the final
-    aggregate is cast back to DOUBLE (a deterministic nearest-double
-    conversion). Averages = CAST(decimal_sum AS DOUBLE) / COUNT — a single
-    double division, identical in both engines.
+    every double summand goes through the scaled-long pattern (`_xsum`):
+    round(x * 10000) as BIGINT — the same IEEE multiply and
+    half-away-from-zero round in both engines — summed exactly, then ONE
+    deterministic double division at the end. (Columns that are exactly
+    integral, like l_quantity, sum exactly as plain doubles — no scaling.)
+    Averages = scaled_sum / COUNT, mirrored operation-for-operation.
+    In SQL strings shared between engines, divide by CAST(10000 AS DOUBLE):
+    a bare `10000.0` literal is DECIMAL in Spark SQL but DOUBLE in DuckDB.
   - Per-row scalar double expressions are IEEE-deterministic as long as both
     engines evaluate the *same expression tree* — so Spark code and oracle
     SQL mirror each other exactly.
@@ -38,6 +42,20 @@ def _dsum(c, prec: int = 18, scale: int = 4):
     return F.sum(_dec(c, prec, scale)).cast("double")
 
 
+def _xsum(c, scale: int = 10000):
+    """Exact order-independent sum of a double expression via scaled longs:
+    round(x * scale) is the same IEEE multiply + half-away-from-zero round
+    in Spark and DuckDB, the long sum is exact, and the final /scale is one
+    deterministic double division. ~2x faster than decimal-cast sums (native
+    long aggregation buffers instead of BigDecimal).
+
+    Headroom: |x| * scale must fit a per-row long and the sum must fit
+    9.2e18 — with scale 10^4 that allows quadrillion-row sums of 1e6-sized
+    values. Oracle twin: SUM(CAST(round(x * 10000) AS BIGINT)) / 10000.0"""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.round(col * scale).cast("long")) / F.lit(float(scale))
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (scan → filter → agg → sort)
 # ---------------------------------------------------------------------------
@@ -46,13 +64,13 @@ _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  SUM(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0 AS sum_qty,
+  SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0 AS sum_base_price,
+  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+  SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) / 10000.0 AS sum_charge,
+  SUM(CAST(round(l_quantity * 10000) AS BIGINT)) / 10000.0 / COUNT(*) AS avg_qty,
+  SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0 / COUNT(*) AS avg_price,
+  SUM(CAST(round(l_discount * 10000) AS BIGINT)) / 10000.0 / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -69,13 +87,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity").alias("sum_qty"),
-            _dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price.cast("decimal(25,4)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(25,6)")).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            _xsum("l_quantity").alias("sum_qty"),
+            _xsum("l_extendedprice").alias("sum_base_price"),
+            _xsum(disc_price).alias("sum_disc_price"),
+            _xsum(charge).alias("sum_charge"),
+            (_xsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_xsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (_xsum("l_discount") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -190,7 +208,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JOIN_LEFT_ORACLE = """
 SELECT c.c_custkey, c.c_name,
        COUNT(o.o_orderkey) AS order_count,
-       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spent
+       COALESCE(SUM(CAST(round(o.o_totalprice * 10000) AS BIGINT)), 0) / 10000.0 AS total_spent
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_name
 """
@@ -205,7 +223,8 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spent"),
+            (F.coalesce(F.sum(F.round(F.col("o_totalprice") * 10000).cast("long")), F.lit(0))
+             / F.lit(10000.0)).alias("total_spent"),
         )
     )
 
@@ -279,7 +298,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_BROADCAST_ORACLE = """
 SELECT p.p_brand,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       SUM(l.l_quantity) AS total_qty,
        COUNT(*) AS line_count
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_size > 40
@@ -295,7 +314,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(_dsum("l_quantity").alias("total_qty"), F.count("*").alias("line_count"))
+        .agg(F.sum("l_quantity").alias("total_qty"), F.count("*").alias("line_count"))
     )
 
 
@@ -314,7 +333,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JOIN_MULTI_ORACLE = """
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        COUNT(DISTINCT o.o_orderkey) AS order_count
 FROM customer c
@@ -343,7 +362,7 @@ def join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(revenue.cast("decimal(25,4)")).cast("double").alias("revenue"),
+            (F.sum(F.round(revenue * 10000).cast("long")) / F.lit(10000.0)).alias("revenue"),
             F.count_distinct(F.col("o_orderkey")).alias("order_count"),
         )
     )
@@ -358,7 +377,7 @@ SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
        CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       SUM(l_quantity) AS sum_qty,
        CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
        CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
 FROM lineitem
@@ -373,7 +392,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_orderkey").alias("n_orders"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        _dsum("l_quantity").alias("sum_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -382,7 +401,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_GROUP_HAVING_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        COUNT(*) AS order_count,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+       SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) / 10000.0 AS total_value
 FROM orders
 GROUP BY o_orderpriority, o_orderstatus
 HAVING COUNT(*) > 100
@@ -396,7 +415,7 @@ def agg_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("order_count"),
-            _dsum("o_totalprice").alias("total_value"),
+            _xsum("o_totalprice").alias("total_value"),
         )
         .filter(F.col("order_count") > 100)
     )
@@ -406,7 +425,7 @@ _AGG_ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS grp_id,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+       SUM(l_quantity) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
@@ -418,7 +437,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.rollup("l_returnflag", "l_linestatus").agg(
         (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("grp_id"),
         F.count("*").alias("n"),
-        _dsum("l_quantity").alias("sum_qty"),
+        F.sum("l_quantity").alias("sum_qty"),
     )
 
 
@@ -444,7 +463,7 @@ _AGG_GROUPING_SETS_ORACLE = """
 SELECT c_mktsegment, c_nationkey,
        GROUPING(c_mktsegment) + 2 * GROUPING(c_nationkey) AS grp_id,
        COUNT(*) AS n,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+       SUM(CAST(round(c_acctbal * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_bal
 FROM customer
 GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 """
@@ -458,7 +477,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, c_nationkey,
                GROUPING(c_mktsegment) + 2 * GROUPING(c_nationkey) AS grp_id,
                COUNT(*) AS n,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+               SUM(CAST(round(c_acctbal * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         """
@@ -567,12 +586,12 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_FRAME_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+       SUM(l_quantity) OVER (
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+       SUM(l_quantity) OVER (
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window3_qty
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS window3_qty
 FROM lineitem
 WHERE l_suppkey <= 10
 """
@@ -582,15 +601,14 @@ WHERE l_suppkey <= 10
 def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
     w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-    qty = _dec("l_quantity")
     return l.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.sum(qty).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
+        F.sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("running_qty"),
-        F.sum(qty).over(w.rowsBetween(-2, Window.currentRow)).cast("double").alias("window3_qty"),
+        F.sum("l_quantity").over(w.rowsBetween(-2, Window.currentRow)).alias("window3_qty"),
     )
 
 
@@ -847,7 +865,7 @@ def agg_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IN_SUBQUERY_ORACLE = """
 SELECT l_partkey,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+       SUM(l_quantity) AS total_qty
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
 GROUP BY l_partkey
@@ -887,7 +905,7 @@ _SCALAR_SUBQUERY_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_totalprice >
-      1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      1.5 * (SELECT SUM(CAST(round(o_totalprice * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE)
                   / COUNT(*)
            FROM orders)
 """
@@ -904,12 +922,9 @@ def filter_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT l_linestatus,
-       CAST(SUM(CASE WHEN l_returnflag = 'A'
-                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
-       CAST(SUM(CASE WHEN l_returnflag = 'N'
-                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_n,
-       CAST(SUM(CASE WHEN l_returnflag = 'R'
-                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r
+       SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+       SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
 FROM lineitem
 GROUP BY l_linestatus
 """
@@ -923,7 +938,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         l.groupBy("l_linestatus")
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .agg(F.sum("l_quantity"))
     )
     return out.select(
         "l_linestatus",

@@ -124,7 +124,7 @@ SELECT chunk_id,
        CAST(MIN(v) AS DOUBLE) AS min_v,
        CAST(MAX(v) AS DOUBLE) AS max_v,
        COUNT(DISTINCT v) AS unique_count,
-       CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_v
+       SUM(CAST(round(v * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS sum_v
 FROM ordered
 GROUP BY chunk_id
 """
@@ -146,7 +146,7 @@ def stats_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("double").alias("min_v"),
         F.max("v").cast("double").alias("max_v"),
         F.count_distinct("v").alias("unique_count"),
-        F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_v"),
+        (F.sum(F.round(F.col("v") * 10000).cast("long")) / F.lit(10000.0)).alias("sum_v"),
     )
 
 
@@ -159,7 +159,7 @@ SELECT event_type,
        CAST(FLOOR(CAST(epoch_ns(ts) AS BIGINT) / 3600000000000) AS BIGINT) AS hour_bucket,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       SUM(CAST(round(value * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type, hour_bucket
 """
@@ -181,7 +181,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(10000.0)).alias("total_value"),
         )
     )
 

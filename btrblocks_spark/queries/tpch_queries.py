@@ -2,9 +2,10 @@
 "queries a reference user runs today" layer: shipping priority (Q3-like),
 local supplier volume (Q5-like), returned-item customer revenue (Q10-like).
 
-Determinism: money sums go through DECIMAL(25,4) (exact, associative) then
-cast to double, matching the oracle column-for-column (relational.py
-pattern). Broadcast hints on every dimension; fact tables shuffle only on
+Determinism: money sums use the scaled-long pattern (relational._xsum):
+round(x * 10000) is the same IEEE multiply + round in both engines, the
+long sum is exact/associative, one final double division — ~2x faster than
+decimal-cast sums. Broadcast hints on every dimension; fact tables shuffle only on
 join keys.
 """
 
@@ -16,14 +17,14 @@ from pyspark.sql import functions as F
 from btrblocks_spark.queries import register
 from btrblocks_spark.tables import load_table
 
-_REVENUE_DEC = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE)"
+_REVENUE_X = "SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0"
 
 
 @register(
     "q3_shipping_priority",
     oracle=f"""
 SELECT l.l_orderkey AS orderkey,
-       {_REVENUE_DEC.replace('l_extendedprice', 'l.l_extendedprice').replace('(1 - l_discount)', '(1 - l.l_discount)')} AS revenue,
+       {_REVENUE_X.replace('l_extendedprice', 'l.l_extendedprice').replace('(1 - l_discount)', '(1 - l.l_discount)')} AS revenue,
        o.o_orderdate AS orderdate,
        o.o_orderpriority AS priority
 FROM customer c
@@ -46,9 +47,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
-    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
+    revenue_x = F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -57,7 +58,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("priority"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_x) / F.lit(10000.0)).alias("revenue"))
         .select("orderkey", "revenue", "orderdate", "priority")
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(20)
@@ -68,7 +69,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        count(*) AS n_lineitems
 FROM region r
@@ -90,9 +91,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
+    revenue_x = F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -104,7 +105,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue_x) / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -113,7 +114,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+SELECT SUM(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -134,9 +135,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(25,4)"))
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(F.round((F.col("l_extendedprice") * F.col("l_discount")) * 10000).cast("long"))
+             / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -182,10 +182,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-SELECT 100.0 * (CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))
-                 ELSE 0 END) AS DOUBLE)
-            / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE))
+SELECT 100.0 * ((SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                 ELSE 0 END) / 10000.0)
+            / (SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0))
        AS promo_pct,
        count(*) AS n_rows
 FROM lineitem l
@@ -201,16 +201,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(25,4)"))
+    rev_x = F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
+    ).cast("long")
+    promo_x = F.when(F.col("p_type").like("PROMO%"), rev_x).otherwise(F.lit(0).cast("long"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * (F.sum(promo).cast("double") / F.sum(rev).cast("double"))).alias(
-                "promo_pct"
-            ),
+            (F.lit(100.0) * ((F.sum(promo_x) / F.lit(10000.0))
+                             / (F.sum(rev_x) / F.lit(10000.0)))).alias("promo_pct"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -267,7 +266,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_custkey AS custkey,
        c.c_name AS name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) AS DOUBLE)
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        n.n_name AS nation,
        CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
@@ -287,9 +286,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
-        "decimal(25,4)"
-    )
+    revenue_x = F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -300,7 +299,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_x) / F.lit(10000.0)).alias("revenue"))
         .select("custkey", "name", "revenue", "nation", "acctbal")
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
