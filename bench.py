@@ -38,6 +38,10 @@ HEADLINE = [
     "q10_returned_items",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q7_nation_trade",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_sole_failing_supplier",
     "join_multi",
     "join_broadcast",
     "window_rank",

@@ -35,6 +35,7 @@ def _load_all() -> None:
         pipeline_queries,
         relational,
         stats,
+        tpch_more,
         tpch_queries,
     )
 

@@ -1004,3 +1004,39 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("val").cast("double").alias("total"))
         .orderBy("l_returnflag", "measure")
     )
+
+
+_WINDOW_DISTRIBUTION_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cum_dist,
+       FIRST_VALUE(c_custkey) OVER w AS poorest,
+       LAST_VALUE(c_custkey) OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("window_distribution", _WINDOW_DISTRIBUTION_ORACLE)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist plus
+    first_value / last_value with an explicit full-partition frame (Spark's
+    default frame stops at CURRENT ROW, which would make last_value a no-op).
+    The (c_acctbal, c_custkey) order key is unique, so rank-derived doubles
+    are identical across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("c_custkey").over(w).alias("poorest"),
+        F.last("c_custkey").over(w_full).alias("richest"),
+    )

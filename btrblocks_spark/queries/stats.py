@@ -254,3 +254,74 @@ def stats_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_distinct_custkeys"),
         F.sum("exact_bucket").alias("sum_bucket_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact second moments: stddev / covariance / correlation via scaled longs
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT flag, n_rows, mean_qty, stddev_qty, mean_disc, corr_qty_disc FROM (
+  SELECT l_returnflag AS flag,
+         count(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS mean_qty,
+         sqrt(CAST(count(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   - SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT))
+              AS DOUBLE)) / count(*) AS stddev_qty,
+         CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0
+           AS mean_disc,
+         CAST(count(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+              - SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(round(l_discount * 100) AS BIGINT))
+           AS DOUBLE)
+         / sqrt(CAST(count(*) * SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                     - SUM(CAST(l_quantity AS BIGINT)) * SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                * CAST(count(*) * SUM(CAST(round(l_discount * 100) AS BIGINT)
+                                      * CAST(round(l_discount * 100) AS BIGINT))
+                       - SUM(CAST(round(l_discount * 100) AS BIGINT))
+                         * SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE))
+           AS corr_qty_disc
+  FROM lineitem
+  GROUP BY l_returnflag
+) t ORDER BY flag
+"""
+
+
+@register("stats_moments", _MOMENTS_ORACLE)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, correlation) with cross-engine
+    bit-parity: native stddev/corr accumulate doubles in partition order, so
+    two engines (or two partitionings) disagree in the last ULP. Instead the
+    five moments (n, Σx, Σy, Σx², Σy², Σxy) are EXACT integer sums of scaled
+    values (quantity is integer-valued, discount has 2 decimals), and the
+    textbook formulas run once on the driver-side final values — one shuffle,
+    map-side partials, any partition count gives identical bits.
+
+    At petabyte row counts the raw Σx² longs would overflow; the production
+    variant keeps per-partition centered partials (Welford merge). Here the
+    point is the oracle-checked pattern: moments exact, formula last."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    g = l.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y = (n * F.col("syy") - sy * sy).cast("double")
+    cov_xy = (n * F.col("sxy") - sx * sy).cast("double")
+    return (
+        g.select(
+            "flag",
+            n.alias("n_rows"),
+            (sx.cast("double") / n).alias("mean_qty"),
+            (F.sqrt(var_x) / n).alias("stddev_qty"),
+            (sy.cast("double") / n / F.lit(100.0)).alias("mean_disc"),
+            (cov_xy / F.sqrt(var_x * var_y)).alias("corr_qty_disc"),
+        )
+        .orderBy("flag")
+    )

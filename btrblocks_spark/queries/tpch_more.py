@@ -1,0 +1,514 @@
+"""Remaining TPC-H-style analogs (Q2/Q7/Q8/Q9/Q11/Q13/Q16/Q17/Q19/Q20/Q21)
+adapted to the testdata schema: lineitem stands in for partsupp (it carries
+l_partkey x l_suppkey), and predicates use the generator's actual value
+domains (NATION_0..24, Brand#1..25, single-word p_type, p_size 1..50,
+integer-valued l_quantity 1..50).
+
+Determinism rules (see relational._xsum / memory notes):
+- money sums go through scaled-long (round(x*10000) -> BIGINT sum) so
+  accumulation order can't differ between Spark and DuckDB;
+- ratio outputs divide one double by another only after each side is a
+  fully-determined double;
+- threshold comparisons (Q11) are pure integer compares on the scaled sums;
+- quantity sums/averages are exact (integer-valued doubles < 2^53).
+
+Scale notes: every dimension side is broadcast; the only shuffles are fact
+aggregations on their group keys. Q21's correlated EXISTS/NOT EXISTS pair is
+rewritten as one per-order aggregate (distinct-supplier counts) + a
+broadcast join — no per-row subquery probes, survives 100x data.
+
+Reference parity: the reference has no SQL layer (SURVEY.md §2b — declared
+query surface); these exercise the operator set its relations imply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+_REV_X_SQL = "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)"
+
+
+def _rev_x():
+    return F.round(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
+    ).cast("long")
+
+
+@register(
+    "q2_min_price_supplier",
+    oracle="""
+SELECT partkey, sname, price FROM (
+  SELECT p.p_partkey AS partkey, s.s_name AS sname,
+         l.l_extendedprice / l.l_quantity AS price,
+         row_number() OVER (
+             PARTITION BY p.p_partkey
+             ORDER BY l.l_extendedprice / l.l_quantity, s.s_suppkey,
+                      l.l_orderkey, l.l_linenumber) AS rn
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE p.p_size = 15
+) t WHERE rn = 1
+ORDER BY partkey
+""",
+)
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: per part, the supplier quoting the minimum unit price
+    (lineitem as the partsupp stand-in). Correlated-min rewritten as one
+    row_number window; full tie-break chain makes row choice deterministic."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity",
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    price = (F.col("l_extendedprice") / F.col("l_quantity")).alias("price")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(F.col("p_partkey").alias("partkey"), F.col("s_name").alias("sname"), price,
+                "s_suppkey", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("partkey").orderBy(
+                "price", "s_suppkey", "l_orderkey", "l_linenumber")))
+        .filter(F.col("rn") == 1)
+        .select("partkey", "sname", "price")
+        .orderBy("partkey")
+    )
+
+
+@register(
+    "q7_nation_trade",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       SUM({_REV_X_SQL}) / 10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral trade volume between two nations by year.
+    Both nation joins broadcast; the disjunctive pair predicate runs after
+    them, on already-reduced rows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_rev_x()) / F.lit(10000.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       (SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {_REV_X_SQL} ELSE 0 END) / 10000.0)
+       / (SUM({_REV_X_SQL}) / 10000.0) AS mkt_share,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_5 suppliers' share of PROMO-part revenue sold
+    to ASIA customers, per year. Share = double / double, each side an exact
+    scaled-long sum, so cross-engine bits match."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _rev_x()
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0).cast("long"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            ((F.sum(nation_rev) / F.lit(10000.0))
+             / (F.sum(rev) / F.lit(10000.0))).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       SUM({_REV_X_SQL}) / 10000.0 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit on '%gear%' parts by supplier nation and year
+    (no ps_supplycost in the testdata, so profit = discounted revenue)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(_rev_x()) / F.lit(10000.0)).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+SELECT l.l_partkey AS partkey, SUM({_REV_X_SQL}) / 10000.0 AS total_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY l.l_partkey
+HAVING SUM({_REV_X_SQL}) * 400 > (
+    SELECT SUM(CAST(round(l2.l_extendedprice * (1 - l2.l_discount) * 10000) AS BIGINT))
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation nn ON nn.n_nationkey = s2.s_nationkey
+    WHERE nn.n_name = 'NATION_3')
+ORDER BY total_value DESC, partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts whose NATION_3-supplied value exceeds 1/400 of
+    the nation total. The HAVING threshold is a pure BIGINT compare
+    (sum*400 > total) — no float boundary. The grouped frame is referenced
+    twice in one plan (groups + total) so Spark reuses the exchange instead
+    of rescanning lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    grouped = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev_x()).alias("value_x"))
+    )
+    total = grouped.agg(F.sum("value_x").alias("total_x"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("value_x") * 400 > F.col("total_x"))
+        .select("partkey", (F.col("value_x") / F.lit(10000.0)).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("partkey"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: distribution of non-urgent order counts per customer
+    — left outer join with an ON-clause filter (keeps order-less customers),
+    then a second, tiny aggregation over the counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY brand, type, size
+ORDER BY supplier_cnt DESC, brand, type, size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct suppliers per (brand, type, size) with a
+    NOT IN exclusion subquery → broadcast left-anti join (s_suppkey is
+    non-null, so NOT IN == anti-join semantics)."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT SUM(CAST(round(l.l_extendedprice * 10000) AS BIGINT)) / 10000.0 / 7.0 AS avg_yearly,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'MEDIUM'
+  AND l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from below-half-average-quantity lines.
+    Correlated scalar avg → one per-part aggregate + broadcast join.
+    l_quantity is integer-valued so avg = exact-sum / count is bit-identical
+    across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    part_avg = (
+        l.groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * 10000).cast("long"))
+             / F.lit(10000.0) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle=f"""
+SELECT SUM({_REV_X_SQL}) / 10000.0 AS revenue, count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: three OR'd brand/size/quantity branches across the
+    join — the mixed-predicate disjunction Catalyst must split into a
+    pushable part-side filter (brand IN ...) plus a post-join residual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(_rev_x()) / F.lit(10000.0)).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+SELECT s.s_name AS name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 50)
+ORDER BY name
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: suppliers in three nations who shipped > 50 units of
+    'small%' parts in 1997 — IN(grouped-HAVING subquery) → aggregate once,
+    broadcast left-semi join."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
+        .orderBy("name")
+    )
+
+
+@register(
+    "q21_sole_failing_supplier",
+    oracle="""
+SELECT s.s_name AS name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, name
+LIMIT 25
+""",
+)
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers who were the *only* supplier returning
+    goods ('R') on a multi-supplier finished order. The EXISTS / NOT EXISTS
+    pair is rewritten without correlated probes: one groupBy(l_orderkey)
+    computing distinct-supplier and distinct-R-supplier counts, broadcast
+    back onto the R-lines. EXISTS(other supplier) == n_supp >= 2;
+    NOT EXISTS(other R supplier) == n_r_supp == 1 (the line's own supplier
+    is the one R supplier). One shuffle over lineitem, no per-row subquery."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    order_stats = l.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r_lines = l.filter(F.col("l_returnflag") == "R")
+    return (
+        r_lines.join(o, r_lines.l_orderkey == o.o_orderkey)
+        .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(25)
+    )
