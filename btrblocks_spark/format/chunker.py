@@ -4,51 +4,114 @@
 
 Scale note (100 TB): a naive ``row_number() OVER (ORDER BY keys)`` is a
 single-partition window — a non-starter. We instead compute a *global* index
-with per-partition parallelism:
+with per-partition parallelism and DETERMINISTIC range boundaries:
 
-  1. range-partition + sort by the order keys (one shuffle, the same one the
-     write needs anyway);
-  2. count rows per partition (cheap metadata-sized agg);
-  3. cumulative offsets on the driver (one tiny array);
-  4. partition-local ordinal + offset as a NARROW ``mapInArrow`` pass over
-     the already-sorted persisted partitions (a ``row_number() OVER
-     (PARTITION BY _pid)`` window would hash-shuffle and re-sort the whole
-     table a second time — Catalyst can't see that the cached layout
-     already satisfies the window's distribution).
+  1. sample the order keys with a fixed hash predicate (no RNG) and cut
+     driver-side quantile boundaries — unlike ``repartitionByRange``, whose
+     per-job boundary sampling is nondeterministic and therefore forces a
+     full-row persist of the shuffled table to keep later jobs consistent;
+  2. tag each row with its range id (``_pid``) = count of boundaries below
+     its key tuple, as a pure JVM struct-comparison expression (codegens
+     inside the scan stage, no Python worker) — a pure function of the key
+     columns, so every job recomputes identical tags;
+  3. count rows per range (key-columns-only scan, map-side agg) and build
+     cumulative offsets on the driver (one tiny array);
+  4. hash-exchange on ``_pid`` + sort by (``_pid``, keys) within partitions,
+     then a narrow ``mapInArrow`` pass assigns index = offset[pid] +
+     local ordinal.
 
-This is the distributed zipWithIndex pattern; every step is parallel, the
-driver state is O(num_partitions), and the full data moves exactly once.
+Every step is parallel, driver state is O(num_partitions), and the full
+rows move exactly once (the single ``_pid`` exchange). Because steps 1-4
+are deterministic end-to-end, NO staging persist is needed: downstream
+jobs that re-execute the lineage reproduce bit-identical indexes. The
+three driver jobs before the exchange read only the (parquet-pruned)
+key columns.
+
+Order keys must be non-null and should be unique (ties get an arbitrary
+but schema-stable order, same as any ORDER BY on a non-unique key).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.storagelevel import StorageLevel
+
+_SAMPLES_PER_PART = 128
 
 
-def _local_ordinal_fn(offsets: dict[int, int], pid_idx: int, index_col: str):
-    """mapInArrow kernel: append ``index_col`` = partition offset + local
-    ordinal. Rows arrive in the persisted partition's sorted order; the
-    partition is identified by its ``_pid`` column (constant per task)."""
+def _pid_column(df: DataFrame, order_keys: list[str], bounds: list[tuple]):
+    """Range-id column: number of boundary tuples lexicographically below
+    the row's key tuple. Pure JVM expression (Spark structs compare
+    lexicographically), so it codegens inside the scan stage — no Python
+    worker, no Arrow transfer, deterministic across jobs."""
+    if not bounds:
+        return F.lit(0).cast("long")
+    key_types = {f.name: f.dataType for f in df.schema.fields}
+    key_struct = F.struct(*[F.col(k) for k in order_keys])
+    pid = F.lit(0).cast("long")
+    for b in bounds:
+        bound_struct = F.struct(
+            *[F.lit(v).cast(key_types[k]) for k, v in zip(order_keys, b)]
+        )
+        pid = pid + (key_struct > bound_struct).cast("long")
+    return pid
+
+
+def _sample_boundaries(
+    df: DataFrame, order_keys: list[str], num_partitions: int, total_rows: int
+) -> list[tuple]:
+    """Quantile boundaries from a fixed-hash sample (deterministic, no RNG):
+    keep rows where hash(keys) % mod == 0, sized for ~_SAMPLES_PER_PART
+    samples per target partition; sort on the driver; cut evenly."""
+    if total_rows == 0 or num_partitions <= 1:
+        return []
+    mod = max(1, total_rows // (num_partitions * _SAMPLES_PER_PART))
+    sample = (
+        df.select(*order_keys)
+        .filter(F.pmod(F.hash(*[F.col(k) for k in order_keys]), F.lit(mod)) == 0)
+        .collect()
+    )
+    if not sample:
+        return []
+    vals = sorted(tuple(r) for r in sample)
+    m = len(vals)
+    bounds: list[tuple] = []
+    for i in range(1, num_partitions):
+        b = vals[min(i * m // num_partitions, m - 1)]
+        if not bounds or b != bounds[-1]:
+            bounds.append(b)
+    return bounds
+
+
+def _local_index_fn(offsets: dict[int, int], pid_idx: int, index_col: str):
+    """mapInArrow kernel: rows arrive sorted by (_pid, keys) with each pid's
+    rows contiguous; assign index = offset[pid] + running per-pid ordinal.
+    Vectorized over runs of equal pid."""
 
     def add_index(batches):
         import pyarrow as pa
 
-        base: int | None = None
-        seen = 0
+        seen: dict[int, int] = {}
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            if base is None:
-                base = offsets[batch.column(pid_idx)[0].as_py()]
-            idx = pa.array(range(base + seen, base + seen + n), type=pa.int64())
-            arrays = [batch.column(i) for i in range(batch.num_columns)] + [idx]
+            pids = batch.column(pid_idx).to_numpy(zero_copy_only=False)
+            idx = np.empty(n, dtype=np.int64)
+            change = np.flatnonzero(np.diff(pids)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            for s, e in zip(starts, ends):
+                p = int(pids[s])
+                base = offsets[p] + seen.get(p, 0)
+                idx[s:e] = np.arange(base, base + (e - s))
+                seen[p] = seen.get(p, 0) + int(e - s)
+            arrays = [batch.column(i) for i in range(batch.num_columns)]
+            arrays.append(pa.array(idx, type=pa.int64()))
             names = list(batch.schema.names) + [index_col]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
-            seen += n
 
     return add_index
 
@@ -61,40 +124,42 @@ def with_global_index(
 ) -> DataFrame:
     """Add a 0-based dense global row index ordered by ``order_keys``.
 
-    CORRECTNESS: ``repartitionByRange`` samples its range boundaries per job,
-    so the partitioning is NOT stable across the counts job and later jobs —
-    the partitioned frame must be persisted BEFORE counting, else offsets can
-    mismatch the recomputed partitions and produce duplicate indexes.
-    DISK_ONLY: a disk-backed staging copy (the same cost every deterministic
-    distributed zipWithIndex pays). Measured faster than MEMORY_AND_DISK on
-    both build and re-read — the in-memory columnar cache encoding costs
-    more than it saves for write-once/read-twice staging. Callers release
-    it via ``unpersist_index``.
+    Deterministic end-to-end (fixed boundaries + pure-function range tags +
+    stable hash exchange), so the result needs NO persist for cross-job
+    consistency — re-executions reproduce identical indexes. The count,
+    boundary-sample, and per-range-count jobs each scan only the key
+    columns (parquet column pruning); full rows move once.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    part = df.repartitionByRange(num_partitions, *order_keys).sortWithinPartitions(*order_keys)
-    part = part.withColumn("_pid", F.spark_partition_id())
-    part.persist(StorageLevel.DISK_ONLY)
 
-    counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    total = df.count()
+    bounds = _sample_boundaries(df, order_keys, num_partitions, total)
+    tagged = df.withColumn("_pid", _pid_column(df, order_keys, bounds))
+
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in tagged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
+    part = tagged.repartition(num_partitions, "_pid").sortWithinPartitions(
+        "_pid", *order_keys
+    )
     pid_idx = len(part.schema.fields) - 1  # _pid is the last column
     out_schema = StructType(part.schema.fields + [StructField(index_col, LongType(), False)])
     out = part.mapInArrow(
-        _local_ordinal_fn(offsets, pid_idx, index_col), out_schema
+        _local_index_fn(offsets, pid_idx, index_col), out_schema
     ).drop("_pid")
-    out._btr_persisted = part  # release via unpersist_index
-    out._btr_total_rows = acc  # row count, free byproduct of the offset job
+    out._btr_total_rows = acc
     return out
 
 
 def unpersist_index(df: DataFrame) -> None:
-    """Release the staging persistence created by ``with_global_index``."""
+    """Back-compat no-op: the deterministic index path persists nothing."""
     persisted = getattr(df, "_btr_persisted", None)
     if persisted is not None:
         persisted.unpersist()
@@ -113,6 +178,5 @@ def with_chunk_id(
     out = indexed.withColumn(
         chunk_col, F.floor(F.col(index_col) / F.lit(block_size)).cast("long")
     )
-    out._btr_persisted = getattr(indexed, "_btr_persisted", None)
     out._btr_total_rows = getattr(indexed, "_btr_total_rows", None)
     return out

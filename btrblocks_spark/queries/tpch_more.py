@@ -485,30 +485,36 @@ LIMIT 25
 def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog: suppliers who were the *only* supplier returning
     goods ('R') on a multi-supplier finished order. The EXISTS / NOT EXISTS
-    pair is rewritten without correlated probes: one groupBy(l_orderkey)
-    computing distinct-supplier and distinct-R-supplier counts, broadcast
-    back onto the R-lines. EXISTS(other supplier) == n_supp >= 2;
-    NOT EXISTS(other R supplier) == n_r_supp == 1 (the line's own supplier
-    is the one R supplier). One shuffle over lineitem, no per-row subquery."""
+    pair is rewritten without correlated probes as a two-level aggregation:
+    level 1 groups lineitem by (order, supplier) counting that supplier's R
+    lines; level 2 rolls up per order (supplier count, R-supplier count, the
+    sole R supplier and its R-line count). EXISTS(other supplier) ==
+    n_supp >= 2; NOT EXISTS(other R supplier) == n_r_supp == 1, in which
+    case max(R supplier) IS the line's supplier — so the raw R-lines never
+    need re-joining, and no countDistinct expand doubles the shuffle. One
+    shuffle of lineitem on (orderkey, suppkey); everything after is
+    order-cardinality or broadcast."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    order_stats = l.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("n_r_lines")
     )
-    r_lines = l.filter(F.col("l_returnflag") == "R")
+    has_r = F.col("n_r_lines") > 0
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(has_r.cast("int")).alias("n_r_supp"),
+        F.max(F.when(has_r, F.col("l_suppkey"))).alias("r_suppkey"),
+        F.sum(F.when(has_r, F.col("n_r_lines"))).alias("r_line_cnt"),
+    )
     return (
-        r_lines.join(o, r_lines.l_orderkey == o.o_orderkey)
-        .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_line_cnt").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(25)
     )
