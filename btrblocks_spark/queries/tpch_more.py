@@ -518,3 +518,160 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("name"))
         .limit(25)
     )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    oracle="""
+SELECT l.l_returnflag AS returnflag,
+       count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+GROUP BY returnflag
+ORDER BY returnflag
+""",
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: order-priority class counts per shipping category.
+    The testdata has no l_shipmode/l_commitdate/l_receiptdate, so
+    l_returnflag stands in for the ship mode and "shipped >= 60 days after
+    the order date" stands in for the late-delivery predicate. The year
+    filter is pushed to the lineitem scan; the lateness predicate needs both
+    sides so it runs right after the join, before aggregation. One fact-fact
+    equi-join on orderkey, then a 3-group aggregation — count(when) avoids a
+    second pass. Reference parity: SURVEY.md §2b filter/join/agg surface."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l.l_suppkey AS suppkey, SUM({_REV_X_SQL}) AS rev_x
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY suppkey)
+SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+       r.rev_x / 10000.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.suppkey
+WHERE r.rev_x = (SELECT max(rev_x) FROM revenue)
+ORDER BY suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the maximum quarterly revenue.
+    The scalar max-revenue subquery is a broadcast join of a 1-row aggregate
+    against the (supplier-cardinality) revenue aggregate — no second scan of
+    lineitem, no window over a single partition. The max-equality compare
+    happens on the scaled-long revenue (exact integers), so "ties with the
+    max" is deterministic across engines. One shuffle of filtered lineitem
+    on suppkey; everything downstream is supplier-cardinality."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_rev_x()).alias("rev_x")
+    )
+    mx = rev.agg(F.max("rev_x").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_x") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            F.col("s_name").alias("sname"),
+            (F.col("rev_x") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_x
+  FROM customer
+  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+thresh AS (
+  SELECT SUM(bal_x) AS total_x, COUNT(*) AS n FROM bal WHERE bal_x > 0),
+ord_cnt AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT b.c_nationkey AS cntrycode,
+       count(*) AS numcust,
+       SUM(b.bal_x) / 100.0 AS totacctbal
+FROM bal b
+CROSS JOIN thresh t
+LEFT JOIN ord_cnt f ON f.o_custkey = b.c_custkey
+WHERE b.bal_x * t.n > t.total_x
+  AND COALESCE(f.n_orders, 0) < 5
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: wealthy-but-dormant customers per country code.
+    Adaptations to the testdata schema: c_nationkey stands in for the phone
+    country code; "no orders at all" (empty in this generator — every
+    customer has orders) becomes "fewer than 5 orders". The
+    above-average-balance threshold avoids double averaging entirely:
+    compare bal_x * n > total_x on scaled-long cents — exact integer
+    cross-multiplication, deterministic in both engines. The 1-row
+    threshold aggregate joins back via broadcast (BroadcastNestedLoopJoin,
+    not a cartesian); the order-count side shuffles orders once on custkey
+    at order cardinality. Reference parity: SURVEY.md §2b agg + anti-ish
+    pattern."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_x"),
+    )
+    thresh = c.filter(F.col("bal_x") > 0).agg(
+        F.sum("bal_x").alias("total_x"), F.count("*").alias("n")
+    )
+    ord_cnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_x") * F.col("n") > F.col("total_x"))
+        .join(ord_cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 5)
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_x") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

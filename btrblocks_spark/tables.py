@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -30,10 +31,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read it as BIGINT epoch-nanos (queries convert as needed —
-        # the DuckDB oracle side uses epoch_ns(ts) for parity).
+        # events.ts arrives as either parquet TIMESTAMP(NANOS) (read as
+        # BIGINT epoch-nanos via nanosAsLong) or TIMESTAMP(MICROS) (read as
+        # TIMESTAMP_NTZ). Normalize to BIGINT epoch-nanos so every query
+        # computes on identical integers; the DuckDB oracle side uses
+        # epoch_ns(ts)/epoch_us(ts) on the same values (UTC session tz).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type.startswith("timestamp"):
+            cols = [
+                (F.unix_micros(F.col(c).cast("timestamp")) * 1000).alias(c)
+                if c == "ts"
+                else F.col(c)
+                for c in df.columns
+            ]
+            df = df.select(*cols)
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
