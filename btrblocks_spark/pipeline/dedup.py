@@ -357,3 +357,46 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def levenshtein_refine_pairs(
+    docs: DataFrame,
+    max_dist_pct: int = 30,
+    num_perm: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance verification of LSH candidate pairs: MinHash banding
+    proposes candidates (cheap, recall-oriented), then the exact Levenshtein
+    distance over normalized text confirms them (precision). A pair is kept
+    when ``100 * dist <= max_dist_pct * max(len_a, len_b)`` — an integer
+    cross-multiplication, so the threshold is bit-deterministic.
+
+    Scale: Levenshtein is O(len_a * len_b) per pair — affordable precisely
+    because it runs only on the LSH-survivor pairs (corpus-sublinear), never
+    on the cross product. The two text lookups are hash joins on doc id; at
+    100 TB the text column moves only for candidate docs. Built-in
+    ``F.levenshtein`` keeps it JVM-side (DuckDB's levenshtein agrees on
+    plain edit distance)."""
+    pairs = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands, n=n)
+    norm = docs.select(
+        F.col(id_col).alias("_nid"), normalized(F.col(text_col)).alias("_ntext")
+    )
+    return (
+        pairs.join(norm, pairs.doc_a == norm._nid)
+        .select("doc_a", "doc_b", F.col("_ntext").alias("_ta"))
+        .join(norm, F.col("doc_b") == norm._nid)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_ntext").alias("edit_dist"),
+            F.length("_ta").alias("len_a"),
+            F.length("_ntext").alias("len_b"),
+        )
+        .filter(
+            F.lit(100) * F.col("edit_dist")
+            <= F.lit(max_dist_pct) * F.greatest("len_a", "len_b")
+        )
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from btrblocks_spark.pipeline.dedup import (
     dedup_exact,
+    levenshtein_refine_pairs,
     embedding_cosine_pairs,
     hyperplane_signs,
     minhash_lsh_pairs,
@@ -30,6 +31,8 @@ from btrblocks_spark.pipeline.multimodal import attach_payload, extract_features
 from btrblocks_spark.pipeline.similarity import cosine_topk, ivf_topk, lsh_bucketed_topk
 from btrblocks_spark.pipeline.text import (
     LANG_STOPWORDS,
+    SCRUB_PATTERNS,
+    scrub_text,
     MINHASH_PERMS,
     BPE_TOKEN_RE,
     fingerprints,
@@ -920,3 +923,59 @@ def q_retained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation composite: exact-dedup canonical + language
     allowlist + quality threshold, one row per surviving document."""
     return retained_docs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / edit-distance dedup refinement
+# ---------------------------------------------------------------------------
+
+# query-level pattern set: the library PII defaults plus a denylist-term
+# pattern that actually fires on the synthetic corpus
+_SCRUB_QP = SCRUB_PATTERNS + (("denylist", r"\b(customer|vector)\b", "<TERM>"),)
+
+_SCRUB_COUNTS = ",\n       ".join(
+    f"len(regexp_extract_all(text, '{rx}')) AS n_{nm}" for nm, rx, _ in _SCRUB_QP
+)
+_SCRUB_REPL = "text"
+for _nm, _rx, _rp in _SCRUB_QP:
+    _SCRUB_REPL = f"regexp_replace({_SCRUB_REPL}, '{_rx}', '{_rp}', 'g')"
+_SCRUB_TOTAL = " + ".join(f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in _SCRUB_QP)
+
+
+@register(
+    "text_scrub_redact",
+    oracle=f"""
+SELECT doc_id,
+       {_SCRUB_COUNTS},
+       {_SCRUB_REPL} AS scrubbed_text,
+       CAST({_SCRUB_TOTAL} AS BIGINT) AS total_redactions
+FROM documents
+""",
+)
+def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_text(load_table(spark, sf_dir, "documents"), patterns=_SCRUB_QP)
+
+
+@register(
+    "dedup_levenshtein_refine",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  FROM documents)
+SELECT c.doc_a, c.doc_b,
+       levenshtein(na.ntext, nb.ntext) AS edit_dist,
+       length(na.ntext) AS len_a, length(nb.ntext) AS len_b
+FROM cand c
+JOIN norm na ON na.doc_id = c.doc_a
+JOIN norm nb ON nb.doc_id = c.doc_b
+WHERE 100 * levenshtein(na.ntext, nb.ntext)
+      <= 30 * greatest(length(na.ntext), length(nb.ntext))
+""",
+)
+def q_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return levenshtein_refine_pairs(load_table(spark, sf_dir, "documents"))

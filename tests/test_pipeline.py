@@ -253,3 +253,46 @@ def test_pack_sequences_budget(spark):
     got = {r["doc_id"]: r["pack_id"] for r in pack_sequences(docs, 512).collect()}
     # starts: 0, 300, 600, 900, 1500 -> packs 0, 0, 1, 1, 2
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_scrub_text_redacts_pii(spark):
+    from btrblocks_spark.pipeline.text import SCRUB_PATTERNS, scrub_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+x@example.org or bob@sub.domain.co"),
+            (2, "server at 192.168.1.254 then call +1 (555) 123-4567 now"),
+            (3, "clean text with nothing sensitive"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_text(docs, SCRUB_PATTERNS).collect()}
+    assert rows[1].n_email == 2
+    assert "<EMAIL>" in rows[1].scrubbed_text
+    assert "example.org" not in rows[1].scrubbed_text
+    assert rows[2].n_ipv4 == 1 and rows[2].n_phone == 1
+    assert "<IP>" in rows[2].scrubbed_text and "<PHONE>" in rows[2].scrubbed_text
+    assert rows[2].total_redactions == 2
+    assert rows[3].total_redactions == 0
+    assert rows[3].scrubbed_text == "clean text with nothing sensitive"
+    assert rows[4].scrubbed_text is None
+
+
+def test_levenshtein_refine_confirms_near_dups(spark):
+    from btrblocks_spark.pipeline.dedup import levenshtein_refine_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "hazy")),  # 1 edit — true near-dup
+            (3, "completely different words about columnar compression schemes"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = levenshtein_refine_pairs(docs).collect()
+    pairs = {(r.doc_a, r.doc_b): r.edit_dist for r in rows}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == 1
+    assert all(not (3 in p) for p in pairs)
