@@ -105,6 +105,66 @@ def upsample_strata(
     )
 
 
+def train_val_test_split(
+    docs: DataFrame,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash
+    of the document id: bucket = hash32('split#' || id) % 10; buckets
+    [0, train) → train, [train, train+val) → val, rest → test.
+
+    Unlike ``randomSplit`` (partitioning- and seed-order-dependent), the
+    same document lands in the same split on every engine and every run —
+    the property that keeps a 100 TB eval set leak-free across re-runs and
+    incremental ingest. Pure map-side projection: no shuffle, no RNG."""
+    total = 10
+    bucket = hash32(F.concat(F.lit("split#"), F.col(id_col).cast("string"))) % total
+    split = (
+        F.when(bucket < train_buckets, F.lit("train"))
+        .when(bucket < train_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def cap_per_stratum(
+    docs: DataFrame,
+    k: int = 15,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap every stratum (source/domain) at ``k`` documents, keeping a
+    deterministic hash-ordered subset — the per-domain cap step of web-crawl
+    curation (stops any single domain from dominating the corpus).
+
+    The keep-rank is ``row_number`` over (hash32(stratum#id), id): a
+    reproducible uniform choice of k per stratum, not "first k by doc_id"
+    (which would bias toward old documents). One shuffle on the stratum key.
+    Scale note: with very hot strata the rank window serializes one
+    partition per stratum; since only ranks ≤ k survive, a 100 TB run first
+    pre-filters with a per-partition partial top-k (the same two-phase
+    shape Spark uses for LIMIT) — here k and strata counts are small enough
+    that the single window is the right plan."""
+    from pyspark.sql.window import Window
+
+    h = hash32(F.concat_ws("#", F.col(stratum_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.row_number().over(w).alias("keep_rank"),
+        )
+        .filter(F.col("keep_rank") <= k)
+    )
+
+
 def retained_docs(
     docs: DataFrame,
     min_quality: float = 0.5,

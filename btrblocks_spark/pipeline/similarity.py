@@ -173,6 +173,59 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    vecs: DataFrame,
+    centroid_stride: int = 31,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd iteration refining the IVF coarse quantizer: recompute
+    each cell's centroid as the per-dimension mean of its members, then
+    reassign every vector to its nearest refined centroid. Returns
+    (vec_id, old_cell, new_cell, moved) — the iterative-algorithm shape
+    (k-means / PageRank / label propagation) expressed purely on DataFrames;
+    loop it to convergence by re-entering with the new assignment.
+
+    Determinism (oracle-exact): the mean accumulates round(x, 6) in
+    DECIMAL(28,6) — order-independent — then divides as double and rounds;
+    the reassignment argmax reuses the broadcast array-fold with the same
+    (cosine desc, cell asc) tie-break as ivf_cells.
+
+    Scale: means are ONE groupBy(cell, dim) with map-side partials (k·dim
+    groups — tiny); the refined centroids collapse to a broadcast array, so
+    reassignment is again a shuffle-free narrow map over the corpus."""
+    cells = ivf_cells(vecs, centroid_stride, vec_col, id_col)
+    dims = cells.select(
+        "vec_id", "v", "cell", F.posexplode("v").alias("dim", "x")
+    )
+    cent = (
+        dims.groupBy("cell", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("x"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias(
+                "cv"
+            )
+        )
+    )
+    refined = cent.select(F.col("cell").alias("c_id"), "cv").agg(
+        F.collect_list(F.struct("c_id", "cv")).alias("_cents")
+    )
+    return cells.crossJoin(F.broadcast(refined)).select(
+        "vec_id",
+        F.col("cell").alias("old_cell"),
+        F.expr(f"-array_max({_scored_cents('v')}).ncid").alias("new_cell"),
+    ).withColumn(
+        "moved", (F.col("old_cell") != F.col("new_cell")).cast("int")
+    )
+
+
 def lsh_bucketed_topk(
     vecs: DataFrame,
     query_ids: list[int],

@@ -215,6 +215,81 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Gopher-style intra-document repetition metrics (Rae et al. 2021's
+    repetition filters, adapted to word n-grams since the corpus has no line
+    structure): per document,
+
+      n_tokens          total whitespace tokens
+      top_token_frac    occurrences of the most frequent token / n_tokens
+      top_bigram_frac   occurrences of the most frequent 2-gram / total 2-grams
+      dup_trigram_frac  fraction of 3-gram occurrences that are repeats
+                        (total - distinct) / total
+
+    A training pipeline thresholds these to drop boilerplate/spam (e.g.
+    top_bigram_frac > 0.18, dup_trigram_frac > 0.30 in Gopher).
+
+    Shape: ONE scan — the 1/2/3-gram streams are built map-side as a single
+    concatenated array of (n, gram) structs and exploded once; then one
+    groupBy(doc_id, n, gram) count (map-side combinable) and one tiny
+    groupBy(doc_id) pivot (≤3 rows per doc). No windows, no joins; at
+    100 TB this is the same one-shuffle shape as every dedup operator here.
+    """
+    pieces = []
+    for n in (1, 2, 3):
+        grams = F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}), "
+            f"i -> struct({n} AS n, array_join(slice(_toks, i, {n}), ' ') AS g))"
+        )
+        if n > 1:  # sequence(1, k) needs k >= 1: guard short docs
+            grams = F.when(F.size("_toks") >= n, grams).otherwise(
+                F.expr("cast(array() as array<struct<n:int,g:string>>)")
+            )
+        pieces.append(grams)
+    t = (
+        docs.select("doc_id", F.split("text", " ").alias("_toks"))
+        .select("doc_id", F.concat(*pieces).alias("_grams"))
+        .select("doc_id", F.explode("_grams").alias("x"))
+        .select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    )
+    counts = t.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    per_n = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("mx"),
+        F.sum("c").alias("tot"),
+        F.count("*").alias("dst"),
+    )
+
+    def _pick(n: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, expr))
+
+    return per_n.groupBy("doc_id").agg(
+        _pick(1, F.col("tot")).cast("long").alias("n_tokens"),
+        F.round(_pick(1, F.col("mx") / F.col("tot")), 6).alias("top_token_frac"),
+        F.round(_pick(2, F.col("mx") / F.col("tot")), 6).alias("top_bigram_frac"),
+        F.round(_pick(3, (F.col("tot") - F.col("dst")) / F.col("tot")), 6).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+def corpus_topk_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``k`` most frequent word ``n``-grams
+    with total occurrence count and document frequency. Ties broken by gram
+    text ascending (deterministic).
+
+    Shape: shingle explode (map-side) → one groupBy(gram) with map-side
+    partial aggregation → global top-k. Spark plans ORDER BY + LIMIT k as
+    TakeOrderedAndProject (per-partition top-k, then k·P rows to one
+    reducer) — no global sort, so the shape survives any corpus size."""
+    sh = shingles(docs, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 # PII / denylist scrub patterns: (name, regex, replacement). Regexes stay
 # inside the Java-regex ∩ RE2 common subset (char classes, bounded repeats,
 # \b — no lookaround, no backrefs) so Spark and the DuckDB oracle agree.

@@ -926,6 +926,148 @@ def q_retained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition filters / heavy hitters / splits / per-source caps / k-means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_profile",
+    oracle=f"""
+WITH {_TOKS},
+grams AS (
+  SELECT doc_id, 1 AS n, w AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 2 AS n, w || ' ' || lead(w, 1) OVER win2 AS g FROM toks
+  WINDOW win2 AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 1) OVER win2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         w || ' ' || lead(w, 1) OVER win3 || ' ' || lead(w, 2) OVER win3 AS g
+  FROM toks
+  WINDOW win3 AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win3 IS NOT NULL
+),
+counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+per_n AS (
+  SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS dst
+  FROM counts GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_tokens,
+       round(max(CASE WHEN n = 1 THEN mx / CAST(tot AS DOUBLE) END), 6) AS top_token_frac,
+       round(max(CASE WHEN n = 2 THEN mx / CAST(tot AS DOUBLE) END), 6) AS top_bigram_frac,
+       round(max(CASE WHEN n = 3 THEN (tot - dst) / CAST(tot AS DOUBLE) END), 6)
+         AS dup_trigram_frac
+FROM per_n GROUP BY doc_id
+""",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import repetition_profile
+
+    return repetition_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_topk_ngrams",
+    oracle=f"""
+WITH {_SHINGLES}
+SELECT shingle AS gram, count(*) AS occurrences, count(DISTINCT doc_id) AS n_docs
+FROM sh
+GROUP BY 1
+ORDER BY occurrences DESC, gram
+LIMIT 20
+""",
+)
+def q_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import corpus_topk_ngrams
+
+    return corpus_topk_ngrams(load_table(spark, sf_dir, "documents"), n=3, k=20)
+
+
+@register(
+    "curation_train_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.curation import train_val_test_split
+
+    return train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_cap_per_source",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source AS stratum,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id
+         ) AS keep_rank
+  FROM documents
+)
+SELECT doc_id, stratum, keep_rank FROM r WHERE keep_rank <= 15
+""",
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.curation import cap_per_stratum
+
+    return cap_per_stratum(load_table(spark, sf_dir, "documents"), k=15)
+
+
+@register(
+    "ann_kmeans_refine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 31 = 0),
+asg AS (
+  SELECT e.vec_id, e.v, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cosine_sql('e.v', 'c.cv')}, 6) DESC, c.c_id) AS rn
+  FROM e CROSS JOIN c
+),
+cells AS (SELECT vec_id, v, c_id AS cell FROM asg WHERE rn = 1),
+dims AS (
+  SELECT cell, CAST(unnest(v) AS DOUBLE) AS x, unnest(range(len(v))) AS dim FROM cells
+),
+cent AS (
+  SELECT cell, dim,
+         round(CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS m
+  FROM dims GROUP BY 1, 2
+),
+newc AS (SELECT cell AS c_id, list(m ORDER BY dim) AS cv FROM cent GROUP BY cell),
+re AS (
+  SELECT cells.vec_id, cells.cell AS old_cell, n.c_id,
+         row_number() OVER (PARTITION BY cells.vec_id
+             ORDER BY round({_cosine_sql('cells.v', 'n.cv')}, 6) DESC, n.c_id) AS rn
+  FROM cells CROSS JOIN newc n
+)
+SELECT vec_id, old_cell, c_id AS new_cell,
+       CASE WHEN old_cell != c_id THEN 1 ELSE 0 END AS moved
+FROM re WHERE rn = 1
+""",
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the IVF cells (see similarity.kmeans_refine):
+    decimal-summed per-dimension means keep both engines bit-identical."""
+    from btrblocks_spark.pipeline.similarity import kmeans_refine
+
+    return kmeans_refine(load_table(spark, sf_dir, "embeddings"), centroid_stride=31)
+
+
+# ---------------------------------------------------------------------------
 # PII scrub / edit-distance dedup refinement
 # ---------------------------------------------------------------------------
 

@@ -296,3 +296,97 @@ def test_levenshtein_refine_confirms_near_dups(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] == 1
     assert all(not (3 in p) for p in pairs)
+
+
+# --- repetition filters / heavy hitters -------------------------------------
+
+
+def test_repetition_profile_metrics(spark):
+    """Hand-checkable doc: 'a a a b' -> 4 tokens, top token 'a' 3/4;
+    bigrams (a a, a a, a b) -> top 2/3; trigrams (a a a, a a b) all
+    distinct -> dup fraction 0."""
+    from btrblocks_spark.pipeline.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert rows[1].n_tokens == 4
+    assert rows[1].top_token_frac == 0.75
+    assert rows[1].top_bigram_frac == round(2 / 3, 6)
+    assert rows[1].dup_trigram_frac == 0.0
+    # doc 2: trigrams = (x y x, y x y, x y x, y x y) -> 4 total, 2 distinct
+    assert rows[2].dup_trigram_frac == 0.5
+
+
+def test_repetition_profile_short_doc(spark):
+    """A 2-token doc has no trigrams -> dup_trigram_frac is null, not an
+    error (the n>=size guard)."""
+    from btrblocks_spark.pipeline.text import repetition_profile
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    r = repetition_profile(docs).collect()[0]
+    assert r.n_tokens == 2 and r.top_bigram_frac == 1.0
+    assert r.dup_trigram_frac is None
+
+
+def test_corpus_topk_ngrams(spark):
+    from btrblocks_spark.pipeline.text import corpus_topk_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "p q r p q r"), (2, "p q r z z z")],
+        "doc_id long, text string",
+    )
+    rows = corpus_topk_ngrams(docs, n=3, k=2).collect()
+    assert rows[0].gram == "p q r" and rows[0].occurrences == 3 and rows[0].n_docs == 2
+    assert len(rows) == 2
+
+
+# --- split / cap ------------------------------------------------------------
+
+
+def test_train_split_deterministic_and_complete(spark, sf_dir):
+    from btrblocks_spark.pipeline.curation import train_val_test_split
+    from btrblocks_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.split) for r in train_val_test_split(docs).collect()}
+    b = {(r.doc_id, r.split) for r in train_val_test_split(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    splits = {s for _, s in a}
+    assert splits == {"train", "val", "test"}
+    assert len(a) == docs.count()
+
+
+def test_cap_per_stratum_caps_and_is_deterministic(spark, sf_dir):
+    from btrblocks_spark.pipeline.curation import cap_per_stratum
+    from btrblocks_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = cap_per_stratum(docs, k=5).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.stratum, []).append(r.doc_id)
+    assert all(len(v) == 5 for v in per.values())
+    again = {(r.stratum, r.doc_id) for r in cap_per_stratum(docs.repartition(3), k=5).collect()}
+    assert {(r.stratum, r.doc_id) for r in kept} == again
+
+
+# --- k-means refinement -----------------------------------------------------
+
+
+def test_kmeans_refine_shapes(spark, sf_dir):
+    """Every vector keeps exactly one assignment; cells come from the
+    refined centroid set; the iteration is deterministic."""
+    from btrblocks_spark.pipeline.similarity import ivf_cells, kmeans_refine
+    from btrblocks_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ref = kmeans_refine(vecs, centroid_stride=31)
+    rows = ref.collect()
+    assert len(rows) == vecs.count()
+    old_cells = {r.cell for r in ivf_cells(vecs, 31).select("cell").distinct().collect()}
+    assert {r.new_cell for r in rows} <= old_cells
+    assert all(r.moved in (0, 1) for r in rows)
+    assert any(r.moved == 0 for r in rows)
