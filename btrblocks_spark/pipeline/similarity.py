@@ -173,6 +173,28 @@ def ivf_topk(
     )
 
 
+def normalize_embeddings(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """L2-normalize every embedding to a unit vector (the standard pre-ANN /
+    pre-clustering step): (vec_id, norm, unit array<double>), elements
+    rounded to 6 decimals for engine-exact reproducibility. Zero vectors
+    pass through as zeros (guarded division).
+
+    Pure narrow map — the array fold and transform run JVM-side per row; at
+    100 TB this fuses into the scan with no shuffle at all."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    norm = "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    return corpus.select(
+        F.col("vec_id").alias(id_col) if id_col != "vec_id" else F.col("vec_id"),
+        F.expr(f"round({norm}, 6)").alias("norm"),
+        F.expr(
+            f"CASE WHEN {norm} = 0D THEN v "
+            f"ELSE transform(v, x -> round(x / ({norm}), 6)) END"
+        ).alias("unit"),
+    )
+
+
 def kmeans_refine(
     vecs: DataFrame,
     centroid_stride: int = 31,

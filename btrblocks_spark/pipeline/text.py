@@ -272,6 +272,54 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     )
 
 
+def build_vocab(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Frequency vocabulary: the ``vocab_size`` most frequent lowercased
+    tokens, assigned ids 1..vocab_size by (count desc, token asc); id 0 is
+    reserved for UNK at encode time.
+
+    Shape: one groupBy(token) count (map-side combinable) → global top-k
+    (TakeOrderedAndProject) → rank window over the ALREADY-REDUCED top-k
+    frame. The single-partition window is bounded by vocab_size (a few
+    hundred thousand rows at worst), never by corpus size — that's what
+    makes global rank assignment safe here when it isn't in general."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return counts.select(
+        "token", F.row_number().over(w).alias("token_id"), "token_count"
+    )
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Encode every document to its token-id sequence against ``vocab``
+    (unknown tokens → 0): (doc_id, n_tokens, token_ids array<int>) — the
+    tokenize-to-ids step every LLM training pipeline runs over the corpus.
+
+    Shape: token explode (map-side) → broadcast hash join against the vocab
+    (no shuffle of the token stream) → one groupBy(doc_id) that rebuilds
+    the sequence order-exactly via sort-by-position on the collected
+    (pos, id) structs. One shuffle total, keyed on doc_id."""
+    t = tokens(docs).withColumn("lw", F.lower("w"))
+    enc = t.join(
+        F.broadcast(vocab.select(F.col("token"), F.col("token_id"))),
+        t.lw == F.col("token"),
+        "left",
+    ).select("doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid"))
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr("transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)").alias(
+            "token_ids"
+        ),
+    )
+
+
 def corpus_topk_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     """Corpus-wide heavy hitters: the ``k`` most frequent word ``n``-grams
     with total occurrence count and document frequency. Ties broken by gram

@@ -1067,6 +1067,72 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_refine(load_table(spark, sf_dir, "embeddings"), centroid_stride=31)
 
 
+_VOCAB_SQL = """
+tok AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS lw,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+vcounts AS (SELECT lw AS token, count(*) AS token_count FROM tok GROUP BY 1),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY token_count DESC, token) AS token_id,
+         token_count
+  FROM vcounts ORDER BY token_count DESC, token LIMIT 100
+)"""
+
+
+@register(
+    "text_build_vocab",
+    oracle=f"WITH {_VOCAB_SQL} SELECT token, CAST(token_id AS INTEGER) AS token_id, token_count FROM vocab",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import build_vocab
+
+    return build_vocab(load_table(spark, sf_dir, "documents"), vocab_size=100)
+
+
+@register(
+    "text_encode_docs",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+enc AS (
+  SELECT doc_id, pos, coalesce(v.token_id, 0) AS tid
+  FROM tok LEFT JOIN vocab v ON v.token = tok.lw
+)
+SELECT doc_id, count(*) AS n_tokens,
+       list(CAST(tid AS INTEGER) ORDER BY pos) AS token_ids
+FROM enc GROUP BY doc_id
+""",
+)
+def q_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids against the frequency vocab (see text.encode_docs);
+    the id sequence is order-exact (sorted by token position)."""
+    from btrblocks_spark.pipeline.text import build_vocab, encode_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_docs(docs, build_vocab(docs, vocab_size=100))
+
+
+_L2NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))"
+
+
+@register(
+    "ann_normalize_embeddings",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       round({_L2NORM}, 6) AS norm,
+       CASE WHEN {_L2NORM} = 0 THEN v
+            ELSE list_transform(v, x -> round(x / ({_L2NORM}), 6)) END AS unit
+FROM e
+""",
+)
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.similarity import normalize_embeddings
+
+    return normalize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # PII scrub / edit-distance dedup refinement
 # ---------------------------------------------------------------------------

@@ -390,3 +390,35 @@ def test_kmeans_refine_shapes(spark, sf_dir):
     assert {r.new_cell for r in rows} <= old_cells
     assert all(r.moved in (0, 1) for r in rows)
     assert any(r.moved == 0 for r in rows)
+
+
+# --- vocab / encode / normalize ---------------------------------------------
+
+
+def test_vocab_and_encode_roundtrip(spark):
+    from btrblocks_spark.pipeline.text import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog mouse Zebra")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=2)
+    v = {r.token: r.token_id for r in vocab.collect()}
+    # counts: cat 2, dog 2, mouse 1, zebra 1 -> ties by token asc
+    assert v == {"cat": 1, "dog": 2}
+    enc = {r.doc_id: list(r.token_ids) for r in encode_docs(docs, vocab).collect()}
+    assert enc[1] == [1, 2, 1]
+    assert enc[2] == [2, 0, 0]  # mouse/zebra -> UNK, order preserved
+
+
+def test_normalize_embeddings_unit_norm(spark):
+    from btrblocks_spark.pipeline.similarity import normalize_embeddings
+
+    vecs = spark.createDataFrame(
+        [(1, [3.0] + [0.0] * 62 + [4.0]), (2, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in normalize_embeddings(vecs).collect()}
+    assert rows[1].norm == 5.0
+    assert rows[1].unit[0] == 0.6 and rows[1].unit[63] == 0.8
+    assert rows[2].norm == 0.0 and all(x == 0.0 for x in rows[2].unit)
