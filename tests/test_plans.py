@@ -189,3 +189,43 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_encode_docs_broadcasts_vocab(spark, sf_dir):
+    """The tokenize-to-ids probe must broadcast the vocab — shuffling the
+    exploded token stream to join a 100-row table would be the classic
+    100 TB mistake."""
+    plan = plan_of(QUERIES["text_encode_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_train_split_no_exchange(spark, sf_dir):
+    """Split assignment is a pure narrow map — any Exchange means it
+    stopped scaling linearly."""
+    plan = plan_of(QUERIES["curation_train_split"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_ivf_partitioned_write_prunes_cells(spark, sf_dir, tmp_path_factory):
+    """The IVF scale path: cell assignment written partitionBy(cell) at
+    ingest; a probe filtered to nprobe cells must hit only those partition
+    directories (partition pruning at the file index, before any IO)."""
+    from btrblocks_spark.pipeline.similarity import ivf_cells
+    from btrblocks_spark.tables import load_table
+
+    out = str(tmp_path_factory.mktemp("ivf")) + "/cells"
+    cells = ivf_cells(load_table(spark, sf_dir, "embeddings"), centroid_stride=31)
+    cells.write.partitionBy("cell").parquet(out)
+
+    two = [r.cell for r in spark.read.parquet(out).select("cell").distinct().limit(2).collect()]
+    probe = spark.read.parquet(out).filter(F.col("cell").isin(two))
+    plan = formatted(probe)
+    # the cell predicate must appear as a partition filter, not a data filter
+    pf = [l for l in plan.splitlines() if "PartitionFilters:" in l]
+    assert pf and "cell#" in pf[0] and " IN " in pf[0]
+    scanned = probe.count()
+    per_cell = dict(
+        (r.cell, r.n)
+        for r in spark.read.parquet(out).groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    assert scanned == sum(per_cell[c] for c in two)
