@@ -67,6 +67,10 @@ HEADLINE = [
     "text_bm25_topk",
     "merge_upsert_customers",
     "format_zorder_profile",
+    "text_repetition_profile",
+    "text_encode_docs",
+    "ann_kmeans_refine",
+    "curation_cap_per_source",
 ]
 
 
