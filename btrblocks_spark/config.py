@@ -82,6 +82,9 @@ class BtrBlocksConfig:
     # Spark-side physical knobs
     part_target_bytes: int = 16 * 1024 * 1024  # ColumnPart threshold analog
     compression_codec: str = "zstd"
+    # bloom filters on the order/lookup keys, sized from planner NDV stats
+    # (row-group skipping for equality predicates on non-sorted keys)
+    bloom_filter_keys: bool = True
 
     def with_(self, **kw) -> "BtrBlocksConfig":
         return replace(self, **kw)

@@ -171,10 +171,27 @@ def with_chunk_id(
     block_size: int,
     chunk_col: str = "_chunk",
     index_col: str = "_idx",
+    strategy: str = "sequential",
 ) -> DataFrame:
-    """Add chunk id = global_index // block_size (SEQUENTIAL split strategy,
-    reference storage/Relation.hpp:7)."""
-    indexed = with_global_index(df, order_keys, index_col=index_col)
+    """Add chunk id = global_index // block_size (``SplitStrategy``,
+    reference storage/Relation.hpp:7, storage/Relation.cpp:42-69).
+
+    ``sequential`` chunks in key order; ``random`` decorrelates chunk
+    contents by indexing on a *deterministic* 64-bit hash of the keys
+    (the reference shuffles ranges with an RNG — here the permutation is
+    a pure function of the keys, so chunk membership is reproducible
+    across jobs and engines, which the write pipeline's share-the-staging
+    design requires)."""
+    if strategy == "random":
+        tagged = df.withColumn("_rnd", F.xxhash64(*[F.col(k) for k in order_keys]))
+        indexed = with_global_index(tagged, ["_rnd", *order_keys], index_col=index_col)
+        total = getattr(indexed, "_btr_total_rows", None)
+        indexed = indexed.drop("_rnd")
+        indexed._btr_total_rows = total
+    elif strategy == "sequential":
+        indexed = with_global_index(df, order_keys, index_col=index_col)
+    else:
+        raise ValueError(f"unknown split strategy: {strategy!r}")
     out = indexed.withColumn(
         chunk_col, F.floor(F.col(index_col) / F.lit(block_size)).cast("long")
     )

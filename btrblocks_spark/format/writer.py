@@ -222,6 +222,33 @@ def write_table(
             writer = writer.option(
                 f"parquet.enable.dictionary#{col}", str(scheme in _DICT_SCHEMES).lower()
             )
+        # stats-driven bloom filters on the lookup keys: the reader's point
+        # lookup (the reference's `lookup` stub, scheme/CompressionScheme.hpp:45)
+        # then skips row groups whose bloom rejects the key — the chunk-stats
+        # min/max pruning analog for equality on non-sorted keys. Expected NDV
+        # comes from the planner's own unique_count stats (T1), so bloom size
+        # tracks the actual chunk cardinality instead of parquet's 1M default.
+        # Dict-scheme keys are excluded on purpose: their chunks are fully
+        # dictionary-encoded, where the dict page already answers membership
+        # exactly (and parquet-mr omits blooms for such chunks anyway).
+        bloom_cols = {}
+        if config.bloom_filter_keys:
+            ndv_by_col: dict[str, int] = {}
+            for r in plan_rows:
+                if (
+                    r["column"] in order_keys
+                    and r["scheme"] != "skip"
+                    and majority.get(r["column"]) not in _DICT_SCHEMES
+                ):
+                    ndv_by_col[r["column"]] = max(
+                        ndv_by_col.get(r["column"], 0), int(r["unique_count"])
+                    )
+            for col, ndv in ndv_by_col.items():
+                bloom_cols[col] = max(ndv, 1)
+                writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{col}", str(max(ndv, 1))
+                )
         writer.parquet(data_path)
     finally:
         if staged is not None:
@@ -244,6 +271,7 @@ def write_table(
         "block_size": config.block_size,
         "num_rows": num_rows,
         "num_chunks": int(num_chunks),
+        "bloom_filters": bloom_cols,
         "columns": columns,
         "totals": {
             "raw_bytes": total_raw,

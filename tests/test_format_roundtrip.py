@@ -250,3 +250,80 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir):
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(ldir, ignore_errors=True)
+
+
+def test_bloom_filters_on_keys(spark, sf_dir):
+    """High-cardinality order keys get stats-sized parquet bloom filters
+    (bloom bytes physically present vs bloom-off); dict-scheme keys are
+    excluded (dictionary pages already answer membership exactly); point
+    lookups through the bloomed files stay exact."""
+    import json
+    import os
+
+    df = (
+        spark.range(50000)
+        .selectExpr(
+            "id AS uid",
+            "CAST(id % 7 AS INT) AS small_key",
+            "CAST(id * 37 % 100000 AS DOUBLE) AS val",
+        )
+    )
+    base = tempfile.mkdtemp(prefix="btr_bloom_")
+    try:
+        cfg = DEFAULT_CONFIG.with_(block_size=8192)
+        m_on = write_table(df, f"{base}/on", ["uid", "small_key"], cfg)
+        write_table(
+            df, f"{base}/off", ["uid", "small_key"],
+            cfg.with_(bloom_filter_keys=False),
+        )
+        # uid is unique per row -> non-dict scheme -> bloomed; small_key has
+        # 7 distinct values -> dict scheme -> no bloom (dict page suffices)
+        assert set(m_on["bloom_filters"]) == {"uid"}
+        assert m_on["bloom_filters"]["uid"] > 1000
+
+        def data_bytes(d):
+            dd = os.path.join(d, "data")
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _s, fs in os.walk(dd) for f in fs if f.endswith(".parquet")
+            )
+
+        assert data_bytes(f"{base}/on") > data_bytes(f"{base}/off")
+
+        sidecar = json.load(open(f"{base}/on/_btr_metadata.json"))
+        assert sidecar["bloom_filters"] == m_on["bloom_filters"]
+
+        got = spark.read.parquet(f"{base}/on/data").filter(F.col("uid") == 12345)
+        assert [r.small_key for r in got.collect()] == [12345 % 7]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_random_split_strategy(spark, sf_dir):
+    """RANDOM split: same row multiset, exact block-sized chunks, but chunk
+    composition decorrelated from key order — and fully deterministic
+    (re-invocation reproduces identical membership)."""
+    df = load_table(spark, sf_dir, "lineitem").limit(4096)
+    seq = with_chunk_id(df, ["l_orderkey", "l_linenumber"], 1024)
+    rnd = with_chunk_id(df, ["l_orderkey", "l_linenumber"], 1024, strategy="random")
+
+    seq_rows = seq.select("l_orderkey", "l_linenumber", "_chunk").collect()
+    rnd_rows = rnd.select("l_orderkey", "l_linenumber", "_chunk").collect()
+    assert {(r[0], r[1]) for r in seq_rows} == {(r[0], r[1]) for r in rnd_rows}
+
+    from collections import Counter
+
+    sizes = Counter(r["_chunk"] for r in rnd_rows)
+    assert all(v == 1024 for v in sizes.values())
+    # decorrelated: chunk 0 holds different rows under the two strategies
+    seq0 = {(r[0], r[1]) for r in seq_rows if r[2] == 0}
+    rnd0 = {(r[0], r[1]) for r in rnd_rows if r[2] == 0}
+    assert seq0 != rnd0
+    # deterministic: a second invocation reproduces membership exactly
+    again = {
+        (r[0], r[1], r[2])
+        for r in with_chunk_id(df, ["l_orderkey", "l_linenumber"], 1024, strategy="random")
+        .select("l_orderkey", "l_linenumber", "_chunk")
+        .collect()
+    }
+    assert {(r[0], r[1], r[2]) for r in rnd_rows} == again

@@ -170,3 +170,41 @@ def test_interval_join_matches_batch(spark, sf_dir, events_dir):
     )
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_upsert_versioned_snapshots(spark, tmpdir):
+    """CDC-apply: two microbatches of keyed updates merge into versioned
+    snapshots; the final snapshot equals applying the merges in order, and
+    every committed version stays readable (snapshot isolation)."""
+    import os
+
+    from btrblocks_spark.streaming.ops import read_snapshot, streaming_upsert
+
+    src = str(tmpdir.join("updates"))
+    table = str(tmpdir.join("table"))
+    ckpt = str(tmpdir.join("ckpt"))
+    os.makedirs(src)
+
+    schema = "k long, val string, seq long"
+    # batch files arrive one per trigger (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, "a0", 0), (2, "b0", 0)], schema).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    spark.createDataFrame(
+        [(2, "b1", 1), (2, "b2", 2), (3, "c1", 1)], schema
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+    )
+    q = streaming_upsert(stream, table, ckpt, keys=["k"], order_by=["seq"])
+    q.awaitTermination(120)
+
+    snap = {r.k: (r.val, r.seq) for r in read_snapshot(spark, table).collect()}
+    # k=2 resolved to the highest seq within the later batch; k=1 kept
+    assert snap == {1: ("a0", 0), 2: ("b2", 2), 3: ("c1", 1)}
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert len(versions) >= 2  # one commit per non-empty microbatch
+    v0 = {r.k for r in spark.read.parquet(os.path.join(table, versions[0])).collect()}
+    assert v0  # earliest version still readable
