@@ -6,24 +6,28 @@ O(num_chunks · num_columns) small rows):
 
   1. chunk the table: global index over ``order_keys`` → chunk_id
      (storage/Relation.cpp:42-69 analog).
-  2. stage: ONE hash shuffle by chunk_id (uniform by construction — equal
-     row counts per chunk, no skew), sorted by the global index within
-     partitions, persisted. Both the planner and the data write consume this
-     staging, so the whole pipeline is exactly two full-data shuffles (index
-     + stage) regardless of table size.
-  3. plan: ``mapInPandas`` over the staging — streams Arrow batches, holds
-     at most one chunk in memory, computes per-column stats (T1/T2) and runs
-     the scheme planner on a run-preserving sample. The reference's
-     per-column TBB loop becomes Spark tasks; no extra shuffle.
-  4. write data as Parquet from the same staging with
+  2. physical knobs: ONE map-side ``approx_count_distinct`` pass over the
+     source decides per-column parquet dictionary on/off and bloom filters
+     on the lookup keys (cheap JVM scan, no shuffle).
+  3. write data as Parquet straight off the chunk staging shuffle with
      ``maxRecordsPerFile = block_size`` — rows are _idx-sorted within
      partitions and every non-final chunk has exactly block_size rows, so
-     files split on exact chunk boundaries (one file ≈ one chunk — the
-     ColumnPart sizing analog, storage/Chunk.cpp:233-266), ZSTD pages,
-     per-column dictionary on/off driven by the chosen scheme.
+     files split on exact chunk boundaries (one file = one chunk — the
+     ColumnPart sizing analog, storage/Chunk.cpp:233-266), ZSTD pages.
+  4. plan: ``mapInPandas`` over the WRITTEN files — each chunk is exactly
+     one file, so the read-back streams whole chunks with no shuffle,
+     holds one chunk in memory, computes per-column stats (T1/T2) and runs
+     the scheme planner on a run-preserving sample. Planning from the
+     written table (not a staging copy) means (a) no DISK_ONLY staging
+     persist — at scale that saved round-trip is a full extra raw-data
+     write+read — and (b) the plan reads zstd-compressed columns, and
+     describes exactly the bytes a reader will see.
   5. write the metadata sidecar ``_btr_metadata.json`` (the btr ``metadata``
      file, compression/Datablock.hpp:23-35): schema, chunking, per
      column-chunk scheme + stats + size estimate.
+
+Full-data movements per write: one shuffle + one write + one compressed
+read-back — regardless of table size.
 """
 
 from __future__ import annotations
@@ -47,8 +51,6 @@ _PLAN_SCHEMA = (
     "min_repr string, max_repr string, avg_run_length double, is_sorted boolean"
 )
 
-# schemes whose physical layout benefits from Parquet dictionary pages
-_DICT_SCHEMES = {"dict", "one_value", "rle", "frequency", "truncation"}
 
 
 def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: BtrBlocksConfig):
@@ -175,85 +177,99 @@ def write_table(
     spark = df.sparkSession
     col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
-    # with_chunk_id persists the range-partitioned staging frame itself
-    # (required for a stable index across jobs — see chunker.py)
+    # one map-side JVM pass sizes the physical knobs: parquet dictionary
+    # pays off when the column's value pool is small relative to a chunk;
+    # approx_count_distinct is exactly the scale-safe estimator for that
+    # (T1's unique_count at table granularity, HLL instead of exact)
+    ndv = {}
+    ndv_cols = [c for c, _t in col_types]
+    if ndv_cols:
+        ndv_row = df.agg(
+            *[F.approx_count_distinct(c).alias(c) for c in ndv_cols]
+        ).collect()[0]
+        ndv = {c: int(ndv_row[c]) for c in ndv_cols}
+    dict_enabled = {
+        c: ndv.get(c, 0) <= max(config.block_size // 4, 1) for c in ndv_cols
+    }
+
     chunked = with_chunk_id(df, order_keys, config.block_size)
-    staged = None
     try:
         num_rows = chunked._btr_total_rows  # free byproduct of the offset job
         num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
 
-        # single chunk-staging shuffle, shared by the plan job and the data
-        # write (persisted so the second job reads cache, not a re-shuffle;
-        # DISK_ONLY — see chunker.py on why it beats the columnar cache)
-        from pyspark.storagelevel import StorageLevel
-
         staged = _stage_by_chunk(chunked, int(num_chunks))
-        staged.persist(StorageLevel.DISK_ONLY)
-        # _idx is only for ordering the staged write; don't ship it through
-        # Arrow to the plan kernel (column-pruned pass, ~8 bytes/row less)
-        plan_rows = [
-            r.asDict()
-            for r in staged.drop("_idx")
-            .mapInPandas(_plan_partition_fn(col_types, config), _PLAN_SCHEMA)
-            .collect()
-        ]
-
         data_path = os.path.join(path, "data")
         # chunk-aligned layout: rows are _idx-sorted within partitions and
         # every non-final chunk has exactly block_size rows, so
         # maxRecordsPerFile splits files on exact chunk boundaries → one
-        # output file ≈ one chunk (the ColumnPart sizing analog)
+        # output file = one chunk (the ColumnPart sizing analog)
         writer = (
             staged.drop("_chunk")
             .write.mode("overwrite")
             .option("compression", config.compression_codec)
             .option("maxRecordsPerFile", config.block_size)
         )
-        # per-column dictionary toggle from the chosen (majority) scheme
-        scheme_by_col: dict[str, dict[str, int]] = {}
-        for r in plan_rows:
-            scheme_by_col.setdefault(r["column"], {}).setdefault(r["scheme"], 0)
-            scheme_by_col[r["column"]][r["scheme"]] += 1
-        majority = {
-            c: max(counts, key=counts.get) for c, counts in scheme_by_col.items()
-        }
-        for col, scheme in majority.items():
+        for col, enabled in dict_enabled.items():
             writer = writer.option(
-                f"parquet.enable.dictionary#{col}", str(scheme in _DICT_SCHEMES).lower()
+                f"parquet.enable.dictionary#{col}", str(enabled).lower()
             )
         # stats-driven bloom filters on the lookup keys: the reader's point
         # lookup (the reference's `lookup` stub, scheme/CompressionScheme.hpp:45)
         # then skips row groups whose bloom rejects the key — the chunk-stats
         # min/max pruning analog for equality on non-sorted keys. Expected NDV
-        # comes from the planner's own unique_count stats (T1), so bloom size
-        # tracks the actual chunk cardinality instead of parquet's 1M default.
-        # Dict-scheme keys are excluded on purpose: their chunks are fully
-        # dictionary-encoded, where the dict page already answers membership
-        # exactly (and parquet-mr omits blooms for such chunks anyway).
+        # per row group is the table NDV capped at the chunk size, so bloom
+        # bytes track actual cardinality instead of parquet's 1M default.
+        # Dictionary-encoded keys are excluded on purpose: the dict page
+        # already answers membership exactly (and parquet-mr omits blooms
+        # for fully-dict chunks anyway).
         bloom_cols = {}
         if config.bloom_filter_keys:
-            ndv_by_col: dict[str, int] = {}
-            for r in plan_rows:
-                if (
-                    r["column"] in order_keys
-                    and r["scheme"] != "skip"
-                    and majority.get(r["column"]) not in _DICT_SCHEMES
-                ):
-                    ndv_by_col[r["column"]] = max(
-                        ndv_by_col.get(r["column"], 0), int(r["unique_count"])
-                    )
-            for col, ndv in ndv_by_col.items():
-                bloom_cols[col] = max(ndv, 1)
+            for col in order_keys:
+                if dict_enabled.get(col, True) or ndv.get(col, 0) < 1:
+                    continue
+                bloom_cols[col] = min(ndv[col], config.block_size)
                 writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
                 writer = writer.option(
-                    f"parquet.bloom.filter.expected.ndv#{col}", str(max(ndv, 1))
+                    f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_cols[col])
                 )
         writer.parquet(data_path)
     finally:
-        if staged is not None:
-            staged.unpersist()
         unpersist_index(chunked)
+
+    # plan over the WRITTEN table: every chunk is exactly one file. Setting
+    # maxPartitionBytes to just above the largest file keeps every chunk
+    # whole in one read partition (splitting would emit duplicate plan rows)
+    # while still fanning chunks out across tasks — no shuffle, no staging
+    # copy, and the plan reads the compressed bytes a reader will see.
+    max_file = max(
+        (
+            os.path.getsize(os.path.join(r, f))
+            for r, _s, fs in os.walk(data_path)
+            for f in fs
+            if f.endswith(".parquet")
+        ),
+        default=1,
+    )
+    spark_conf = spark.conf
+    prev_mpb = spark_conf.get("spark.sql.files.maxPartitionBytes")
+    spark_conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    try:
+        written = (
+            spark.read.parquet(data_path)
+            .withColumn(
+                "_chunk",
+                F.floor(F.col("_idx") / F.lit(config.block_size)).cast("long"),
+            )
+            .drop("_idx")
+        )
+        plan_rows = [
+            r.asDict()
+            for r in written.mapInPandas(
+                _plan_partition_fn(col_types, config), _PLAN_SCHEMA
+            ).collect()
+        ]
+    finally:
+        spark_conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
     columns: dict[str, dict] = {}
     for r in sorted(plan_rows, key=lambda x: (x["column"], x["chunk"])):
