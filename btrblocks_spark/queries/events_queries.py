@@ -439,3 +439,142 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v").over(w) / F.lit(10000.0)).alias("sliding_value"),
         F.count("*").over(w).alias("sliding_n"),
     )
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT user_id, ts_us, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (dynamic-gap session aggregation
+    in the engine, no explicit window functions): one groupBy produces the
+    merged sessions; window.end is last-event + gap by definition. The
+    oracle states the same semantics as gaps-and-islands SQL (new session
+    when the gap is >= the timeout — session_window merges only strictly
+    closer events).
+
+    Scale: a single hash aggregation keyed on user_id — Spark merges
+    session candidates inside the aggregation (partial merge map-side), so
+    there is exactly one shuffle and no per-row window sort pipeline."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.expr("ts div 1000").alias("ts_us"),
+        "value",
+    )
+    return (
+        e.groupBy("user_id", F.session_window("event_time", "10 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min("ts_us").alias("session_start_us"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            (F.unix_micros(F.col("sw.end"))).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+v AS (SELECT user_id, min(ts_us) AS fv FROM t WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT t.user_id, min(ts_us) AS fc
+  FROM t JOIN v ON t.user_id = v.user_id
+  WHERE t.event_type = 'click' AND t.ts_us > v.fv
+  GROUP BY 1
+),
+p AS (
+  SELECT t.user_id, min(ts_us) AS fp
+  FROM t JOIN c ON t.user_id = c.user_id
+  WHERE t.event_type = 'purchase' AND t.ts_us > c.fc
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click,
+       round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+         AS view_to_click,
+       round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
+         AS click_to_purchase
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): stage N
+    counts users whose first stage-N event strictly follows their first
+    stage-(N-1) event. The sequential dependency makes this three chained
+    min-aggregations, each joined on user_id.
+
+    Scale: every shuffle is keyed on user_id — with AQE the three
+    aggregations and two joins reuse the same partitioning; the final
+    counts are single-row broadcasts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("fv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("fc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("fp"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(F.col("n_click_after_view") / F.col("n_view"), 6).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+            ).alias("click_to_purchase"),
+        )
+    )
