@@ -229,46 +229,66 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     A training pipeline thresholds these to drop boilerplate/spam (e.g.
     top_bigram_frac > 0.18, dup_trigram_frac > 0.30 in Gopher).
 
-    Shape: ONE scan — the 1/2/3-gram streams are built map-side as a single
-    concatenated array of (n, gram) structs and exploded once; then one
-    groupBy(doc_id, n, gram) count (map-side combinable) and one tiny
-    groupBy(doc_id) pivot (≤3 rows per doc). No windows, no joins; at
-    100 TB this is the same one-shuffle shape as every dedup operator here.
+    Shape: ZERO shuffles — per document, each n-gram stream is sorted
+    map-side (arrays of ≤ doc-length grams) and a single ``aggregate`` fold
+    over the sorted array counts the longest equal-run (the top gram's
+    occurrences) and the distinct grams. Per-doc work is O(tokens · log
+    tokens); nothing leaves the task — at 100 TB this operator is as cheap
+    as a projection, where the naive explode + groupBy(doc, n, gram) form
+    shuffles one row per gram occurrence.
     """
-    pieces = []
-    for n in (1, 2, 3):
-        grams = F.expr(
-            f"transform(sequence(1, size(_toks) - {n - 1}), "
-            f"i -> struct({n} AS n, array_join(slice(_toks, i, {n}), ' ') AS g))"
+
+    def _grams(n: int) -> Column:
+        if n == 1:
+            return F.col("_toks")
+        g = F.expr(
+            "transform(sequence(1, size(_toks) - %d), i -> concat_ws(' ', %s))"
+            % (n - 1, ", ".join(f"element_at(_toks, i + {j})" for j in range(n)))
         )
-        if n > 1:  # sequence(1, k) needs k >= 1: guard short docs
-            grams = F.when(F.size("_toks") >= n, grams).otherwise(
-                F.expr("cast(array() as array<struct<n:int,g:string>>)")
-            )
-        pieces.append(grams)
-    t = (
-        docs.select("doc_id", F.split("text", " ").alias("_toks"))
-        .select("doc_id", F.concat(*pieces).alias("_grams"))
-        .select("doc_id", F.explode("_grams").alias("x"))
-        .select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    )
-    counts = t.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
-    per_n = counts.groupBy("doc_id", "n").agg(
-        F.max("c").alias("mx"),
-        F.sum("c").alias("tot"),
-        F.count("*").alias("dst"),
-    )
+        # sequence(1, k) needs k >= 1: guard short docs
+        return F.when(F.size("_toks") >= n, g).otherwise(
+            F.expr("cast(array() as array<string>)")
+        )
 
-    def _pick(n: int, expr: Column) -> Column:
-        return F.max(F.when(F.col("n") == n, expr))
+    def _profile(n: int) -> Column:
+        """(mx, dst) of the sorted n-gram array via one fold: the max run of
+        equal adjacent elements is the top gram's count; run starts count
+        distincts. NULL text tokens can't occur (split never yields null),
+        so x == acc.prev is false exactly at run starts."""
+        return F.expr(
+            """
+            aggregate(
+              array_sort(_g%d),
+              struct(cast(null as string) AS prev, 0 AS run, 0 AS mx, 0 AS dst),
+              (acc, x) -> IF(x = acc.prev,
+                struct(x AS prev, acc.run + 1 AS run,
+                       greatest(acc.mx, acc.run + 1) AS mx, acc.dst AS dst),
+                struct(x AS prev, 1 AS run, greatest(acc.mx, 1) AS mx,
+                       acc.dst + 1 AS dst)),
+              acc -> struct(acc.mx AS mx, acc.dst AS dst))
+            """
+            % n
+        )
 
-    return per_n.groupBy("doc_id").agg(
-        _pick(1, F.col("tot")).cast("long").alias("n_tokens"),
-        F.round(_pick(1, F.col("mx") / F.col("tot")), 6).alias("top_token_frac"),
-        F.round(_pick(2, F.col("mx") / F.col("tot")), 6).alias("top_bigram_frac"),
-        F.round(_pick(3, (F.col("tot") - F.col("dst")) / F.col("tot")), 6).alias(
-            "dup_trigram_frac"
-        ),
+    t = docs.select("doc_id", F.split("text", " ").alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").alias("_tot1"),
+        *[_grams(n).alias(f"_g{n}") for n in (1, 2, 3)],
+    )
+    t = t.select(
+        "doc_id",
+        "_tot1",
+        F.size("_g2").alias("_tot2"),
+        F.size("_g3").alias("_tot3"),
+        *[_profile(n).alias(f"_p{n}") for n in (1, 2, 3)],
+    )
+    frac = lambda num, den: F.when(F.col(den) > 0, F.round(num / F.col(den), 6))  # noqa: E731
+    return t.select(
+        "doc_id",
+        F.col("_tot1").cast("long").alias("n_tokens"),
+        frac(F.col("_p1.mx"), "_tot1").alias("top_token_frac"),
+        frac(F.col("_p2.mx"), "_tot2").alias("top_bigram_frac"),
+        frac(F.col("_tot3") - F.col("_p3.dst"), "_tot3").alias("dup_trigram_frac"),
     )
 
 

@@ -578,3 +578,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "events_cohort_retention",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+first_wk AS (SELECT user_id, min(wk) AS cohort_wk FROM t GROUP BY 1),
+active AS (
+  SELECT DISTINCT t.user_id, f.cohort_wk, t.wk - f.cohort_wk AS week_offset
+  FROM t JOIN first_wk f ON t.user_id = f.user_id
+)
+SELECT cohort_wk, week_offset, count(*) AS n_active_users
+FROM active GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort, week-offset) count the users active that week.
+    Integer week arithmetic (epoch_us // week) keeps both engines exact.
+
+    Scale: first-event and activity frames shuffle on user_id (AQE reuses
+    the partitioning across the agg and the join); the final count groups
+    on (cohort, offset) — tiny cardinality, map-side combinable after the
+    distinct."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.expr("ts div 1000") / F.lit(_WEEK_US)).cast("long").alias("wk")
+    )
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    active = (
+        e.join(first_wk, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .distinct()
+    )
+    return active.groupBy("cohort_wk", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )

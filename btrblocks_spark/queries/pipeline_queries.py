@@ -1187,3 +1187,31 @@ WHERE 100 * levenshtein(na.ntext, nb.ntext)
 )
 def q_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levenshtein_refine_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_global_sample",
+    oracle="""
+SELECT doc_id, source, lang, n_chars
+FROM documents
+ORDER BY ('0x' || substr(md5('gs#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+LIMIT 100
+""",
+)
+def q_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic global sample: the 100 documents with the
+    smallest portable hash — a reproducible reservoir-sample stand-in.
+    Plans as TakeOrderedAndProject (per-partition top-k, k rows to the
+    driver-side merge), so the shape costs O(k) memory at any corpus size;
+    no RNG, so the sample is identical on every engine and run."""
+    from btrblocks_spark.pipeline.text import hash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .orderBy(
+            hash32(F.concat(F.lit("gs#"), F.col("doc_id").cast("string"))).asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(100)
+    )
