@@ -167,16 +167,26 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         "doc_id", "simhash", F.posexplode(F.array(*key_exprs)).alias("band", "key")
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # first-matching-band dedup: a pair agreeing on several bands is emitted
+    # ONLY at its lowest agreeing band (for every earlier band the bytes
+    # must differ) — each pair appears exactly once, replacing a DISTINCT
+    # shuffle over the full (k² per bucket) pair stream with a map-side
+    # filter on values the joined row already carries.
+    first_band = None
+    for j in range(3):
+        byte_a = F.shiftright(F.col("a.simhash"), 8 * j).bitwiseAND(F.lit(255))
+        byte_b = F.shiftright(F.col("b.simhash"), 8 * j).bitwiseAND(F.lit(255))
+        cond = (F.col("band") <= j) | (byte_a != byte_b)
+        first_band = cond if first_band is None else first_band & cond
     return (
         a.join(b, ["band", "key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
