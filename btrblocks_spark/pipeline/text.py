@@ -358,6 +358,86 @@ def corpus_topk_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def contamination_flags(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_overlap`` distinct word ``n``-grams with the benchmark set
+    (the standard guard against eval contamination in LLM training data).
+    Returns (doc_id, n_shingles, n_contaminated, contamination_frac,
+    flagged) for every training document.
+
+    Shape: both sides reduce to distinct shingle sets; the benchmark side
+    collapses to DISTINCT shingles only (its doc identity is irrelevant) —
+    at scale that set is small (benchmarks are MBs, not TBs) and the
+    overlap count is a broadcast inner join against the training shingle
+    stream + one groupBy(doc_id): the training corpus is never shuffled,
+    only its hits are."""
+    tsh = shingles(train_docs, n).distinct()
+    bsh = bench_docs.select("doc_id", "text")
+    bset = shingles(bsh, n).select("shingle").distinct()
+    hits = (
+        tsh.join(F.broadcast(bset), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    sizes = tsh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("contamination_frac"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_overlap).cast("int").alias(
+                "flagged"
+            ),
+        )
+    )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Unigram language-model surprisal per document: build token
+    probabilities from the corpus itself (p = count/total over lowercased
+    whitespace tokens) and score each document by mean −ln p of its tokens
+    — the cheap perplexity proxy used for quality filtering.
+
+    Determinism: each token's surprisal is rounded to 6 decimals before
+    the per-document DECIMAL sum (order-independent), and the mean divides
+    as double then rounds — both engines agree bit-exactly (the BM25
+    operator established the round-then-decimal-sum ln pattern).
+
+    Shape: one groupBy(token) builds the vocab (map-side combinable), the
+    token stream joins the vocab on token (corpus-derived vocab is bounded
+    by distinct tokens — broadcast when small, shuffle join keyed on token
+    otherwise; Spark's planner makes that call from stats), then one
+    groupBy(doc_id). Corpus total is a single-row broadcast."""
+    t = tokens(docs).withColumn("lw", F.lower("w")).select("doc_id", "lw")
+    vocab = t.groupBy("lw").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = (
+        t.join(vocab, "lw")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.col("c") / F.col("n_total")), 6).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_surprisal"),
+    )
+
+
 # PII / denylist scrub patterns: (name, regex, replacement). Regexes stay
 # inside the Java-regex ∩ RE2 common subset (char classes, bounded repeats,
 # \b — no lookaround, no backrefs) so Spark and the DuckDB oracle agree.

@@ -1113,6 +1113,76 @@ def q_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_docs(docs, build_vocab(docs, vocab_size=100))
 
 
+@register(
+    "text_decontaminate",
+    oracle=f"""
+WITH {_TOKS},
+sh AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+tsh AS (
+  SELECT DISTINCT sh.doc_id, shingle FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source != 'src0'
+),
+bset AS (
+  SELECT DISTINCT shingle FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0'
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM tsh JOIN bset USING (shingle) GROUP BY 1
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+         AS contamination_frac,
+       CASE WHEN coalesce(h.n_contaminated, 0) >= 2 THEN 1 ELSE 0 END AS flagged
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a held-out 'benchmark' slice (source src0):
+    training docs = every other source (see text.contamination_flags)."""
+    from btrblocks_spark.pipeline.text import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_flags(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        min_overlap=2,
+    )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS lw FROM documents
+),
+vocab AS (SELECT lw, count(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT sum(c) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id, round(-ln(c / CAST(n_total AS DOUBLE)), 6) AS surprisal
+  FROM t JOIN vocab USING (lw) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import unigram_surprisal
+
+    return unigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 _L2NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))"
 
 

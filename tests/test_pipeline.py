@@ -422,3 +422,41 @@ def test_normalize_embeddings_unit_norm(spark):
     assert rows[1].norm == 5.0
     assert rows[1].unit[0] == 0.6 and rows[1].unit[63] == 0.8
     assert rows[2].norm == 0.0 and all(x == 0.0 for x in rows[2].unit)
+
+
+# --- decontamination / surprisal --------------------------------------------
+
+
+def test_contamination_flags(spark):
+    from btrblocks_spark.pipeline.text import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta zeta"),  # shares 2 trigrams
+            (2, "alpha beta gamma nope nope"),   # shares 1 trigram
+            (3, "totally clean text here now"),  # shares 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in contamination_flags(train, bench, min_overlap=2).collect()}
+    assert rows[1].n_contaminated == 2 and rows[1].flagged == 1
+    assert rows[2].n_contaminated == 1 and rows[2].flagged == 0
+    assert rows[3].n_contaminated == 0 and rows[3].contamination_frac == 0.0
+    assert len(rows) == 3  # clean docs still reported
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """A doc of corpus-rare tokens scores higher surprisal than one of
+    common tokens."""
+    from btrblocks_spark.pipeline.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(i, "common common common") for i in range(5)] + [(99, "rare words appear once")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(docs).collect()}
+    assert rows[99] > rows[0]
+    assert all(v > 0 for v in rows.values())
