@@ -71,6 +71,8 @@ HEADLINE = [
     "text_encode_docs",
     "ann_kmeans_refine",
     "curation_cap_per_source",
+    "events_funnel",
+    "text_unigram_surprisal",
 ]
 
 

@@ -71,3 +71,39 @@ def test_round_trip_with_nulls(spark, sf_dir, tmpdir):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_csvtobtr_btrtocsv_pipeline(spark, sf_dir, tmpdir):
+    """The reference's flagship chain end-to-end (csvtobtr -> btrtocsv,
+    tools/conversion/csvtobtr.cpp + btrtocsv.cpp): CSV ingest with parser
+    rules -> chunked scheme-annotated write -> read -> CSV export -> re-
+    ingest; values survive bit-exactly (null-aware)."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.format.verify import frames_equal
+    from btrblocks_spark.format.writer import write_table
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    csv_in = os.path.join(tmpdir, "in_csv")
+    export_csv(src, csv_in)
+    decl = [
+        {"name": "c_custkey", "type": "bigint"},
+        {"name": "c_name", "type": "string"},
+        {"name": "c_acctbal", "type": "double"},
+        {"name": "c_nationkey", "type": "integer"},
+    ]
+    ingested = read_csv(spark, csv_in, decl)
+
+    table_dir = os.path.join(tmpdir, "btr")
+    meta = write_table(
+        ingested, table_dir, ["c_custkey"], DEFAULT_CONFIG.with_(block_size=512)
+    )
+    assert meta["num_rows"] == src.count()
+
+    stored, _meta = read_table(spark, table_dir)
+    csv_out = os.path.join(tmpdir, "out_csv")
+    export_csv(stored, csv_out)
+    back = read_csv(spark, csv_out, decl)
+    assert frames_equal(ingested, back)
