@@ -28,6 +28,12 @@ O(num_chunks · num_columns) small rows):
 
 Full-data movements per write: one shuffle + one write + one compressed
 read-back — regardless of table size.
+
+Codec choice: zstd by default (the ratio anchor — est ratio ~3.7 on the
+bench table). Measured on lineitem sf0.1, lz4 scans ~1.4x faster at ~21%
+larger files; a speed-first deployment sets
+``config.compression_codec = "lz4"`` — the scheme planner and layout are
+codec-agnostic.
 """
 
 from __future__ import annotations
