@@ -165,6 +165,39 @@ def cap_per_stratum(
     )
 
 
+def training_batches(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    token_budget: int = 512,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """The end-of-pipeline deliverable: ready-to-train batches. Documents
+    are tokenized to ids against the corpus frequency vocab
+    (text.build_vocab / encode_docs), assigned to fixed-token-budget packs
+    (pack_sequences), and each pack's id sequences are concatenated in
+    deterministic doc_id order. Returns (stratum, pack_id, n_docs,
+    n_tokens, token_ids) — one row per training batch.
+
+    Shape: the encode path's one groupBy(doc_id) + the pack window share
+    the doc_id/stratum keys; the final groupBy(stratum, pack_id) collects
+    ~token_budget ids per group — bounded rows out, map-side combinable
+    in. Nothing here changes shape with corpus size: packs are
+    budget-bounded, the vocab probe is a broadcast."""
+    from btrblocks_spark.pipeline.text import build_vocab, encode_docs
+
+    enc = encode_docs(docs, build_vocab(docs, vocab_size))
+    packs = pack_sequences(docs, token_budget, stratum_col=stratum_col)
+    j = packs.join(enc.select("doc_id", "token_ids"), "doc_id")
+    return j.groupBy("stratum", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(doc_id, token_ids))), "
+            "s -> s.token_ids))"
+        ).alias("token_ids"),
+    )
+
+
 def retained_docs(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -1260,6 +1260,44 @@ def q_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_training_batches",
+    oracle=f"""
+WITH {_VOCAB_SQL},
+enc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list(CAST(coalesce(v.token_id, 0) AS INTEGER) ORDER BY pos) AS token_ids
+  FROM tok LEFT JOIN vocab v ON v.token = tok.lw
+  GROUP BY doc_id
+),
+pk AS (
+  SELECT doc_id, source AS stratum,
+         len(string_split(text, ' ')) AS n_tokens,
+         sum(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - len(string_split(text, ' ')) AS tokens_before
+  FROM documents
+),
+packs AS (
+  SELECT doc_id, stratum, n_tokens,
+         CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
+  FROM pk
+)
+SELECT p.stratum, p.pack_id, count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,
+       flatten(list(e.token_ids ORDER BY p.doc_id)) AS token_ids
+FROM packs p JOIN enc e USING (doc_id)
+GROUP BY 1, 2
+""",
+)
+def q_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> pack -> concatenate: one row per ready-to-train batch
+    (see curation.training_batches)."""
+    from btrblocks_spark.pipeline.curation import training_batches
+
+    return training_batches(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_global_sample",
     oracle="""
 SELECT doc_id, source, lang, n_chars

@@ -460,3 +460,26 @@ def test_unigram_surprisal_orders_rarity(spark):
     rows = {r.doc_id: r.mean_surprisal for r in unigram_surprisal(docs).collect()}
     assert rows[99] > rows[0]
     assert all(v > 0 for v in rows.values())
+
+
+def test_training_batches_concatenation(spark):
+    """Batches concatenate doc id-sequences in doc_id order and respect the
+    pack assignment: total ids == total tokens, packs per stratum."""
+    from btrblocks_spark.pipeline.curation import training_batches
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 30), "s1"),
+            (2, " ".join(["b"] * 30), "s1"),
+            (3, " ".join(["c"] * 30), "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = training_batches(docs, vocab_size=2, token_budget=50).collect()
+    by_pack = {r.pack_id: r for r in rows}
+    # starts: 0, 30, 60 -> packs 0, 0, 1
+    assert by_pack[0].n_docs == 2 and by_pack[1].n_docs == 1
+    assert len(by_pack[0].token_ids) == 60 and len(by_pack[1].token_ids) == 30
+    # doc 1 ('a' -> id 1) precedes doc 2 ('b' -> id 2); doc 3 'c' -> UNK 0
+    assert by_pack[0].token_ids[0] == 1 and by_pack[0].token_ids[30] == 2
+    assert set(by_pack[1].token_ids) == {0}
