@@ -18,15 +18,38 @@ from btrblocks_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
 )
-from btrblocks_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from btrblocks_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_cells,
+    ivf_topk,
+    kmeans_refine,
+    lsh_bucketed_topk,
+    normalize_embeddings,
+)
 from btrblocks_spark.pipeline.text import (
+    build_vocab,
+    contamination_flags,
+    corpus_topk_ngrams,
+    encode_docs,
+    fingerprints,
     hash32,
-    tokens,
-    shingles,
     language_id,
     quality_scores,
+    repetition_profile,
+    scrub_text,
+    shingles,
     token_stats,
-    fingerprints,
+    tokens,
+    unigram_surprisal,
+)
+from btrblocks_spark.pipeline.curation import (
+    cap_per_stratum,
+    pack_sequences,
+    retained_docs,
+    stratified_sample,
+    train_val_test_split,
+    training_batches,
+    upsample_strata,
 )
 
 __all__ = [
@@ -38,7 +61,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "cosine_topk",
+    "ivf_cells",
+    "ivf_topk",
+    "kmeans_refine",
     "lsh_bucketed_topk",
+    "normalize_embeddings",
     "hash32",
     "tokens",
     "shingles",
@@ -46,4 +73,18 @@ __all__ = [
     "quality_scores",
     "token_stats",
     "fingerprints",
+    "build_vocab",
+    "encode_docs",
+    "corpus_topk_ngrams",
+    "repetition_profile",
+    "scrub_text",
+    "contamination_flags",
+    "unigram_surprisal",
+    "cap_per_stratum",
+    "pack_sequences",
+    "retained_docs",
+    "stratified_sample",
+    "train_val_test_split",
+    "training_batches",
+    "upsample_strata",
 ]
