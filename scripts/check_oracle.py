@@ -6,6 +6,7 @@ Strict bit-exact compare (stronger than the driver's hash check).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,7 +24,10 @@ def main() -> int:
 
     queries = all_queries()
     oracles = all_oracles()
-    spark = get_spark(cpus=8, shuffle_partitions=8)
+    spark = get_spark(
+        cpus=int(os.environ.get("ORACLE_CPUS", "8")),
+        shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = []
