@@ -210,6 +210,12 @@ def ngram_jaccard_pairs(
     # (a keep-list join or a separate sizes aggregate would re-evaluate the
     # shingle subtree once per reuse); set sizes are measured AFTER the cap
     # so jaccard stays a true similarity of the filtered representation.
+    # NOTE measured dead end: "map-side dedup" via array_distinct on the
+    # per-doc gram array is 4x SLOWER than this distinct shuffle
+    # (array_distinct is quadratic on string arrays), and the
+    # sort+adjacent-filter variant is far worse still — Catalyst inlines
+    # the outer sorted-array reference into the filter lambda and re-sorts
+    # per element. Shuffle-based distinct is linear; it IS the right shape.
     shd = shingles(docs, n).distinct()
     if max_doc_freq is not None:
         shd = (
