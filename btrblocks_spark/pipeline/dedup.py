@@ -416,3 +416,39 @@ def levenshtein_refine_pairs(
             <= F.lit(max_dist_pct) * F.greatest("len_a", "len_b")
         )
     )
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame, num_perm: int = 8, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Signature-space Jaccard estimation for the LSH candidate pairs:
+    est = fraction of minhash components that agree — the O(k) similarity
+    check a dedup pipeline runs BEFORE any exact (O(document)) verify, and
+    the standard MinHash unbiased Jaccard estimator.
+
+    Shape: candidate pairs (already mined band-wise) join the signature
+    table twice on doc id — the signature frame is one narrow row per doc,
+    so both joins shuffle only (id, 8 ints); the estimate itself is a
+    map-side sum of component equalities."""
+    sigs = minhash_signatures(docs, num_perm, n)
+    pairs = minhash_lsh_pairs(docs, num_perm, bands, n)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(num_perm)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(num_perm)]
+    )
+    agree = None
+    for i in range(num_perm):
+        eq = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        agree = eq if agree is None else agree + eq
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.alias("n_agree"),
+            F.round(agree / F.lit(num_perm), 6).alias("jaccard_est"),
+        )
+    )

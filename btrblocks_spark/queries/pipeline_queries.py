@@ -1323,3 +1323,33 @@ def q_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+_SIG_EQS = " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       {_SIG_EQS} AS n_agree,
+       round(({_SIG_EQS}) / 8.0, 6) AS jaccard_est
+FROM prs p
+JOIN sigs a ON a.doc_id = p.doc_a
+JOIN sigs b ON b.doc_id = p.doc_b
+""",
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash component-agreement Jaccard estimator over LSH candidate
+    pairs (see dedup.minhash_jaccard_estimate)."""
+    from btrblocks_spark.pipeline.dedup import minhash_jaccard_estimate
+
+    return minhash_jaccard_estimate(load_table(spark, sf_dir, "documents"))

@@ -483,3 +483,21 @@ def test_training_batches_concatenation(spark):
     # doc 1 ('a' -> id 1) precedes doc 2 ('b' -> id 2); doc 3 'c' -> UNK 0
     assert by_pack[0].token_ids[0] == 1 and by_pack[0].token_ids[30] == 2
     assert set(by_pack[1].token_ids) == {0}
+
+
+def test_minhash_estimate_identical_docs(spark):
+    """Identical docs agree on every component (est 1.0); the estimator
+    only scores LSH candidate pairs."""
+    from btrblocks_spark.pipeline.dedup import minhash_jaccard_estimate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "unrelated totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r for r in minhash_jaccard_estimate(docs).collect()}
+    assert rows[(1, 2)].n_agree == 8 and rows[(1, 2)].jaccard_est == 1.0
+    assert all(3 not in k for k in rows)
