@@ -73,6 +73,9 @@ HEADLINE = [
     "curation_cap_per_source",
     "events_funnel",
     "text_unigram_surprisal",
+    "events_json_props",
+    "events_gap_fill",
+    "stats_histogram",
 ]
 
 

@@ -31,6 +31,7 @@ def _load_all() -> None:
     # import for registration side effects
     from btrblocks_spark.queries import (  # noqa: F401
         events_queries,
+        extras,
         format_queries,
         pipeline_queries,
         relational,

@@ -1,0 +1,357 @@
+"""Additional declared-surface queries: semi-structured (JSON) extraction,
+time-series gap filling, equi-width histograms, FILTER-clause aggregates,
+ordered list aggregation, multiset set ops, date/time scalars, regex scalars.
+
+These extend SURVEY.md §2b with operations a production lakehouse needs that
+the earlier modules didn't cover. Every query keeps the repo's determinism
+rules: integer arithmetic wherever an engine-ordered float sum could differ,
+unique ORDER BY keys under every window, identical expression shapes on the
+Spark and DuckDB sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btrblocks_spark.queries import register
+from btrblocks_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
+         AS n_missing_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: ``events.props`` holds a JSON object;
+    extract the ``k`` field with a path expression and aggregate it as a
+    typed integer. The reference's type system has no nested data
+    (common/Units.hpp:47-57 — int/double/string only); a real lakehouse
+    stores event payloads as JSON strings, and path extraction at scan time
+    is the standard pattern.
+
+    Scale: ``get_json_object`` is a JVM-side expression inside
+    WholeStageCodegen — no Python, no shuffle before the single map-side
+    combinable aggregation. At 100 TB you would additionally persist the
+    extracted field as a materialized column so the JSON parse happens once
+    at ingest, not per query."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH hours AS (
+  SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, count(*) AS n,
+         count(DISTINCT user_id) AS active_users
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hours),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS hour_idx FROM bounds)
+SELECT s.hour_idx,
+       COALESCE(h.n, 0) AS n_events,
+       COALESCE(h.active_users, 0) AS active_users,
+       CASE WHEN h.hour_idx IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s LEFT JOIN hours h USING (hour_idx)
+""",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly event counts over the full observed
+    span, with missing hours materialized as zero rows (``is_gap=1``) — the
+    densification step every downstream rolling-window or forecasting job
+    needs (a trailing average over sparse rows silently skips quiet hours).
+
+    The hour spine is generated with ``sequence()`` from the 1-row min/max
+    aggregate and exploded — O(span) rows regardless of event count, then
+    broadcast-joined to the hourly aggregate (spine side is tiny: hours in
+    the retention window, ~9k rows/year). Events shuffle once for the
+    hourly groupBy; the spine join is broadcast — no second shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 3600000000000").alias("hour_idx"), "user_id"
+    )
+    hours = e.groupBy("hour_idx").agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("au")
+    )
+    spine = (
+        hours.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    return spine.join(F.broadcast(hours), "hour_idx", "left").select(
+        "hour_idx",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("au", F.lit(0)).alias("active_users"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (reference NumberStats histogram analog)
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH scaled AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM scaled)
+SELECT CAST((cents - lo) * 10 // (hi - lo + 1) AS INTEGER) AS bucket,
+       count(*) AS n,
+       min(cents) AS lo_cents,
+       max(cents) AS hi_cents
+FROM scaled, bounds
+GROUP BY 1
+"""
+
+
+@register("stats_histogram", _HISTOGRAM_ORACLE)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram over l_extendedprice — the
+    distribution profile behind the reference's per-chunk value histogram
+    (stats/NumberStats.hpp:89-121 keeps a value→count map for scheme
+    gating; at real cardinalities that map becomes a bucketed histogram).
+
+    Determinism: prices are scaled to integer cents and the bucket index is
+    pure integer arithmetic ``(x-lo)*10 div (hi-lo+1)`` — no float division
+    whose rounding could place a boundary value differently across engines.
+    The global (lo, hi) is a 1-row aggregate broadcast into the scan; the
+    histogram itself is one map-side-combinable groupBy on ≤10 keys."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = l.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        l.crossJoin(F.broadcast(bounds))
+        .select(
+            ((F.col("cents") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo") + 1))
+            .cast("long")  # truncation == floor here: numerator >= 0
+            .cast("int")
+            .alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+SELECT l_linestatus,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+       count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.0) AS taxed_suppliers,
+       MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag = 'A')
+         AS max_price_cents_A
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (conditional) aggregates — SQL's ``FILTER (WHERE ...)``
+    clause, the one-pass replacement for N self-joins when different
+    aggregates need different predicates. Spark expresses each as
+    ``agg(expr) FILTER``-equivalent ``when()`` guards; all five aggregates
+    share one scan and one shuffle with map-side partials."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return l.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_quantity").cast("long"))
+        ).alias("qty_discounted"),
+        F.countDistinct(
+            F.when(F.col("l_tax") > 0.0, F.col("l_suppkey"))
+        ).alias("taxed_suppliers"),
+        F.max(F.when(F.col("l_returnflag") == "A", cents)).alias("max_price_cents_A"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered list aggregation (LISTAGG / STRING_AGG)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT c_nationkey,
+       count(DISTINCT c_mktsegment) AS n_segments,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (LISTAGG/STRING_AGG): the sorted distinct
+    market segments per nation, concatenated. Determinism rule: a bare
+    ``collect_set`` has partition-dependent order, so the array is
+    ``array_sort``-ed before ``concat_ws`` — same contract as the oracle's
+    ``ORDER BY`` inside ``string_agg``. Distinct-per-group keeps the
+    aggregation state bounded (segments, not customers)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set operations (ALL variants)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+""",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection keeping min(multiplicity):
+    suppliers' key occurrences in the small-quantity multiset that also
+    appear in the discounted multiset. One shuffle on the key (Spark plans
+    it as a count-compare aggregation, not a join)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") < 10).select("l_suppkey")
+    b = l.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_quantity < 10
+""",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (multiplicities subtract, floor 0).
+    The multiset twin of set_except; this is the X3 verification primitive
+    (storage/Chunk.cpp:143-231 compares multisets, not sets — duplicate
+    rows must survive) and exactly what round_trip_verify uses."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    b = l.filter(F.col("l_quantity") < 10).select("l_suppkey")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Date/time scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+       CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_epoch,
+       CAST(EXTRACT(year FROM o_orderdate) * 100 + EXTRACT(month FROM o_orderdate)
+            AS INTEGER) AS month_id
+FROM orders
+WHERE o_orderkey % 10 = 3
+""",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions: year/month/day/quarter extraction,
+    ISO day-of-week, day difference, and a sortable month id. The reference
+    SKIPs date columns entirely (btrfiles/btrfiles.hpp:20-22); Spark gets
+    them natively. Cross-engine traps handled: Spark's ``dayofweek`` is
+    1=Sunday while DuckDB's ``dow`` is 0=Sunday — both sides use the ISO
+    convention (1=Monday) instead; all outputs are integers (no timestamp
+    values in the result, so no timezone/precision hashing concerns)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+        (F.year(d) * 100 + F.month(d)).alias("month_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_regexp",
+    oracle=r"""
+SELECT doc_id,
+       regexp_extract(text, '[0-9]+') AS first_number,
+       length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_no_vowels,
+       CASE WHEN regexp_matches(text, '(data|model|train)') THEN 1 ELSE 0 END AS mentions_ml
+FROM documents
+WHERE doc_id % 7 = 0
+""",
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions over document text: first-match extraction,
+    global replacement, and boolean match — restricted to the Java∩RE2
+    common subset (character classes, literals, alternation; no lookaround,
+    no backreferences) so Spark (java.util.regex) and DuckDB (RE2) agree.
+    Same restriction text.scrub_text documents; these run JVM-side inside
+    codegen — the narrow-map fast path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_number"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+        F.when(F.col("text").rlike("(data|model|train)"), 1).otherwise(0).alias(
+            "mentions_ml"
+        ),
+    )

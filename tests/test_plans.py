@@ -229,3 +229,27 @@ def test_ivf_partitioned_write_prunes_cells(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(out).groupBy("cell").agg(F.count("*").alias("n")).collect()
     )
     assert scanned == sum(per_cell[c] for c in two)
+
+
+def test_gap_fill_broadcasts_spine(spark, sf_dir):
+    """events_gap_fill: the hour spine (O(span) rows) must broadcast-join
+    the hourly aggregate — no shuffle of the aggregate onto the spine."""
+    plan = plan_of(QUERIES["events_gap_fill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_json_extract_stays_in_codegen(spark, sf_dir):
+    """events_json_props: the JSON path extraction is a JVM expression —
+    no Python worker (BatchEvalPython/ArrowEvalPython) in the plan."""
+    plan = plan_of(QUERIES["events_json_props"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "get_json_object" in plan  # the extraction is a JVM expression
+
+
+def test_histogram_single_shuffle(spark, sf_dir):
+    """stats_histogram: the bounds aggregate broadcasts into the scan; the
+    bucket groupBy is the only exchange over the full table (bounds side
+    aggregates a single row)."""
+    plan = plan_of(QUERIES["stats_histogram"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
