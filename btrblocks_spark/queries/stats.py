@@ -211,18 +211,77 @@ GROUP BY run_id, v
 def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length encoding as a relational transform (reference RLE compress,
     scheme/templated/RLE.hpp:20-85): sessionize equal-value runs in key order
-    into (run_value, run_length, start_idx)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    ordered = o.select(
-        F.col("o_orderstatus").alias("v"),
-        F.row_number().over(w).alias("idx"),
-        F.when(
-            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
-        ).otherwise(0).alias("is_start"),
+    into (run_value, run_length, start_idx).
+
+    Scale design — NO global window. A bare ``row_number() OVER (ORDER BY
+    key)`` funnels the table through one task; instead runs are detected
+    with the distributed-RLE merge pattern:
+
+      1. bucket rows by key range (``o_orderkey div 4096``) and find runs
+         per bucket with a bucket-partitioned window — parallel across
+         buckets, one shuffle;
+      2. aggregate one tiny row per bucket (row count, local start count,
+         first/last value by key) and, over that bucket table (rows =
+         table_rows/4096 — driver-scale), compute with lag+cumsum windows:
+         row offsets, run-id offsets, and a merge flag for runs that
+         continue across a bucket boundary (first value == previous
+         bucket's last value);
+      3. broadcast the bucket table back: global idx = local ordinal +
+         row_offset, global run_id = local run + run_offset - merge_flag.
+         Boundary-crossing runs share one global run_id, so the final
+         groupBy stitches their lengths together automatically.
+
+    Identical output to the single-window formulation for any unique
+    (possibly sparse) key, at any partition count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
     )
-    runs = ordered.withColumn("run_id", F.sum("is_start").over(Window.orderBy("idx")))
-    return runs.groupBy("run_id", F.col("v").alias("run_value")).agg(
+    bucketed = o.withColumn("b", F.expr("k div 4096"))
+
+    wb = Window.partitionBy("b").orderBy("k")
+    local = bucketed.select(
+        "b",
+        "k",
+        "v",
+        F.row_number().over(wb).alias("local_rn"),
+        F.when(~F.lag("v").over(wb).eqNullSafe(F.col("v")), 1)
+        .otherwise(0)
+        .alias("is_start"),  # first row of a bucket: lag NULL → is_start=1
+    ).withColumn(
+        "local_run", F.sum("is_start").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    # one row per bucket; windows over THIS table order by bucket id only —
+    # its row count is table_rows/4096, so the unpartitioned window is cheap
+    buckets = local.groupBy("b").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_start").alias("n_starts"),
+        F.min_by("v", "k").alias("first_v"),
+        F.max_by("v", "k").alias("last_v"),
+    )
+    wseq = Window.orderBy("b")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    bucket_meta = (
+        buckets.withColumn(
+            "merge",
+            F.when(
+                F.col("first_v").eqNullSafe(F.lag("last_v").over(wseq)), 1
+            ).otherwise(0),
+        )
+        .withColumn("row_offset", F.coalesce(F.sum("n_rows").over(wcum), F.lit(0)))
+        .withColumn(
+            "run_offset",
+            F.coalesce(F.sum(F.col("n_starts") - F.col("merge")).over(wcum), F.lit(0)),
+        )
+        .select("b", "merge", "row_offset", "run_offset")
+    )
+
+    runs = local.join(F.broadcast(bucket_meta), "b").select(
+        (F.col("local_run") + F.col("run_offset") - F.col("merge")).alias("run_id"),
+        F.col("v").alias("run_value"),
+        (F.col("local_rn") + F.col("row_offset")).alias("idx"),
+    )
+    return runs.groupBy("run_id", "run_value").agg(
         F.count("*").alias("run_length"),
         F.min("idx").alias("start_idx"),
     )
