@@ -1,0 +1,196 @@
+"""Distributed replacements for global (unpartitioned) window functions.
+
+A bare ``row_number()/lag() OVER (ORDER BY key)`` is a single-task sort of
+the whole table — the one plan shape that can never survive a 100× scale-up.
+Every helper here computes the same result with the two-phase pattern the
+chunker uses for its global index (format/chunker.py):
+
+  phase 1 (parallel): bucket rows by a key-range expression that is
+      monotone in the global order, and run the window per bucket;
+  phase 2 (tiny): aggregate ONE row per bucket, fix up cross-bucket state
+      (row offsets, run continuations) with a window over that bucket
+      table — its row count is table_rows/bucket_width, driver-scale —
+      and broadcast it back.
+
+Results are bit-identical to the single-window formulation for any unique
+(possibly sparse) order key, at any partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Global 1-based row_number over ``order_cols`` without a global sort.
+
+    ``bucket`` must be monotone non-decreasing in the ``order_cols`` order
+    (a key-range expression like ``k div 4096``). Adds ``idx_col``; keeps
+    every input column; drops nothing else."""
+    b = df.withColumn("_b", bucket)
+    wb = Window.partitionBy("_b").orderBy(*order_cols)
+    local = b.withColumn("_local_rn", F.row_number().over(wb))
+
+    meta = (
+        local.groupBy("_b")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_row_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_row_offset")
+    )
+    return (
+        local.join(F.broadcast(meta), "_b")
+        .withColumn(idx_col, F.col("_local_rn") + F.col("_row_offset"))
+        .drop("_b", "_local_rn", "_row_offset")
+    )
+
+
+def bucketed_runs(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Equal-value run detection in global ``order_cols`` order: returns
+    (run_id, run_value, idx) per input row, where run_id is 1-based over
+    the whole table and runs crossing bucket boundaries share one id.
+
+    Phase 2 computes, per bucket: first/last value (to detect
+    continuations), row offset, and run-id offset ``Σ (local_starts -
+    merge)``; the final ids are local + offset with the merge flag
+    shifting a continuing bucket's runs onto the previous bucket's last
+    run id."""
+    b = df.select(
+        bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v")
+    )
+    wb = Window.partitionBy("_b").orderBy(*order_cols)
+    key_struct = F.struct(*[F.col(c) for c in order_cols])
+    local = b.select(
+        "_b",
+        "_v",
+        F.row_number().over(wb).alias("_local_rn"),
+        F.when(~F.lag("_v").over(wb).eqNullSafe(F.col("_v")), 1)
+        .otherwise(0)
+        .alias("_is_start"),  # bucket's first row: lag NULL → start
+        key_struct.alias("_key"),
+    ).withColumn(
+        "_local_run",
+        F.sum("_is_start").over(
+            Window.partitionBy("_b")
+            .orderBy("_key")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    wseq = Window.orderBy("_b")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, -1)
+    meta = (
+        local.groupBy("_b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_is_start").alias("_starts"),
+            F.min_by("_v", "_key").alias("_first_v"),
+            F.max_by("_v", "_key").alias("_last_v"),
+        )
+        .withColumn(
+            "_merge",
+            F.when(F.col("_first_v").eqNullSafe(F.lag("_last_v").over(wseq)), 1)
+            .otherwise(0),
+        )
+        .withColumn("_row_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0)))
+        .withColumn(
+            "_run_offset",
+            F.coalesce(F.sum(F.col("_starts") - F.col("_merge")).over(wcum), F.lit(0)),
+        )
+        .select("_b", "_merge", "_row_offset", "_run_offset")
+    )
+
+    return local.join(F.broadcast(meta), "_b").select(
+        (F.col("_local_run") + F.col("_run_offset") - F.col("_merge")).alias("run_id"),
+        F.col("_v").alias("run_value"),
+        (F.col("_local_rn") + F.col("_row_offset")).alias("idx"),
+    )
+
+
+def bucketed_order_profile(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """One-row profile of ``value_col`` in global order: run count and
+    global sortedness, plus the plain aggregates — the distributed T1
+    stats pass (reference stats/NumberStats.hpp:78-130) without a global
+    lag window.
+
+    total_runs = Σ local_starts − Σ boundary_continuations;
+    is_sorted  = every bucket locally sorted AND every boundary pair
+    ordered. Null values: a null never starts/continues a run comparison
+    (eqNullSafe), matching the single-window formulation."""
+    b = df.select(bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v"))
+    wb = Window.partitionBy("_b").orderBy(*order_cols)
+    key_struct = F.struct(*[F.col(c) for c in order_cols])
+    prev = F.lag("_v").over(wb)
+    local = b.select(
+        "_b",
+        "_v",
+        key_struct.alias("_key"),
+        F.when(prev.isNull() | (F.col("_v") != prev), 1).otherwise(0).alias("_is_start"),
+        F.when(prev.isNull() | (F.col("_v") >= prev), 1).otherwise(0).alias("_ok"),
+    )
+    # first/last value by key via struct min/max (keys unique, so the
+    # struct compares on key alone; null values ride along — min_by/max_by
+    # would drop them)
+    per_bucket = local.groupBy("_b").agg(
+        F.count("*").alias("n"),
+        F.count("_v").alias("n_set"),
+        F.min("_v").alias("mn"),
+        F.max("_v").alias("mx"),
+        F.sum("_is_start").alias("starts"),
+        F.min("_ok").alias("sorted_local"),
+        F.min(F.struct("_key", "_v")).getField("_v").alias("first_v"),
+        F.max(F.struct("_key", "_v")).getField("_v").alias("last_v"),
+    )
+    wseq = Window.orderBy("_b")
+    prev_last = F.lag("last_v").over(wseq)
+    # SQL three-valued boundary semantics, matching the global-lag
+    # formulation exactly: the bucket's first row CONTINUES the previous
+    # run iff prev_last is not null and (first_v <> prev_last) is not true
+    # (a null first_v therefore continues); it breaks sortedness unless
+    # (first_v >= prev_last) is true or prev_last is null.
+    continues = prev_last.isNotNull() & ~F.coalesce(
+        F.col("first_v") != prev_last, F.lit(False)
+    )
+    fixed = per_bucket.select(
+        "n",
+        "n_set",
+        "mn",
+        "mx",
+        "sorted_local",
+        (F.col("starts") - F.when(continues, 1).otherwise(0)).alias("starts_adj"),
+        F.when(prev_last.isNull() | (F.col("first_v") >= prev_last), 1)
+        .otherwise(0)
+        .alias("boundary_ok"),
+    )
+    return fixed.agg(
+        F.sum("n").alias("n_rows"),
+        F.sum("n_set").alias("n_set"),
+        F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"),
+        F.sum("starts_adj").alias("total_runs"),
+        (F.min("sorted_local") * F.min("boundary_ok")).cast("boolean").alias("is_sorted"),
+    )

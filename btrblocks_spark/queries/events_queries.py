@@ -101,15 +101,20 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percentile_cont interpolation arithmetic is engine-specific).
 
     Scale note: at cluster scale this becomes approx_percentile (t-digest)
-    — rank selection here doubles as its exactness oracle."""
-    from pyspark.sql.window import Window
+    — rank selection here doubles as its exactness oracle. The global rank
+    comes from the bucketed two-phase row_number (_distributed), not a
+    single-task global sort: value-range buckets sort in parallel, a tiny
+    per-bucket offset table globalizes the ranks."""
+    from btrblocks_spark.queries._distributed import bucketed_row_number
 
     o = load_table(spark, sf_dir, "orders")
     n = o.count()
-    ordered = o.select(
-        "o_totalprice",
-        F.row_number().over(Window.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
-    )
+    ordered = bucketed_row_number(
+        o,
+        F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long"),
+        ["o_totalprice", "o_orderkey"],
+        idx_col="rn",
+    ).select("o_totalprice", "rn")
     ps = [0.25, 0.5, 0.75, 0.9, 0.99]
     targets = spark.createDataFrame(
         [(p, int(p * (n - 1)) + 1) for p in ps], "p double, rn long"

@@ -56,30 +56,19 @@ def _rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE-encode o_orderstatus ordered by o_orderkey → one row per run
     (value, run_length, start_idx). The I4 encode as a relational op.
 
-    Scale note: this whole-table variant uses a global window so it stays
-    SQL-oracle-comparable. The PRODUCTION encode path is chunk-local
-    (codecs._rle_encode inside the writer's applyInPandas) — in the
-    reference too, runs never cross chunk boundaries (Datablock::compress
-    is chunk-at-a-time), so the scalable path is embarrassingly parallel
-    per chunk with no global window anywhere."""
-    from pyspark.sql.window import Window
+    Scale note: whole-table runs come from the bucketed two-phase merge
+    (_distributed.bucketed_runs) — parallel per key-range bucket, tiny
+    boundary-fixup table, no global window. The PRODUCTION encode path is
+    chunk-local (codecs._rle_encode inside the writer's applyInPandas) —
+    in the reference too, runs never cross chunk boundaries
+    (Datablock::compress is chunk-at-a-time)."""
+    from btrblocks_spark.queries._distributed import bucketed_runs
 
-    df = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    w = Window.orderBy("o_orderkey")
-    flagged = df.select(
-        F.col("o_orderstatus").alias("v"),
-        F.row_number().over(w).alias("idx"),
-        F.when(
-            F.lag("o_orderstatus").over(w).isNull()
-            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
-            1,
-        ).otherwise(0).alias("is_start"),
+    df = load_table(spark, sf_dir, "orders")
+    runs = bucketed_runs(
+        df, F.expr("o_orderkey div 4096"), ["o_orderkey"], "o_orderstatus"
     )
-    runs = flagged.withColumn(
-        "run_id",
-        F.sum("is_start").over(Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return runs.groupBy("v", "run_id").agg(
+    return runs.groupBy(F.col("run_value").alias("v"), "run_id").agg(
         F.count("*").alias("run_length"), F.min("idx").alias("start_idx")
     )
 

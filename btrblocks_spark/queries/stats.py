@@ -50,23 +50,31 @@ FROM ordered
 
 @register("stats_numeric_profile", _NUMERIC_PROFILE_ORACLE)
 def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 numeric profile (stats/NumberStats.hpp:78-130) — run length and
+    sortedness come from the bucketed two-phase pass (_distributed.
+    bucketed_order_profile), NOT a global lag window: per-bucket windows in
+    parallel, boundary fixups over a one-row-per-bucket table. The exact
+    distinct count is a second parallel aggregate cross-joined in (distinct
+    is not bucket-mergeable; two parallel scans beat one serial window)."""
+    from btrblocks_spark.queries._distributed import bucketed_order_profile
+
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    ordered = l.select(
-        F.col("l_quantity").alias("v"),
-        F.lag("l_quantity").over(w).alias("prev"),
+    prof = bucketed_order_profile(
+        l,
+        F.expr("l_orderkey div 4096"),
+        ["l_orderkey", "l_linenumber"],
+        "l_quantity",
     )
-    run_start = F.when(F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1).otherwise(0)
-    sorted_flag = F.when(F.col("prev").isNull() | (F.col("v") >= F.col("prev")), 1).otherwise(0)
-    return ordered.agg(
+    uniq = l.agg(F.count_distinct("l_quantity").alias("unique_count"))
+    return prof.crossJoin(uniq).select(
         F.lit("l_quantity").alias("column_name"),
-        F.count("*").alias("n_rows"),
-        F.min("v").cast("double").alias("min_v"),
-        F.max("v").cast("double").alias("max_v"),
-        (F.count("*") - F.count("v")).alias("null_count"),
-        F.count_distinct("v").alias("unique_count"),
-        (F.count("*").cast("double") / F.sum(run_start)).alias("avg_run_length"),
-        F.min(sorted_flag).cast("boolean").alias("is_sorted"),
+        "n_rows",
+        F.col("min_v").cast("double"),
+        F.col("max_v").cast("double"),
+        (F.col("n_rows") - F.col("n_set")).alias("null_count"),
+        "unique_count",
+        (F.col("n_rows").cast("double") / F.col("total_runs")).alias("avg_run_length"),
+        "is_sorted",
     )
 
 
@@ -135,11 +143,15 @@ def stats_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked stats: the Spark analog of per-chunk `NumberStats` feeding
     `SchemePicker` (compression/SchemePicker.hpp:70-221). block_size=4096
     here so small SFs still produce multiple chunks."""
+    from btrblocks_spark.queries._distributed import bucketed_row_number
+
     l = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    ordered = l.select(
+    indexed = bucketed_row_number(
+        l, F.expr("l_orderkey div 4096"), ["l_orderkey", "l_linenumber"]
+    )
+    ordered = indexed.select(
         F.col("l_extendedprice").alias("v"),
-        F.floor((F.row_number().over(w) - 1) / F.lit(4096)).cast("bigint").alias("chunk_id"),
+        F.floor((F.col("idx") - 1) / F.lit(4096)).cast("bigint").alias("chunk_id"),
     )
     return ordered.groupBy("chunk_id").agg(
         F.count("*").alias("n_rows"),
@@ -233,53 +245,11 @@ def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Identical output to the single-window formulation for any unique
     (possibly sparse) key, at any partition count."""
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
-    )
-    bucketed = o.withColumn("b", F.expr("k div 4096"))
+    from btrblocks_spark.queries._distributed import bucketed_runs
 
-    wb = Window.partitionBy("b").orderBy("k")
-    local = bucketed.select(
-        "b",
-        "k",
-        "v",
-        F.row_number().over(wb).alias("local_rn"),
-        F.when(~F.lag("v").over(wb).eqNullSafe(F.col("v")), 1)
-        .otherwise(0)
-        .alias("is_start"),  # first row of a bucket: lag NULL → is_start=1
-    ).withColumn(
-        "local_run", F.sum("is_start").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-    )
-
-    # one row per bucket; windows over THIS table order by bucket id only —
-    # its row count is table_rows/4096, so the unpartitioned window is cheap
-    buckets = local.groupBy("b").agg(
-        F.count("*").alias("n_rows"),
-        F.sum("is_start").alias("n_starts"),
-        F.min_by("v", "k").alias("first_v"),
-        F.max_by("v", "k").alias("last_v"),
-    )
-    wseq = Window.orderBy("b")
-    wcum = wseq.rowsBetween(Window.unboundedPreceding, -1)
-    bucket_meta = (
-        buckets.withColumn(
-            "merge",
-            F.when(
-                F.col("first_v").eqNullSafe(F.lag("last_v").over(wseq)), 1
-            ).otherwise(0),
-        )
-        .withColumn("row_offset", F.coalesce(F.sum("n_rows").over(wcum), F.lit(0)))
-        .withColumn(
-            "run_offset",
-            F.coalesce(F.sum(F.col("n_starts") - F.col("merge")).over(wcum), F.lit(0)),
-        )
-        .select("b", "merge", "row_offset", "run_offset")
-    )
-
-    runs = local.join(F.broadcast(bucket_meta), "b").select(
-        (F.col("local_run") + F.col("run_offset") - F.col("merge")).alias("run_id"),
-        F.col("v").alias("run_value"),
-        (F.col("local_rn") + F.col("row_offset")).alias("idx"),
+    o = load_table(spark, sf_dir, "orders")
+    runs = bucketed_runs(
+        o, F.expr("o_orderkey div 4096"), ["o_orderkey"], "o_orderstatus"
     )
     return runs.groupBy("run_id", "run_value").agg(
         F.count("*").alias("run_length"),
