@@ -283,6 +283,10 @@ def dedup_clusters(
         .localCheckpoint()
     )
     edges = edges.localCheckpoint()
+    # convergence witness: labels only ever decrease (min-propagation), so
+    # sum(label) strictly decreases until the fixed point — one map-side
+    # aggregate per round instead of a self-join diff count
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -294,15 +298,11 @@ def dedup_clusters(
             .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, F.col("doc_id") == F.col("node"), "left")

@@ -355,3 +355,51 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mentions_ml"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: VARIANT type (parse once, extract many)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+WITH parsed AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT k // 10 AS k_decile,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       SUM(k) AS sum_k
+FROM parsed
+WHERE k IS NOT NULL
+GROUP BY 1
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: ``try_parse_json`` decodes the payload
+    to Spark's binary VARIANT encoding ONCE, then typed ``try_variant_get``
+    extractions read subfields without re-parsing — the Spark-4 idiom for
+    JSON-heavy event tables (vs events_json_props' per-expression string
+    parse). Malformed payloads become NULL instead of failing the query
+    (``try_`` variants), which is what a 100 TB ingest needs — one bad row
+    must not kill a stage. Distribution: decile-bucketed counts of the
+    extracted integer."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "user_id", F.try_parse_json("props").alias("v")
+    ).select(
+        "user_id", F.try_variant_get("v", "$.k", "bigint").alias("k")
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy(F.expr("k div 10").alias("k_decile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
