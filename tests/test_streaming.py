@@ -180,9 +180,9 @@ def test_streaming_upsert_versioned_snapshots(spark, tmpdir):
 
     from btrblocks_spark.streaming.ops import read_snapshot, streaming_upsert
 
-    src = str(tmpdir.join("updates"))
-    table = str(tmpdir.join("table"))
-    ckpt = str(tmpdir.join("ckpt"))
+    src = os.path.join(tmpdir, "updates")
+    table = os.path.join(tmpdir, "table")
+    ckpt = os.path.join(tmpdir, "ckpt")
     os.makedirs(src)
 
     schema = "k long, val string, seq long"
