@@ -138,3 +138,35 @@ def tfidf_terms(
         .filter(F.col("rnk") <= top_terms_per_doc)
         .select("doc_id", "rnk", "term", "tf", "df", "tfidf")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_const: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists — the standard hybrid-
+    retrieval combiner (lexical BM25 + vector ANN): each list contributes
+    ``1/(k + rank)``; documents missing from a list contribute 0.
+
+    Inputs carry (id_col, rank); both lists are top-k prefixes, so the
+    full-outer join touches ≤ 2k rows — driver-scale regardless of corpus
+    size. Determinism: each reciprocal is rounded to 6 dp (no decimal tie
+    is possible at 1/(k+rank) for k+rank ≤ a few hundred except exactly
+    terminating values), then decimal-summed."""
+    a = ranked_a.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col).alias("doc_id"), F.col("rank").alias("rank_b"))
+    recip = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(k_const) + F.col(c)), 6).cast("decimal(18,6)"),
+        F.lit(0).cast("decimal(18,6)"),
+    )
+    return (
+        a.join(b, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            (recip("rank_a") + recip("rank_b")).cast("double").alias("rrf_score"),
+        )
+    )

@@ -297,3 +297,46 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def filtered_cosine_topk(
+    vecs: DataFrame,
+    query_ids: list[int],
+    allowed_labels: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors restricted to
+    vectors whose ``label`` passes the predicate — the metadata-filtered
+    ANN every retrieval stack needs (filter + search in one plan, not
+    post-filtering a larger candidate list, which can silently return
+    < k hits).
+
+    The label predicate is applied BEFORE scoring, so Catalyst pushes it
+    into the corpus scan (at scale: partition pruning on a label-
+    partitioned table) and the distance fold runs only on surviving rows."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    labels = vecs.select(F.col(id_col).alias("vec_id"), F.col(label_col).alias("_lbl"))
+    corpus = corpus.join(labels, "vec_id").filter(F.col("_lbl").isin(allowed_labels))
+    queries = _as_double(vecs, vec_col, id_col).filter(
+        F.col("vec_id").isin(query_ids)
+    ).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_lbl").alias("label"),
+            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "label", "cosine")
+    )

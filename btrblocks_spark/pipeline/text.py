@@ -478,3 +478,36 @@ def scrub_text(
     return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text")).withColumn(
         "total_redactions", total.cast("long")
     )
+
+
+def chunk_windows(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows — the
+    RAG/embedding chunking pass (size-stride overlap keeps sentences that
+    straddle a boundary retrievable from at least one chunk).
+
+    Pure narrow map: ``sequence(0, len-1, stride)`` + explode generates the
+    offsets per row, ``substring`` slices — no shuffle, no Python; output
+    rows ≈ corpus_chars/stride regardless of document count."""
+    ln = F.length(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(ln - 1, F.lit(0)), F.lit(stride))
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") / stride).cast("int").alias("win_no"),
+            "off",
+            F.substring(F.col("_t"), F.col("off") + 1, F.lit(size)).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )

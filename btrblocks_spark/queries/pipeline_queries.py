@@ -1353,3 +1353,146 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.dedup import minhash_jaccard_estimate
 
     return minhash_jaccard_estimate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking / filtered ANN / hybrid retrieval fusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk_windows",
+    oracle="""
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS off
+  FROM documents
+)
+SELECT doc_id,
+       CAST(off / 150 AS INTEGER) AS win_no,
+       off,
+       substr(text, off + 1, 200) AS chunk_text,
+       length(substr(text, off + 1, 200)) AS chunk_len
+FROM offs
+""",
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (text.chunk_windows) — the
+    RAG/embedding pre-pass; narrow map, rows ≈ corpus_chars/stride."""
+    from btrblocks_spark.pipeline.text import chunk_windows
+
+    return chunk_windows(load_table(spark, sf_dir, "documents"), size=200, stride=150)
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+c AS (SELECT * FROM e WHERE label IN (0, 2, 5)),
+scored AS (
+  SELECT q_id, c.vec_id AS neighbor_id, c.label,
+         round({_cosine_sql('qv', 'c.v')}, 6) AS cosine
+  FROM q CROSS JOIN c WHERE c.vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, label, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, label, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.filtered_cosine_topk):
+    the label predicate prunes the corpus BEFORE distance scoring."""
+    from btrblocks_spark.pipeline.similarity import filtered_cosine_topk
+
+    return filtered_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, [0, 2, 5], k=5
+    )
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         lower(unnest(string_split(text, ' '))) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM tok WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) / count(*) AS avgdl
+  FROM documents
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT doc_id,
+         round(
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+         6) AS c
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+bm_scored AS (
+  SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 50
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+  FROM bm_scored
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id, round({_cosine_sql('qvec', 'e.v')}, 6) AS cosine
+  FROM e CROSS JOIN qv WHERE e.vec_id != 0
+),
+vec AS (
+  SELECT doc_id, rank_b FROM (
+    SELECT doc_id, cosine,
+           row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_b
+    FROM vec_scored
+  ) WHERE rank_b <= 50
+)
+SELECT COALESCE(bm.doc_id, vec.doc_id) AS doc_id,
+       rank_a, rank_b,
+       CAST(
+         COALESCE(CAST(round(1.0 / (60 + rank_a), 6) AS DECIMAL(18,6)),
+                  CAST(0 AS DECIMAL(18,6)))
+         + COALESCE(CAST(round(1.0 / (60 + rank_b), 6) AS DECIMAL(18,6)),
+                    CAST(0 AS DECIMAL(18,6)))
+       AS DOUBLE) AS rrf_score
+FROM bm FULL JOIN vec USING (doc_id)
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and vector top-50 (query =
+    embedding of doc 0 — vec_id aligns with doc_id in the testdata) fused
+    with reciprocal-rank fusion (retrieval.rrf_fuse), top-20 overall.
+
+    Scale: both input lists are already top-k prefixes, so the fusion join
+    is O(k) — the expensive parts (BM25 scan, ANN scoring) are exactly the
+    operators benchmarked on their own; fusion adds no full-corpus work."""
+    from btrblocks_spark.pipeline.retrieval import bm25_topk, rrf_fuse
+    from btrblocks_spark.pipeline.similarity import cosine_topk
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _BM25_TERMS, k=50).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+    )
+    vec = (
+        cosine_topk(load_table(spark, sf_dir, "embeddings"), [0], k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = rrf_fuse(bm.select("doc_id", "rank"), vec)
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
