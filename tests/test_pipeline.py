@@ -501,3 +501,48 @@ def test_minhash_estimate_identical_docs(spark):
     rows = {(r.doc_a, r.doc_b): r for r in minhash_jaccard_estimate(docs).collect()}
     assert rows[(1, 2)].n_agree == 8 and rows[(1, 2)].jaccard_est == 1.0
     assert all(3 not in k for k in rows)
+
+
+def test_chunk_windows_boundaries(spark):
+    """Overlap math: a 350-char doc at size=200/stride=150 yields windows at
+    offsets 0/150/300 with lengths 200/200/50; empty docs yield one empty
+    window (offset 0)."""
+    from btrblocks_spark.pipeline.text import chunk_windows
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 350), (2, "")], "doc_id long, text string"
+    )
+    rows = {(r.doc_id, r.win_no): r for r in chunk_windows(docs).collect()}
+    assert [rows[(1, i)].off for i in range(3)] == [0, 150, 300]
+    assert [rows[(1, i)].chunk_len for i in range(3)] == [200, 200, 50]
+    assert rows[(2, 0)].chunk_len == 0 and len(rows) == 4
+
+
+def test_rrf_fuse_disjoint_and_overlap(spark):
+    """RRF: a doc in both lists scores 1/(60+ra)+1/(60+rb); single-list
+    docs score one term; missing ranks come back NULL not 0."""
+    from btrblocks_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "doc_id long, rank int")
+    rows = {r.doc_id: r for r in rrf_fuse(a, b).collect()}
+    assert rows[11].rrf_score == round(1 / 62, 6) + round(1 / 61, 6)
+    assert rows[10].rrf_score == round(1 / 61, 6) and rows[10].rank_b is None
+    assert rows[12].rrf_score == round(1 / 62, 6) and rows[12].rank_a is None
+
+
+def test_filtered_topk_respects_predicate(spark, sf_dir):
+    """Every returned neighbor passes the label filter, and ranks are a
+    1..k prefix per query."""
+    from btrblocks_spark.pipeline.similarity import filtered_cosine_topk
+    from btrblocks_spark.tables import load_table
+
+    out = filtered_cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1], [3], k=4
+    ).collect()
+    assert out and all(r.label == 3 for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
