@@ -624,3 +624,72 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_wk", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS hour_idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type,
+         count(*) AS n_hours,
+         SUM(n) AS s1,
+         SUM(n * n) AS s2
+  FROM hourly GROUP BY event_type
+),
+scored AS (
+  SELECT h.event_type, h.hour_idx, h.n,
+         CAST(s1 AS DOUBLE) / n_hours AS mean_n,
+         sqrt(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)) / n_hours AS std_n
+  FROM hourly h JOIN moments USING (event_type)
+)
+SELECT event_type, hour_idx, n,
+       round(mean_n, 6) AS mean_n,
+       round((n - mean_n) / std_n, 4) AS zscore,
+       CASE WHEN abs((n - mean_n) / std_n) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: z-score of each (event_type, hour)
+    count against that type's hourly mean/stddev, |z| > 2 flagged. The
+    moments are EXACT integer sums (counts), so mean/std/z reproduce
+    bit-identically across engines and partitionings — same discipline as
+    stats_moments.
+
+    Scale: hourly counts are one map-side-combinable groupBy; the moments
+    table is one tiny row per event type, broadcast back onto the hourly
+    frame. Nothing is sized by raw event count after the first aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 3600000000000").alias("hour_idx")
+    )
+    hourly = e.groupBy("event_type", "hour_idx").agg(F.count("*").alias("n"))
+    m = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean_n = F.col("s1").cast("double") / F.col("n_hours")
+    std_n = (
+        F.sqrt((F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+        / F.col("n_hours")
+    )
+    z = (F.col("n") - F.col("mean_raw")) / F.col("std_raw")
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .withColumn("mean_raw", mean_n)
+        .withColumn("std_raw", std_n)
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            F.round("mean_raw", 6).alias("mean_n"),
+            F.round(z, 4).alias("zscore"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
