@@ -23,6 +23,7 @@ state is dropped). The append sink writes whole chunks per microbatch; at
 
 from btrblocks_spark.streaming.ops import (
     chunked_append,
+    enrich_stream,
     dedup_stream,
     sessionize,
     stream_source,
@@ -31,6 +32,7 @@ from btrblocks_spark.streaming.ops import (
 
 __all__ = [
     "stream_source",
+    "enrich_stream",
     "windowed_rollup",
     "chunked_append",
     "sessionize",

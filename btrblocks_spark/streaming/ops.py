@@ -317,3 +317,16 @@ def streaming_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static enrichment join: each microbatch left-joins the static
+    dimension snapshot. Spark re-plans the static side per microbatch, so a
+    small dimension rides as a broadcast hash join — no state, no shuffle
+    of the stream, and a dimension refresh is picked up on the next batch.
+
+    This is the streaming twin of the batch broadcast dimension join
+    (queries/relational.join_broadcast); at 100 TB/day of stream the
+    static side is the ONLY thing that must stay broadcast-sized — the
+    stream side never exchanges."""
+    return stream.join(F.broadcast(dim), keys, "left")

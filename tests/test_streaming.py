@@ -208,3 +208,31 @@ def test_streaming_upsert_versioned_snapshots(spark, tmpdir):
     assert len(versions) >= 2  # one commit per non-empty microbatch
     v0 = {r.k for r in spark.read.parquet(os.path.join(table, versions[0])).collect()}
     assert v0  # earliest version still readable
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast enrichment: per-microbatch left join against
+    a static dimension equals the batch join over the same data."""
+    from btrblocks_spark.streaming.ops import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(uid, f"tier_{uid % 3}") for uid in range(0, 200)],
+        "user_id long, tier string",
+    )
+    stream = stream_source(spark, events_dir)
+    q = _run_to_memory(
+        enrich_stream(stream.select("event_id", "user_id"), dim, ["user_id"]),
+        "enrich_test",
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["tier"])
+        for r in spark.sql("select * from enrich_test").collect()
+    )
+    q.stop()
+
+    batch = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    expect = sorted(
+        (r["event_id"], r["user_id"], r["tier"])
+        for r in batch.join(dim, ["user_id"], "left").collect()
+    )
+    assert got == expect and len(got) > 0
