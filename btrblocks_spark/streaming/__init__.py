@@ -10,6 +10,8 @@ append-only (SURVEY §2b/§7) — so the streaming layer provides:
                       chunks through the format writer's sizing rules
   sessionize          custom stateful operator (session windows with idle
                       gap) via applyInPandasWithState
+  enrich_stream       stream-static broadcast enrichment join (per-batch
+                      dimension snapshot, no stream shuffle)
   dedup_stream        watermark-bounded exact dedup
                       (dropDuplicatesWithinWatermark) — streaming twin of
                       pipeline.dedup.dedup_exact
