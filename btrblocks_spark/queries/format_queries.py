@@ -309,3 +309,50 @@ def format_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_sk"),
         F.max("l_suppkey").alias("max_sk"),
     )
+
+
+@register(
+    "format_bitmap_index",
+    oracle="""
+WITH chunked AS (
+  SELECT o_orderkey // 2048 AS chunk,
+         o_orderkey % 2048 AS pos,
+         o_totalprice
+  FROM orders
+)
+SELECT chunk,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE o_totalprice > 300000) AS n_selected,
+       count(DISTINCT CASE WHEN o_totalprice > 300000 THEN pos END) AS bitmap_cardinality
+FROM chunked GROUP BY chunk
+""",
+)
+def format_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-chunk selection bitmaps with Spark's native bitmap
+    aggregates — the real data structure behind the reference's roaring
+    nullmap/selection bitmaps (extern/RoaringBitmap.cpp:117-159 compresses
+    a chunk's set-positions; the scan stub scheme/CompressionScheme.hpp:47
+    was meant to produce exactly this).
+
+    ``bitmap_bit_position(pos+1)`` (the function is 1-based: bit =
+    (x-1) mod 32768) → ``bitmap_construct_agg`` builds one
+    bitmap per chunk from in-chunk row positions passing the predicate;
+    ``bitmap_count`` reads back its cardinality. The bitmaps themselves
+    are mergeable with ``bitmap_or_agg`` (chunk → part → table rollup, the
+    same associative-sketch shape as stats_hll_sketch_union). The oracle
+    checks the cardinality against a COUNT DISTINCT of the same positions
+    — validating the bitmap content, not just the row count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 2048").alias("chunk"),
+        (F.col("o_orderkey") % 2048).alias("pos"),
+        "o_totalprice",
+    )
+    sel = F.col("o_totalprice") > 300000
+    return o.groupBy("chunk").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(sel, 1)).alias("n_selected"),
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(CASE WHEN o_totalprice > 300000 THEN pos + 1 END)))"
+        ).alias("bitmap_cardinality"),
+    )
