@@ -69,23 +69,29 @@ def bucketed_runs(
     (run_id, run_value, idx) per input row, where run_id is 1-based over
     the whole table and runs crossing bucket boundaries share one id.
 
-    Phase 2 computes, per bucket: first/last value (to detect
-    continuations), row offset, and run-id offset ``Σ (local_starts -
-    merge)``; the final ids are local + offset with the merge flag
-    shifting a continuing bucket's runs onto the previous bucket's last
-    run id."""
+    Run-start semantics mirror ``lag(v) IS DISTINCT FROM v`` exactly,
+    including its null quirks: a leading NULL value does NOT start a run
+    (its rows get run_id 0), and a NULL following a NULL continues the
+    run. Phase 1 forces every bucket's first row to is_start=0 (its true
+    start flag cannot be known locally); phase 2 computes that flag per
+    bucket as ``first_v IS DISTINCT FROM prev_bucket_last_v`` — the lag
+    over the bucket table is NULL for the first bucket, which is exactly
+    the NULL the global lag would have produced. Global run_id =
+    local_run + first_start(bucket) + Σ earlier buckets' starts."""
     b = df.select(
         bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v")
     )
     wb = Window.partitionBy("_b").orderBy(*order_cols)
     key_struct = F.struct(*[F.col(c) for c in order_cols])
+    prev_exists = F.lag(F.lit(1)).over(wb)
     local = b.select(
         "_b",
         "_v",
         F.row_number().over(wb).alias("_local_rn"),
-        F.when(~F.lag("_v").over(wb).eqNullSafe(F.col("_v")), 1)
+        F.when(prev_exists.isNull(), 0)  # first row: resolved in phase 2
+        .when(~F.lag("_v").over(wb).eqNullSafe(F.col("_v")), 1)
         .otherwise(0)
-        .alias("_is_start"),  # bucket's first row: lag NULL → start
+        .alias("_is_start"),
         key_struct.alias("_key"),
     ).withColumn(
         "_local_run",
@@ -103,24 +109,29 @@ def bucketed_runs(
         .agg(
             F.count("*").alias("_n"),
             F.sum("_is_start").alias("_starts"),
-            F.min_by("_v", "_key").alias("_first_v"),
-            F.max_by("_v", "_key").alias("_last_v"),
+            F.min(F.struct("_key", "_v")).getField("_v").alias("_first_v"),
+            F.max(F.struct("_key", "_v")).getField("_v").alias("_last_v"),
         )
         .withColumn(
-            "_merge",
-            F.when(F.col("_first_v").eqNullSafe(F.lag("_last_v").over(wseq)), 1)
-            .otherwise(0),
+            "_first_start",
+            F.when(
+                F.col("_first_v").eqNullSafe(F.lag("_last_v").over(wseq)), 0
+            ).otherwise(1),
         )
         .withColumn("_row_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0)))
         .withColumn(
             "_run_offset",
-            F.coalesce(F.sum(F.col("_starts") - F.col("_merge")).over(wcum), F.lit(0)),
+            F.coalesce(
+                F.sum(F.col("_starts") + F.col("_first_start")).over(wcum), F.lit(0)
+            ),
         )
-        .select("_b", "_merge", "_row_offset", "_run_offset")
+        .select("_b", "_first_start", "_row_offset", "_run_offset")
     )
 
     return local.join(F.broadcast(meta), "_b").select(
-        (F.col("_local_run") + F.col("_run_offset") - F.col("_merge")).alias("run_id"),
+        (F.col("_local_run") + F.col("_run_offset") + F.col("_first_start")).alias(
+            "run_id"
+        ),
         F.col("_v").alias("run_value"),
         (F.col("_local_rn") + F.col("_row_offset")).alias("idx"),
     )

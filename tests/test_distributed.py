@@ -1,0 +1,116 @@
+"""Property tests: the two-phase bucketed helpers (queries/_distributed.py)
+must be bit-identical to the naive single-window formulation on arbitrary
+data — sparse keys, nulls, every-row-distinct, all-equal runs."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from btrblocks_spark.queries._distributed import (
+    bucketed_order_profile,
+    bucketed_row_number,
+    bucketed_runs,
+)
+
+# rows: (unique sparse key, small value domain so runs form, ~10% nulls)
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[0],
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v int").repartition(5)
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_bucketed_row_number_matches_window(spark, rows):
+    df = _df(spark, rows)
+    got = sorted(
+        (r.k, r.idx)
+        for r in bucketed_row_number(df, F.expr("k div 64"), ["k"]).collect()
+    )
+    want = sorted(
+        (r.k, r.idx)
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("idx")
+        ).collect()
+    )
+    assert got == want
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_bucketed_runs_matches_window(spark, rows):
+    df = _df(spark, rows)
+    got = sorted(
+        (
+            (r.run_id, r.idx, r.run_value)
+            for r in bucketed_runs(df, F.expr("k div 64"), ["k"], "v").collect()
+        ),
+        key=lambda t: t[:2],
+    )
+    w = Window.orderBy("k")
+    naive = (
+        df.select(
+            "v",
+            F.row_number().over(w).alias("idx"),
+            F.when(~F.lag("v").over(w).eqNullSafe(F.col("v")), 1)
+            .otherwise(0)
+            .alias("s"),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("s").over(
+                Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    want = sorted(
+        ((r.run_id, r.idx, r.v) for r in naive.collect()), key=lambda t: t[:2]
+    )
+    assert got == want
+
+
+@given(rows=_rows)
+@settings(**_SETTINGS)
+def test_bucketed_order_profile_matches_window(spark, rows):
+    df = _df(spark, rows)
+    prof = bucketed_order_profile(df, F.expr("k div 64"), ["k"], "v").collect()[0]
+
+    w = Window.orderBy("k")
+    prev = F.lag("v").over(w)
+    naive = (
+        df.select(
+            "v",
+            F.when(prev.isNull() | (F.col("v") != prev), 1).otherwise(0).alias("s"),
+            F.when(prev.isNull() | (F.col("v") >= prev), 1).otherwise(0).alias("ok"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_set"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum("s").alias("total_runs"),
+            F.min("ok").cast("boolean").alias("is_sorted"),
+        )
+        .collect()[0]
+    )
+    for field in ("n_rows", "n_set", "min_v", "max_v", "total_runs", "is_sorted"):
+        assert getattr(prof, field) == getattr(naive, field), field
