@@ -1040,3 +1040,49 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest"),
         F.last("c_custkey").over(w_full).alias("richest"),
     )
+
+
+_NOT_IN_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+  AND c_acctbal > 9000
+"""
+
+
+@register("filter_not_in_subquery", _NOT_IN_ORACLE)
+def filter_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN (SELECT ...) — the null-trap predicate: SQL three-valued
+    logic makes the whole result empty if the subquery produces a NULL,
+    so a plain anti join is WRONG in general. Catalyst plans this as a
+    null-aware anti join (BroadcastHashJoin ... NAAJ); declared via SQL so
+    that exact rewrite is exercised (the reference has no subqueries at
+    all — this is pure §2b query-surface)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NOT_IN_ORACLE)
+
+
+_LATERAL_ORACLE = """
+SELECT n.n_nationkey, n.n_name, t.c_custkey AS top_custkey, t.c_acctbal AS top_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register("join_lateral_topk", _LATERAL_ORACLE)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: per nation, its two richest customers —
+    the SQL-standard formulation of grouped top-k. Catalyst decorrelates
+    the LATERAL subquery into a rank-window over the join, so the plan is
+    the same shuffle-once window plan the DataFrame version would build
+    (no per-outer-row re-execution)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_ORACLE)
