@@ -83,3 +83,12 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table_name)
     )
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL front door: register every testdata table as a temp view and run
+    ``query`` — the one-liner for users arriving from the reference's
+    tool-based workflow (`csvtobtr`/`btrtocsv` had no query language; here
+    the full Spark SQL surface is available over the same tables)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(query)
