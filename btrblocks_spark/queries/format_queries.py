@@ -356,3 +356,118 @@ def format_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_bit_position(CASE WHEN o_totalprice > 300000 THEN pos + 1 END)))"
         ).alias("bitmap_cardinality"),
     )
+
+
+@register(
+    "frequency_domain_roundtrip",
+    oracle="""
+WITH top AS (
+  SELECT o_orderstatus AS top_v
+  FROM orders GROUP BY 1 ORDER BY count(*) DESC, o_orderstatus LIMIT 1
+),
+exceptions AS (
+  SELECT o_orderkey, o_orderstatus
+  FROM orders, top WHERE o_orderstatus IS DISTINCT FROM top_v
+),
+decoded AS (
+  SELECT o.o_orderkey, COALESCE(e.o_orderstatus, t.top_v) AS v
+  FROM orders o
+  LEFT JOIN exceptions e USING (o_orderkey)
+  CROSS JOIN top t
+)
+SELECT v AS value,
+       count(*) AS n,
+       CASE WHEN v = (SELECT top_v FROM top) THEN 1 ELSE 0 END AS is_top
+FROM decoded GROUP BY v
+""",
+)
+def frequency_domain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY scheme (I7/D5, scheme/templated/Frequency.hpp:23-136) as a
+    relational encode→decode round-trip: store the most frequent value once
+    plus an exception table (key, value) for the rest; decode = left join
+    exceptions, coalesce to the top value. The per-value counts of the
+    DECODED column must equal the raw table's — proved via the oracle.
+
+    (The reference gates FREQUENCY on top-value share ≥90%; o_orderstatus
+    is ~34% so the planner would pick another scheme — the round-trip
+    semantics are what this query pins down.) The exceptions join is a
+    same-key equi-join; at scale it shuffles only the exception rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    top_v = (
+        o.groupBy("o_orderstatus").count()
+        .orderBy(F.desc("count"), F.asc("o_orderstatus"))
+        .first()["o_orderstatus"]
+    )
+    exceptions = o.filter(~F.col("o_orderstatus").eqNullSafe(F.lit(top_v))).select(
+        "o_orderkey", F.col("o_orderstatus").alias("exc_v")
+    )
+    decoded = (
+        o.select("o_orderkey")
+        .join(exceptions, "o_orderkey", "left")
+        .select(F.coalesce("exc_v", F.lit(top_v)).alias("v"))
+    )
+    return decoded.groupBy(F.col("v").alias("value")).agg(
+        F.count("*").alias("n"),
+        F.when(F.col("v") == top_v, 1).otherwise(0).alias("is_top"),
+    )
+
+
+@register(
+    "pseudodecimal_domain_roundtrip",
+    oracle="""
+WITH enc AS (
+  SELECT l_extendedprice AS raw_v,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS sig,
+         CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) / 100.0
+                   = l_extendedprice
+              THEN 0 ELSE 1 END AS is_exception
+  FROM lineitem
+),
+dec AS (
+  SELECT raw_v, sig, is_exception,
+         CASE WHEN is_exception = 0 THEN sig / 100.0 ELSE raw_v END AS decoded
+  FROM enc
+)
+SELECT count(*) AS n_rows,
+       SUM(is_exception) AS n_exceptions,
+       SUM(CASE WHEN decoded = raw_v THEN 1 ELSE 0 END) AS n_roundtrip_exact,
+       SUM(CASE WHEN is_exception = 0 THEN sig ELSE 0 END) AS sum_sig
+FROM dec
+""",
+)
+def pseudodecimal_domain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDODECIMAL (D6, scheme/double/Pseudodecimal.cpp:56-184 — the
+    reference's signature double scheme) as a relational encode→decode:
+    decompose each double into an integer significand at exponent 2,
+    keep rows whose reconstruction ``sig/100.0`` is not bit-exact as raw
+    exception values, decode, and prove every row round-trips. The exact-
+    round-trip test is the same IEEE double comparison in both engines;
+    the significand sum is an exact integer aggregate.
+
+    (The numpy codec in format/codecs.py searches exponents 0..22 per
+    chunk and bails >50% exceptions, as the reference does; this query
+    pins the semantics of one exponent level in the oracle-checked
+    surface.)"""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("raw_v")
+    )
+    sig = F.round(F.col("raw_v") * 100).cast("long")
+    enc = l.select(
+        "raw_v",
+        sig.alias("sig"),
+        F.when(sig / F.lit(100.0) == F.col("raw_v"), 0).otherwise(1).alias("is_exception"),
+    )
+    dec = enc.withColumn(
+        "decoded",
+        F.when(F.col("is_exception") == 0, F.col("sig") / 100.0).otherwise(F.col("raw_v")),
+    )
+    return dec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("is_exception").alias("n_exceptions"),
+        F.sum(F.when(F.col("decoded") == F.col("raw_v"), 1).otherwise(0)).alias(
+            "n_roundtrip_exact"
+        ),
+        F.sum(F.when(F.col("is_exception") == 0, F.col("sig")).otherwise(0)).alias(
+            "sum_sig"
+        ),
+    )
