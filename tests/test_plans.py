@@ -253,3 +253,21 @@ def test_histogram_single_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["stats_histogram"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """filter_not_in_subquery: NOT IN must become a null-aware anti join,
+    not a plain LeftAnti (which would be wrong under SQL three-valued
+    logic if the subquery ever produced a NULL)."""
+    plan = plan_of(QUERIES["filter_not_in_subquery"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # Spark marks the null-aware variant either as NAAJ in the join node
+    # or as BroadcastNestedLoopJoin fallback — both are null-correct
+    assert ("NAAJ" in plan) or ("BuildRight" in plan)
+
+
+def test_lateral_decorrelates(spark, sf_dir):
+    """join_lateral_topk: the LATERAL subquery must decorrelate to a
+    window/join plan — no per-outer-row re-execution, no cartesian."""
+    plan = plan_of(QUERIES["join_lateral_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
