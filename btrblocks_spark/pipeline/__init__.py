@@ -18,8 +18,14 @@ from btrblocks_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     embedding_cosine_pairs,
 )
+from btrblocks_spark.pipeline.retrieval import (
+    bm25_topk,
+    rrf_fuse,
+    tfidf_terms,
+)
 from btrblocks_spark.pipeline.similarity import (
     cosine_topk,
+    filtered_cosine_topk,
     ivf_cells,
     ivf_topk,
     kmeans_refine,
@@ -28,6 +34,7 @@ from btrblocks_spark.pipeline.similarity import (
 )
 from btrblocks_spark.pipeline.text import (
     build_vocab,
+    chunk_windows,
     contamination_flags,
     corpus_topk_ngrams,
     encode_docs,
@@ -61,6 +68,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
     "cosine_topk",
+    "filtered_cosine_topk",
+    "bm25_topk",
+    "tfidf_terms",
+    "rrf_fuse",
+    "chunk_windows",
     "ivf_cells",
     "ivf_topk",
     "kmeans_refine",
