@@ -76,6 +76,8 @@ HEADLINE = [
     "events_json_props",
     "events_gap_fill",
     "stats_histogram",
+    "retrieval_rrf_hybrid",
+    "text_chunk_windows",
 ]
 
 
