@@ -43,6 +43,11 @@ _KIND_BY_SPARK_TYPE = {
     "float": "double",
     "string": "string",
     "varchar": "string",
+    # beyond the reference (btrfiles/btrfiles.hpp:20-22 SKIPs dates):
+    # temporal columns plan as epoch int64 — runs/sortedness/dict all apply
+    "timestamp": "int",
+    "timestamp_ntz": "int",
+    "date": "int",
 }
 
 

@@ -72,7 +72,20 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
             "avg_run_length": 1.0, "is_sorted": False,
         }
     if kind == "int":
-        values = series.fillna(0).to_numpy(dtype=np.int64)
+        if pd.api.types.is_datetime64_any_dtype(series):
+            # temporal → epoch-ns int64 (NaT slots masked out below)
+            values = series.to_numpy(dtype="datetime64[ns]").astype(np.int64)
+            values = np.where(null_mask, 0, values)
+        elif series.dtype == object:
+            # date columns arrive as objects of datetime.date in Arrow batches
+            values = (
+                pd.to_datetime(series)
+                .to_numpy(dtype="datetime64[ns]")
+                .astype(np.int64)
+            )
+            values = np.where(null_mask, 0, values)
+        else:
+            values = series.fillna(0).to_numpy(dtype=np.int64)
     elif kind == "double":
         values = series.to_numpy(dtype=np.float64)
         values = np.where(null_mask, 0.0, values)

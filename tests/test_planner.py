@@ -21,7 +21,11 @@ def test_kind_mapping():
     assert kind_of("bigint") == "int"
     assert kind_of("double") == "double"
     assert kind_of("string") == "string"
-    assert kind_of("timestamp") == "skip"  # SKIP type (btrfiles/btrfiles.hpp:20-22)
+    # the reference SKIPs dates (btrfiles/btrfiles.hpp:20-22); we plan them
+    # as epoch int64 — declared extension (SURVEY §1.2)
+    assert kind_of("timestamp") == "int"
+    assert kind_of("date") == "int"
+    assert kind_of("array<float>") == "skip"  # genuinely unsupported kinds skip
 
 
 def test_one_value_short_circuit():
