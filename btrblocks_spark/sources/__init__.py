@@ -1,11 +1,13 @@
 """Sources/sinks beyond Parquet: CSV ingest with the reference parser's
-null/trim semantics, CSV export, and schema handling (YAML-style declared
-schemas → StructType)."""
+null/trim semantics, CSV export, schema handling (YAML-style declared
+schemas → StructType), and the `btrblocks` Python DataSource
+(spark.read.format("btrblocks") over written chunked tables)."""
 
+from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
 from btrblocks_spark.sources.csv_source import (
     export_csv,
     read_csv,
     schema_from_decl,
 )
 
-__all__ = ["read_csv", "export_csv", "schema_from_decl"]
+__all__ = ["read_csv", "export_csv", "schema_from_decl", "BtrBlocksDataSource"]

@@ -1,0 +1,86 @@
+"""spark.read.format("btrblocks") — the Python DataSource over written
+tables: schema from the sidecar, exact round-trip, filter correctness,
+and footer-stats chunk-file pruning."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, LessThan
+
+from btrblocks_spark.config import DEFAULT_CONFIG
+from btrblocks_spark.format.writer import write_table
+from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource, BtrBlocksReader
+from btrblocks_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def written_orders(spark, sf_dir):
+    out = tempfile.mkdtemp(prefix="btr_ds_")
+    df = load_table(spark, sf_dir, "orders")
+    cfg = DEFAULT_CONFIG.with_(block_size=256)  # many chunk files
+    write_table(df, out + "/orders", ["o_orderkey"], config=cfg)
+    spark.dataSource.register(BtrBlocksDataSource)
+    yield out + "/orders", df
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _load(spark, path):
+    return spark.read.format("btrblocks").option("path", path).load()
+
+
+def test_roundtrip_exact(spark, written_orders):
+    path, src = written_orders
+    back = _load(spark, path)
+    assert [f.name for f in back.schema.fields] == [f.name for f in src.schema.fields]
+    assert back.count() == src.count()
+    assert back.exceptAll(src).isEmpty() and src.exceptAll(back).isEmpty()
+
+
+def test_filters_apply_correctly(spark, written_orders):
+    path, src = written_orders
+    back = _load(spark, path)
+    for cond in ["o_orderkey = 37", "o_orderkey > 5800", "o_totalprice < 5000"]:
+        assert back.filter(cond).count() == src.filter(cond).count(), cond
+
+
+def test_partitions_are_chunk_files(spark, written_orders):
+    path, src = written_orders
+    r = BtrBlocksReader({"path": path}, [f.name for f in src.schema.fields])
+    parts = r.partitions()
+    # block_size=256: one partition per chunk file
+    assert len(parts) >= src.count() // 256
+
+
+def test_footer_stats_prune_chunk_files(spark, written_orders):
+    path, src = written_orders
+    r = BtrBlocksReader({"path": path}, [f.name for f in src.schema.fields])
+    n_all = len(r.partitions())
+
+    # data is written sorted by o_orderkey → a point filter on it must
+    # exclude almost every chunk file via footer min/max
+    unhandled = list(r.pushFilters([EqualTo(("o_orderkey",), 37)]))
+    assert len(unhandled) == 1  # every filter handed back for re-apply
+    n_point = len(r.partitions())
+    assert n_point <= 2 < n_all
+
+    r2 = BtrBlocksReader({"path": path}, [f.name for f in src.schema.fields])
+    list(r2.pushFilters([GreaterThan(("o_orderkey",), int(1e12))]))
+    assert len(r2.partitions()) == 0  # provably empty range
+
+    r3 = BtrBlocksReader({"path": path}, [f.name for f in src.schema.fields])
+    list(r3.pushFilters([LessThan(("o_orderkey",), -1)]))
+    assert len(r3.partitions()) == 0
+
+
+def test_pruned_read_still_correct(spark, written_orders):
+    """End-to-end: pruning must never change results — point query through
+    the registered source equals the raw table."""
+    path, src = written_orders
+    back = _load(spark, path)
+    got = back.filter(F.col("o_orderkey") == 37).collect()
+    want = src.filter(F.col("o_orderkey") == 37).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(got) == 1
