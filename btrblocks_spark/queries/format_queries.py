@@ -471,3 +471,46 @@ def pseudodecimal_domain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             "sum_sig"
         ),
     )
+
+
+@register(
+    "format_datasource_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status,
+       count(*) AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def format_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine loop through the registered data source: write orders
+    with the chunked writer, read it back via
+    ``spark.read.format("btrblocks")`` (sidecar schema, task-per-chunk,
+    footer pruning), aggregate — the result must equal the same aggregate
+    over the raw table (DuckDB oracle). This is S4→S5 (csvtobtr→btrtocsv)
+    as one oracle-checked query, with the read side going through the
+    DataSource contract instead of a plain parquet scan."""
+    import shutil
+    import tempfile
+
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
+
+    out = tempfile.mkdtemp(prefix="btr_ds_query_")
+    table = f"{out}/orders"
+    write_table(load_table(spark, sf_dir, "orders"), table, ["o_orderkey"])
+    spark.dataSource.register(BtrBlocksDataSource)
+    back = spark.read.format("btrblocks").option("path", table).load()
+    result = back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    # materialize before the temp table vanishes (the driver may collect
+    # lazily; localCheckpoint pins the rows)
+    result = result.localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    return result
