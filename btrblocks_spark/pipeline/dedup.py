@@ -452,3 +452,45 @@ def minhash_jaccard_estimate(
             F.round(agree / F.lit(num_perm), 6).alias("jaccard_est"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.6, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Containment similarity ``|A∩B| / min(|A|, |B|)`` over n-gram shingle
+    sets — catches SUB-DOCUMENT duplication that symmetric Jaccard misses:
+    a paragraph pasted inside a much larger document scores near 1.0 here
+    but near 0 on Jaccard (the union is dominated by the big doc). The
+    standard second dedup pass in training-corpus pipelines.
+
+    Same single-chain inverted-index shape as ngram_jaccard_pairs (one
+    shingle scan, pairs map-side per posting, pair-count = intersection);
+    only the denominator differs."""
+    from pyspark.sql.window import Window
+
+    shd = shingles(docs, n).distinct()
+    if max_doc_freq is not None:
+        shd = (
+            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
+    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
+    return (
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
+            F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

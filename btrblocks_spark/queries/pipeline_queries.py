@@ -1496,3 +1496,37 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fused = rrf_fuse(bm.select("doc_id", "rank"), vec)
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH {_SHINGLES},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sized AS (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS sz FROM shd
+),
+pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         greatest(a.doc_id, b.doc_id) AS doc_b,
+         CASE WHEN a.doc_id <= b.doc_id THEN a.sz ELSE b.sz END AS sz_a,
+         CASE WHEN a.doc_id <= b.doc_id THEN b.sz ELSE a.sz END AS sz_b
+  FROM sized a JOIN sized b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b, sz_a, sz_b, count(*) AS inter
+  FROM pairs GROUP BY doc_a, doc_b, sz_a, sz_b
+)
+SELECT doc_a, doc_b,
+       round(inter / least(sz_a, sz_b), 6) AS containment
+FROM scored
+WHERE round(inter / least(sz_a, sz_b), 6) >= 0.2
+""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication via containment similarity
+    (dedup.containment_pairs) — |A∩B|/min(|A|,|B|) over 3-gram shingles."""
+    from btrblocks_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
