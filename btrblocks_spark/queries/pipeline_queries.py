@@ -1530,3 +1530,42 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id, text, greatest(length(text) // 4096, 1) AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, n_frames, 2)) AS INTEGER) AS frame_no,
+         text
+  FROM media
+)
+SELECT doc_id, frame_no,
+       length(substr(text, frame_no * 4096 + 1, 4096)) AS frame_len,
+       md5(substr(text, frame_no * 4096 + 1, 4096)) AS frame_md5
+FROM frames
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-like binary payloads
+    (multimodal.frame_sample_stub): every 2nd 4 KiB frame, emitted 1→N
+    through mapInPandas. The payload is the utf-8 text bytes (ASCII in the
+    testdata), so the oracle reproduces each frame as a text slice and the
+    md5 fingerprint compares the actual frame BYTES cross-engine — the
+    plumbing (slicing, batching, fan-out) is what's pinned; a real video
+    decoder replaces the slicer only."""
+    from btrblocks_spark.pipeline.multimodal import attach_payload, frame_sample_stub
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample_stub(media, every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.octet_length("frame_bytes").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
