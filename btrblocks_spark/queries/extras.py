@@ -403,3 +403,35 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING() flags on rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_flags",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with per-dimension GROUPING() indicator columns — the only
+    reliable way to tell a subtotal row (grouping=1) from a genuine NULL
+    group value (grouping=0, value NULL). Per-dimension flags instead of
+    grouping_id() because the composite id's bit order is engine-specific
+    while GROUPING(col) is standard."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
