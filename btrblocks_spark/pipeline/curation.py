@@ -257,3 +257,33 @@ def retained_docs(
         .filter(F.col("pred_lang").isin(*langs) & (F.col("quality") >= min_quality))
         .select("doc_id", "pred_lang", "quality", "n_tokens")
     )
+
+
+def topk_per_stratum(
+    docs: DataFrame,
+    scores: DataFrame,
+    k: int = 3,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Best-of-domain selection: the top ``k`` documents per stratum by a
+    quality score (ties broken by doc_id asc) — the "keep only the best N
+    per domain" curation step that pairs with ``cap_per_stratum``'s uniform
+    cap.
+
+    ``scores`` is (doc_id, score) — e.g. ``text.quality_scores`` output —
+    joined on doc_id (co-keyed with the docs scan), then one rank window per
+    stratum. Only ranks <= k survive, so at 100 TB the same two-phase
+    partial-top-k pre-filter as cap_per_stratum applies before the window."""
+    from pyspark.sql.window import Window
+
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum")
+    ).join(scores.select("doc_id", F.col(score_col).alias("score")), "doc_id")
+    w = Window.partitionBy("stratum").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("quality_rank", F.row_number().over(w))
+        .filter(F.col("quality_rank") <= k)
+        .select("stratum", "quality_rank", "doc_id", "score")
+    )

@@ -494,3 +494,58 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, w: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication profile (RefinedWeb / Gopher style): for
+    every document, how many of its distinct ``w``-token spans also occur in
+    at least one other document. Docs shorter than ``w`` tokens emit no rows.
+
+    Shape at scale: spans are a narrow map (see ``text.shingles``); the
+    distinct and the document-frequency agg are both keyed on the uniform
+    32-bit span hash (no hot keys by construction); the spans->counts join
+    is co-partitioned on that same hash key, so the whole profile is two
+    shuffles over (id, hash) pairs — the text column never moves."""
+    sp = shingles(docs, w, text_col=text_col, id_col=id_col).select(
+        "doc_id", hash32(F.col("shingle")).alias("h")
+    ).distinct()
+    ndocs = sp.groupBy("h").agg(F.count("*").alias("ndocs"))
+    return (
+        sp.join(ndocs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_spans"),
+            F.count(F.when(F.col("ndocs") > 1, 1)).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans").cast("double") / F.col("total_spans").cast("double"), 6),
+        )
+    )
+
+
+def semantic_keep(
+    vecs: DataFrame, threshold: float = 0.4, num_planes: int = 8, dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic dedup keep/drop decision (SemDeDup, Abbas et al. 2023): a
+    vector is DROPPED iff some smaller-id vector in its LSH bucket has
+    cosine >= threshold with it; ``dropped_by`` records the smallest such
+    canonical id. One row per input vector with a ``kept`` flag.
+
+    Composes the verified near-dup pair stage (``embedding_cosine_pairs``)
+    with a min-agg + left join keyed on vec_id — at corpus scale the pair
+    set is sparse, so the join's right side stays small relative to the
+    corpus scan."""
+    pairs = embedding_cosine_pairs(vecs, threshold, num_planes, dim)
+    dropped = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dropped_by")
+    )
+    ids = vecs.select(F.col(id_col).alias("vec_id"))
+    return ids.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("dropped_by").isNull().alias("kept"),
+        "dropped_by",
+    )

@@ -340,3 +340,97 @@ def filtered_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "label", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the vector analog of the reference's TRUNCATION
+# integer scheme (scheme/integer/Truncation.cpp:12-66: subtract a bias, store
+# narrow codes). Here: per-dimension [min,max] corpus ranges -> 8-bit codes,
+# 4x smaller than float32 at a bounded per-dim reconstruction error of
+# (max-min)/512.
+# ---------------------------------------------------------------------------
+
+# reconstructed value for dim i (0-based Spark lambda index; element_at is
+# 1-based). Textually mirrors the DuckDB oracle so the float ops run in the
+# same order.
+_SQ8_RECON = (
+    "transform(v, (x, i) -> CASE WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
+    "THEN element_at(_mns, i + 1) "
+    "ELSE element_at(_mns, i + 1) + "
+    "(least(255D, floor((x - element_at(_mns, i + 1)) / "
+    "(element_at(_mxs, i + 1) - element_at(_mns, i + 1)) * 256D)) + 0.5D) * "
+    "(element_at(_mxs, i + 1) - element_at(_mns, i + 1)) / 256D END)"
+)
+
+_SQ8_CODES = (
+    "transform(v, (x, i) -> CASE WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
+    "THEN 0 ELSE cast(least(255D, floor((x - element_at(_mns, i + 1)) / "
+    "(element_at(_mxs, i + 1) - element_at(_mns, i + 1)) * 256D)) as int) END)"
+)
+
+
+def sq8_ranges(corpus: DataFrame) -> DataFrame:
+    """Per-dimension [min, max] over the whole corpus, as ONE single-row
+    DataFrame with array columns ``_mns`` / ``_mxs`` (index = dim).
+
+    Scale: posexplode is a narrow map; the groupBy key space is the
+    dimension count (64), so the shuffle moves 64 rows per partition after
+    map-side combine — O(dims), not O(rows). The single-row result is
+    broadcast to the encode pass."""
+    dims = corpus.select(F.posexplode("v").alias("dim", "x"))
+    rg = dims.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return rg.agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").alias("_mns"),
+        F.expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").alias("_mxs"),
+    )
+
+
+def sq8_quantize(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Encode every embedding to ``array<int>`` codes in [0, 255] — the SQ8
+    build step. One O(dims) range agg + one narrow map; the codes column is
+    what a 100 TB vector store persists (4x smaller, scan-friendly)."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    rg = sq8_ranges(corpus)
+    return corpus.crossJoin(F.broadcast(rg)).select(
+        "vec_id", F.expr(_SQ8_CODES).alias("codes")
+    )
+
+
+def sq8_topk(
+    vecs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine over SQ8-reconstructed vectors (both sides
+    quantized — symmetric distance, as in a code-resident vector store).
+    Same shape as ``cosine_topk``: broadcast queries, one corpus scan, per-
+    query window top-k. Ranks shift only where quantization error crosses a
+    neighbor gap; the oracle replays the exact same arithmetic."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    rg = sq8_ranges(corpus)
+    recon = corpus.crossJoin(F.broadcast(rg)).select(
+        "vec_id", F.expr(_SQ8_RECON).alias("rv")
+    )
+    queries = recon.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("rv").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(recon)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "rv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1569,3 +1569,155 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame_bytes").alias("frame_len"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication, semantic dedup, SQ8 quantized ANN,
+# best-of-domain curation
+# ---------------------------------------------------------------------------
+
+# 5-token spans via lead() chain (mirrors text.shingles at n=5)
+_SPANS5 = (
+    _TOKS
+    + """,
+sp AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS span
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 4) OVER win IS NOT NULL
+)"""
+)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+WITH {_SPANS5},
+spd AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(span), 1, 8))::BIGINT AS h FROM sp
+),
+cnt AS (SELECT h, count(*) AS ndocs FROM spd GROUP BY h)
+SELECT doc_id,
+       count(*) AS total_spans,
+       count(CASE WHEN ndocs > 1 THEN 1 END) AS dup_spans,
+       round(CAST(count(CASE WHEN ndocs > 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM spd JOIN cnt USING (h)
+GROUP BY doc_id
+""",
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: distinct 5-token spans shared
+    with >= 1 other doc (dedup.duplicate_spans)."""
+    from btrblocks_spark.pipeline.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), w=5)
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+WITH {_sketch_cte(8)},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sk a JOIN sk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_cosine_sql('a.v', 'b.v')}, 6) >= 0.4
+),
+dropped AS (SELECT vec_b AS vec_id, min(vec_a) AS dropped_by FROM pairs GROUP BY vec_b)
+SELECT e.vec_id, d.dropped_by IS NULL AS kept, d.dropped_by
+FROM embeddings e LEFT JOIN dropped d USING (vec_id)
+""",
+)
+def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop decision per vector (dedup.semantic_keep)."""
+    from btrblocks_spark.pipeline.dedup import semantic_keep
+
+    return semantic_keep(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_SQ8_RECON_SQL = """
+dims AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+rg AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
+rga AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM rg),
+recon AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i -> CASE WHEN mxs[i] = mns[i] THEN mns[i]
+           ELSE mns[i] + (least(255, floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 256)) + 0.5)
+                * (mxs[i] - mns[i]) / 256 END) AS rv
+  FROM e CROSS JOIN rga
+)"""
+
+
+@register(
+    "ann_sq8_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_SQ8_RECON_SQL},
+q AS (SELECT vec_id AS q_id, rv AS qv FROM recon WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q_id, recon.vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'recon.rv')}, 6) AS cosine
+  FROM q CROSS JOIN recon WHERE recon.vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine over SQ8 (8-bit scalar quantized) reconstructed vectors
+    (similarity.sq8_topk) — the reference's TRUNCATION scheme
+    (scheme/integer/Truncation.cpp:12-66) applied to the vector column."""
+    from btrblocks_spark.pipeline.similarity import sq8_topk
+
+    return sq8_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register(
+    "curation_topk_per_source",
+    oracle=f"""
+WITH {_TOKS},
+t AS (SELECT doc_id, w, lower(w) AS lw FROM toks),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN lw IN ({_ALL_STOP}) THEN 1 ELSE 0 END) AS stop_hits,
+         count(DISTINCT lw) AS uniq_tokens
+  FROM t GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT b.doc_id, b.source AS stratum,
+         round(
+           least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+           + (CAST(1.0 AS DOUBLE)
+              - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+                      CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
+         6) AS score
+  FROM base b JOIN per_doc USING (doc_id)
+),
+ranked AS (
+  SELECT stratum, doc_id, score,
+         row_number() OVER (PARTITION BY stratum ORDER BY score DESC, doc_id) AS quality_rank
+  FROM scored
+)
+SELECT stratum, quality_rank, doc_id, score FROM ranked WHERE quality_rank <= 3
+""",
+)
+def q_curation_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-domain selection: top-3 docs per source by composite quality
+    score (curation.topk_per_stratum over text.quality_scores)."""
+    from btrblocks_spark.pipeline.curation import topk_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = quality_scores(docs).select("doc_id", "quality")
+    return topk_per_stratum(docs, scores, k=3, score_col="quality")

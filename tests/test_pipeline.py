@@ -546,3 +546,79 @@ def test_filtered_topk_respects_predicate(spark, sf_dir):
         by_q.setdefault(r.q_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_duplicate_spans_semantics(spark):
+    from btrblocks_spark.pipeline.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # spans: "a b c d e", "b c d e f"
+            (2, "a b c d e zz"),      # shares "a b c d e" with doc 1
+            (3, "x y z"),             # too short for w=5 -> no rows
+            (4, "q r s t u"),         # unique single span
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in duplicate_spans(docs, w=5).collect()}
+    assert 3 not in rows  # short doc emits nothing
+    assert rows[1]["total_spans"] == 2 and rows[1]["dup_spans"] == 1
+    assert rows[2]["dup_spans"] == 1
+    assert rows[4]["dup_spans"] == 0 and rows[4]["dup_frac"] == 0.0
+
+
+def test_sq8_codes_in_range_and_reconstruction_bounded(spark, sf_dir):
+    from btrblocks_spark.pipeline.similarity import sq8_quantize, _as_double, sq8_ranges
+
+    vecs = load_table(spark, sf_dir, "embeddings").limit(200)
+    codes = sq8_quantize(vecs)
+    stats = codes.select(
+        F.expr("max(array_max(codes))").alias("mx"),
+        F.expr("min(array_min(codes))").alias("mn"),
+        F.min(F.size("codes")).alias("dims"),
+    ).collect()[0]
+    assert 0 <= stats["mn"] and stats["mx"] <= 255 and stats["dims"] == 64
+
+
+def test_sq8_topk_close_to_exact(spark, sf_dir):
+    """Quantized top-1 neighbor should be within the exact top-3 for most
+    queries (synthetic embeddings are well-separated)."""
+    from btrblocks_spark.pipeline.similarity import cosine_topk, sq8_topk
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(vecs, [0, 1, 2, 3], k=3).collect()
+    quant = sq8_topk(vecs, [0, 1, 2, 3], k=1).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in quant if r["neighbor_id"] in exact_by_q[r["q_id"]])
+    assert hits >= 3  # at least 3 of 4 queries agree with the exact top-3
+
+
+def test_semantic_keep_partitions_corpus(spark, sf_dir):
+    from btrblocks_spark.pipeline.dedup import semantic_keep
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = semantic_keep(vecs, threshold=0.4)
+    assert out.count() == vecs.count()  # one decision per vector
+    bad = out.filter(
+        (F.col("kept") & F.col("dropped_by").isNotNull())
+        | (~F.col("kept") & F.col("dropped_by").isNull())
+    ).count()
+    assert bad == 0
+    # canonical ids are never dropped by a larger id
+    assert out.filter(F.col("dropped_by") >= F.col("vec_id")).count() == 0
+
+
+def test_topk_per_stratum_ranks(spark, sf_dir):
+    from btrblocks_spark.pipeline.curation import topk_per_stratum
+    from btrblocks_spark.pipeline.text import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = quality_scores(docs).select("doc_id", "quality")
+    out = topk_per_stratum(docs, scores, k=3, score_col="quality")
+    per = out.groupBy("stratum").agg(
+        F.count("*").alias("n"), F.max("quality_rank").alias("mx")
+    ).collect()
+    for r in per:
+        assert r["n"] <= 3 and r["mx"] <= 3
