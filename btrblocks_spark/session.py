@@ -45,6 +45,16 @@ def get_spark(
         # Python DataSource filter pushdown (sources/btr_datasource.py
         # prunes chunk files from parquet footer stats via pushFilters)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # metastore-backed (bucketed) tables: keep the warehouse and the
+        # derby metastore out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/btrblocks_spark/warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/btrblocks_spark/derby",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -271,3 +271,34 @@ def test_lateral_decorrelates(spark, sf_dir):
     window/join plan — no per-outer-row re-execution, no cartesian."""
     plan = plan_of(QUERIES["join_lateral_topk"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables join with zero Exchange on either side — the
+    co-located join path (format/bucketing.py)."""
+    from btrblocks_spark.format.bucketing import bucketed_join, write_bucketed
+    from btrblocks_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders, "b_orders", "o_custkey", 8, path=str(tmp_path / "bo"))
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_cust", "o_custkey", 8, path=str(tmp_path / "bc"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        plan = formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # sanity: result matches the shuffled join
+        expected = orders.join(
+            cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
