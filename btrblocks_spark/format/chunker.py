@@ -121,6 +121,7 @@ def with_global_index(
     order_keys: list[str],
     index_col: str = "_idx",
     num_partitions: int | None = None,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Add a 0-based dense global row index ordered by ``order_keys``.
 
@@ -129,11 +130,16 @@ def with_global_index(
     consistency — re-executions reproduce identical indexes. The count,
     boundary-sample, and per-range-count jobs each scan only the key
     columns (parquet column pruning); full rows move once.
+
+    ``total_rows``: pass a known-exact row count to skip the count job —
+    callers that already ran an aggregate over ``df`` (e.g. the writer's
+    NDV pass) fold the count into that job and hand it down, saving one
+    full pass over the source at scale.
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
 
-    total = df.count()
+    total = df.count() if total_rows is None else int(total_rows)
     bounds = _sample_boundaries(df, order_keys, num_partitions, total)
     tagged = df.withColumn("_pid", _pid_column(df, order_keys, bounds))
 
@@ -172,6 +178,7 @@ def with_chunk_id(
     chunk_col: str = "_chunk",
     index_col: str = "_idx",
     strategy: str = "sequential",
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Add chunk id = global_index // block_size (``SplitStrategy``,
     reference storage/Relation.hpp:7, storage/Relation.cpp:42-69).
@@ -184,12 +191,16 @@ def with_chunk_id(
     design requires)."""
     if strategy == "random":
         tagged = df.withColumn("_rnd", F.xxhash64(*[F.col(k) for k in order_keys]))
-        indexed = with_global_index(tagged, ["_rnd", *order_keys], index_col=index_col)
+        indexed = with_global_index(
+            tagged, ["_rnd", *order_keys], index_col=index_col, total_rows=total_rows
+        )
         total = getattr(indexed, "_btr_total_rows", None)
         indexed = indexed.drop("_rnd")
         indexed._btr_total_rows = total
     elif strategy == "sequential":
-        indexed = with_global_index(df, order_keys, index_col=index_col)
+        indexed = with_global_index(
+            df, order_keys, index_col=index_col, total_rows=total_rows
+        )
     else:
         raise ValueError(f"unknown split strategy: {strategy!r}")
     out = indexed.withColumn(

@@ -202,16 +202,20 @@ def write_table(
     # (T1's unique_count at table granularity, HLL instead of exact)
     ndv = {}
     ndv_cols = [c for c, _t in col_types]
-    if ndv_cols:
-        ndv_row = df.agg(
-            *[F.approx_count_distinct(c).alias(c) for c in ndv_cols]
-        ).collect()[0]
-        ndv = {c: int(ndv_row[c]) for c in ndv_cols}
+    # the exact row count rides along in the same agg job (one combined
+    # full-column pass) and is handed to the chunker, which then skips its
+    # own count job — the source is scanned once less at scale
+    ndv_row = df.agg(
+        F.count(F.lit(1)).alias("_btr_total"),
+        *[F.approx_count_distinct(c).alias(c) for c in ndv_cols],
+    ).collect()[0]
+    ndv = {c: int(ndv_row[c]) for c in ndv_cols}
+    total_rows = int(ndv_row["_btr_total"])
     dict_enabled = {
         c: ndv.get(c, 0) <= max(config.block_size // 4, 1) for c in ndv_cols
     }
 
-    chunked = with_chunk_id(df, order_keys, config.block_size)
+    chunked = with_chunk_id(df, order_keys, config.block_size, total_rows=total_rows)
     try:
         num_rows = chunked._btr_total_rows  # free byproduct of the offset job
         num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
