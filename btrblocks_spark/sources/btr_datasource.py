@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -138,8 +139,60 @@ class BtrBlocksReader(DataSourceReader):
         yield from pf.iter_batches(columns=list(partition.columns))
 
 
+class BtrBlocksStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("btrblocks")`` — stream a chunked table as
+    chunks are appended.
+
+    The format is stream-friendly by construction: chunks are immutable
+    append-only files (SURVEY.md §7), so a streaming offset is simply "the
+    set of chunk files seen so far". Each microbatch plans one
+    InputPartition per NEW chunk file — scan parallelism = newly appended
+    chunks, the same per-chunk task shape as the batch reader.
+
+    Offsets embed the sorted processed-file list, making
+    ``partitions(start, end)`` a pure set difference — deterministic replay
+    from the checkpoint without driver state. Offset size grows with chunk
+    count (fine for the chunk counts a microbatch checkpoint sees; a
+    production source would roll processed files into a compacted manifest
+    the same way the writer's metadata sidecar records chunks)."""
+
+    def __init__(self, options: dict, schema_fields: list[str]):
+        self.data_dir = os.path.join(options["path"], "data")
+        self.columns = tuple(schema_fields)
+
+    def _list_files(self) -> list:
+        return sorted(
+            f for f in os.listdir(self.data_dir) if f.endswith(".parquet")
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files": self._list_files()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [
+            ChunkFilePartition(os.path.join(self.data_dir, f), self.columns)
+            for f in new
+        ]
+
+    def read(self, partition: ChunkFilePartition):
+        import pyarrow.parquet as pq
+
+        if partition is None:
+            return
+        pf = pq.ParquetFile(partition.file_path)
+        yield from pf.iter_batches(columns=list(partition.columns))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class BtrBlocksDataSource(DataSource):
-    """Readable data source over a `write_table` directory."""
+    """Readable (batch + streaming) data source over a `write_table`
+    directory."""
 
     @classmethod
     def name(cls) -> str:
@@ -151,3 +204,6 @@ class BtrBlocksDataSource(DataSource):
 
     def reader(self, schema) -> BtrBlocksReader:
         return BtrBlocksReader(self.options, [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> BtrBlocksStreamReader:  # noqa: N802
+        return BtrBlocksStreamReader(self.options, [f.name for f in schema.fields])

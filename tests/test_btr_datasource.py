@@ -84,3 +84,35 @@ def test_pruned_read_still_correct(spark, written_orders):
     got = back.filter(F.col("o_orderkey") == 37).collect()
     want = src.filter(F.col("o_orderkey") == 37).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(got) == 1
+
+
+def test_stream_reader_incremental_chunks(spark, written_orders, tmp_path):
+    """readStream over a written table: first availableNow run drains all
+    chunks; appending a new chunk file and re-running the stream from the
+    same checkpoint picks up ONLY the new chunk."""
+    path, src = written_orders
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("btrblocks")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    n_src = src.count()
+    assert spark.read.parquet(sink).count() == n_src
+
+    # append one more chunk file (immutable append-only chunk contract)
+    extra = src.limit(17).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    extra.coalesce(1).write.mode("append").parquet(path + "/data")
+    run_stream()
+    assert spark.read.parquet(sink).count() == n_src + 17
