@@ -302,3 +302,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_no_global_window_in_any_registered_query(spark, sf_dir):
+    """Fleet-wide scale gate: no registered query may sort ALL rows into one
+    task for a window function (Window above Exchange SinglePartition).
+    Single-partition exchanges for global scalar aggregates are fine (the
+    partial agg upstream reduces to O(groups) rows); a global window moves
+    the whole dataset through one task — at 100 TB that is the job that
+    never finishes. Global-order semantics must go through the two-phase
+    bucketed helpers (queries/_distributed.py)."""
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            tree = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:
+            bad.append(f"{name}: failed to plan ({exc})")
+            continue
+        lines = tree.splitlines()
+        for i, line in enumerate(lines):
+            if "Window" not in line or "window_bucket" in line:
+                continue
+            # the two-phase helpers (queries/_distributed.py) run their
+            # phase-2 fixup window over the one-row-per-bucket meta table,
+            # ordered by the bucket id `_b` — O(buckets) rows, scale-safe
+            if "_b#" in line:
+                continue
+            below = "\n".join(lines[i + 1 : i + 6])
+            # a window directly over a distinct reduction (HashAggregate
+            # with no agg functions) sees O(NDV) rows — the dictionary-build
+            # shape (codes = dense_rank over sorted distinct values), small
+            # by the same gate that makes DICT the chosen scheme
+            if "HashAggregate" in below and "functions=[]" in below:
+                continue
+            # a Window's input appears directly below it in the tree dump;
+            # a SinglePartition exchange within the next few lines means the
+            # window sees the full, un-keyed row stream
+            if "Exchange SinglePartition" in "\n".join(lines[i + 1 : i + 4]):
+                bad.append(f"{name}: global window over SinglePartition exchange")
+                break
+    assert not bad, "\n".join(bad)
