@@ -327,3 +327,43 @@ def test_random_split_strategy(spark, sf_dir):
         .collect()
     }
     assert {(r[0], r[1], r[2]) for r in rnd_rows} == again
+
+
+def test_delete_vacuum_time_travel(spark, sf_dir, tmp_path):
+    """DELETE-where commits a new version; old versions stay time-travel
+    readable until VACUUM removes them (format/maintenance.py)."""
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where,
+        read_version,
+        vacuum,
+    )
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "versioned")
+    os.makedirs(table_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    n0 = cust.count()
+    cust.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    res = delete_where(spark, table_dir, "c_acctbal < 0")
+    neg = cust.filter("c_acctbal < 0").count()
+    assert res["version"] == 1 and res["deleted_rows"] == neg
+    assert read_snapshot(spark, table_dir).count() == n0 - neg
+    # null-safe: predicate NULL keeps the row (SQL DELETE semantics)
+    res2 = delete_where(spark, table_dir, "c_custkey > 1000000000")
+    assert res2["deleted_rows"] == 0
+
+    # time travel still sees the original
+    assert read_version(spark, table_dir, 0).count() == n0
+
+    out = vacuum(table_dir, keep_versions=1)
+    assert 0 in out["removed_versions"]
+    assert read_snapshot(spark, table_dir).count() == n0 - neg
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, table_dir, 0)
