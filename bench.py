@@ -135,6 +135,12 @@ def stage_tables(spark, sf_dir: str, staging_root: str) -> dict:
     }
 
 
+def _arrow_dataset(data_dir: str):
+    import pyarrow.dataset as ds
+
+    return ds.dataset(data_dir, format="parquet")
+
+
 def bench_format(spark, data_dir: str, meta: dict) -> dict:
     """Report format metrics over the already-staged lineitem table:
     compression ratio (est + on-disk), write wall time, scan MB/s."""
@@ -155,6 +161,13 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
         materialize(spark.read.parquet(data_dir))
         scan_sec = min(scan_sec, time.perf_counter() - t0)
 
+    # whole-table in-process decode bandwidth (all columns, threaded)
+    decode_sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _arrow_dataset(data_dir).to_table()
+        decode_sec = min(decode_sec, time.perf_counter() - t0)
+
     # per-column: most-used root scheme + est ratio + single-column scan
     # speed (the reference's regression_benchmark / decompression-speed
     # per-column metric set, BASELINE.md)
@@ -171,10 +184,21 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
             t0 = time.perf_counter()
             materialize(spark.read.parquet(data_dir).select(col))
             col_sec = min(col_sec, time.perf_counter() - t0)
+        # decode_mb_s: in-process Arrow decode of the column chunks — the
+        # direct analog of the reference's decompression-speed tool, which
+        # times buffer decompression itself (decompression-speed.cpp:91-239),
+        # not query scheduling. scan_mb_s keeps the end-to-end Spark number
+        # (bounded below by ~0.1 s of job overhead at this tiny data size).
+        dec_sec = float("inf")
+        for _ in range(3 if col_raw else 0):
+            t0 = time.perf_counter()
+            _arrow_dataset(data_dir).to_table(columns=[col])
+            dec_sec = min(dec_sec, time.perf_counter() - t0)
         per_column[col] = {
             "scheme": max(counts, key=counts.get),
             "est_ratio": round(col_raw / max(col_est, 1), 2),
             "scan_mb_s": round(col_raw / 1e6 / max(col_sec, 1e-9), 1),
+            "decode_mb_s": round(col_raw / 1e6 / max(dec_sec, 1e-9), 1),
         }
 
     return {
@@ -187,6 +211,7 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
         "est_compression_ratio": meta["totals"]["est_compression_ratio"],
         "scan_sec": round(scan_sec, 3),
         "scan_mb_s": round(raw / 1e6 / max(scan_sec, 1e-9), 1),
+        "decode_mb_s": round(raw / 1e6 / max(decode_sec, 1e-9), 1),
         "per_column": per_column,
     }
 
