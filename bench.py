@@ -82,6 +82,8 @@ HEADLINE = [
     "dedup_semantic_keep",
     "ann_sq8_topk",
     "curation_topk_per_source",
+    "retrieval_inverted_index",
+    "text_model_score",
 ]
 
 

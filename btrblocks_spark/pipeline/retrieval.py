@@ -170,3 +170,37 @@ def rrf_fuse(
             (recip("rank_a") + recip("rank_b")).cast("double").alias("rrf_score"),
         )
     )
+
+
+def build_inverted_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize an inverted index: one row per term with document
+    frequency, collection frequency, and doc_id-sorted postings (parallel
+    ``posting_docs`` / ``posting_tfs`` arrays — the persisted artifact a
+    BM25/TF-IDF serving stack reads instead of re-scanning the corpus).
+
+    Two shuffles, both on uniform keys: (doc, term) for tf, then term for
+    the postings agg. Hot terms make long posting lists — at corpus scale
+    stopword-df capping (as in ngram_jaccard_pairs) bounds the worst list;
+    the arrays here are per-term, never per-corpus."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = t.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("_p"),
+        )
+        .select(
+            "term",
+            "df",
+            "cf",
+            F.expr("transform(_p, s -> s.doc_id)").alias("posting_docs"),
+            F.expr("transform(_p, s -> s.tf)").alias("posting_tfs"),
+        )
+    )

@@ -1721,3 +1721,49 @@ def q_curation_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scores = quality_scores(docs).select("doc_id", "quality")
     return topk_per_stratum(docs, scores, k=3, score_col="quality")
+
+
+@register(
+    "retrieval_inverted_index",
+    oracle=f"""
+WITH {_TOKS},
+tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks GROUP BY doc_id, w)
+SELECT term,
+       count(*) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       list(doc_id ORDER BY doc_id) AS posting_docs,
+       list(tf ORDER BY doc_id) AS posting_tfs
+FROM tf GROUP BY term
+""",
+)
+def q_retrieval_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index with doc-sorted postings
+    (retrieval.build_inverted_index)."""
+    from btrblocks_spark.pipeline.retrieval import build_inverted_index
+
+    return build_inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_model_score",
+    oracle=f"""
+WITH {_TOKS},
+w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(w), 1, 8))::BIGINT % 2001) - 1000 AS m
+  FROM toks
+),
+per AS (SELECT doc_id, count(*) AS n_tokens, sum(m) AS s FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(s / (1000.0 * n_tokens), 6) AS logit,
+       round(1.0 / (1.0 + exp(-round(s / (1000.0 * n_tokens), 6))), 6) AS score
+FROM per
+""",
+)
+def q_text_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model-inference plumbing: hash-weight linear classifier via
+    mapInPandas (pipeline/inference.score_documents); integer-exact logits,
+    sigmoid after rounding — replayed exactly by the SQL oracle."""
+    from btrblocks_spark.pipeline.inference import score_documents
+
+    return score_documents(load_table(spark, sf_dir, "documents"))

@@ -622,3 +622,30 @@ def test_topk_per_stratum_ranks(spark, sf_dir):
     ).collect()
     for r in per:
         assert r["n"] <= 3 and r["mx"] <= 3
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    from btrblocks_spark.pipeline.retrieval import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    rows = idx.collect()
+    assert rows
+    for r in rows:
+        assert r["df"] == len(r["posting_docs"]) == len(r["posting_tfs"])
+        assert r["posting_docs"] == sorted(r["posting_docs"])
+        assert r["cf"] == sum(r["posting_tfs"])
+
+
+def test_model_score_is_sigmoid_of_logit(spark):
+    from btrblocks_spark.pipeline.inference import score_documents
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in score_documents(docs).collect()}
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 1
+    for r in rows.values():
+        assert 0.0 <= r["score"] <= 1.0
+        # monotone consistency: positive logit -> score > 0.5
+        assert (r["score"] > 0.5) == (r["logit"] > 0) or r["logit"] == 0
