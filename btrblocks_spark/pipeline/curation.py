@@ -287,3 +287,70 @@ def topk_per_stratum(
         .filter(F.col("quality_rank") <= k)
         .select("stratum", "quality_rank", "doc_id", "score")
     )
+
+
+def winsorize_stats(
+    docs: DataFrame,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    value_col: str = "n_chars",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum winsorization profile: clip ``value_col`` to its
+    [p_lo, p_hi] discrete percentiles WITHIN each stratum, report per-stratum
+    count, clip thresholds, clipped-row counts, and the winsorized mean —
+    the standard outlier-robust length/quality normalization before
+    training-mix decisions.
+
+    Percentiles use interpolation-free rank selection (value at
+    row_number == floor(p*(n-1))+1 under a (value, id) total order), so the
+    whole profile is integer-exact except the final mean division.
+
+    Shape at scale: the rank window partitions BY STRATUM — every stratum
+    sorts in parallel, no global sort. The thresholds table is one row per
+    stratum (tiny) and is broadcast back onto the corpus, so the clip pass
+    is a narrow map; with a skewed giant stratum, swap rank selection for
+    the bucketed two-phase row_number in queries/_distributed.py."""
+    from pyspark.sql.window import Window
+
+    ranked = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col(value_col).alias("v"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("stratum").orderBy("v", "_id")),
+        )
+        .withColumn("cnt", F.count("*").over(Window.partitionBy("stratum")))
+    )
+    lo_rn = (F.floor(F.lit(p_lo) * (F.col("cnt") - 1)) + 1).cast("long")
+    hi_rn = (F.floor(F.lit(p_hi) * (F.col("cnt") - 1)) + 1).cast("long")
+    thr = (
+        ranked.filter((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+        .groupBy("stratum")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rn, F.col("v"))).alias("lo"),
+            F.max(F.when(F.col("rn") == hi_rn, F.col("v"))).alias("hi"),
+        )
+    )
+    vals = docs.select(
+        F.col(stratum_col).alias("stratum"), F.col(value_col).alias("v")
+    )
+    clipped = vals.join(F.broadcast(thr), "stratum").withColumn(
+        "cv", F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias("n_clip_lo"),
+            F.sum(F.when(F.col("v") > F.col("hi"), 1).otherwise(0)).alias("n_clip_hi"),
+            F.round(F.sum("cv") / F.count("*"), 6).alias("winsor_mean"),
+        )
+        .select("stratum", "n_docs", "lo", "hi", "n_clip_lo", "n_clip_hi", "winsor_mean")
+    )

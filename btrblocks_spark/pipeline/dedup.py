@@ -37,6 +37,7 @@ from btrblocks_spark.pipeline.text import (
     hash32,
     normalized,
     shingles,
+    tokens,
 )
 
 
@@ -548,4 +549,80 @@ def semantic_keep(
         "vec_id",
         F.col("dropped_by").isNull().alias("kept"),
         "dropped_by",
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """TF-IDF-weighted cosine similarity pairs over the token vocabulary —
+    the bag-of-words complement to shingle Jaccard: word REUSE similarity
+    with common words discounted by inverse document frequency, robust to
+    token reordering that breaks shingle-based measures.
+
+    Weights are integer-exact for engine parity: w = round(tf *
+    round(ln(N/df), 6) * 100) as int64, so dot products and squared norms
+    are exact integer sums (max |w| ~ 3e5, sums < 2^53, so the final
+    cast-to-double for sqrt/divide is lossless) and only the last
+    round(cosine, 6) touches float formatting.
+
+    Same single-chain inverted-index shape as ``ngram_jaccard_pairs``:
+    one token scan, df + norm as window counts folded into the chain,
+    candidate pairs emitted map-side per posting list, one aggregation
+    keyed on the (doc_a, doc_b) pair. ``max_doc_freq`` bounds the k² pair
+    blowup on hot terms; IDF additionally drives their weight toward zero,
+    so the cap costs almost no cosine mass at corpus scale."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = docs.count()
+    tf = (
+        tokens(docs)
+        .select("doc_id", F.lower("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("t")))
+    if max_doc_freq is not None:
+        wdf = wdf.filter(F.col("df") <= max_doc_freq)
+    wtd = wdf.select(
+        "doc_id",
+        "t",
+        F.round(
+            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6) * 100
+        )
+        .cast("long")
+        .alias("ws"),
+    ).filter(F.col("ws") > 0)
+    normed = wtd.withColumn(
+        "norm2", F.sum(F.col("ws") * F.col("ws")).over(Window.partitionBy("doc_id"))
+    )
+    pairs = _bucket_pairs(normed, ["t"], ["doc_id", "ws", "norm2"])
+    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
+    return (
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(a_first, F.col("a.norm2")).otherwise(F.col("b.norm2")).alias("na"),
+            F.when(a_first, F.col("b.norm2")).otherwise(F.col("a.norm2")).alias("nb"),
+            (F.col("a.ws") * F.col("b.ws")).alias("prod"),
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.sum("prod").alias("dot"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
     )

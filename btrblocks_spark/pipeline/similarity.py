@@ -434,3 +434,92 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def _pq_min_struct(j: int, sub: int, vec: str = "v") -> str:
+    """SQL expr: struct of (per-subspace L2 distance, centroid id, centroid
+    sub-vector) minimized over the broadcast codebook array — natural struct
+    ordering (d asc, c_id asc) makes array_min the deterministic argmin."""
+    lo = j * sub + 1
+    d = (
+        f"round(aggregate(zip_with(slice({vec}, {lo}, {sub}), slice(c.cv, {lo}, {sub}), "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"
+    )
+    return (
+        f"array_min(transform(_cents, c -> struct({d} AS d, c.c_id AS cid, "
+        f"slice(c.cv, {lo}, {sub}) AS sv)))"
+    )
+
+
+def pq_encode(
+    vecs: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 17,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization build step: split each vector into ``m``
+    sub-vectors; each sub-vector is replaced by the id of its nearest
+    codebook entry (per-subspace L2, ties to the smaller id). Codebook =
+    sub-slices of the deterministic stride-sampled donor vectors (same
+    reproducibility trick as ``ivf_cells`` — k-means would converge
+    data-dependently; the plumbing is identical).
+
+    Returns (vec_id, codes array<bigint>, rv reconstructed DOUBLE[dim]).
+    The m-byte ``codes`` column is what a 100 TB vector store persists
+    (vs SQ8's dim bytes); encoding is a map-side fold over the broadcast
+    codebook — one corpus scan, no shuffle, no join."""
+    sub = dim // m
+    corpus = _as_double(vecs, vec_col, id_col)
+    cents = _stride_cents(corpus, centroid_stride).select(
+        F.struct("c_id", "cv").alias("_c")
+    ).agg(F.collect_list("_c").alias("_cents"))
+    picks = [f"_p{j}" for j in range(m)]
+    picked = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *[F.expr(_pq_min_struct(j, sub)).alias(p) for j, p in enumerate(picks)],
+    )
+    return picked.select(
+        "vec_id",
+        F.array(*[F.col(f"{p}.cid") for p in picks]).alias("codes"),
+        F.flatten(F.array(*[F.col(f"{p}.sv") for p in picks])).alias("rv"),
+    )
+
+
+def pq_topk(
+    vecs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    centroid_stride: int = 17,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine via PQ with asymmetric distance (ADC):
+    queries stay full-precision, the corpus is scored through its
+    reconstructed codes — the standard IVF-PQ probe arithmetic. Same shape
+    as ``cosine_topk``: broadcast queries, one (encoded) corpus scan,
+    per-query window top-k."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    recon = pq_encode(vecs, m, dim, centroid_stride, vec_col, id_col)
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(recon)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "rv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+    )

@@ -511,3 +511,41 @@ def chunk_windows(
         )
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+class _SplitSentences:
+    """Python UDTF (Spark 4 user-defined TABLE function): one input document
+    row -> N sentence rows. The lateral-join form is the idiomatic Spark
+    surface for row-expanding Python logic that doesn't fit
+    explode()-able SQL expressions (the reference has no analog — its
+    interface stubs stop at scalar scans, SURVEY.md §2a).
+
+    eval() runs per input row inside the executor's Python worker —
+    narrow (no shuffle), partition-parallel, Arrow-batched when
+    spark.sql.execution.pythonUDTF.arrow.enabled is set."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature is positional
+        if text is None:
+            return
+        for i, s in enumerate(text.split(". ")):
+            yield doc_id, i + 1, s, len(s)
+
+
+def sentences_udtf(spark, docs: DataFrame) -> DataFrame:
+    """Register and apply the sentence-split UDTF via a correlated LATERAL
+    join. Split rule is plain ``'. '`` so the result is bit-identical to
+    the DuckDB string_split oracle (no engine-specific regex semantics)."""
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(
+        _SplitSentences,
+        returnType="doc_id bigint, sent_idx int, sentence string, sent_chars bigint",
+    )
+    spark.udtf.register("split_sentences", fn)
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence, s.sent_chars
+        FROM _docs_for_udtf d, LATERAL split_sentences(d.doc_id, d.text) s
+        """
+    )

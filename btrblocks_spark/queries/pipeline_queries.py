@@ -1767,3 +1767,178 @@ def q_text_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.inference import score_documents
 
     return score_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(*) AS nd FROM documents),
+dfc AS (
+  SELECT doc_id, t, tf, count(*) OVER (PARTITION BY t) AS df FROM tf
+),
+wtd AS (
+  SELECT doc_id, t,
+         CAST(round(tf * round(ln(CAST(nd AS DOUBLE) / df), 6) * 100) AS BIGINT) AS ws
+  FROM dfc, n
+  WHERE df <= 50
+),
+normed AS (
+  SELECT doc_id, t, ws,
+         sum(ws * ws) OVER (PARTITION BY doc_id) AS norm2
+  FROM wtd WHERE ws > 0
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.norm2 AS na, b.norm2 AS nb, sum(a.ws * b.ws) AS dot
+  FROM normed a JOIN normed b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+FROM pairs
+WHERE round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.3
+""",
+)
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words near-dup: TF-IDF cosine >= 0.3, hot terms (df > 50)
+    dropped before the inverted-index join (see dedup.tfidf_cosine_pairs)."""
+    from btrblocks_spark.pipeline.dedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=50
+    )
+
+
+@register(
+    "curation_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT source AS stratum, n_chars AS v, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+),
+thr AS (
+  SELECT stratum,
+         min(CASE WHEN rn = CAST(floor(0.05 * (cnt - 1)) AS BIGINT) + 1 THEN v END) AS lo,
+         max(CASE WHEN rn = CAST(floor(0.95 * (cnt - 1)) AS BIGINT) + 1 THEN v END) AS hi
+  FROM ranked
+  WHERE rn = CAST(floor(0.05 * (cnt - 1)) AS BIGINT) + 1
+     OR rn = CAST(floor(0.95 * (cnt - 1)) AS BIGINT) + 1
+  GROUP BY stratum
+)
+SELECT d.source AS stratum,
+       count(*) AS n_docs,
+       min(t.lo) AS lo,
+       min(t.hi) AS hi,
+       sum(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS n_clip_lo,
+       sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       round(sum(least(greatest(d.n_chars, t.lo), t.hi)) / count(*), 6) AS winsor_mean
+FROM documents d JOIN thr t ON t.stratum = d.source
+GROUP BY 1
+""",
+)
+def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized length profile: clip n_chars to the in-stratum
+    [p05, p95] discrete percentiles (rank selection), report clip counts and
+    the winsorized mean (see curation.winsorize_stats)."""
+    from btrblocks_spark.pipeline.curation import winsorize_stats
+
+    return winsorize_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_sentences_udtf",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         unnest(string_split(text, '. ')) AS sentence,
+         generate_subscripts(string_split(text, '. '), 1) AS sent_idx
+  FROM documents
+)
+SELECT doc_id, sent_idx, sentence, length(sentence) AS sent_chars FROM s
+""",
+)
+def q_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence explosion through a Python UDTF + LATERAL join — the
+    Spark-4 table-function surface (see text.sentences_udtf)."""
+    from btrblocks_spark.pipeline.text import sentences_udtf
+
+    return sentences_udtf(spark, load_table(spark, sf_dir, "documents"))
+
+
+_PQ_CHOSEN = """
+c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 17 = 0),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+asg AS (
+  SELECT e.vec_id, js.j, c.c_id, c.cv,
+         row_number() OVER (PARTITION BY e.vec_id, js.j ORDER BY
+           round(list_reduce(list_transform(range(1, 17),
+             i -> (e.v[js.j * 16 + i] - c.cv[js.j * 16 + i])
+                * (e.v[js.j * 16 + i] - c.cv[js.j * 16 + i])),
+             (x, y) -> x + y), 6), c.c_id) AS rn
+  FROM e CROSS JOIN c CROSS JOIN js
+),
+chosen AS (SELECT vec_id, j, c_id, cv FROM asg WHERE rn = 1)"""
+
+
+@register(
+    "ann_pq_codes",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_PQ_CHOSEN}
+SELECT vec_id,
+       min(CASE WHEN j = 0 THEN c_id END) AS code_0,
+       min(CASE WHEN j = 1 THEN c_id END) AS code_1,
+       min(CASE WHEN j = 2 THEN c_id END) AS code_2,
+       min(CASE WHEN j = 3 THEN c_id END) AS code_3
+FROM chosen GROUP BY vec_id
+""",
+)
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ build artifact: each vector's m=4 per-subspace codebook ids
+    (similarity.pq_encode) — the 4-byte-per-vector compressed form a
+    100 TB vector store persists."""
+    from btrblocks_spark.pipeline.similarity import pq_encode
+
+    enc = pq_encode(load_table(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id",
+        *[enc["codes"][j].alias(f"code_{j}") for j in range(4)],
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_PQ_CHOSEN},
+recon AS (
+  SELECT vec_id,
+         flatten(list(list_transform(range(1, 17), i -> cv[j * 16 + i]) ORDER BY j)) AS rv
+  FROM chosen GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q_id, recon.vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'recon.rv')}, 6) AS cosine
+  FROM q CROSS JOIN recon WHERE recon.vec_id != q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with asymmetric distance: full-precision queries scored
+    against code-reconstructed corpus vectors (similarity.pq_topk)."""
+    from btrblocks_spark.pipeline.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)

@@ -649,3 +649,114 @@ def test_model_score_is_sigmoid_of_logit(spark):
         assert 0.0 <= r["score"] <= 1.0
         # monotone consistency: positive logit -> score > 0.5
         assert (r["score"] > 0.5) == (r["logit"] > 0) or r["logit"] == 0
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from btrblocks_spark.pipeline.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+    assert by_pair[(1, 2)] == 1.0
+    # disjoint vocabularies never become candidates (no shared posting)
+    assert (1, 3) not in by_pair and (2, 3) not in by_pair
+
+
+def test_tfidf_cosine_orders_by_overlap(spark):
+    from btrblocks_spark.pipeline.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "q r s t u1 u2"),
+            (2, "q r s v1 v2 v3"),
+            (3, "t x y z k l"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in rows}
+    # (1,2) share three discriminative terms, (1,3) share one
+    assert by_pair[(1, 2)] > by_pair[(1, 3)]
+
+
+def test_winsorize_clips_outliers(spark):
+    from btrblocks_spark.pipeline.curation import winsorize_stats
+
+    rows = [(i, "s", v) for i, v in enumerate([10] * 18 + [1, 1000])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = winsorize_stats(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # p05 rank = floor(.05*19)+1 = 1 -> value 1; p95 rank = floor(.95*19)+1 = 19 -> 10
+    assert r["lo"] == 1 and r["hi"] == 10
+    assert r["n_clip_hi"] == 1 and r["n_clip_lo"] == 0
+    assert r["n_docs"] == 20
+    assert r["winsor_mean"] == round((10 * 19 + 1) / 20, 6)
+
+
+def test_sentences_udtf_splits_and_indexes(spark):
+    from btrblocks_spark.pipeline.text import sentences_udtf
+
+    docs = spark.createDataFrame(
+        [(1, "one two. three four. five"), (2, "single"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sentences_udtf(spark, docs).collect()
+    got = {(r["doc_id"], r["sent_idx"]): (r["sentence"], r["sent_chars"]) for r in rows}
+    assert got[(1, 1)] == ("one two", 7)
+    assert got[(1, 3)] == ("five", 4)
+    assert got[(2, 1)] == ("single", 6)
+    assert all(r["doc_id"] != 3 for r in rows)  # null text emits no rows
+
+
+def test_pq_codes_reference_codebook(spark, sf_dir):
+    from btrblocks_spark.pipeline.similarity import pq_encode
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    donor_ids = {
+        r["vec_id"] for r in vecs.filter(F.col("vec_id") % 17 == 0).collect()
+    }
+    enc = pq_encode(vecs)
+    stats = enc.select(
+        F.min(F.size("codes")).alias("m"),
+        F.min(F.size("rv")).alias("dims"),
+        F.expr("array_distinct(flatten(collect_list(codes)))").alias("used"),
+    ).collect()[0]
+    assert stats["m"] == 4 and stats["dims"] == 64
+    assert set(stats["used"]) <= donor_ids
+
+
+def test_pq_donors_encode_to_themselves(spark, sf_dir):
+    """A codebook donor's nearest sub-centroid is itself (distance 0 in
+    every subspace), so its codes must all equal its own id and its
+    reconstruction must be exact."""
+    from btrblocks_spark.pipeline.similarity import pq_encode, _as_double
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(vecs).filter(F.col("vec_id") % 17 == 0)
+    bad = enc.filter(
+        F.expr("exists(codes, c -> c != vec_id)")
+    ).count()
+    assert bad == 0
+    orig = _as_double(vecs, "embedding", "vec_id").filter(F.col("vec_id") % 17 == 0)
+    joined = enc.join(orig, "vec_id").filter(F.expr("rv != v")).count()
+    assert joined == 0
+
+
+def test_pq_topk_shape_and_bounds(spark, sf_dir):
+    from btrblocks_spark.pipeline.similarity import pq_topk
+
+    rows = pq_topk(load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3], k=5).collect()
+    assert len(rows) == 20
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
