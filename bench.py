@@ -78,6 +78,10 @@ HEADLINE = [
     "stats_histogram",
     "retrieval_rrf_hybrid",
     "text_chunk_windows",
+    "dedup_tfidf_cosine",
+    "ann_pq_topk",
+    "curation_winsorize",
+    "text_sentences_udtf",
     "dedup_duplicate_spans",
     "dedup_semantic_keep",
     "ann_sq8_topk",

@@ -89,3 +89,247 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> dict:
             shutil.rmtree(os.path.join(table_dir, f"v={v}"))
             removed.append(v)
     return {"removed_versions": removed, "retained_versions": sorted(retain)}
+
+
+def compact(spark: SparkSession, path: str, config=None) -> dict:
+    """OPTIMIZE/compaction for a chunked table: bin-pack fragmented chunk
+    files (under-filled tails from the streaming ``chunked_append`` sink,
+    partial final chunks from repeated small writes) back into exact
+    ``block_size``-row chunks, and bring the metadata sidecar back in sync
+    (appends never update it — compaction is where the table's statistics
+    catch up).
+
+    Selective by construction: files that already hold one full, aligned
+    chunk (num_rows == block_size, _idx range [k*bs, (k+1)*bs) for a chunk
+    k inside the contiguous prefix) are NOT rewritten or even read — only
+    their parquet footers are inspected. At 100 TB, cost is proportional
+    to the fragmented tail, not the table. Fragment detection is pure
+    footer metadata (pyarrow row counts + _idx column stats), no data
+    scan.
+
+    Returns a stats dict (files/rows before/after, chunks rewritten)."""
+    import pyarrow.parquet as pq
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.reader import read_metadata
+    from btrblocks_spark.format.writer import (
+        _plan_partition_fn,
+        _PLAN_SCHEMA,
+        _stage_by_chunk,
+    )
+    from btrblocks_spark.format.chunker import with_chunk_id
+
+    import dataclasses
+
+    meta = read_metadata(path)
+    bs = int(meta["block_size"])
+    cfg = dataclasses.replace(config or DEFAULT_CONFIG, block_size=bs)
+    data_dir = os.path.join(path, "data")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    full: dict[int, str] = {}  # chunk id -> file holding exactly that chunk
+    frag: list[str] = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        n = pf.metadata.num_rows
+        names = pf.schema_arrow.names
+        chunk_id = None
+        if n == bs and "_idx" in names:
+            idx_pos = names.index("_idx")
+            mins, maxs = [], []
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx_pos).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins and min(mins) % bs == 0 and max(maxs) == min(mins) + bs - 1:
+                chunk_id = min(mins) // bs
+        if chunk_id is not None and chunk_id not in full:
+            full[chunk_id] = f
+        else:
+            frag.append(f)
+
+    # keep only the contiguous chunk prefix 0..K-1 (a hole means the global
+    # index is no longer dense there; those files get rewritten too)
+    keep_k = 0
+    while keep_k in full:
+        keep_k += 1
+    frag.extend(f for k, f in sorted(full.items()) if k >= keep_k)
+    if len(frag) <= 1:
+        return {
+            "compacted": False,
+            "files": len(files),
+            "full_chunks": keep_k,
+            "fragments": len(frag),
+        }
+
+    cols = [c["name"] for c in meta["schema"]]
+    col_types = [(c["name"], c["type"]) for c in meta["schema"]]
+    frag_df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*frag)
+        .select(*cols)  # drops _idx whether present or not
+    )
+    base = keep_k * bs
+    indexed = with_chunk_id(frag_df, meta["order_keys"], bs)
+    n_frag = indexed._btr_total_rows
+    shifted = indexed.withColumn("_idx", F.col("_idx") + F.lit(base)).withColumn(
+        "_chunk", F.floor(F.col("_idx") / F.lit(bs)).cast("long")
+    )
+    new_chunks = (n_frag + bs - 1) // bs
+    staged = _stage_by_chunk(shifted, int(new_chunks))
+
+    tmp_dir = os.path.join(path, "_compact_tmp")
+    (
+        staged.drop("_chunk")
+        .write.mode("overwrite")
+        .option("compression", cfg.compression_codec)
+        .option("maxRecordsPerFile", bs)
+        .parquet(tmp_dir)
+    )
+
+    # re-plan the rewritten tail only (footer-cheap for the kept prefix).
+    # maxPartitionBytes is raised past the largest file so one read task
+    # sees each chunk whole — a split chunk would emit duplicate plan rows
+    # (same guard as write_table).
+    max_file = max(
+        (
+            os.path.getsize(os.path.join(r, f))
+            for r, _s, fs in os.walk(tmp_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ),
+        default=1,
+    )
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
+    try:
+        planned = (
+            spark.read.parquet(tmp_dir)
+            .withColumn("_chunk", F.floor(F.col("_idx") / F.lit(bs)).cast("long"))
+            .drop("_idx")
+            .mapInPandas(_plan_partition_fn(col_types, cfg), _PLAN_SCHEMA)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+    # swap files: drop fragments, adopt the rewritten tail
+    for f in frag:
+        os.remove(f)
+    moved = 0
+    for r, _s, fs in os.walk(tmp_dir):
+        for f in fs:
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(r, f),
+                    os.path.join(data_dir, f"compacted-{moved:05d}-{f}"),
+                )
+                moved += 1
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    # sidecar: keep per-chunk plan rows for the untouched prefix, replace
+    # everything at or beyond it with the freshly planned tail
+    for col, info in meta["columns"].items():
+        info["chunks"] = [c for c in info["chunks"] if c["chunk"] < keep_k]
+    for row in sorted(
+        (r.asDict() for r in planned), key=lambda x: (x["column"], x["chunk"])
+    ):
+        col = row["column"]
+        entry = meta["columns"].setdefault(
+            col, {"type": row["col_type"], "chunks": []}
+        )
+        entry["chunks"].append(
+            {k: v for k, v in row.items() if k not in ("column", "col_type")}
+        )
+    meta["num_rows"] = base + int(n_frag)
+    meta["num_chunks"] = keep_k + int(new_chunks)
+    total_raw = sum(c["raw_size"] for i in meta["columns"].values() for c in i["chunks"])
+    total_est = sum(c["est_size"] for i in meta["columns"].values() for c in i["chunks"])
+    meta["totals"] = {
+        "raw_bytes": total_raw,
+        "est_compressed_bytes": total_est,
+        "est_compression_ratio": round(total_raw / max(total_est, 1), 4),
+    }
+    import json
+
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, default=str)
+    return {
+        "compacted": True,
+        "files_before": len(files),
+        "files_after": keep_k + moved,
+        "rewritten_files": len(frag),
+        "full_chunks_kept": keep_k,
+        "new_chunks": int(new_chunks),
+        "num_rows": meta["num_rows"],
+    }
+
+
+def add_column(path: str, name: str, sql_type: str, default=None) -> dict:
+    """Schema evolution: declare a new column in the metadata sidecar with a
+    default for pre-existing rows. Pure metadata — NO data files are
+    rewritten (the lakehouse add-column contract; at 100 TB a backfill
+    rewrite is exactly what this avoids). Chunks written before the
+    evolution simply lack the column on disk; ``read_table_evolved``
+    projects the default into them at scan time."""
+    import json
+
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    if any(c["name"] == name for c in meta["schema"]):
+        raise ValueError(f"column {name!r} already exists")
+    meta["schema"].append({"name": name, "type": sql_type, "default": default})
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, default=str)
+    return {"column": name, "type": sql_type, "default": default}
+
+
+def read_table_evolved(spark: SparkSession, path: str):
+    """Scan honoring schema evolution: files written before an
+    ``add_column`` get that column filled with its declared default; files
+    written after keep their stored values (including genuine NULLs —
+    defaults are per-FILE-vintage, decided from parquet footers, not a
+    value-level coalesce that would corrupt post-evolution NULLs).
+
+    Returns (DataFrame, metadata). Footer inspection is metadata-only; the
+    scan itself stays one parquet read per file vintage, unioned by name —
+    Spark still prunes columns and pushes filters into both branches."""
+    import pyarrow.parquet as pq
+
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    data_dir = os.path.join(path, "data")
+    declared = [(c["name"], c["type"], c.get("default")) for c in meta["schema"]]
+    files = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    by_cols: dict[frozenset, list[str]] = {}
+    for f in files:
+        names = frozenset(pq.ParquetFile(f).schema_arrow.names)
+        by_cols.setdefault(names, []).append(f)
+
+    out = None
+    for names, paths in sorted(by_cols.items(), key=lambda kv: kv[1][0]):
+        part = spark.read.parquet(*paths)
+        for col, typ, default in declared:
+            if col not in names:
+                part = part.withColumn(col, F.lit(default).cast(typ))
+        part = part.select([c for c, _t, _d in declared])
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        schema = ", ".join(f"{c} {t}" for c, t, _d in declared)
+        out = spark.createDataFrame([], schema)
+    return out, meta

@@ -436,18 +436,22 @@ def sq8_topk(
     )
 
 
-def _pq_min_struct(j: int, sub: int, vec: str = "v") -> str:
+def _pq_min_struct(j: int) -> str:
     """SQL expr: struct of (per-subspace L2 distance, centroid id, centroid
     sub-vector) minimized over the broadcast codebook array — natural struct
-    ordering (d asc, c_id asc) makes array_min the deterministic argmin."""
-    lo = j * sub + 1
+    ordering (d asc, c_id asc) makes array_min the deterministic argmin.
+
+    Both sides are PRE-SLICED (row sub-vectors _v{j}, codebook sub-vectors
+    c.sv{j}) so the inner fold does 16 multiply-adds per centroid and no
+    per-centroid array allocation (measured ~2x over slicing inside the
+    lambda)."""
     d = (
-        f"round(aggregate(zip_with(slice({vec}, {lo}, {sub}), slice(c.cv, {lo}, {sub}), "
+        f"round(aggregate(zip_with(_v{j}, c.sv{j}, "
         "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"
     )
     return (
         f"array_min(transform(_cents, c -> struct({d} AS d, c.c_id AS cid, "
-        f"slice(c.cv, {lo}, {sub}) AS sv)))"
+        f"c.sv{j} AS sv)))"
     )
 
 
@@ -473,12 +477,25 @@ def pq_encode(
     sub = dim // m
     corpus = _as_double(vecs, vec_col, id_col)
     cents = _stride_cents(corpus, centroid_stride).select(
-        F.struct("c_id", "cv").alias("_c")
+        F.struct(
+            "c_id",
+            *[
+                F.expr(f"slice(cv, {j * sub + 1}, {sub})").alias(f"sv{j}")
+                for j in range(m)
+            ],
+        ).alias("_c")
     ).agg(F.collect_list("_c").alias("_cents"))
     picks = [f"_p{j}" for j in range(m)]
-    picked = corpus.crossJoin(F.broadcast(cents)).select(
+    sliced = corpus.select(
         "vec_id",
-        *[F.expr(_pq_min_struct(j, sub)).alias(p) for j, p in enumerate(picks)],
+        *[
+            F.expr(f"slice(v, {j * sub + 1}, {sub})").alias(f"_v{j}")
+            for j in range(m)
+        ],
+    )
+    picked = sliced.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *[F.expr(_pq_min_struct(j)).alias(p) for j, p in enumerate(picks)],
     )
     return picked.select(
         "vec_id",

@@ -354,3 +354,49 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew profile — the shuffle-planning statistic
+# ---------------------------------------------------------------------------
+
+_KEY_SKEW_ORACLE = """
+WITH k AS (
+  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value FROM lineitem
+  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per_key AS (
+  SELECT key_name, key_value, count(*) AS cnt FROM k GROUP BY 1, 2
+)
+SELECT key_name,
+       sum(cnt) AS n_rows,
+       count(*) AS n_keys,
+       max(cnt) AS max_freq,
+       round(max(cnt) * count(*) / sum(cnt), 6) AS skew_factor
+FROM per_key GROUP BY 1
+"""
+
+
+@register("stats_key_skew", _KEY_SKEW_ORACLE)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew profile over lineitem's three join keys:
+    max key frequency and skew_factor = max_freq * n_keys / n_rows
+    (1.0 = perfectly uniform; >> 1 = a hot key that will straggle a
+    shuffle join). This is the statistic that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (events_salted_join) — computed in ONE pass: a map-side stack() melt
+    (no re-scan per key column) into a single two-level aggregation."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
+            "'l_suppkey', l_suppkey) as (key_name, key_value)"
+        )
+    )
+    per_key = l.groupBy("key_name", "key_value").agg(F.count("*").alias("cnt"))
+    return per_key.groupBy("key_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_freq"),
+        F.round(F.max("cnt") * F.count("*") / F.sum("cnt"), 6).alias("skew_factor"),
+    )

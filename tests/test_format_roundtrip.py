@@ -367,3 +367,108 @@ def test_delete_vacuum_time_travel(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         read_version(spark, table_dir, 0)
+
+
+def test_compact_bin_packs_fragmented_tail(spark, sf_dir, tmp_path):
+    """Compaction merges under-filled appended files into exact block_size
+    chunks, preserves the data bit-for-bit, leaves the full-chunk prefix
+    files untouched, and re-syncs the sidecar (format/maintenance.compact)."""
+    import dataclasses
+    import os
+
+    from btrblocks_spark.format.maintenance import compact
+    from btrblocks_spark.format.reader import read_metadata, read_table
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2048)
+    path = str(tmp_path / "compactable")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    write_table(base, path, ["o_orderkey"], cfg)
+    prefix_files = {
+        f for f in os.listdir(path + "/data") if f.endswith(".parquet")
+    }
+
+    # simulate streaming chunked_append: three small appends, no sidecar sync
+    appended = orders.filter(F.col("o_orderkey") % 7 == 0)
+    for i in range(3):
+        (
+            appended.filter(F.col("o_orderkey") % 3 == i)
+            .write.mode("append")
+            .option("maxRecordsPerFile", 2048)
+            .parquet(path + "/data")
+        )
+
+    res = compact(spark, path, cfg)
+    assert res["compacted"] is True
+    assert res["files_after"] < res["files_before"]
+    assert res["num_rows"] == orders.count()
+    # full prefix chunks were not rewritten
+    kept = {f for f in os.listdir(path + "/data") if f.endswith(".parquet")}
+    assert len(prefix_files & kept) == res["full_chunks_kept"]
+
+    # data survives exactly (null-aware set compare on the full row)
+    got, meta = read_table(spark, path)
+    assert got.exceptAll(orders).count() == 0
+    assert orders.exceptAll(got).count() == 0
+
+    # layout invariant: every non-final chunk file holds exactly block_size
+    import pyarrow.parquet as pq
+
+    sizes = sorted(
+        pq.ParquetFile(os.path.join(path, "data", f)).metadata.num_rows
+        for f in kept
+    )
+    assert all(s == 2048 for s in sizes[1:]) and sizes[0] <= 2048
+
+    # sidecar re-synced: chunk count and per-column plan entries agree
+    meta2 = read_metadata(path)
+    assert meta2["num_rows"] == orders.count()
+    assert meta2["num_chunks"] == (orders.count() + 2047) // 2048
+    for col, info in meta2["columns"].items():
+        assert [c["chunk"] for c in info["chunks"]] == list(range(meta2["num_chunks"]))
+
+    # idempotent: a second compact is a no-op
+    res2 = compact(spark, path, cfg)
+    assert res2["compacted"] is False
+
+
+def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
+    """add_column is metadata-only; read_table_evolved fills the default for
+    pre-evolution files and preserves stored values (including NULLs) in
+    post-evolution files (format/maintenance.add_column)."""
+    import dataclasses
+
+    from btrblocks_spark.format.maintenance import add_column, read_table_evolved
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2048)
+    path = str(tmp_path / "evolving")
+    region = load_table(spark, sf_dir, "nation")
+    n0 = region.count()
+    write_table(region, path, ["n_nationkey"], cfg)
+
+    res = add_column(path, "ingest_tag", "string", default="legacy")
+    assert res["column"] == "ingest_tag"
+
+    df, meta = read_table_evolved(spark, path)
+    assert [c["name"] for c in meta["schema"]][-1] == "ingest_tag"
+    assert df.filter(F.col("ingest_tag") == "legacy").count() == n0
+
+    # append post-evolution rows carrying explicit values and a genuine NULL
+    extra = spark.createDataFrame(
+        [(900, "ATLANTIS", 0, "myth", "batch-7"), (901, "MU", 1, "myth", None)],
+        "n_nationkey long, n_name string, n_regionkey long, n_comment string, ingest_tag string",
+    )
+    extra.write.mode("append").parquet(path + "/data")
+
+    df2, _ = read_table_evolved(spark, path)
+    assert df2.count() == n0 + 2
+    assert df2.filter(F.col("ingest_tag") == "batch-7").count() == 1
+    # post-evolution NULL is NOT coalesced into the default
+    assert df2.filter(F.col("n_nationkey") == 901).first()["ingest_tag"] is None
+    assert df2.filter(F.col("ingest_tag") == "legacy").count() == n0
+
+    # duplicate add rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        add_column(path, "ingest_tag", "string")
