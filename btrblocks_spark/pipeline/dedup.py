@@ -626,3 +626,70 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): identical
+    output to ``ngram_jaccard_pairs`` at the same threshold, but candidate
+    pairs come only from each document's PREFIX — its (sz - ceil(t*sz) + 1)
+    rarest shingles under a global (document-frequency, hash) order.
+
+    Why lossless: J(A,B) >= t forces |A∩B| >= ceil(t/(1+t)*(|A|+|B|)), and
+    any pair with that much overlap must share a token within both prefixes
+    (the prefix-filtering principle — our per-doc prefix |d|-ceil(t|d|)+1
+    is a superset of the tight pair bound since |B| >= t|A| for any match).
+
+    Why it scales where the plain inverted index can't: posting lists are
+    joined only for PREFIX tokens, which are by construction the rarest in
+    the corpus — the k² pair blowup on hot shingles disappears without the
+    recall loss of a hard df cap. Verification then joins the (small)
+    candidate set against per-doc hashed shingle arrays: intersection is a
+    map-side ``array_intersect``, so the full-set join never happens."""
+    hashed = (
+        shingles(docs, n)
+        .select("doc_id", hash32(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    dfs = hashed.withColumn(
+        "df", F.count("*").over(Window.partitionBy("h"))
+    ).withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    ranked = dfs.withColumn(
+        "trank",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
+    prefix = ranked.filter(
+        F.col("trank")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    cand = (
+        _bucket_pairs(prefix, ["h"], ["doc_id"])
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = hashed.groupBy("doc_id").agg(
+        F.collect_set("h").alias("hs"), F.count("*").alias("sz")
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sz").alias("sz_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

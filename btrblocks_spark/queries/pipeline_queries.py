@@ -1942,3 +1942,50 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.similarity import pq_topk
 
     return pq_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+WITH {_SHD},
+dfs AS (
+  SELECT doc_id, h,
+         count(*) OVER (PARTITION BY h) AS df,
+         count(*) OVER (PARTITION BY doc_id) AS sz
+  FROM sh_hashed
+),
+pranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS trank
+  FROM dfs
+),
+prefix AS (
+  SELECT * FROM pranked
+  WHERE trank <= sz - CAST(ceil(0.5 * sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh_hashed GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh_hashed x ON x.doc_id = c.doc_a
+  JOIN sh_hashed y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+""",
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered Jaccard join — lossless AllPairs pruning (see
+    dedup.jaccard_prefix_pairs); same pair set as dedup_ngram_jaccard on
+    hashed shingle sets, candidates from rare-token prefixes only."""
+    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))

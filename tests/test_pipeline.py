@@ -760,3 +760,19 @@ def test_pq_topk_shape_and_bounds(spark, sf_dir):
         per_q.setdefault(r["q_id"], []).append(r["rank"])
         assert -1.0 <= r["cosine"] <= 1.0
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """Prefix filtering must find EXACTLY the pairs the plain inverted-index
+    join finds at the same threshold (the AllPairs losslessness guarantee;
+    hashed vs string shingle sets only diverge on 32-bit collisions)."""
+    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = {
+        (r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]) for r in jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    assert pref == plain and len(pref) > 0
