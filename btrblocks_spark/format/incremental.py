@@ -1,0 +1,104 @@
+"""Incremental aggregate maintenance over an append-only chunked table.
+
+The reference format is append-only (chunks are immutable; the streaming
+sink only ever adds files), which makes materialized aggregates cheap to
+maintain: scan ONLY the files appended since the last refresh, aggregate
+them, and fold the partial into the stored result. Avg/ratio metrics are
+derived from (sum, count) partials at read time, so every stored measure is
+a commutative monoid and partial merge is exact — the classic incremental
+view maintenance contract.
+
+At 100 TB this is the difference between an O(new bytes) refresh and an
+O(table) recompute: refresh cost tracks the append rate, not table size.
+State (processed file list + result version) lives in a JSON sidecar next
+to versioned result snapshots, same layout as streaming_upsert's
+``v=N`` + ``_latest`` pointer, so refreshes are atomic and readers keep
+snapshot isolation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _list_data_files(path: str) -> list[str]:
+    data_dir = os.path.join(path, "data")
+    return sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def incremental_agg(
+    spark: SparkSession,
+    path: str,
+    state_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> tuple[DataFrame, dict]:
+    """Refresh (or initialize) a grouped sum/count aggregate over the
+    chunked table at ``path``, scanning only files not yet folded in.
+
+    Returns (result DataFrame, stats). ``stats['files_scanned']`` is the
+    incremental scan size — 0 on a no-op refresh."""
+    os.makedirs(state_dir, exist_ok=True)
+    state_file = os.path.join(state_dir, "_state.json")
+    if os.path.exists(state_file):
+        with open(state_file) as fh:
+            state = json.load(fh)
+    else:
+        state = {"processed": [], "version": -1}
+
+    files = _list_data_files(path)
+    seen = set(state["processed"])
+    new = [f for f in files if f not in seen]
+    prev = (
+        spark.read.parquet(os.path.join(state_dir, f"v={state['version']}"))
+        if state["version"] >= 0
+        else None
+    )
+    stats = {
+        "files_total": len(files),
+        "files_scanned": len(new),
+        "version": state["version"],
+    }
+    if not new and prev is not None:
+        return prev, stats
+
+    sum_aliases = [f"sum_{c}" for c in sum_cols]
+    part = (
+        spark.read.parquet(*new)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(a) for c, a in zip(sum_cols, sum_aliases)],
+            F.count(F.lit(1)).alias(count_col),
+        )
+    )
+    if prev is not None:
+        merged = (
+            prev.unionByName(part)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(a).alias(a) for a in sum_aliases],
+                F.sum(count_col).alias(count_col),
+            )
+        )
+    else:
+        merged = part
+
+    next_v = state["version"] + 1
+    out_dir = os.path.join(state_dir, f"v={next_v}")
+    merged.write.mode("overwrite").parquet(out_dir)
+    tmp = state_file + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"processed": files, "version": next_v}, fh)
+    os.replace(tmp, state_file)
+    stats["version"] = next_v
+    return spark.read.parquet(out_dir), stats

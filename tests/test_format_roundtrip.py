@@ -472,3 +472,58 @@ def test_schema_evolution_add_column(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         add_column(path, "ingest_tag", "string")
+
+
+def test_incremental_agg_matches_full_recompute(spark, sf_dir, tmp_path):
+    """Incremental refresh over appended chunk files must equal the full
+    recompute at every step, and a refresh with no new files must scan
+    nothing (format/incremental.incremental_agg)."""
+    import dataclasses
+
+    from btrblocks_spark.format.incremental import incremental_agg
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2048)
+    path = str(tmp_path / "growing")
+    state = str(tmp_path / "agg_state")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_linenumber"
+    )
+    first = li.filter(F.col("l_orderkey") % 3 == 0)
+    write_table(first, path, ["l_orderkey"], cfg)
+
+    def full(df):
+        return {
+            (r["l_returnflag"],): (r["sq"], r["n"])
+            for r in df.groupBy("l_returnflag")
+            .agg(F.sum("l_quantity").alias("sq"), F.count("*").alias("n"))
+            .collect()
+        }
+
+    res1, st1 = incremental_agg(
+        spark, path, state, ["l_returnflag"], ["l_quantity"]
+    )
+    assert st1["files_scanned"] == st1["files_total"] > 0
+    got1 = {(r["l_returnflag"],): (r["sum_l_quantity"], r["n_rows"]) for r in res1.collect()}
+    assert got1 == full(first)
+
+    # append twice, refresh after each; only the appended files are scanned
+    seen = first
+    for i in (1, 2):
+        batch = li.filter(F.col("l_orderkey") % 3 == i)
+        batch.write.mode("append").option("maxRecordsPerFile", 2048).parquet(
+            path + "/data"
+        )
+        before = st1["files_total"] if i == 1 else st2["files_total"]
+        res2, st2 = incremental_agg(
+            spark, path, state, ["l_returnflag"], ["l_quantity"]
+        )
+        assert st2["files_scanned"] == st2["files_total"] - before
+        seen = seen.unionByName(batch)
+        got = {(r["l_returnflag"],): (r["sum_l_quantity"], r["n_rows"]) for r in res2.collect()}
+        assert got == full(seen)
+
+    # idempotent refresh: nothing new, nothing scanned, same version
+    res3, st3 = incremental_agg(spark, path, state, ["l_returnflag"], ["l_quantity"])
+    assert st3["files_scanned"] == 0 and st3["version"] == st2["version"]
+    got3 = {(r["l_returnflag"],): (r["sum_l_quantity"], r["n_rows"]) for r in res3.collect()}
+    assert got3 == full(seen)

@@ -342,3 +342,38 @@ def test_no_global_window_in_any_registered_query(spark, sf_dir):
                 bad.append(f"{name}: global window over SinglePartition exchange")
                 break
     assert not bad, "\n".join(bad)
+
+
+def test_winsorize_broadcasts_thresholds(spark, sf_dir):
+    """The per-stratum clip thresholds (one row per source) must come back
+    to the corpus via a broadcast join, never a shuffle of the documents."""
+    plan = plan_of(QUERIES["curation_winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_key_skew_single_scan(spark, sf_dir):
+    """stack() melts all three key columns in ONE pass — the lineitem scan
+    must appear exactly once in the plan."""
+    plan = plan_of(QUERIES["stats_key_skew"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_tfidf_single_documents_scan(spark, sf_dir):
+    """The inverted-index chain evaluates the token pipeline once — one
+    documents scan, pairs generated from collected postings (no self-join
+    of two scan subtrees)."""
+    plan = plan_of(QUERIES["dedup_tfidf_cosine"](spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+
+
+def test_pq_codebook_broadcast_no_shuffle_encode(spark, sf_dir):
+    """PQ encode is a narrow map over a broadcast codebook: the corpus side
+    must reach the cross join without any Exchange above its scan."""
+    from btrblocks_spark.pipeline.similarity import pq_encode
+
+    plan = plan_of(pq_encode(load_table(spark, sf_dir, "embeddings")))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchanges belong to the single-row codebook aggregation
+    # (collect_list over <=n/17 rows), never the corpus scan
+    corpus_side = plan.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange" not in corpus_side
