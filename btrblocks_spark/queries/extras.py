@@ -435,3 +435,70 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@register(
+    "sql_recursive_month_spine",
+    oracle="""
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months, bounds WHERE m < hi
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n_orders,
+         count(DISTINCT o_custkey) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_customers, 0) AS n_customers
+FROM months LEFT JOIN per_month ON per_month.m = months.m
+""",
+)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine
+    between the first and last order month by recursion — no sequence()
+    builtin — then left-join monthly order stats so zero-activity months
+    surface. The [lo, hi] bounds are resolved ONCE into literals before
+    the recursion (a CTE referenced inside the recursive term re-executes
+    its whole subtree every step — with bounds inline that would be one
+    orders scan per month; measured 28s -> 2s). Bounded, acyclic UNION ALL
+    recursion; the real work stays in one aggregation of orders."""
+    from btrblocks_spark.tables import load_table, sql as sql_front
+
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+        )
+        .first()
+    )
+    return sql_front(
+        spark,
+        sf_dir,
+        f"""
+WITH RECURSIVE months(m) AS (
+  SELECT DATE'{b["lo"]}' AS m
+  UNION ALL
+  SELECT add_months(m, 1) FROM months WHERE m < DATE'{b["hi"]}'
+),
+per_month AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n_orders,
+         count(DISTINCT o_custkey) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month_start,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(n_customers, 0) AS n_customers
+FROM months LEFT JOIN per_month ON per_month.m = months.m
+""",
+    )

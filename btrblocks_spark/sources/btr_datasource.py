@@ -38,6 +38,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -45,6 +46,7 @@ from pyspark.sql.datasource import (
     GreaterThan,
     InputPartition,
     LessThan,
+    WriterCommitMessage,
 )
 
 from btrblocks_spark.format.reader import read_metadata
@@ -190,6 +192,96 @@ class BtrBlocksStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class AppendCommit(WriterCommitMessage):
+    """Per-task commit message: the chunk files this task appended."""
+
+    files: tuple
+    rows: int
+
+
+class BtrBlocksWriter(DataSourceArrowWriter):
+    """``df.write.format("btrblocks").mode("append")`` — the fast append
+    path into an existing chunked table. Each task writes its partition as
+    zstd parquet files capped at block_size rows (chunk-shaped, but not
+    globally _idx-aligned — appends are the streaming-sink contract,
+    ``maintenance.compact`` re-aligns chunks and re-syncs the sidecar).
+    Commit messages list the files; a successful job appends an entry to
+    the ``_appends.json`` log, and ``abort`` deletes every file a failed
+    job managed to write — all-or-nothing at the job level.
+
+    Append-only by design: overwrite of a chunked table must go through
+    ``format.writer.write_table`` (chunk alignment + scheme planning is
+    the write path's whole point)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "btrblocks source is append-only; use format.writer.write_table "
+                "to (re)create a table"
+            )
+        self.path = options["path"]
+        meta = read_metadata(self.path)  # table must exist
+        declared = [c["name"] for c in meta["schema"]]
+        incoming = [f.name for f in schema.fields]
+        if sorted(incoming) != sorted(declared):
+            raise ValueError(
+                f"schema mismatch: table has {declared}, write has {incoming}"
+            )
+        self.columns = declared
+        self.block_size = int(meta["block_size"])
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows > 0]
+        files: list[str] = []
+        total = 0
+        if batches:
+            table = pa.Table.from_batches(batches).select(self.columns)
+            total = table.num_rows
+            for off in range(0, total, self.block_size):
+                part = table.slice(off, self.block_size)
+                fname = os.path.join(
+                    self.path, "data", f"append-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(part, fname, compression="zstd")
+                files.append(fname)
+        return AppendCommit(tuple(files), total)
+
+    def commit(self, messages) -> None:
+        import json
+
+        log_path = os.path.join(self.path, "_appends.json")
+        log = []
+        if os.path.exists(log_path):
+            with open(log_path) as fh:
+                log = json.load(fh)
+        log.append(
+            {
+                "files": [f for m in messages if m for f in m.files],
+                "rows": sum(m.rows for m in messages if m),
+            }
+        )
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh)
+        os.replace(tmp, log_path)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
 class BtrBlocksDataSource(DataSource):
     """Readable (batch + streaming) data source over a `write_table`
     directory."""
@@ -207,3 +299,6 @@ class BtrBlocksDataSource(DataSource):
 
     def streamReader(self, schema) -> BtrBlocksStreamReader:  # noqa: N802
         return BtrBlocksStreamReader(self.options, [f.name for f in schema.fields])
+
+    def writer(self, schema, overwrite: bool) -> BtrBlocksWriter:
+        return BtrBlocksWriter(self.options, schema, overwrite)

@@ -116,3 +116,53 @@ def test_stream_reader_incremental_chunks(spark, written_orders, tmp_path):
     extra.coalesce(1).write.mode("append").parquet(path + "/data")
     run_stream()
     assert spark.read.parquet(sink).count() == n_src + 17
+
+
+def test_datasource_append_write_path(spark, sf_dir, tmp_path):
+    """df.write.format("btrblocks").mode("append") lands chunk-shaped files,
+    logs the append, reads back through the same source, and compact()
+    re-aligns the table afterwards."""
+    import json
+    import os
+
+    from btrblocks_spark.format.maintenance import compact
+
+    path = str(tmp_path / "appendable")
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.filter(F.col("n_nationkey") < 15)
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(base, path, ["n_nationkey"], config=cfg)
+    spark.dataSource.register(BtrBlocksDataSource)
+
+    extra = nation.filter(F.col("n_nationkey") >= 15)
+    # column order intentionally scrambled: the writer reorders to the
+    # declared sidecar schema
+    extra.select("n_name", "n_regionkey", "n_nationkey").write.format(
+        "btrblocks"
+    ).mode("append").save(path)
+
+    got = _load(spark, path)
+    assert got.count() == nation.count()
+    assert got.exceptAll(nation).count() == 0
+    assert nation.exceptAll(got).count() == 0
+
+    with open(os.path.join(path, "_appends.json")) as fh:
+        log = json.load(fh)
+    assert log[-1]["rows"] == extra.count()
+    assert all(os.path.exists(f) for f in log[-1]["files"])
+
+    # appended files respect the block_size cap
+    import pyarrow.parquet as pq
+
+    for f in log[-1]["files"]:
+        assert pq.ParquetFile(f).metadata.num_rows <= 8
+
+    # compaction re-aligns chunks; data still exact through the source
+    res = compact(spark, path, cfg)
+    assert res["compacted"] is True
+    got2 = _load(spark, path)
+    assert got2.exceptAll(nation).count() == 0 and got2.count() == nation.count()
+
+    # overwrite is rejected (append-only contract)
+    with pytest.raises(Exception, match="append-only"):
+        nation.write.format("btrblocks").mode("overwrite").save(path)
