@@ -330,3 +330,47 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFra
     static side is the ONLY thing that must stay broadcast-sized — the
     stream side never exchanges."""
     return stream.join(F.broadcast(dim), keys, "left")
+
+
+def materialized_view_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    state_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    block_size: int = 65536,
+    trigger_available_now: bool = True,
+):
+    """Continuously-maintained materialized aggregate over a streaming
+    ingest: each microbatch is (1) appended chunk-aligned to the table
+    (same layout as ``chunked_append``) and (2) folded into the stored
+    grouped sum/count partials via ``format.incremental.incremental_agg``
+    — so a dashboard query reads a tiny pre-aggregated snapshot instead of
+    re-scanning an ever-growing fact table.
+
+    Failure between (1) and (2) is safe without two-phase commit: the
+    refresh is driven by the PROCESSED-FILE LIST, not the batch id, so a
+    crashed refresh simply leaves new files for the next batch's refresh
+    to pick up (self-healing); a replayed microbatch is fenced by the
+    streaming checkpoint exactly as in chunked_append. Returns the
+    StreamingQuery."""
+    from btrblocks_spark.format.incremental import incremental_agg
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .option("maxRecordsPerFile", block_size)
+            .option("compression", "zstd")
+            .parquet(os.path.join(path, "data"))
+        )
+        incremental_agg(
+            batch_df.sparkSession, path, state_dir, keys, sum_cols
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -236,3 +236,49 @@ def test_enrich_stream_matches_batch(spark, sf_dir, events_dir):
         for r in batch.join(dim, ["user_id"], "left").collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_materialized_view_stream_matches_batch(spark, events_dir, tmpdir):
+    """The streamed matview (append + incremental fold per microbatch) must
+    equal a batch groupBy over everything ingested; a restart with no new
+    data refreshes nothing and changes nothing."""
+    from btrblocks_spark.format.incremental import incremental_agg
+    from btrblocks_spark.streaming.ops import materialized_view_stream
+
+    out = os.path.join(tmpdir, "mv_table")
+    ckpt = os.path.join(tmpdir, "mv_ckpt")
+    state = os.path.join(tmpdir, "mv_state")
+
+    q = materialized_view_stream(
+        stream_source(spark, events_dir),
+        out, ckpt, state,
+        keys=["event_type"], sum_cols=["user_id"], block_size=500,
+    )
+    q.awaitTermination(120)
+
+    view, st = incremental_agg(
+        spark, out, state, ["event_type"], ["user_id"]
+    )
+    assert st["files_scanned"] == 0  # stream already folded everything in
+    got = {
+        r["event_type"]: (r["sum_user_id"], r["n_rows"]) for r in view.collect()
+    }
+    want = {
+        r["event_type"]: (r["s"], r["n"])
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.sum("user_id").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    # restart: checkpoint fences replay, matview unchanged
+    q2 = materialized_view_stream(
+        stream_source(spark, events_dir),
+        out, ckpt, state,
+        keys=["event_type"], sum_cols=["user_id"], block_size=500,
+    )
+    q2.awaitTermination(120)
+    view2, st2 = incremental_agg(spark, out, state, ["event_type"], ["user_id"])
+    got2 = {r["event_type"]: (r["sum_user_id"], r["n_rows"]) for r in view2.collect()}
+    assert got2 == want and st2["files_scanned"] == 0
