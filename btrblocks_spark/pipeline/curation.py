@@ -354,3 +354,55 @@ def winsorize_stats(
         )
         .select("stratum", "n_docs", "lo", "hi", "n_clip_lo", "n_clip_hi", "winsor_mean")
     )
+
+
+def domain_entropy(
+    docs: DataFrame, group_col: str = "lang", stratum_col: str = "source"
+) -> DataFrame:
+    """Corpus-diversity profile: Shannon entropy of the ``stratum_col``
+    distribution within each ``group_col`` value (nats), plus the dominant
+    stratum's share. Low entropy = the group is dominated by one source —
+    the statistic behind source-mixing decisions in corpus curation.
+
+    Cross-engine exactness: each p·ln(p) term is rounded to 6 dp (absorbing
+    last-ulp ln differences between engines) and summed as DECIMAL, the
+    same round-then-decimal-sum pattern as ``text_unigram_surprisal``.
+
+    Scale: first aggregate is (group, stratum) counts — map-side
+    combinable, shuffles only key+count; everything after runs on
+    O(#groups × #strata) rows.
+    """
+    from pyspark.sql.window import Window
+
+    counts = docs.groupBy(
+        F.col(group_col).alias("grp"), F.col(stratum_col).alias("stratum")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp")
+    terms = counts.withColumn("n", F.sum("c").over(w)).select(
+        "grp",
+        "c",
+        "n",
+        F.round(
+            (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_strata"),
+            F.sum("c").cast("long").alias("n_docs"),
+            # 0.0 - x (not -x): single-stratum groups sum to 0 and unary
+            # negation would emit -0.0, whose bit pattern differs per engine
+            F.round(F.lit(0.0) - F.sum("term").cast("double"), 6).alias("entropy_nats"),
+            F.round(F.max("c") / F.max("n"), 6).alias("top_share"),
+        )
+        .withColumn(
+            "entropy_norm",
+            F.when(F.col("n_strata") > 1,
+                   F.round(F.col("entropy_nats") / F.log(F.col("n_strata").cast("double")), 6)
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("grp")
+    )

@@ -34,6 +34,7 @@ def _load_all() -> None:
         extras,
         format_queries,
         pipeline_queries,
+        quality,
         relational,
         stats,
         tpch_more,
