@@ -514,3 +514,98 @@ def format_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint()
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+def _stage_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events hive-partitioned by day into a temp dir; returns path."""
+    import tempfile
+
+    from btrblocks_spark.format.partitioned import write_partitioned
+
+    out = tempfile.mkdtemp(prefix="btr_part_events_")
+    e = load_table(spark, sf_dir, "events")
+    write_partitioned(
+        e, out, "p_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return out
+
+
+@register(
+    "format_partition_pruned_scan",
+    oracle="""
+SELECT CAST(ts AS DATE) AS p_date,
+       count(*)::BIGINT AS n,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+GROUP BY p_date
+""",
+)
+def format_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: events written `p_date=YYYY-MM-DD/` (one
+    dir per day, format/partitioned.py), then a date-range scan — the
+    filter resolves against the directory listing at planning time, so 23
+    of 30 partition dirs are never opened (PartitionFilters in the scan
+    node; gated by test_plans.py). The coarse layer above chunk-stats
+    skipping: at 100 TB a 7-day query reads 7 days of files, full stop."""
+    import shutil
+
+    out = _stage_partitioned_events(spark, sf_dir)
+    back = spark.read.parquet(out)
+    result = (
+        back.filter(F.col("p_date").between("2024-01-10", "2024-01-16"))
+        .groupBy("p_date")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+@register(
+    "format_dpp_join",
+    oracle="""
+WITH dim AS (
+  SELECT (DATE '2024-01-01' + INTERVAL (i) DAY)::DATE AS p_date
+  FROM range(0, 30) t(i)
+),
+mondays AS (SELECT p_date FROM dim WHERE dayofweek(p_date) + 1 = 2),
+f AS (SELECT CAST(ts AS DATE) AS p_date, value FROM events)
+SELECT p_date,
+       count(*)::BIGINT AS n,
+       SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM f JOIN mondays USING (p_date)
+GROUP BY p_date
+""",
+)
+def format_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the pruning predicate is NOT on the
+    partition key — it's on a dimension attribute (day-of-week = Monday),
+    so only at runtime, after the broadcast dim is built, can Spark know
+    which `p_date=` dirs matter. Catalyst injects a dynamicpruning#N
+    subquery into the fact scan (gated by test_plans.py) and reads 5 of 30
+    partitions. This is the star-schema pattern that makes a 100 TB fact
+    table behave like a 15 TB one for a filtered-dim query."""
+    import shutil
+
+    out = _stage_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.range(30)
+        .select(F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("p_date"))
+        .filter(F.dayofweek("p_date") == 2)
+    )
+    result = (
+        fact.join(dim, "p_date")
+        .groupBy("p_date")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -377,3 +377,57 @@ def test_pq_codebook_broadcast_no_shuffle_encode(spark, sf_dir):
     # (collect_list over <=n/17 rows), never the corpus scan
     corpus_side = plan.split("BroadcastNestedLoopJoin")[0]
     assert "Exchange" not in corpus_side
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """Static partition pruning: a p_date range filter must land in
+    PartitionFilters (directory-level elimination), not in the data
+    filters, and the scan must touch only the selected partitions."""
+    from btrblocks_spark.format.partitioned import write_partitioned
+
+    out = str(tmp_path_factory.mktemp("part_events"))
+    write_partitioned(
+        load_table(spark, sf_dir, "events"),
+        out,
+        "p_date",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))),
+    )
+    df = spark.read.parquet(out).filter(
+        F.col("p_date").between("2024-01-10", "2024-01-16")
+    )
+    plan = formatted(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "p_date" in pf and "2024-01-10" in pf
+    # the pruned scan reads 7 of 30 day-partitions
+    files = df.select(F.input_file_name()).distinct().collect()
+    days = {r[0].split("p_date=")[1].split("/")[0] for r in files}
+    assert days == {f"2024-01-1{d}" for d in range(0, 7)}
+
+
+def test_dpp_join_injects_runtime_pruning(spark, sf_dir, tmp_path_factory):
+    """Dynamic partition pruning: filtering the DIMENSION (not the
+    partition key) must inject a dynamicpruning subquery into the fact
+    scan so only matching p_date dirs are read at runtime."""
+    from btrblocks_spark.format.partitioned import write_partitioned
+
+    out = str(tmp_path_factory.mktemp("dpp_events"))
+    write_partitioned(
+        load_table(spark, sf_dir, "events"),
+        out,
+        "p_date",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))),
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.range(30)
+        .select(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), F.col("id").cast("int")
+            ).alias("p_date")
+        )
+        .filter(F.dayofweek("p_date") == 2)
+    )
+    joined = fact.join(dim, "p_date").groupBy("p_date").count()
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    physical = plan_of(joined)
+    assert "dynamicpruning" in plan or "dynamicpruning" in physical, physical
