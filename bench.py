@@ -88,6 +88,11 @@ HEADLINE = [
     "curation_topk_per_source",
     "retrieval_inverted_index",
     "text_model_score",
+    "quality_constraint_audit",
+    "curation_domain_entropy",
+    "format_partition_pruned_scan",
+    "format_dpp_join",
+    "curation_shuffle_order",
 ]
 
 

@@ -1989,3 +1989,37 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs
 
     return jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_shuffle_order",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('epoch0#' || doc_id), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS idx FROM h
+""",
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training: the global presentation
+    order is rank over (hash32('epoch0#'||doc_id), doc_id) — reproducible
+    on any engine/partitioning (unlike ``orderBy(rand())``), and a new
+    epoch string reshuffles without data movement.
+
+    Scale: the rank comes from the two-phase bucketed helper — per-bucket
+    parallel row_number + a driver-scale offset fixup table — so no global
+    single-task sort exists in the plan (gated repo-wide by
+    test_plans.py::test_no_global_window_in_any_registered_query)."""
+    from btrblocks_spark.pipeline.text import hash32
+    from btrblocks_spark.queries._distributed import bucketed_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.withColumn(
+        "h", hash32(F.concat(F.lit("epoch0#"), F.col("doc_id").cast("string")))
+    )
+    # bucket = h div 2^28: monotone in (h, doc_id) order, 16 key-range buckets
+    return bucketed_row_number(
+        hashed, F.expr("h div 268435456"), ["h", "doc_id"], "idx"
+    ).select("doc_id", "h", "idx")

@@ -431,3 +431,31 @@ def test_dpp_join_injects_runtime_pruning(spark, sf_dir, tmp_path_factory):
     plan = joined._jdf.queryExecution().optimizedPlan().toString()
     physical = plan_of(joined)
     assert "dynamicpruning" in plan or "dynamicpruning" in physical, physical
+
+
+def test_analyze_stats_feed_planner(spark, sf_dir, tmp_path):
+    """Catalog statistics (ANALYZE TABLE) must reach the optimizer: after
+    ANALYZE, the optimized plan carries an exact rowCount, and with CBO on
+    a filtered-but-file-large table still broadcasts because the planner
+    sees row-level sizes instead of raw file bytes — the stats layer T1/T2
+    exists for (the reference keeps per-chunk stats for exactly this)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").saveAsTable("cbo_orders")
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        df = spark.table("cbo_orders")
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), stats.toString()
+        assert int(str(stats.rowCount().get())) == orders.count()
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+
+def test_aqe_active_on_headline_agg(spark, sf_dir):
+    """AQE must wrap shuffling queries (runtime partition coalescing +
+    skew-join splitting — the local analog of 1000-executor re-planning)."""
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert "AdaptiveSparkPlan" in plan
