@@ -89,6 +89,28 @@ def _bucket_pairs(banded: DataFrame, key_cols: list[str], payload_cols: list[str
     return buckets.select(F.explode(F.expr(pairs)).alias("_p")).select("_p.a", "_p.b")
 
 
+def minhash_band_buckets(
+    docs: DataFrame, num_perm: int = 8, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band membership: the signature is split
+    into ``bands`` bands of ``num_perm/bands`` rows, each hashed to one
+    md5 bucket key. One posexplode instead of a per-band union: the
+    signature aggregation is evaluated once, not ``bands`` times."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, n)
+    band_exprs = [
+        F.md5(
+            F.concat_ws(
+                "_", *[f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, num_perm: int = 8, bands: int = 4, n: int = 3
 ) -> DataFrame:
@@ -100,21 +122,7 @@ def minhash_lsh_pairs(
     on an exact band match, so bucket size tracks true dup-cluster size
     (fine-grained, near-zero skew); pair generation is map-side from the
     collected bucket members (see ``_bucket_pairs``)."""
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n)
-    # one posexplode instead of a per-band union: the signature aggregation
-    # is evaluated once, not ``bands`` times
-    band_exprs = [
-        F.md5(
-            F.concat_ws(
-                "_", *[f"s{b * rows_per_band + r}" for r in range(rows_per_band)]
-            )
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band", "bucket")
-    )
+    banded = minhash_band_buckets(docs, num_perm, bands, n)
     return (
         _bucket_pairs(banded, ["band", "bucket"], ["doc_id"])
         .select(

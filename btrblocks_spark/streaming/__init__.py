@@ -25,8 +25,10 @@ state is dropped). The append sink writes whole chunks per microbatch; at
 
 from btrblocks_spark.streaming.ops import (
     chunked_append,
+    docs_stream_source,
     enrich_stream,
     dedup_stream,
+    near_dedup_stream,
     sessionize,
     stream_source,
     windowed_rollup,
@@ -39,4 +41,6 @@ __all__ = [
     "chunked_append",
     "sessionize",
     "dedup_stream",
+    "docs_stream_source",
+    "near_dedup_stream",
 ]

@@ -374,3 +374,102 @@ def materialized_view_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def docs_stream_source(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """readStream over a directory of document parquet files (the corpus
+    ingest path: each crawl drop is a new file, picked up per microbatch)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def near_dedup_stream(
+    stream_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    n: int = 3,
+):
+    """Streaming MinHash-LSH near-duplicate filtering: as document batches
+    arrive, a doc survives iff none of its LSH band buckets was claimed by
+    an earlier-seen doc (prior batches, via the persisted bucket store) or
+    by a smaller doc_id in its own batch. With doc_id-ordered arrival this
+    is EXACTLY the batch min-canonical rule (keep a doc iff it is the min
+    member of every bucket it belongs to) — verified against that twin in
+    tests.
+
+    Why foreachBatch and not dropDuplicatesWithinWatermark: near-dup state
+    is per LSH *bucket* while the keep/drop decision is per *doc* (any-band
+    match) — not expressible as a streaming key dedup. The bucket store is
+    the incremental state, persisted as plain parquet.
+
+    Exactly-once without a transaction log: every per-batch write goes to a
+    batch-id-named subdir with mode("overwrite") — a replayed microbatch
+    overwrites its own output byte-for-byte instead of double-appending.
+
+    Scale: per microbatch cost is O(batch bands) map-side + one join
+    against the store on (band, bucket) — fine-grained md5 keys, near-zero
+    skew; document text never shuffles (bands are computed in a narrow
+    chain from the scan)."""
+    from btrblocks_spark.pipeline.dedup import minhash_band_buckets
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bands_df = minhash_band_buckets(
+            batch_df, num_perm=num_perm, bands=bands, n=n
+        ).localCheckpoint()  # evaluated twice (dup test + store append)
+
+        dup_prior = None
+        if os.path.isdir(store_dir) and any(
+            d.startswith("batch=") for d in os.listdir(store_dir)
+        ):
+            prior = spark.read.parquet(store_dir).select("band", "bucket").distinct()
+            dup_prior = (
+                bands_df.join(prior, ["band", "bucket"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        bucket_min = bands_df.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("_mn")
+        )
+        dup_local = (
+            bands_df.join(bucket_min, ["band", "bucket"])
+            .filter(F.col("doc_id") > F.col("_mn"))
+            .select("doc_id")
+            .distinct()
+        )
+        dropped = dup_local if dup_prior is None else dup_local.union(dup_prior).distinct()
+        survivors = batch_df.join(dropped, "doc_id", "left_anti")
+
+        # ALL batch buckets enter the store (dropped docs' buckets too):
+        # the global rule drops any doc colliding with any EARLIER doc,
+        # kept or not — this is what makes incremental == batch-global
+        bands_df.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

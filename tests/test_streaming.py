@@ -282,3 +282,66 @@ def test_materialized_view_stream_matches_batch(spark, events_dir, tmpdir):
     view2, st2 = incremental_agg(spark, out, state, ["event_type"], ["user_id"])
     got2 = {r["event_type"]: (r["sum_user_id"], r["n_rows"]) for r in view2.collect()}
     assert got2 == want and st2["files_scanned"] == 0
+
+
+def test_near_dedup_stream_matches_batch_rule(spark, sf_dir, tmpdir):
+    """Streaming MinHash-LSH near-dedup over doc_id-ordered file arrivals
+    must equal the batch min-canonical rule (doc kept iff it is the min
+    member of every LSH bucket it belongs to), and a replayed/resumed run
+    must not change the output (idempotent per-batch overwrite)."""
+    from btrblocks_spark.pipeline.dedup import minhash_band_buckets
+    from btrblocks_spark.streaming.ops import docs_stream_source, near_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(tmpdir, "docs_src")
+    # three doc_id-ordered drops, mtime-ordered so the file source
+    # processes them in order
+    cuts = [(0, 150), (150, 320), (320, 10**9)]
+    os.makedirs(src, exist_ok=True)
+    for i, (lo, hi) in enumerate(cuts):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        stage = os.path.join(tmpdir, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        # the file source lists FILES, not nested dirs: surface the part
+        # file as src/drop{i}.parquet, mtime-ordered (arrival order)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(src, f"drop{i}.parquet")
+        os.rename(os.path.join(stage, pf), dest)
+        t = 1_700_000_000 + i * 10
+        os.utime(dest, (t, t))
+
+    store = os.path.join(tmpdir, "bucket_store")
+    out = os.path.join(tmpdir, "survivors")
+    ckpt = os.path.join(tmpdir, "ckpt_near_dedup")
+    q = near_dedup_stream(
+        docs_stream_source(spark, src), store, out, ckpt
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+
+    bands_all = minhash_band_buckets(docs)
+    mins = bands_all.groupBy("band", "bucket").agg(F.min("doc_id").alias("mn"))
+    dropped = (
+        bands_all.join(mins, ["band", "bucket"])
+        .filter(F.col("doc_id") > F.col("mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.join(dropped, "doc_id", "left_anti").select("doc_id").collect()
+    )
+    assert got == want and 0 < len(got) < docs.count()
+
+    # resume with no new files: output unchanged
+    q2 = near_dedup_stream(docs_stream_source(spark, src), store, out, ckpt)
+    q2.awaitTermination(120)
+    q2.stop()
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert again == got
