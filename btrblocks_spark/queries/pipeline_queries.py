@@ -2023,3 +2023,78 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_row_number(
         hashed, F.expr("h div 268435456"), ["h", "doc_id"], "idx"
     ).select("doc_id", "h", "idx")
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+),
+j AS (
+  SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_t,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_l
+  FROM truth t FULL JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+)
+SELECT sum(in_t)::BIGINT AS n_truth,
+       sum(in_l)::BIGINT AS n_candidates,
+       sum(in_t * in_l)::BIGINT AS tp,
+       sum((1 - in_t) * in_l)::BIGINT AS fp,
+       sum(in_t * (1 - in_l))::BIGINT AS fn,
+       round(sum(in_t * in_l) / nullif(CAST(sum(in_l) AS DOUBLE), 0), 6)
+         AS precision_at_t,
+       round(sum(in_t * in_l) / nullif(CAST(sum(in_t) AS DOUBLE), 0), 6)
+         AS recall_at_t
+FROM j
+""",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline QA: how good are the MinHash-LSH candidates vs exact
+    n-gram-Jaccard truth (threshold 0.5)? One row: candidate/truth counts,
+    tp/fp/fn, precision, recall — the metric that decides num_perm/bands
+    tuning before a 100 TB dedup run.
+
+    Scale: truth comes from the inverted-index Jaccard chain, candidates
+    from LSH banding; both are one-shuffle shapes and the confusion join is
+    over pair-id sets (tiny relative to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").withColumn(
+        "in_t", F.lit(1)
+    )
+    lsh = minhash_lsh_pairs(docs).withColumn("in_l", F.lit(1))
+    j = truth.join(lsh, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    )
+    return j.agg(
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum("in_l").cast("long").alias("n_candidates"),
+        F.sum(F.col("in_t") * F.col("in_l")).cast("long").alias("tp"),
+        F.sum((1 - F.col("in_t")) * F.col("in_l")).cast("long").alias("fp"),
+        F.sum(F.col("in_t") * (1 - F.col("in_l"))).cast("long").alias("fn"),
+        F.round(
+            F.sum(F.col("in_t") * F.col("in_l"))
+            / F.nullif(F.sum("in_l").cast("double"), F.lit(0)),
+            6,
+        ).alias("precision_at_t"),
+        F.round(
+            F.sum(F.col("in_t") * F.col("in_l"))
+            / F.nullif(F.sum("in_t").cast("double"), F.lit(0)),
+            6,
+        ).alias("recall_at_t"),
+    )
