@@ -93,6 +93,7 @@ HEADLINE = [
     "format_partition_pruned_scan",
     "format_dpp_join",
     "curation_shuffle_order",
+    "dedup_lsh_recall",
 ]
 
 

@@ -549,3 +549,29 @@ def sentences_udtf(spark, docs: DataFrame) -> DataFrame:
         FROM _docs_for_udtf d, LATERAL split_sentences(d.doc_id, d.text) s
         """
     )
+
+
+def hash_features(docs: DataFrame, dims: int = 64) -> DataFrame:
+    """Feature-hashing vectorizer (hashing trick): each token votes ±1 into
+    dimension ``hash(w) mod dims``, sign from an independent hash bit — the
+    classic signed construction that keeps E[collision bias] = 0. Returns
+    (doc_id, n_tokens, features array<long>). The cheap, vocabulary-free
+    alternative to ``build_vocab``+``encode_docs`` for classifier features.
+
+    Shape: ``dims`` conditional sums in ONE aggregation over the token
+    stream (the simhash shape) — map-side combinable, single shuffle keyed
+    on doc_id, no per-dimension explode."""
+    th = tokens(docs).withColumn("h", hash32(F.col("w")))
+    sign = F.when(F.expr("(h >> 8) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    aggs = [
+        F.sum(F.when(F.col("h") % dims == i, sign).otherwise(0))
+        .cast("long")
+        .alias(f"_f{i}")
+        for i in range(dims)
+    ]
+    g = th.groupBy("doc_id").agg(F.count("*").alias("n_tokens"), *aggs)
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        F.array(*[F.col(f"_f{i}") for i in range(dims)]).alias("features"),
+    )

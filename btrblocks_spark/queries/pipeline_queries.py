@@ -2098,3 +2098,31 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_t"),
     )
+
+
+_HASH_FEATS = ",\n         ".join(
+    f"sum(CASE WHEN h % 64 = {i} THEN s ELSE 0 END)::BIGINT" for i in range(64)
+)
+
+
+@register(
+    "text_hash_features",
+    oracle=f"""
+WITH {_TOKS},
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
+),
+signed AS (
+  SELECT doc_id, h,
+         CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END AS s
+  FROM th
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       [{_HASH_FEATS}] AS features
+FROM signed GROUP BY doc_id
+""",
+)
+def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import hash_features
+
+    return hash_features(load_table(spark, sf_dir, "documents"))
