@@ -2126,3 +2126,69 @@ def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.text import hash_features
 
     return hash_features(load_table(spark, sf_dir, "documents"))
+
+
+from btrblocks_spark.queries import ORACLE as _ORACLE_REG
+
+_ANN_RECALL_ORACLE = f"""
+WITH truth AS ({_ORACLE_REG["ann_cosine_topk"]}),
+ivf AS ({_ORACLE_REG["ann_ivf_topk"]}),
+pq AS ({_ORACLE_REG["ann_pq_topk"]}),
+lsh AS ({_ORACLE_REG["ann_lsh_bucketed"]}),
+methods AS (
+  SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
+  UNION ALL SELECT 'pq', q_id, neighbor_id FROM pq
+  UNION ALL SELECT 'lsh', q_id, neighbor_id FROM lsh
+),
+hits AS (
+  SELECT m.method, count(*) AS n_hits
+  FROM methods m
+  JOIN truth t ON t.q_id = m.q_id AND t.neighbor_id = m.neighbor_id
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_truth FROM truth)
+SELECT method, n_hits::BIGINT AS n_hits, n_truth::BIGINT AS n_truth,
+       round(n_hits / CAST(n_truth AS DOUBLE), 6) AS recall_at_k
+FROM hits CROSS JOIN tot ORDER BY method
+"""
+
+
+@register("ann_recall_audit", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@5 of each approximate method (IVF, PQ,
+    LSH) against brute-force cosine truth over the same 8 query vectors —
+    the accuracy/cost dial read before choosing an index for a 100 TB
+    vector store. Composes the four registered ANN chains verbatim (same
+    params), so the oracle is their oracles composed.
+
+    Scale: each chain is its own bounded shape; the audit join runs over
+    O(queries x k) rows — negligible."""
+    truth = q_ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    parts = [
+        q_ann_ivf(spark, sf_dir).select(
+            F.lit("ivf").alias("method"), "q_id", "neighbor_id"
+        ),
+        q_ann_pq_topk(spark, sf_dir).select(
+            F.lit("pq").alias("method"), "q_id", "neighbor_id"
+        ),
+        q_ann_lsh(spark, sf_dir).select(
+            F.lit("lsh").alias("method"), "q_id", "neighbor_id"
+        ),
+    ]
+    methods = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hits = methods.join(truth, ["q_id", "neighbor_id"]).groupBy("method").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "method",
+            "n_hits",
+            "n_truth",
+            F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("method")
+    )
