@@ -105,7 +105,11 @@ def read_csv(
             e = (
                 F.when((trimmed == "") | (trimmed == NULL_LITERAL), F.lit(None))
                 .otherwise(trimmed)
-                .cast(f.dataType)
+                # try_cast, not cast: malformed numeric text degrades to
+                # NULL instead of failing the scan under ANSI mode — the
+                # reference parser is tolerant the same way (garbage fields
+                # become the null sentinel, Parser.cpp:99-127)
+                .try_cast(f.dataType)
             )
         exprs.append(e.alias(f.name))
     return raw.select(*exprs)

@@ -107,3 +107,33 @@ def test_csvtobtr_btrtocsv_pipeline(spark, sf_dir, tmpdir):
     export_csv(stored, csv_out)
     back = read_csv(spark, csv_out, decl)
     assert frames_equal(ingested, back)
+
+
+def test_malformed_csv_rows_degrade_to_null(spark, tmpdir):
+    """Parser robustness (the reference's Parser.cpp tolerates trailing
+    garbage by sentinel-nulling, Parser.cpp:99-127): non-numeric text in a
+    numeric field parses to NULL, short rows null-fill the missing tail,
+    extra fields are dropped — no row is lost, the scan never throws."""
+    p = os.path.join(tmpdir, "bad.csv")
+    with open(p, "w") as fh:
+        fh.write("1|alpha|3.5\n")          # clean
+        fh.write("x7|beta|not_a_number\n") # malformed int + double
+        fh.write("3|gamma\n")              # short row
+        fh.write("4|delta|2.25|EXTRA\n")   # extra field
+        fh.write(" 5 |eps| 1.5 \n")        # padded numerics (trim rule)
+    decl = [
+        {"name": "k", "type": "integer"},
+        {"name": "name", "type": "string"},
+        {"name": "v", "type": "double"},
+    ]
+    rows = {
+        r["name"]: (r["k"], r["v"])
+        for r in read_csv(spark, p, decl).collect()
+    }
+    assert rows == {
+        "alpha": (1, 3.5),
+        "beta": (None, None),
+        "gamma": (3, None),
+        "delta": (4, 2.25),
+        "eps": (5, 1.5),
+    }
