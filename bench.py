@@ -24,6 +24,8 @@ import sys
 import tempfile
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from btrblocks_spark.queries import all_queries
@@ -213,9 +215,41 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
             "decode_mb_s": round(col_raw / 1e6 / max(dec_sec, 1e-9), 1),
         }
 
+    # chunk-stats data skipping effectiveness (the reference's implied
+    # predicate-scan surface made real): a narrow l_orderkey range through
+    # the sidecar-pruned reader vs the same predicate over a full scan
+    from btrblocks_spark.format.reader import prune_chunks, read_table_skipping
+
+    table_path = os.path.dirname(data_dir)
+    keys = meta.get("order_keys") or []
+    skip = {}
+    if "l_orderkey" in keys:
+        lo, hi = 1, max(meta["num_rows"] // 100, 64)
+        kept = prune_chunks(meta, "l_orderkey", lo, hi)
+        full_sec = pruned_sec = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(
+                spark.read.parquet(data_dir).filter(
+                    (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi)
+                )
+            )
+            full_sec = min(full_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            df, _ = read_table_skipping(spark, table_path, "l_orderkey", lo, hi)
+            materialize(df)
+            pruned_sec = min(pruned_sec, time.perf_counter() - t0)
+        skip = {
+            "chunks_kept": len(kept),
+            "chunks_total": meta["num_chunks"],
+            "full_scan_sec": round(full_sec, 3),
+            "pruned_scan_sec": round(pruned_sec, 3),
+        }
+
     return {
         "rows": meta["num_rows"],
         "chunks": meta["num_chunks"],
+        "chunk_skipping": skip,
         "write_sec": meta["write_seconds"],
         "raw_bytes": raw,
         "ondisk_bytes": ondisk,

@@ -609,3 +609,52 @@ def format_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "format_table_digest",
+    oracle="""
+WITH rs AS (
+  SELECT ('0x' || substr(md5(
+           o_orderkey::VARCHAR || '|' ||
+           coalesce(o_custkey::VARCHAR, '<null>') || '|' ||
+           coalesce(o_orderstatus, '<null>') || '|' ||
+           coalesce(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, '<null>') || '|' ||
+           coalesce(o_orderdate::VARCHAR, '<null>') || '|' ||
+           coalesce(o_orderpriority, '<null>')
+         ), 1, 8))::BIGINT AS h
+  FROM orders
+)
+SELECT count(*)::BIGINT AS n_rows,
+       sum(h)::BIGINT AS digest_sum,
+       bit_xor(h)::BIGINT AS digest_xor
+FROM rs
+""",
+)
+def format_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint: per-row portable hash32 of a
+    canonical serialization (doubles pre-scaled to integer cents, NULLs as
+    a sentinel), combined with commutative sum + xor. Two tables are equal
+    iff (n_rows, digest_sum, digest_xor) match, regardless of row order or
+    partitioning — the X3 round-trip verifier (csvtobtr -verify,
+    tools/conversion/csvtobtr.cpp:49-66) at 100 TB, where exceptAll would
+    shuffle the whole table but this is one map-side-combinable agg."""
+    o = load_table(spark, sf_dir, "orders")
+    null_s = F.lit("<null>")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.coalesce(F.col("o_custkey").cast("string"), null_s),
+        F.coalesce(F.col("o_orderstatus"), null_s),
+        F.coalesce(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), null_s
+        ),
+        F.coalesce(F.col("o_orderdate").cast("string"), null_s),
+        F.coalesce(F.col("o_orderpriority"), null_s),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h").cast("long").alias("digest_sum"),
+        F.expr("bit_xor(h)").cast("long").alias("digest_xor"),
+    )

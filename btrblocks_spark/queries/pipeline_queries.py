@@ -2192,3 +2192,34 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH q AS ({_ORACLE_REG["text_quality"]}),
+u AS (
+  SELECT doc_id, quality,
+         ('0x' || substr(md5('wsamp#' || doc_id), 1, 8))::BIGINT % 1000000 AS u
+  FROM q
+)
+SELECT doc_id, quality FROM u
+WHERE u < CAST(round(quality * 1000000) AS BIGINT)
+"""
+
+
+@register("curation_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each doc survives with probability
+    equal to its composite quality score, decided by a deterministic
+    per-doc hash draw (hash32('wsamp#'||doc_id) / 1e6 < quality) — the
+    quality-weighted corpus downsampling step of training-data mixes,
+    reproducible on any engine/partitioning unlike rand()-based sampling.
+
+    Scale: quality is one token-stream aggregation (see text_quality); the
+    draw is a map-side filter on its output — no extra shuffle."""
+    q = quality_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    from btrblocks_spark.pipeline.text import hash32
+
+    u = hash32(F.concat(F.lit("wsamp#"), F.col("doc_id").cast("string"))) % 1000000
+    return q.filter(u < F.round(F.col("quality") * 1000000).cast("long"))
