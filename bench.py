@@ -111,10 +111,16 @@ def materialize(df) -> None:
 # one that scans in parallel. Small dims stay raw (a broadcast scan of a
 # 3 KB file gains nothing).
 STAGE_TABLES = {
-    "lineitem": ["l_orderkey", "l_linenumber"],
-    "orders": ["o_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
+    "lineitem": {"keys": ["l_orderkey", "l_linenumber"]},
+    "orders": {"keys": ["o_orderkey"]},
+    "events": {"keys": ["event_id"]},
+    "documents": {"keys": ["doc_id"]},
+    # embeddings: small rows but CPU-heavy consumers (PQ/IVF/k-means encode
+    # arithmetic). One chunk per ~256 vectors gives the multi-file layout a
+    # production vector store has (65536-row chunks at real scale), so the
+    # encode map fans out across cores instead of running on the single
+    # task a one-file table gets.
+    "embeddings": {"keys": ["vec_id"], "block_size": 256},
 }
 
 
@@ -134,9 +140,18 @@ def stage_tables(spark, sf_dir: str, staging_root: str) -> dict:
     for name in TABLE_NAMES:
         link = os.path.join(sf_view, f"{name}.parquet")
         if name in STAGE_TABLES:
+            from btrblocks_spark.config import DEFAULT_CONFIG
+
+            spec = STAGE_TABLES[name]
+            cfg = (
+                DEFAULT_CONFIG.with_(block_size=spec["block_size"])
+                if "block_size" in spec
+                else DEFAULT_CONFIG
+            )
             dest = os.path.join(staging_root, name)
             meta = write_table(
-                load_table(spark, sf_dir, name), dest, STAGE_TABLES[name], table_name=name
+                load_table(spark, sf_dir, name), dest, spec["keys"],
+                config=cfg, table_name=name,
             )
             metas[name] = meta
             os.symlink(os.path.join(dest, "data"), link)

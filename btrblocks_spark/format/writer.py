@@ -65,10 +65,13 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     null_mask = series.isna().to_numpy()
     null_count = int(null_mask.sum())
     if kind == "skip":
+        # SKIP types (nested arrays/maps etc., reference btrfiles.hpp:20-22)
+        # bypass stats entirely — their values may be unhashable (ndarray
+        # cells), so even nunique() is off-limits here
         return {
             "column": col, "col_type": col_type, "scheme": "skip", "est_ratio": 1.0,
             "raw_size": 0, "est_size": 0, "n_rows": n, "null_count": null_count,
-            "unique_count": int(series.nunique()), "min_repr": "", "max_repr": "",
+            "unique_count": 0, "min_repr": "", "max_repr": "",
             "avg_run_length": 1.0, "is_sorted": False,
         }
     if kind == "int":
