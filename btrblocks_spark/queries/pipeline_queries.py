@@ -2223,3 +2223,68 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     u = hash32(F.concat(F.lit("wsamp#"), F.col("doc_id").cast("string"))) % 1000000
     return q.filter(u < F.round(F.col("quality") * 1000000).cast("long"))
+
+
+@register(
+    "text_bigram_lm",
+    oracle=f"""
+WITH {_TOKS},
+bg AS (
+  SELECT doc_id, lower(w) AS w1, lower(lead(w, 1) OVER win) AS w2
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 1) OVER win IS NOT NULL
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, sum(c) AS n1 FROM bc GROUP BY 1),
+ranked AS (
+  SELECT bc.w1, w2, c, n1,
+         round(c / CAST(n1 AS DOUBLE), 6) AS p,
+         row_number() OVER (PARTITION BY bc.w1 ORDER BY c DESC, w2) AS rn
+  FROM bc JOIN uc ON bc.w1 = uc.w1
+)
+SELECT w1, w2, c::BIGINT AS c, n1::BIGINT AS n1, p
+FROM ranked WHERE rn <= 3 AND n1 >= 50
+""",
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: conditional continuation
+    probabilities P(w2|w1) with the top-3 continuations per frequent
+    context (n1 >= 50) — the corpus-statistics table behind n-gram LM
+    scoring/generation and the 'predictable continuation' quality signal.
+
+    Scale: bigrams are a map-side lag over each doc's token array (window
+    partitioned BY doc — parallel), then one (w1, w2) count aggregation;
+    the rank window runs over the already-reduced count table, orders of
+    magnitude smaller than the corpus."""
+    from btrblocks_spark.pipeline.text import tokens
+    from pyspark.sql.window import Window
+
+    t = tokens(load_table(spark, sf_dir, "documents"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.select(
+            "doc_id",
+            F.lower("w").alias("w1"),
+            F.lower(F.lead("w", 1).over(win)).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    wsum = Window.partitionBy("w1")
+    ranked = (
+        bc.withColumn("n1", F.sum("c").over(wsum))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+            ),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("n1") >= 50))
+    )
+    return ranked.select(
+        "w1",
+        "w2",
+        F.col("c").cast("long").alias("c"),
+        F.col("n1").cast("long").alias("n1"),
+        F.round(F.col("c") / F.col("n1").cast("double"), 6).alias("p"),
+    )
