@@ -349,14 +349,19 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
         sig_pd, exp_pd, exc_pd = _pseudodecimal_split(filled, mask)
         conv = mask & ~exc_pd
         max_e = int(exp_pd[conv].max()) if conv.any() else 0
-        scaled = np.round(filled * _EXP10[max_e])
-        ok = (
-            mask
-            & np.isfinite(filled)
-            & (np.abs(scaled) < 2**63 - 1)
-            & (scaled / _EXP10[max_e] == filled)
-            & ~((filled == 0.0) & np.signbit(filled))
-        )
+        # large magnitudes * 10^max_e overflow to inf by design — they are
+        # exactly the values the `ok` mask routes to the patch stream, so
+        # the overflow is expected, not an error
+        with np.errstate(over="ignore", invalid="ignore"):
+            scaled = np.round(filled * _EXP10[max_e])
+            ok = (
+                mask
+                & np.isfinite(filled)
+                & np.isfinite(scaled)
+                & (np.abs(scaled) < 2**63 - 1)
+                & (scaled / _EXP10[max_e] == filled)
+                & ~((filled == 0.0) & np.signbit(filled))
+            )
         exc_mask = mask & ~ok
         if mask.any() and exc_mask[mask].mean() > 0.5:
             raise ValueError("max_exponent: >50% exceptions")

@@ -204,3 +204,36 @@ def build_inverted_index(
             F.expr("transform(_p, s -> s.tf)").alias("posting_tfs"),
         )
     )
+
+
+def phrase_search(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact-phrase retrieval via a positional index: a doc matches iff the
+    phrase's tokens occur at consecutive positions. Built as an m-way
+    self-join of the (doc_id, pos, w) positional postings filtered to the
+    phrase's terms BEFORE joining — at corpus scale the join touches only
+    the phrase terms' postings (df(term) rows each), never the corpus.
+
+    Returns (doc_id, n_occurrences, first_pos) per matching doc.
+    """
+    from btrblocks_spark.pipeline.text import tokens
+
+    t = tokens(docs).withColumn("lw", F.lower("w"))
+    first = t.filter(F.col("lw") == phrase[0].lower()).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    matched = first
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = t.filter(F.col("lw") == term.lower()).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        matched = matched.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col("p0") + i
+        ).drop(f"p{i}")
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            # 1-based position, matching the oracle CTE's generate_subscripts
+            (F.min("p0") + 1).cast("long").alias("first_pos"),
+        )
+    )

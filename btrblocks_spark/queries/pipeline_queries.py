@@ -2288,3 +2288,27 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.round(F.col("c") / F.col("n1").cast("double"), 6).alias("p"),
     )
+
+
+@register(
+    "retrieval_phrase_search",
+    oracle=f"""
+WITH {_TOKS},
+t AS (SELECT doc_id, pos, lower(w) AS lw FROM toks),
+m AS (
+  SELECT a.doc_id, a.pos AS p0
+  FROM t a
+  JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.lw = 'batch'
+  JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.lw = 'customer'
+  WHERE a.lw = 'agg'
+)
+SELECT doc_id, count(*)::BIGINT AS n_occurrences, min(p0)::BIGINT AS first_pos
+FROM m GROUP BY doc_id
+""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.retrieval import phrase_search
+
+    return phrase_search(
+        load_table(spark, sf_dir, "documents"), ["agg", "batch", "customer"]
+    )
