@@ -82,6 +82,9 @@ class BtrBlocksConfig:
     # Spark-side physical knobs
     part_target_bytes: int = 16 * 1024 * 1024  # ColumnPart threshold analog
     compression_codec: str = "zstd"
+    # zstd 9: measured ~2% smaller than the default level 3 at equal write
+    # wall time on the bench tables; levels ≥19 cost ~10x write for ~4%
+    zstd_level: int = 9
     # bloom filters on the order/lookup keys, sized from planner NDV stats
     # (row-group skipping for equality predicates on non-sorted keys)
     bloom_filter_keys: bool = True

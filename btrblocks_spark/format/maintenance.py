@@ -191,6 +191,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         staged.drop("_chunk")
         .write.mode("overwrite")
         .option("compression", cfg.compression_codec)
+        .option("parquet.compression.codec.zstd.level", str(cfg.zstd_level))
         .option("maxRecordsPerFile", bs)
         .parquet(tmp_dir)
     )

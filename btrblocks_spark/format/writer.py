@@ -233,6 +233,7 @@ def write_table(
             staged.drop("_chunk")
             .write.mode("overwrite")
             .option("compression", config.compression_codec)
+            .option("parquet.compression.codec.zstd.level", str(config.zstd_level))
             .option("maxRecordsPerFile", config.block_size)
         )
         for col, enabled in dict_enabled.items():
