@@ -56,3 +56,62 @@ def merge_upsert(
         .withColumn("op", op)
         .drop("_src", "_rn", "_has_target")
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a new attribute snapshot to
+    a history-keeping dimension. ``dim`` carries (keys, attrs, valid_from,
+    valid_to, is_current); ``updates`` carries (keys, attrs). For each key
+    whose CURRENT attrs differ from the update: the current row is closed
+    (valid_to = effective, is_current = false) and a new current row opens
+    at ``effective``. Unchanged keys, historical rows, and keys absent
+    from the update pass through untouched; update rows for unknown keys
+    insert as new current rows.
+
+    Shape: one equi-join of the update batch against the CURRENT slice on
+    the key (historical rows never join), then map-side unions — at scale
+    the join shuffles only keys+attrs of the update batch and the current
+    slice, never the full history.
+    """
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+
+    diff = None
+    for a in attrs:
+        ne = ~F.col(f"u_{a}").eqNullSafe(F.col(a))
+        diff = ne if diff is None else (diff | ne)
+    upd = updates.select(
+        *keys,
+        *[F.col(a).alias(f"u_{a}") for a in attrs],
+        F.lit(True).alias("_has_upd"),
+    )
+    # explicit presence markers (not attr NULL-ness — attrs may be NULL)
+    joined = cur.withColumn("_has_cur", F.lit(True)).join(upd, keys, "full")
+    has_cur = F.col("_has_cur").isNotNull()
+    has_upd = F.col("_has_upd").isNotNull()
+
+    unchanged_cur = joined.filter(has_cur & (~has_upd | ~diff)).select(*dim.columns)
+    closed = joined.filter(has_cur & has_upd & diff).select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.lit(effective).cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = joined.filter(has_upd & (~has_cur | diff)).select(
+        *keys,
+        *[F.col(f"u_{a}").alias(a) for a in attrs],
+        F.lit(effective).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    out = hist.select(*dim.columns)
+    for part in (unchanged_cur, closed, opened):
+        out = out.unionByName(part)
+    return out

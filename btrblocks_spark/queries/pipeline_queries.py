@@ -2312,3 +2312,80 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(
         load_table(spark, sf_dir, "documents"), ["agg", "batch", "customer"]
     )
+
+
+@register(
+    "merge_scd2_customers",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         true AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, 'SEG_NEW' AS c_mktsegment,
+         round(c_acctbal + 100, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL SELECT -1, 'SEG_NEW', 0.0
+),
+chg AS (
+  SELECT u.c_custkey FROM upd u JOIN dim d USING (c_custkey)
+  WHERE u.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+     OR u.c_acctbal IS DISTINCT FROM d.c_acctbal
+),
+unchanged AS (
+  SELECT d.* FROM dim d
+  WHERE d.c_custkey NOT IN (SELECT c_custkey FROM chg)
+),
+closed AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.c_acctbal, d.valid_from,
+         DATE '2024-06-01' AS valid_to, false AS is_current
+  FROM dim d WHERE d.c_custkey IN (SELECT c_custkey FROM chg)
+),
+opened AS (
+  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+         DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         true AS is_current
+  FROM upd u
+  WHERE u.c_custkey IN (SELECT c_custkey FROM chg)
+     OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+)
+SELECT * FROM unchanged
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+""",
+)
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance: a new attribute snapshot closes
+    changed current rows (valid_to = effective date) and opens new current
+    versions, keeping full history — the warehouse pattern MERGE alone
+    doesn't give you. See merge.scd2_apply for the one-join shape."""
+    from btrblocks_spark.pipeline.merge import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("SEG_NEW").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    new_row = spark.range(1).select(
+        F.lit(-1).cast(dict(cust.dtypes)["c_custkey"]).alias("c_custkey"),
+        F.lit("SEG_NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return scd2_apply(
+        dim,
+        upd.unionByName(new_row),
+        keys=["c_custkey"],
+        attrs=["c_mktsegment", "c_acctbal"],
+        effective="2024-06-01",
+    )
