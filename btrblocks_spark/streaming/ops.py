@@ -32,14 +32,16 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def stream_source(spark: SparkSession, events_dir: str) -> DataFrame:
+def stream_source(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """readStream over a directory of event parquet files. New files are
     picked up per microbatch (the chunk-append read path). Converts
     epoch-nano ts to a proper timestamp column ``event_time``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
     # integer division: double-precision ts/1000 loses ULPs at 1.7e18 ns

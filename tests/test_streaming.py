@@ -345,3 +345,49 @@ def test_near_dedup_stream_matches_batch_rule(spark, sf_dir, tmpdir):
         r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
     )
     assert again == got
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmpdir):
+    """Late-data semantics: after the watermark advances past a window, a
+    file arriving with events older than (max_seen - delay) must NOT
+    resurrect that window in append-mode output — bounded state is what
+    lets a 100 TB/day stream run forever."""
+    src_tbl = load_table(spark, sf_dir, "events")
+    d = os.path.join(tmpdir, "events_late")
+    os.makedirs(d, exist_ok=True)
+
+    on_time = src_tbl.filter(F.expr("ts div 1000000000") >= 1704153600)  # >= Jan 2
+    # a small second batch of RECENT rows: the watermark the drop predicate
+    # uses lags one batch (it is the one committed before the batch runs),
+    # so this buffer batch is what arms Jan-30-minus-2h before the late file
+    buffer_batch = src_tbl.filter(F.expr("ts div 1000000000") >= 1706486400)  # >= Jan 29
+    late = src_tbl.filter(F.expr("ts div 1000000000") < 1704153600)      # Jan 1
+    assert late.count() > 0 and on_time.count() > 0 and buffer_batch.count() > 0
+    for i, part in enumerate([on_time, buffer_batch, late]):
+        stage = os.path.join(tmpdir, f"late_stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(d, f"drop{i}.parquet")
+        os.rename(os.path.join(stage, pf), dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    from btrblocks_spark.streaming.ops import windowed_rollup
+
+    # one file per microbatch: the on-time batch advances the watermark
+    # BEFORE the late file arrives (a single batch would see everything
+    # with watermark still at epoch 0 and emit it all)
+    stream = stream_source(spark, d, max_files_per_trigger=1)
+    q = _run_to_memory(
+        windowed_rollup(stream, window="1 hour", watermark="2 hours"),
+        "late_test",
+        mode="append",
+    )
+    got = spark.sql("select * from late_test").collect()
+    q.stop()
+
+    starts = {r["window_start"] for r in got}
+    jan1 = {s for s in starts if s.day == 1 and s.month == 1}
+    # every Jan-1 window was late by >> 2h when its file arrived in batch 2
+    # → closed-and-dropped, never emitted
+    assert jan1 == set(), f"late windows leaked: {sorted(jan1)[:3]}"
+    assert len(starts) > 0
