@@ -459,3 +459,35 @@ def test_aqe_active_on_headline_agg(spark, sf_dir):
     skew-join splitting — the local analog of 1000-executor re-planning)."""
     plan = plan_of(QUERIES["q1_pricing_summary"](spark, sf_dir))
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
+    """Runtime re-planning: a join whose build side is only KNOWN to be
+    small after a filter executes must start as SortMergeJoin (static
+    sizes) and finish as BroadcastHashJoin (AQE sees the actual shuffle
+    bytes) — the local analog of 1000-executor runtime replanning."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # static estimate: disable planning-time broadcast entirely, but
+        # leave AQE's own (runtime-size) threshold on — that split is the
+        # point: only actual shuffle bytes may trigger the conversion
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        small = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = li.join(small, li["l_orderkey"] == small["o_orderkey"]).groupBy(
+            "l_returnflag"
+        ).count()
+        assert "SortMergeJoin" in joined._jdf.queryExecution().executedPlan().toString()
+        joined.collect()  # same QueryExecution finalizes its adaptive plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
