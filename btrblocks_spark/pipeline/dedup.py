@@ -701,3 +701,69 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def pagerank_pairs(pairs: DataFrame, iterations: int = 3, damping_pct: int = 85) -> DataFrame:
+    """PageRank over an undirected pair graph (e.g. LSH near-dup pairs):
+    rank flows along duplicate relations, surfacing the most-connected
+    documents of each duplicate cluster (dedup canonical-pick by
+    centrality rather than min-id).
+
+    Fixed ``iterations`` rounds of r' = (1-d)/N + d * Σ r(nbr)/deg(nbr).
+    Cross-engine exactness: every per-edge contribution is rounded to 6 dp
+    and summed as DECIMAL — the same round-then-decimal-sum contract as
+    the rest of the pipeline — so the result is bit-identical to the SQL
+    oracle's chained-CTE formulation.
+
+    Scale: per iteration one join of ranks onto edges + one aggregation on
+    dst — both keyed on node id; the edge list never changes, so at scale
+    it would be cached/bucketed once. Iterations are a driver loop over a
+    fixed small count (no convergence-dependent plans)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # pin the graph once: without this every iteration's plan re-derives
+    # the (expensive) upstream pair pipeline — lineage grows with the
+    # iteration count (measured 80s -> ~10s at sf0.001 for 3 rounds)
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    # N rides as a broadcast 1-row frame so every constant ((1-d)/N, 1/N)
+    # is computed by ENGINE arithmetic — no Python-rounded literals to
+    # drift from the SQL oracle's
+    ncount = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    d = damping_pct / 100.0
+    base = F.lit((100 - damping_pct) / 100.0) / F.col("_n")
+
+    ranks = nodes.crossJoin(F.broadcast(ncount)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), 6).alias("r")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") / F.col("deg"), 6)
+                .cast("decimal(18,6)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(ncount))
+            .select(
+                "node",
+                F.round(
+                    base
+                    + F.lit(d) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank"))

@@ -2389,3 +2389,57 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["c_mktsegment", "c_acctbal"],
         effective="2024-06-01",
     )
+
+
+def _pr_iter(prev: str, out: str) -> str:
+    return f""",
+c_{out} AS (
+  SELECT e.dst AS node,
+         CAST(round(r.r / dg.deg, 6) AS DECIMAL(18,6)) AS c
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
+),
+{out} AS (
+  SELECT n.node,
+         round(0.15 / (SELECT _n FROM ncount)
+               + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 6) AS r
+  FROM (SELECT node FROM nodes) n
+  LEFT JOIN (SELECT node, sum(c) AS s FROM c_{out} GROUP BY node) s USING (node)
+)"""
+
+
+_PAGERANK_ORACLE = (
+    f"""
+WITH {_SIGS}{_BANDS},
+lsh AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION ALL SELECT doc_b, doc_a FROM lsh
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+ncount AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM nodes),
+r0 AS (
+  SELECT node, round(1.0 / (SELECT _n FROM ncount), 6) AS r FROM nodes
+)"""
+    + _pr_iter("r0", "r1")
+    + _pr_iter("r1", "r2")
+    + _pr_iter("r2", "r3")
+    + """
+SELECT node AS doc_id, r AS rank FROM r3
+"""
+)
+
+
+@register("dedup_pagerank", oracle=_PAGERANK_ORACLE)
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-dup graph (3 fixed
+    iterations, d=0.85): rank-based canonical selection for duplicate
+    clusters. See dedup.pagerank_pairs for the per-iteration shape and the
+    engine-exact arithmetic contract."""
+    from btrblocks_spark.pipeline.dedup import pagerank_pairs
+
+    return pagerank_pairs(minhash_lsh_pairs(load_table(spark, sf_dir, "documents")))
