@@ -114,3 +114,37 @@ def test_bucketed_order_profile_matches_window(spark, rows):
     )
     for field in ("n_rows", "n_set", "min_v", "max_v", "total_runs", "is_sorted"):
         assert getattr(prof, field) == getattr(naive, field), field
+
+
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir):
+    """Partitioning-invariance: the hash-deterministic operators must
+    return IDENTICAL rows under different shuffle-partition counts — the
+    property that makes results reproducible when a job is re-run on a
+    different cluster size. (rand()/monotonically_increasing_id-based
+    designs fail exactly this.)"""
+    from btrblocks_spark.queries import all_queries
+
+    names = [
+        "curation_stratified_sample",
+        "curation_shuffle_order",
+        "curation_train_split",
+        "curation_global_sample",
+        "dedup_minhash_lsh",
+        "text_hash_features",
+    ]
+    queries = all_queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(
+                    tuple(r) for r in queries[n](spark, sf_dir).collect()
+                )
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n}: result depends on shuffle partitioning"
+        assert len(a) > 0, n
