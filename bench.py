@@ -96,6 +96,11 @@ HEADLINE = [
     "format_dpp_join",
     "curation_shuffle_order",
     "dedup_lsh_recall",
+    "dedup_pagerank",
+    "merge_scd2_customers",
+    "text_bigram_lm",
+    "text_hash_features",
+    "retrieval_phrase_search",
 ]
 
 
