@@ -2443,3 +2443,57 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.dedup import pagerank_pairs
 
     return pagerank_pairs(minhash_lsh_pairs(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment || '_v1' AS segment,
+         DATE '1992-01-01' AS valid_from, DATE '1996-01-01' AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_v2', DATE '1996-01-01', CAST(NULL AS DATE)
+  FROM customer
+)
+SELECT o_orderkey, o_custkey, o_orderdate, segment
+FROM orders o
+JOIN dim d ON d.c_custkey = o.o_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+""",
+)
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each order picks the
+    dimension version whose [valid_from, valid_to) covers its order date
+    — the temporal-correctness query SCD2 history exists for (an as-of
+    join with explicit validity intervals instead of nearest-event
+    matching).
+
+    Scale: equi-join on the customer key carries the real work (broadcast
+    for a dimension, shuffle for fact-sized history); the interval check
+    is a residual predicate evaluated inside the join — never a range
+    cross product. Exactly one version matches per (order, key), so no
+    post-dedup is needed."""
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v1")).alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("1996-01-01").cast("date").alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit("1996-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(dim),
+        (o["o_custkey"] == dim["c_custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+    )
+    return joined.select("o_orderkey", "o_custkey", "o_orderdate", "segment")
