@@ -693,3 +693,97 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+WITH t AS (
+  SELECT event_type, ts, event_id,
+         (epoch_ns(ts) // 1000000000) // 3600 AS hour_bucket, value
+  FROM events
+),
+w AS (
+  SELECT event_type, hour_bucket, value,
+         row_number() OVER win AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hour_bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+  WINDOW win AS (PARTITION BY event_type, hour_bucket ORDER BY ts, event_id)
+)
+SELECT event_type, hour_bucket,
+       count(*)::BIGINT AS n,
+       round(min(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(min(CASE WHEN rn_d = 1 THEN value END), 4) AS close
+FROM w GROUP BY event_type, hour_bucket
+""",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (the time-series downsampling shape): per (event_type,
+    hour), the first/last value in event order plus min/max — open and
+    close come from rank-1 rows of ascending/descending windows with an
+    event_id tiebreak, so the result is deterministic even with timestamp
+    collisions.
+
+    Scale: windows are partitioned by (type, hour) — thousands of small
+    independent partitions, no global sort; the final rollup is one
+    map-side-combinable aggregation on the same key."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.expr("ts div 1000000000") / 3600).cast("long").alias("hour_bucket"),
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour_bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour_bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        "hour_bucket",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "hour_bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.min(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp, o_orderstatus AS v, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+r AS (
+  SELECT grp, v, n,
+         row_number() OVER (PARTITION BY grp ORDER BY n DESC, v) AS rn
+  FROM c
+)
+SELECT grp, v AS mode_value, n::BIGINT AS mode_count FROM r WHERE rn = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties to the
+    smallest value — unlike the engine-defined tie-break of the native
+    mode() aggregate, this is reproducible across engines): one count
+    aggregation, then a rank window over the tiny (group x value) table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("grp"), F.col("o_orderstatus").alias("v")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n"), F.asc("v"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("v").alias("mode_value"), F.col("n").cast("long").alias("mode_count"))
+    )
