@@ -520,9 +520,15 @@ def duplicate_spans(
     sp = shingles(docs, w, text_col=text_col, id_col=id_col).select(
         "doc_id", hash32(F.col("shingle")).alias("h")
     ).distinct()
-    ndocs = sp.groupBy("h").agg(F.count("*").alias("ndocs"))
+    # document frequency via a window on the span hash, not a self-join:
+    # the span pipeline (explode + distinct shuffle) evaluates ONCE — a
+    # join would re-derive it for the aggregate side (no guaranteed
+    # exchange reuse), doubling the dominant cost
+    from pyspark.sql.window import Window
+
+    counted = sp.withColumn("ndocs", F.count("*").over(Window.partitionBy("h")))
     return (
-        sp.join(ndocs, "h")
+        counted
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_spans"),
