@@ -787,3 +787,116 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("grp", F.col("v").alias("mode_value"), F.col("n").cast("long").alias("mode_count"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH p AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT cur_type, next_type, count(*) AS n
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT cur_type, SUM(n) AS tot_n FROM c GROUP BY cur_type)
+SELECT c.cur_type, c.next_type,
+       n::BIGINT AS n_transitions,
+       round(CAST(n AS DOUBLE) / tot_n, 6) AS p_next
+FROM c JOIN tot USING (cur_type)
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain: per-user event sequences (ts, event_id
+    total order) yield (current, next) event-type transition counts and the
+    conditional probability P(next | current). The probability divides two
+    exact integer counts, so both engines produce identical doubles.
+
+    Scale: the lead() window partitions by user_id — millions of small
+    independent partitions, no global sort; transition counting is a
+    map-side-combinable groupBy over a (types x types) domain, and the
+    per-current totals come from re-aggregating that tiny count table
+    (never the raw events), broadcast back for the division."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = pairs.groupBy("cur_type", "next_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("cur_type").agg(F.sum("n").alias("tot_n"))
+    return c.join(F.broadcast(tot), "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("tot_n"), 6).alias("p_next"),
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS v
+  FROM events
+),
+seg AS (
+  SELECT user_id, v,
+         lead(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) - ts_us AS dur
+  FROM t
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_segments,
+       SUM(dur)::BIGINT AS total_dur_us,
+       round(CAST(SUM(CAST(v AS HUGEINT) * dur) AS DOUBLE)
+             / SUM(dur) / 10000, 6) AS twa_value
+FROM seg
+WHERE dur IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur) > 0
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB `time_weight('locf')` analog):
+    per user, each observation holds until the next one, so the average is
+    the LOCF integral sum(value * duration) / sum(duration). Values are
+    scaled to integer 1e-4 units and the weighted sum accumulates in
+    decimal(38,0) (HUGEINT on the oracle side), so the integral is exact at
+    any row count and partition order; only the final division is a double.
+
+    Scale: one lead() window partitioned by user_id (parallel, no global
+    sort), then a single map-side-combinable groupBy on the same key — AQE
+    reuses the window's hash partitioning so the aggregate adds no second
+    shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id",
+        "v",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("dur").cast("long").alias("total_dur_us"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("dur")).alias("wsum"),
+    )
+    return agg.filter(F.col("total_dur_us") > 0).select(
+        "user_id",
+        "n_segments",
+        "total_dur_us",
+        F.round(
+            F.col("wsum").cast("double") / F.col("total_dur_us") / 10000, 6
+        ).alias("twa_value"),
+    )

@@ -2497,3 +2497,43 @@ def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
     )
     return joined.select("o_orderkey", "o_custkey", "o_orderdate", "segment")
+
+
+@register(
+    "dedup_similarity_histogram",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT {_SIG_EQS} AS n_agree
+  FROM prs p
+  JOIN sigs a ON a.doc_id = p.doc_a
+  JOIN sigs b ON b.doc_id = p.doc_b
+)
+SELECT n_agree,
+       round(n_agree / 8.0, 6) AS jaccard_est,
+       count(*)::BIGINT AS n_pairs
+FROM est GROUP BY n_agree
+""",
+)
+def q_dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair similarity histogram — the dedup-threshold tuning
+    artifact: distribution of MinHash Jaccard estimates over all LSH
+    candidate pairs. Reading this histogram is how a pipeline picks the
+    near-dup cutoff (where does the bimodal dup/non-dup split sit?) before
+    committing to an expensive exact-verify pass.
+
+    Scale: composes the registered estimate chain verbatim, then collapses
+    the pair table to ≤ num_perm+1 histogram rows in one map-side-combinable
+    groupBy — the histogram is O(1) output regardless of corpus size."""
+    from btrblocks_spark.pipeline.dedup import minhash_jaccard_estimate
+
+    est = minhash_jaccard_estimate(load_table(spark, sf_dir, "documents"))
+    return est.groupBy("n_agree").agg(
+        F.round(F.col("n_agree") / 8.0, 6).alias("jaccard_est"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )

@@ -400,3 +400,66 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cnt").alias("max_freq"),
         F.round(F.max("cnt") * F.count("*") / F.sum("cnt"), 6).alias("skew_factor"),
     )
+
+
+@register(
+    "stats_percentile_profile",
+    oracle="""
+WITH freq AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v, n,
+         SUM(n) OVER (PARTITION BY flag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER (PARTITION BY flag) AS total_n
+  FROM freq
+),
+ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+SELECT flag, p,
+       MIN(v) / 100.0 AS pct_value
+FROM cum CROSS JOIN ps
+WHERE cum_n * 100 >= p * total_n
+GROUP BY flag, p
+""",
+)
+def stats_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc semantics: smallest value
+    whose cumulative frequency reaches ceil(p*n)) of l_extendedprice per
+    returnflag, at p = 25/50/75/90/99. Values scale to integer cents so the
+    rank arithmetic (cum*100 >= p*total) is pure integer — no interpolation,
+    no float ranks — and both engines agree bit-exactly.
+
+    Scale: the raw table collapses to a (flag, distinct-value) frequency
+    table in one map-side-combinable groupBy; the cumulative window and the
+    percentile selection run over that REDUCED table only (|distinct values|
+    rows per flag, not |rows|) — the classic scalable alternative to sorting
+    the full column per group. The 5-element percentile list is a literal
+    cross join (broadcast, fan-out 5 on the reduced table)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    freq = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cum = freq.select(
+        "flag",
+        "v",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wt).alias("total_n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])).alias("p")
+    )
+    return (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum_n") * 100 >= F.col("p") * F.col("total_n"))
+        .groupBy("flag", "p")
+        .agg((F.min("v") / 100.0).alias("pct_value"))
+    )
