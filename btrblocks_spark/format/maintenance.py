@@ -334,3 +334,132 @@ def read_table_evolved(spark: SparkSession, path: str):
         schema = ", ".join(f"{c} {t}" for c, t, _d in declared)
         out = spark.createDataFrame([], schema)
     return out, meta
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE: deletion vectors (Delta/Iceberg DV analog)
+# ---------------------------------------------------------------------------
+
+def _dv_dir(path: str) -> str:
+    return os.path.join(path, "_deletes")
+
+
+def _dv_versions(path: str) -> list[int]:
+    d = _dv_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f.split("=", 1)[1])
+        for f in os.listdir(d)
+        if f.startswith("dv=") and os.path.isdir(os.path.join(d, f))
+    )
+
+
+def _dv_latest(path: str) -> int | None:
+    ptr = os.path.join(_dv_dir(path), "_latest")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def read_deletion_vector(spark: SparkSession, path: str) -> DataFrame | None:
+    """Current deletion vector: one `_idx` row per deleted position, or
+    None if the table has no deletes."""
+    v = _dv_latest(path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(_dv_dir(path), f"dv={v}"))
+
+
+def delete_where_dv(spark: SparkSession, path: str, predicate: str) -> dict:
+    """Merge-on-read DELETE for a chunked table: record the matching global
+    row positions (`_idx`) in a deletion-vector sidecar instead of
+    rewriting any data file — the Delta/Iceberg deletion-vector contract,
+    and the write-cheap complement to the copy-on-write ``delete_where``.
+
+    Cost model at 100 TB: the predicate scan is a narrow filter with full
+    Catalyst pushdown (only `_idx` survives the projection, so the shuffle-
+    free write stages O(matches) longs); data files — and their chunk
+    stats, blooms and Z-order layout — are untouched. Reads pay one
+    broadcast anti-join until ``materialize_deletes`` folds the vector in.
+
+    Each DELETE commits a new immutable ``dv=N`` snapshot = prior vector ∪
+    new matches (idempotent; re-deleting is a no-op), then atomically swaps
+    the ``_latest`` pointer — readers keep snapshot isolation."""
+    data = spark.read.parquet(os.path.join(path, "data"))
+    matches = data.filter(
+        F.coalesce(F.expr(predicate), F.lit(False))
+    ).select("_idx")
+    prior = read_deletion_vector(spark, path)
+    if prior is not None:
+        matches = matches.union(prior)
+    new = matches.distinct()
+    next_v = (_dv_versions(path) or [-1])[-1] + 1
+    dest = os.path.join(_dv_dir(path), f"dv={next_v}")
+    new.repartition(1).write.mode("overwrite").parquet(dest)
+    n_deleted = spark.read.parquet(dest).count()
+    tmp = os.path.join(_dv_dir(path), "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp, os.path.join(_dv_dir(path), "_latest"))
+    return {"dv_version": next_v, "deleted_rows": int(n_deleted)}
+
+
+def read_table_mor(spark: SparkSession, path: str, with_index: bool = False) -> DataFrame:
+    """Merge-on-read scan: data files minus the current deletion vector.
+
+    The vector is tiny relative to the table (deletes accumulate slowly and
+    ``materialize_deletes`` folds them in), so the subtraction is a
+    BROADCAST left-anti join on `_idx` — a narrow map over the scan, no
+    shuffle of table data. Filters/pruning still push into the parquet scan
+    underneath."""
+    df = spark.read.parquet(os.path.join(path, "data"))
+    dv = read_deletion_vector(spark, path)
+    if dv is not None:
+        df = df.join(F.broadcast(dv), "_idx", "left_anti")
+    return df if with_index else df.drop("_idx")
+
+
+def materialize_deletes(spark: SparkSession, path: str, dest: str, config=None) -> dict:
+    """Fold the deletion vector into a fresh copy-on-write table at
+    ``dest`` (re-chunked, re-planned, stats/sidecar in sync) and report
+    both layouts. The periodic compaction that keeps the MoR read tax
+    bounded; cost is one table rewrite, which is why it runs rarely while
+    ``delete_where_dv`` runs cheaply and often."""
+    from btrblocks_spark.format.reader import read_metadata
+    from btrblocks_spark.format.writer import write_table
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+
+    meta = read_metadata(path)
+    live = read_table_mor(spark, path)
+    out = write_table(
+        live,
+        dest,
+        meta["order_keys"],
+        config=config or DEFAULT_CONFIG,
+        table_name=meta.get("table", "table"),
+    )
+    return {
+        "num_rows": out["num_rows"],
+        "num_chunks": out["num_chunks"],
+        "dv_folded": _dv_latest(path),
+    }
+
+
+def vacuum_deletion_vectors(path: str, keep_versions: int = 2) -> dict:
+    """Drop unreachable dv snapshots (older than the retained tail; the
+    pointer target always survives) — the DV-side retention twin of
+    ``vacuum``."""
+    latest = _dv_latest(path)
+    versions = _dv_versions(path)
+    retain = set(versions[-max(keep_versions, 1):])
+    if latest is not None:
+        retain.add(latest)
+    removed = []
+    for v in versions:
+        if v not in retain:
+            shutil.rmtree(os.path.join(_dv_dir(path), f"dv={v}"))
+            removed.append(v)
+    return {"removed_dv_versions": removed, "retained_dv_versions": sorted(retain)}

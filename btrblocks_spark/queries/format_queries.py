@@ -658,3 +658,49 @@ def format_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").cast("long").alias("digest_sum"),
         F.expr("bit_xor(h)").cast("long").alias("digest_xor"),
     )
+
+
+@register(
+    "format_delete_vectors",
+    oracle="""
+SELECT o_orderstatus AS status,
+       count(*)::BIGINT AS n,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
+GROUP BY o_orderstatus
+""",
+)
+def format_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE through deletion vectors: write orders chunked,
+    commit a DV DELETE (data files untouched — only O(matches) `_idx`
+    positions land in the ``_deletes`` sidecar), then aggregate the
+    merge-on-read scan. Must equal the plain anti-filtered aggregate
+    (DuckDB oracle). The broadcast anti-join subtraction is the read-side
+    cost; at 100 TB the alternative (copy-on-write rewrite per DELETE) is
+    exactly what this avoids."""
+    import shutil
+    import tempfile
+
+    from btrblocks_spark.format.maintenance import delete_where_dv, read_table_mor
+    from btrblocks_spark.format.writer import write_table
+
+    out = tempfile.mkdtemp(prefix="btr_dv_query_")
+    table = f"{out}/orders"
+    write_table(load_table(spark, sf_dir, "orders"), table, ["o_orderkey"])
+    delete_where_dv(
+        spark, table, "o_orderpriority = '1-URGENT' AND o_totalprice < 50000"
+    )
+    result = (
+        read_table_mor(spark, table)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -527,3 +527,58 @@ def test_incremental_agg_matches_full_recompute(spark, sf_dir, tmp_path):
     assert st3["files_scanned"] == 0 and st3["version"] == st2["version"]
     got3 = {(r["l_returnflag"],): (r["sum_l_quantity"], r["n_rows"]) for r in res3.collect()}
     assert got3 == full(seen)
+
+
+def test_deletion_vectors_merge_on_read(spark, sf_dir, tmp_path):
+    """DV DELETE: data files untouched, MoR scan subtracts, deletes
+    accumulate idempotently, materialize folds them in."""
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where_dv,
+        materialize_deletes,
+        read_table_mor,
+        vacuum_deletion_vectors,
+    )
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.tables import load_table
+
+    table = str(tmp_path / "orders_dv")
+    src = load_table(spark, sf_dir, "orders")
+    write_table(src, table, ["o_orderkey"])
+
+    data_dir = os.path.join(table, "data")
+    files_before = sorted(os.listdir(data_dir))
+
+    r1 = delete_where_dv(spark, table, "o_orderstatus = 'F'")
+    assert r1["deleted_rows"] > 0
+    # merge-on-read equals plain filter on the source
+    expect = src.filter("o_orderstatus <> 'F'").count()
+    assert read_table_mor(spark, table).count() == expect
+    # no data file rewritten
+    assert sorted(os.listdir(data_dir)) == files_before
+
+    # idempotent re-delete: same vector size, new version
+    r2 = delete_where_dv(spark, table, "o_orderstatus = 'F'")
+    assert r2["deleted_rows"] == r1["deleted_rows"]
+    assert r2["dv_version"] == r1["dv_version"] + 1
+
+    # accumulate a second predicate
+    r3 = delete_where_dv(spark, table, "o_totalprice < 1000")
+    expect2 = src.filter("o_orderstatus <> 'F' AND NOT (o_totalprice < 1000)").count()
+    assert read_table_mor(spark, table).count() == expect2
+    assert r3["deleted_rows"] >= r2["deleted_rows"]
+
+    # materialize: fresh CoW table matches MoR view, sidecar consistent
+    dest = str(tmp_path / "orders_clean")
+    stats = materialize_deletes(spark, table, dest)
+    assert stats["num_rows"] == expect2
+    clean, meta = read_table(spark, dest)
+    assert clean.count() == expect2
+    assert meta["num_rows"] == expect2
+
+    # DV retention GC keeps the pointer target
+    gc = vacuum_deletion_vectors(table, keep_versions=1)
+    assert r3["dv_version"] in gc["retained_dv_versions"]
+    assert read_table_mor(spark, table).count() == expect2
