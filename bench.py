@@ -101,6 +101,10 @@ HEADLINE = [
     "text_bigram_lm",
     "text_hash_features",
     "retrieval_phrase_search",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "stats_percentile_profile",
+    "dedup_similarity_histogram",
 ]
 
 

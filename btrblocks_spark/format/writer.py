@@ -197,6 +197,8 @@ def write_table(
     """Write ``df`` as a chunked, scheme-annotated table. Returns metadata."""
     t0 = time.time()
     spark = df.sparkSession
+    if "_idx" in df.columns:  # reserved: re-derived below from order_keys
+        df = df.drop("_idx")
     col_types = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
     # one map-side JVM pass sizes the physical knobs: parquet dictionary

@@ -491,3 +491,50 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: when a selective dim filter feeds a
+    shuffle join, the optimizer should inject a bloom filter built from the
+    dim side into the fact scan (might_contain over bloom_filter_agg) — at
+    100 TB this drops most fact rows BEFORE the shuffle instead of
+    exchanging them. Thresholds are lowered to make the tiny local tables
+    eligible; the plan shape is what's under test."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in opt or "might_contain" in opt, opt[:2000]
+        phys = plan_of(j).lower()
+        assert "might_contain" in phys or "bloomfilter" in phys, phys[:2000]
+        # and it must still produce the right answer with the filter active
+        [row] = j.collect()
+        expect = (
+            li.join(
+                load_table(spark, sf_dir, "orders").filter(
+                    "o_orderpriority = '1-URGENT'"
+                ),
+                li["l_orderkey"] == F.col("o_orderkey"),
+            ).count()
+        )
+        assert row["count"] == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")

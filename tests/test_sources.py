@@ -137,3 +137,48 @@ def test_malformed_csv_rows_degrade_to_null(spark, tmpdir):
         "delta": (4, 2.25),
         "eps": (5, 1.5),
     }
+
+
+def test_copy_into_idempotent(spark, sf_dir, tmp_path):
+    """COPY INTO loads new files once, skips already-loaded files on
+    retry, detects modified files, and compact re-aligns the appended
+    tail."""
+    from btrblocks_spark.format.maintenance import compact
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.copy_into import copy_into
+    from btrblocks_spark.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders")
+    base = src.filter("o_orderkey % 3 = 0")
+    extra1 = src.filter("o_orderkey % 3 = 1")
+    extra2 = src.filter("o_orderkey % 3 = 2")
+
+    table = str(tmp_path / "orders_copy")
+    write_table(base, table, ["o_orderkey"])
+
+    drop_dir = tmp_path / "drops"
+    extra1.coalesce(1).write.parquet(str(drop_dir / "d1"))
+    extra2.coalesce(1).write.parquet(str(drop_dir / "d2"))
+    import glob
+
+    f1 = glob.glob(str(drop_dir / "d1" / "*.parquet"))
+    f2 = glob.glob(str(drop_dir / "d2" / "*.parquet"))
+
+    r1 = copy_into(spark, table, f1 + f2)
+    assert r1["loaded_files"] == 2
+    assert r1["appended_rows"] == extra1.count() + extra2.count()
+
+    # retry with an overlapping listing: nothing reloaded
+    r2 = copy_into(spark, table, f1 + f2)
+    assert r2 == {"loaded_files": 0, "skipped_files": 2, "appended_rows": 0}
+
+    df, _meta = read_table(spark, table)
+    assert df.count() == src.count()
+    # multiset equality with the source after compaction resyncs the sidecar
+    stats = compact(spark, table)
+    assert stats["compacted"]
+    df2, meta2 = read_table(spark, table)
+    assert df2.count() == src.count()
+    assert meta2["num_rows"] == src.count()
+    assert df2.exceptAll(src).isEmpty() and src.exceptAll(df2).isEmpty()
