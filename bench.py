@@ -105,6 +105,8 @@ HEADLINE = [
     "events_time_weighted_avg",
     "stats_percentile_profile",
     "dedup_similarity_histogram",
+    "events_cumulative_users",
+    "events_autocorr_lag1",
 ]
 
 

@@ -900,3 +900,154 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / F.col("total_dur_us") / 10000, 6
         ).alias("twa_value"),
     )
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(epoch_ns(ts) // 3600000000000) AS first_day
+  FROM events GROUP BY user_id
+),
+daily_new AS (
+  SELECT first_day, count(*) AS n_new FROM first_seen GROUP BY first_day
+)
+SELECT a.first_day AS hour_idx,
+       MAX(a.n_new)::BIGINT AS n_new_users,
+       SUM(b.n_new)::BIGINT AS cumulative_users
+FROM daily_new a JOIN daily_new b ON b.first_day <= a.first_day
+GROUP BY a.first_day
+""",
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-user growth curve (running distinct over time — the DAU/
+    total-users chart): each user's first-seen hour, new users per hour, and
+    the running total. The running sum runs as a triangular self-join on
+    the REDUCED per-hour table — O(hours²) pairs of a metadata-sized frame —
+    instead of a global-order window that would single-task the fleet gate.
+
+    Scale: first-seen is one map-side-combinable min per user; everything
+    after operates on O(hours) rows. At 100 TB the per-user reduce is the
+    only big shuffle, keyed on user_id — AQE-coalesced, skew-immune (a user
+    appears in one partition)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 3600000000000").alias("day")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(F.count("*").alias("n_new"))
+    a = daily.select(F.col("first_day").alias("hour_idx"), F.col("n_new").alias("na"))
+    b = daily.select(F.col("first_day").alias("bd"), F.col("n_new").alias("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("bd") <= F.col("hour_idx"))
+        .groupBy("hour_idx")
+        .agg(
+            F.max("na").cast("long").alias("n_new_users"),
+            F.sum("nb").cast("long").alias("cumulative_users"),
+        )
+    )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n) AS tot_n, count(*) AS n_hours FROM h GROUP BY event_type
+)
+SELECT h.event_type, h.hour_of_day, n::BIGINT AS n,
+       round(CAST(n AS DOUBLE) * n_hours / tot_n, 6) AS seasonality_index
+FROM h JOIN tot USING (event_type)
+""",
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile: per (event_type, hour-of-day) count
+    and its ratio to the type's mean hourly volume (index > 1 = busier than
+    average — the diurnal-load fingerprint behind capacity planning and
+    anomaly baselines). Pure integer counts; one double division at the end.
+
+    Scale: one map-side-combinable groupBy to a ≤ types×24-row table; the
+    per-type totals re-aggregate that tiny frame and broadcast back."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.expr("ts div 3600000000000") % 24).alias("hour_of_day")
+    )
+    h = e.groupBy("event_type", "hour_of_day").agg(F.count("*").alias("n"))
+    tot = h.groupBy("event_type").agg(
+        F.sum("n").alias("tot_n"), F.count("*").alias("n_hours")
+    )
+    return h.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") * F.col("n_hours") / F.col("tot_n"), 6
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY hr) AS pn
+  FROM hourly
+),
+m AS (
+  SELECT event_type, count(*) AS k,
+         SUM(n) AS sx, SUM(pn) AS sy,
+         SUM(n * n) AS sxx, SUM(pn * pn) AS syy, SUM(n * pn) AS sxy
+  FROM lagged WHERE pn IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, k::BIGINT AS n_pairs,
+       round(CAST(k * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) AS autocorr_lag1
+FROM m
+""",
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    burstiness/self-similarity diagnostic (≈0 for Poisson arrivals, high
+    for sticky load). Pearson over (n_t, n_{t-1}) pairs with EXACT integer
+    moments (counts), formula applied once at the end — the stats_moments
+    discipline on a windowed time series.
+
+    Scale: hourly counts reduce the raw stream map-side; the lag window
+    partitions by event_type over the small per-type hourly series; moments
+    are one more map-side-combinable agg of that reduced frame."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 3600000000000").alias("hr")
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type", "n", F.lag("n").over(w).alias("pn")
+    ).filter(F.col("pn").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum("pn").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("pn") * F.col("pn")).alias("syy"),
+        F.sum(F.col("n") * F.col("pn")).alias("sxy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    num = (k * F.col("sxy") - sx * sy).cast("double")
+    den = F.sqrt((k * F.col("sxx") - sx * sx).cast("double")) * F.sqrt(
+        (k * F.col("syy") - sy * sy).cast("double")
+    )
+    return m.select(
+        "event_type",
+        k.cast("long").alias("n_pairs"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )

@@ -463,3 +463,68 @@ def stats_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag", "p")
         .agg((F.min("v") / 100.0).alias("pct_value"))
     )
+
+
+@register(
+    "stats_equidepth_histogram",
+    oracle="""
+WITH freq AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT flag, v, n,
+         SUM(n) OVER (PARTITION BY flag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER (PARTITION BY flag) AS total_n
+  FROM freq
+)
+SELECT flag,
+       CAST(least((cum_n - 1) * 4 // total_n, 3) AS INTEGER) AS bucket,
+       SUM(n)::BIGINT AS n_rows,
+       MIN(v) / 100.0 AS lo,
+       MAX(v) / 100.0 AS hi
+FROM cum GROUP BY flag, bucket
+""",
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of l_extendedprice per
+    returnflag — the histogram a cost-based optimizer keeps (equal ROW
+    counts per bucket, data-driven boundaries; ties share a bucket), as
+    opposed to stats_histogram's fixed-width bins. Bucket assignment is
+    pure integer rank arithmetic ((cum-1)*k/total) over the reduced
+    distinct-value frequency table, so both engines agree exactly.
+
+    Scale: same shape as stats_percentile_profile — the raw column
+    collapses map-side to (flag, value, count); the cumulative window sees
+    only distinct values per flag, never rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    freq = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cum = freq.select(
+        "flag",
+        "v",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wt).alias("total_n"),
+    )
+    bucket = F.least(
+        F.expr("(cum_n - 1) * 4 div total_n"), F.lit(3).cast("long")
+    ).cast("int")
+    return (
+        cum.withColumn("bucket", bucket)
+        .groupBy("flag", "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            (F.min("v") / 100.0).alias("lo"),
+            (F.max("v") / 100.0).alias("hi"),
+        )
+    )
