@@ -12,7 +12,8 @@ The "format" section reports the reference's own metric set (BASELINE.md):
 compression ratio (size-weighted estimate from the scheme planner + actual
 on-disk bytes), write (compress) wall time, and scan (decompress) MB/s,
 measured by writing the lineitem table through the chunked writer and
-timing a full re-scan.
+timing a full re-scan; plus a per-scheme encode/decode micro-benchmark on
+golden-shape 65536-value columns (regression_benchmark analog).
 """
 
 from __future__ import annotations
@@ -288,6 +289,80 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
     }
 
 
+def scheme_bench() -> dict:
+    """Per-scheme encode/decode micro-benchmark on golden-shape columns —
+    the analog of the reference's regression_benchmark (per scheme × column
+    comp ratio + wall time, bench/bench-cases/regression_benchmark.cpp:
+    73-134): each scheme gets the value shape it exists for, 65536 values
+    (block_size), best-of-3 encode and decode, reporting compression ratio
+    and single-core MB/s over the raw physical bytes."""
+    import numpy as np
+
+    from btrblocks_spark.format import codecs
+
+    rng = np.random.default_rng(42)
+    n = 65536
+    runs = np.repeat(rng.integers(0, 10_000, n // 20 + 1), 20)[:n]
+    shapes = {
+        ("int", "one_value"): np.full(n, 100, dtype=np.int64),
+        ("int", "dict"): np.tile(rng.choice(2**30, 255, replace=False), n // 255 + 1)[:n],
+        ("int", "rle"): runs,
+        ("int", "bp"): rng.integers(0, 2**20, n),
+        ("int", "pfor"): np.where(
+            rng.random(n) < 0.99, rng.integers(0, 2**12, n), rng.integers(0, 2**30, n)
+        ),
+        ("int", "delta"): np.sort(rng.integers(0, 2**31 - 1, n)),
+        ("int", "frequency"): np.where(
+            rng.random(n) < 0.98, 42, rng.integers(0, 2**30, n)
+        ),
+        ("int", "for"): 2**28 + rng.integers(0, 2**16, n),
+        ("int", "truncation"): 32767 + rng.integers(0, 127, n),
+        ("double", "one_value"): np.full(n, 100.0),
+        ("double", "dict"): np.tile(rng.uniform(-1e6, 1e6, 255), n // 255 + 1)[:n],
+        ("double", "rle"): runs.astype(np.float64),
+        ("double", "frequency"): np.where(
+            rng.random(n) < 0.98, 2.5, rng.uniform(0, 100, n)
+        ),
+        ("double", "pseudodecimal"): np.round(rng.uniform(0, 100, n), 2),
+        ("string", "dict"): np.tile(
+            np.array(
+                ["".join(rng.choice(list("abcdefgh1234"), 10)) for _ in range(255)],
+                dtype=object,
+            ),
+            n // 255 + 1,
+        )[:n],
+        ("string", "fsst"): np.array(
+            ["".join(rng.choice(list("abcde"), 12)) + str(i) for i in range(8192)],
+            dtype=object,
+        ),
+    }
+    out = {}
+    for (kind, scheme), values in shapes.items():
+        if kind == "int":
+            values = values.astype(np.int32)
+            raw = values.nbytes
+        elif kind == "double":
+            raw = values.nbytes
+        else:
+            raw = sum(len(s.encode()) for s in values) + 4 * len(values)
+        enc_sec = dec_sec = float("inf")
+        enc = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            enc = codecs.encode(kind, scheme, values)
+            enc_sec = min(enc_sec, time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            codecs.decode(kind, enc)
+            dec_sec = min(dec_sec, time.perf_counter() - t0)
+        out[f"{kind}.{scheme}"] = {
+            "ratio": round(raw / max(enc.size_bytes, 1), 2),
+            "enc_mb_s": round(raw / 1e6 / max(enc_sec, 1e-9), 1),
+            "dec_mb_s": round(raw / 1e6 / max(dec_sec, 1e-9), 1),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -328,6 +403,7 @@ def main() -> None:
             stage["tables"]["lineitem"],
         )
         fmt["stage_sec_all_tables"] = stage["stage_sec"]
+        fmt["schemes"] = scheme_bench()
 
         total = round(sum(timings.values()), 3)
         print(
