@@ -108,6 +108,8 @@ HEADLINE = [
     "dedup_similarity_histogram",
     "events_cumulative_users",
     "events_autocorr_lag1",
+    "basket_part_pairs",
+    "events_interpolate_grid",
 ]
 
 

@@ -1051,3 +1051,175 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("n_pairs"),
         F.round(num / den, 6).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+),
+c AS (
+  SELECT part_a, part_b, count(*) AS support FROM pairs GROUP BY 1, 2
+)
+SELECT part_a, part_b, support::BIGINT AS support
+FROM c ORDER BY support DESC, part_a, part_b LIMIT 20
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order (the support count behind association-rule mining).
+    Deterministic top-k via (support desc, part ids) total order.
+
+    Scale: the self-join is keyed on l_orderkey, so pairs are generated
+    co-partitioned with fan-out bounded by items-per-order squared (TPC-H:
+    ≤ 7 items → ≤ 21 pairs/order); the pair count is map-side combinable
+    and the top-k is TakeOrderedAndProject — no global sort, no unkeyed
+    blowup."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = l.select("ok", F.col("pk").alias("part_a"))
+    b = l.select("ok", F.col("pk").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    c = pairs.groupBy("part_a", "part_b").agg(F.count("*").cast("long").alias("support"))
+    return c.orderBy(F.desc("support"), "part_a", "part_b").limit(20)
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "events_interpolate_grid",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value * 10000) AS BIGINT) AS vs, 0 AS is_grid
+  FROM events
+),
+bounds AS (
+  SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(CAST(ceil(CAST(mn AS DOUBLE) / {_HOUR_US}) AS BIGINT),
+                                mx // {_HOUR_US})) * {_HOUR_US} AS t,
+         CAST(0 AS BIGINT) AS event_id,
+         CAST(NULL AS BIGINT) AS vs, 1 AS is_grid
+  FROM bounds
+),
+u AS (
+  SELECT * FROM e UNION ALL SELECT * FROM grid
+),
+marked AS (
+  SELECT user_id, t, is_grid,
+         last_value(vs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_grid, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+         last_value(CASE WHEN vs IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_grid, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         last_value(vs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t DESC, is_grid, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vn,
+         last_value(CASE WHEN vs IS NOT NULL THEN t END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t DESC, is_grid, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tn
+  FROM u
+)
+SELECT user_id, t // {_HOUR_US} AS hour_idx,
+       round(CASE WHEN tn = tp THEN CAST(vp AS DOUBLE)
+                  ELSE CAST(vp AS DOUBLE)
+                       + CAST(vn - vp AS DOUBLE) * CAST(t - tp AS DOUBLE)
+                         / CAST(tn - tp AS DOUBLE)
+             END / 10000, 6) AS value_interp
+FROM marked WHERE is_grid = 1 AND vp IS NOT NULL AND vn IS NOT NULL
+""",
+)
+def events_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling by linear interpolation (the TimescaleDB
+    `interpolate()` / gap-fill-with-interp shape): per user, the value at
+    every interior hour-grid point, linearly interpolated between the
+    surrounding observations. Values scale to integer 1e-4 units; both
+    neighbor lookups are LOCF windows (forward for prev, time-reversed for
+    next) with an (is_grid, event_id) tiebreak so an observation exactly on
+    a grid point deterministically wins in both engines; the interpolation
+    formula runs once per grid row on identical long inputs → identical
+    doubles.
+
+    Scale: the union of events and O(hours) grid rows partitions by
+    user_id — both windows and the final filter reuse one hash partitioning
+    (no global sort); grid generation is sequence+explode off the tiny
+    per-user bounds aggregate."""
+    H = _HOUR_US
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 1000").alias("t"),
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("vs"),
+        F.lit(0).alias("is_grid"),
+    )
+    bounds = e.groupBy("user_id").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    grid = (
+        bounds.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.ceil(F.col("mn").cast("double") / H).cast("long"),
+                    F.expr(f"mx div {H}"),
+                )
+            ).alias("h"),
+        )
+        .select(
+            "user_id",
+            (F.col("h") * H).alias("t"),
+            F.lit(0).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("vs"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    u = e.unionByName(grid)
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t"), F.asc("is_grid"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.asc("is_grid"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_if_val = F.when(F.col("vs").isNotNull(), F.col("t"))
+    marked = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("vs", ignorenulls=True).over(fwd).alias("vp"),
+        F.last(t_if_val, ignorenulls=True).over(fwd).alias("tp"),
+        F.last("vs", ignorenulls=True).over(bwd).alias("vn"),
+        F.last(t_if_val, ignorenulls=True).over(bwd).alias("tn"),
+    )
+    interp = F.when(
+        F.col("tn") == F.col("tp"), F.col("vp").cast("double")
+    ).otherwise(
+        F.col("vp").cast("double")
+        + (F.col("vn") - F.col("vp")).cast("double")
+        * (F.col("t") - F.col("tp")).cast("double")
+        / (F.col("tn") - F.col("tp")).cast("double")
+    )
+    return (
+        marked.filter(
+            (F.col("is_grid") == 1)
+            & F.col("vp").isNotNull()
+            & F.col("vn").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.expr(f"t div {H}").alias("hour_idx"),
+            F.round(interp / 10000, 6).alias("value_interp"),
+        )
+    )
