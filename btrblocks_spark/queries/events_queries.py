@@ -1223,3 +1223,86 @@ def events_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(interp / 10000, 6).alias("value_interp"),
         )
     )
+
+
+@register(
+    "basket_association_rules",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+item_supp AS (SELECT pk, count(*) AS supp FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk <> b.pk
+),
+pair_supp AS (
+  SELECT part_a, part_b, count(*) AS supp_ab FROM pairs GROUP BY 1, 2
+),
+rules AS (
+  SELECT p.part_a AS antecedent, p.part_b AS consequent,
+         p.supp_ab, sa.supp AS supp_a, sb.supp AS supp_b, n.n AS n_orders
+  FROM pair_supp p
+  JOIN item_supp sa ON sa.pk = p.part_a
+  JOIN item_supp sb ON sb.pk = p.part_b
+  CROSS JOIN n_orders n
+  WHERE p.supp_ab >= 3
+)
+SELECT antecedent, consequent, supp_ab::BIGINT AS support,
+       round(CAST(supp_ab AS DOUBLE) / supp_a, 6) AS confidence,
+       round(CAST(supp_ab AS DOUBLE) * n_orders / (supp_a * supp_b), 6) AS lift
+FROM rules
+ORDER BY support DESC, confidence DESC, antecedent, consequent
+LIMIT 20
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B over order baskets: support, confidence
+    (supp(A,B)/supp(A)) and lift (conf / baseline P(B)) for directed part
+    pairs with support ≥ 3 — the full rule-mining surface on top of
+    basket_part_pairs. All inputs are exact integer counts; the two
+    divisions run once per surviving rule.
+
+    Scale: pair generation stays orderkey-co-partitioned; item supports
+    are a map-side-combinable count broadcast onto the (already tiny)
+    pair-support table; the global order count is a scalar broadcast."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = items.select("ok").distinct().count()
+    item_supp = items.groupBy("pk").agg(F.count("*").alias("supp"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pair_supp = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 3)
+    )
+    sa = item_supp.select(F.col("pk").alias("part_a"), F.col("supp").alias("supp_a"))
+    sb = item_supp.select(F.col("pk").alias("part_b"), F.col("supp").alias("supp_b"))
+    rules = pair_supp.join(F.broadcast(sa), "part_a").join(F.broadcast(sb), "part_b")
+    return (
+        rules.select(
+            F.col("part_a").alias("antecedent"),
+            F.col("part_b").alias("consequent"),
+            F.col("supp_ab").cast("long").alias("support"),
+            F.round(F.col("supp_ab").cast("double") / F.col("supp_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("supp_ab").cast("double")
+                * F.lit(n_orders)
+                / (F.col("supp_a") * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("support"), F.desc("confidence"), "antecedent", "consequent"
+        )
+        .limit(20)
+    )

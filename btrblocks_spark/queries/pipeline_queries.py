@@ -2537,3 +2537,73 @@ def q_dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_agree") / 8.0, 6).alias("jaccard_est"),
         F.count("*").cast("long").alias("n_pairs"),
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT doc_a AS node FROM prs UNION ALL SELECT doc_b AS node FROM prs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM prs e1
+  JOIN prs e2 ON e2.doc_a = e1.doc_b
+  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+wedges AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+SELECT (SELECT count(*) FROM prs)::BIGINT AS n_edges,
+       (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT n_triangles FROM tri)::BIGINT AS n_triangles,
+       (SELECT n_wedges FROM wedges)::BIGINT AS n_wedges,
+       round(CASE WHEN (SELECT n_wedges FROM wedges) = 0 THEN 0.0
+                  ELSE 3.0 * (SELECT n_triangles FROM tri)
+                       / (SELECT n_wedges FROM wedges) END, 6)
+         AS global_clustering
+""",
+)
+def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup LSH
+    candidate graph — the structural health check of a dedup graph (high
+    clustering = dense dup communities that min-canonical collapse handles;
+    low = chain-like false-positive bridges worth a verify pass).
+
+    Classic distributed triangle counting on oriented edges (a<b<c): two
+    self-joins of the edge list, each keyed on a node id, so every join is
+    an equi-shuffle of O(edges) rows — never a cartesian; wedges come from
+    the degree table (one count + one map-side sum).
+
+    Reference: the graph layer over minhash_lsh_pairs
+    (stats/NumberStats-style profiling applied to the dedup graph)."""
+    from btrblocks_spark.pipeline.dedup import minhash_lsh_pairs
+
+    prs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    deg = (
+        prs.select(F.col("doc_a").alias("node"))
+        .unionAll(prs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = prs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    n_edges = prs.count()
+    n_nodes = deg.count()
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("w")
+    ).collect()[0]["w"] or 0
+    gcc = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(int(n_edges), int(n_nodes), int(tri), int(n_wedges), float(gcc))],
+        "n_edges long, n_nodes long, n_triangles long, n_wedges long, "
+        "global_clustering double",
+    )
