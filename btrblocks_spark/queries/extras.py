@@ -502,3 +502,214 @@ SELECT months.m AS month_start,
 FROM months LEFT JOIN per_month ON per_month.m = months.m
 """,
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+WITH r AS (
+  SELECT percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         ntile(4) OVER w AS q,
+         count(*) OVER (PARTITION BY o_custkey) AS cnt
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+)
+SELECT CAST(q AS BIGINT) AS quartile,
+       count(*)::BIGINT AS n_orders,
+       round(SUM(CAST(round(pr * 1000000) AS BIGINT)) / CAST(count(*) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE), 6) AS avg_percent_rank,
+       round(SUM(CAST(round(cd * 1000000) AS BIGINT)) / CAST(count(*) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE), 6) AS avg_cume_dist
+FROM r WHERE cnt >= 2
+GROUP BY q ORDER BY quartile
+""",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist, ntile —
+    computed per customer over their orders by total price, then profiled
+    per price quartile (the §2b window family's remaining shapes; both
+    engines define percent_rank = (rank-1)/(n-1), cume_dist = rank/n,
+    and ntile's front-loaded bucket fill identically).
+
+    Determinism: the window orders by the unique (o_totalprice,
+    o_orderkey) key, so every rank function is tie-free; single-order
+    customers are excluded (percent_rank's 0/0 edge differs between
+    engines); per-row doubles go through the round-then-scaled-long-sum
+    pattern so the quartile averages are order-independent.
+
+    Scale: the window partitions by o_custkey — millions of small
+    independent groups, one shuffle; the final rollup reduces to 4 rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    r = load_table(spark, sf_dir, "orders").select(
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("q"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return (
+        r.filter(F.col("cnt") >= 2)
+        .groupBy(F.col("q").cast("long").alias("quartile"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("pr") * 1000000).cast("long"))
+                / F.count("*").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_percent_rank"),
+            F.round(
+                F.sum(F.round(F.col("cd") * 1000000).cast("long"))
+                / F.count("*").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_cume_dist"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS r_v,
+         count(*) AS f_v,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 1000000 AS m_v
+  FROM orders GROUP BY o_custkey
+),
+melt AS (
+  SELECT 'r' AS measure, r_v AS v FROM c
+  UNION ALL SELECT 'f', f_v FROM c
+  UNION ALL SELECT 'm', m_v FROM c
+),
+freq AS (SELECT measure, v, count(*) AS n FROM melt GROUP BY 1, 2),
+cum AS (
+  SELECT measure, v,
+         SUM(n) OVER (PARTITION BY measure ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER (PARTITION BY measure) AS total_n
+  FROM freq
+),
+th AS (
+  SELECT measure,
+         MIN(CASE WHEN cum_n * 4 >= total_n THEN v END) AS t25,
+         MIN(CASE WHEN cum_n * 2 >= total_n THEN v END) AS t50,
+         MIN(CASE WHEN cum_n * 4 >= total_n * 3 THEN v END) AS t75
+  FROM cum GROUP BY measure
+),
+scored AS (
+  SELECT 1 + CASE WHEN r_v > tr.t25 THEN 1 ELSE 0 END
+           + CASE WHEN r_v > tr.t50 THEN 1 ELSE 0 END
+           + CASE WHEN r_v > tr.t75 THEN 1 ELSE 0 END AS r_score,
+         1 + CASE WHEN f_v > tf.t25 THEN 1 ELSE 0 END
+           + CASE WHEN f_v > tf.t50 THEN 1 ELSE 0 END
+           + CASE WHEN f_v > tf.t75 THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN m_v > tm.t25 THEN 1 ELSE 0 END
+           + CASE WHEN m_v > tm.t50 THEN 1 ELSE 0 END
+           + CASE WHEN m_v > tm.t75 THEN 1 ELSE 0 END AS m_score
+  FROM c,
+       (SELECT * FROM th WHERE measure = 'r') tr,
+       (SELECT * FROM th WHERE measure = 'f') tf,
+       (SELECT * FROM th WHERE measure = 'm') tm
+)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score, count(*)::BIGINT AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    customer scored 1-4 per dimension against exact corpus quartile
+    thresholds, then counted per (r,f,m) segment — the classic marketing
+    rollup, built scale-safe.
+
+    Thresholds use explicit integer rank arithmetic (smallest v with
+    4*cum_rows >= k*total_rows) over per-measure distinct-VALUE frequency
+    tables, not a global per-row window: recency is integer epoch-days
+    (bounded by calendar span), frequency is a small integer, monetary is
+    exact summed cents coarsened to 10k-dollar buckets — so the windowed
+    table stays O(hundreds..thousands) of rows at ANY corpus size and is
+    partitioned by measure. Scoring is a 1-row broadcast cross join; all
+    arithmetic is integer-exact in both engines.
+
+    Scale: one shuffle to the per-customer rollup, one tiny melt/agg for
+    thresholds, map-side scoring, 64-row output."""
+    from pyspark.sql.window import Window
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("r_v"),
+            F.count("*").alias("f_v"),
+            F.expr(
+                "sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 1000000"
+            ).alias("m_v"),
+        )
+    )
+    melt = (
+        c.select(F.lit("r").alias("measure"), F.col("r_v").alias("v"))
+        .unionAll(c.select(F.lit("f"), F.col("f_v")))
+        .unionAll(c.select(F.lit("m"), F.col("m_v")))
+    )
+    freq = melt.groupBy("measure", "v").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("measure").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("measure")
+    cum = freq.select(
+        "measure",
+        "v",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wt).alias("total_n"),
+    )
+    th = cum.groupBy("measure").agg(
+        F.min(F.when(F.col("cum_n") * 4 >= F.col("total_n"), F.col("v"))).alias("t25"),
+        F.min(F.when(F.col("cum_n") * 2 >= F.col("total_n"), F.col("v"))).alias("t50"),
+        F.min(
+            F.when(F.col("cum_n") * 4 >= F.col("total_n") * 3, F.col("v"))
+        ).alias("t75"),
+    )
+
+    def th_for(m: str):
+        cols = th.filter(F.col("measure") == m)
+        return F.broadcast(
+            cols.select(
+                F.col("t25").alias(f"{m}25"),
+                F.col("t50").alias(f"{m}50"),
+                F.col("t75").alias(f"{m}75"),
+            )
+        )
+
+    def score(v: str, m: str):
+        one = F.lit(1)
+        zero = F.lit(0)
+        return (
+            F.lit(1)
+            + F.when(F.col(v) > F.col(f"{m}25"), one).otherwise(zero)
+            + F.when(F.col(v) > F.col(f"{m}50"), one).otherwise(zero)
+            + F.when(F.col(v) > F.col(f"{m}75"), one).otherwise(zero)
+        )
+
+    scored = (
+        c.crossJoin(th_for("r"))
+        .crossJoin(th_for("f"))
+        .crossJoin(th_for("m"))
+        .select(
+            score("r_v", "r").cast("long").alias("r_score"),
+            score("f_v", "f").cast("long").alias("f_score"),
+            score("m_v", "m").cast("long").alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

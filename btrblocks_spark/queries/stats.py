@@ -528,3 +528,107 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("v") / 100.0).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix — one-pass exact moments over all column pairs
+# ---------------------------------------------------------------------------
+
+# Centered scaled-long variables: qty is integral, price rounds to whole
+# dollars, discount/tax have 2 decimals.  Centering by a fixed literal keeps
+# every per-row value small (|p| <= ~8e4) so all 14 moment sums fit BIGINT
+# far past bench scale, and the catastrophic cancellation of the uncentered
+# E[XY]-E[X]E[Y] formula is tamed.
+_CORR_VARS = {
+    "q": ("quantity", "CAST(l_quantity AS BIGINT) - 25"),
+    "p": ("extendedprice", "CAST(round(l_extendedprice) AS BIGINT) - 36000"),
+    "d": ("discount", "CAST(round(l_discount * 100) AS BIGINT) - 5"),
+    "t": ("tax", "CAST(round(l_tax * 100) AS BIGINT) - 4"),
+}
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+
+
+def _corr_formula_sql(x: str, y: str) -> str:
+    """corr via moments, every op mirrored bit-for-bit by the Spark side."""
+    mean = "CAST(s_{0} AS DOUBLE) / n"
+    exy = f"CAST(s_{x}{y} AS DOUBLE) / n"
+    exx = f"CAST(s_{x}{x} AS DOUBLE) / n"
+    eyy = f"CAST(s_{y}{y} AS DOUBLE) / n"
+    mx, my = mean.format(x), mean.format(y)
+    return (
+        f"round(({exy} - ({mx}) * ({my})) / "
+        f"sqrt(({exx} - ({mx}) * ({mx})) * ({eyy} - ({my}) * ({my}))), 6)"
+    )
+
+
+_CORR_MATRIX_ORACLE = (
+    "WITH v AS (\n  SELECT "
+    + ", ".join(expr + f" AS {k}" for k, (_, expr) in _CORR_VARS.items())
+    + "\n  FROM lineitem\n),\nm AS (\n  SELECT count(*) AS n, "
+    + ", ".join(f"SUM({k}) AS s_{k}" for k in _CORR_VARS)
+    + ", "
+    + ", ".join(f"SUM({k} * {k}) AS s_{k}{k}" for k in _CORR_VARS)
+    + ", "
+    + ", ".join(f"SUM({x} * {y}) AS s_{x}{y}" for x, y in _CORR_PAIRS)
+    + "\n  FROM v\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{_CORR_VARS[x][0]}' AS col_x, '{_CORR_VARS[y][0]}' AS col_y, "
+        f"n::BIGINT AS n_rows, {_corr_formula_sql(x, y)} AS corr FROM m"
+        for x, y in _CORR_PAIRS
+    )
+    + "\nORDER BY col_x, col_y"
+)
+
+
+@register("stats_corr_matrix", _CORR_MATRIX_ORACLE)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    columns (quantity, whole-dollar extendedprice, discount, tax) — the
+    multi-column generalization of stats_moments and the statistic behind
+    column-group compression / functional-dependency detection (the
+    reference's per-chunk stats, NumberStats.hpp:78-130, see one column at
+    a time; this sees their joint structure).
+
+    Cross-engine bit-parity: all 14 moments (4 sums, 4 sum-of-squares, 6
+    cross-products of centered scaled longs) are EXACT integer sums in ONE
+    map-side-combinable pass; the corr formula then runs on the final
+    one-row result with an identical IEEE expression tree in both engines.
+
+    Scale: one scan, one-row shuffle; centered |values| <= 8e4 keep the
+    BIGINT moment sums overflow-free to ~1e9 rows — past that, switch the
+    partials to per-partition Welford merges (same one-pass shape)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    v = l.select(
+        *[F.expr(expr).alias(k) for k, (_, expr) in _CORR_VARS.items()]
+    )
+    m = v.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(k)).alias(f"s_{k}") for k in _CORR_VARS],
+        *[F.sum(F.col(k) * F.col(k)).alias(f"s_{k}{k}") for k in _CORR_VARS],
+        *[F.sum(F.col(x) * F.col(y)).alias(f"s_{x}{y}") for x, y in _CORR_PAIRS],
+    )
+
+    def corr_expr(x: str, y: str):
+        n = F.col("n")
+        mx = F.col(f"s_{x}").cast("double") / n
+        my = F.col(f"s_{y}").cast("double") / n
+        exy = F.col(f"s_{x}{y}").cast("double") / n
+        exx = F.col(f"s_{x}{x}").cast("double") / n
+        eyy = F.col(f"s_{y}{y}").cast("double") / n
+        return F.round(
+            (exy - mx * my) / F.sqrt((exx - mx * mx) * (eyy - my * my)), 6
+        )
+
+    rows = [
+        m.select(
+            F.lit(_CORR_VARS[x][0]).alias("col_x"),
+            F.lit(_CORR_VARS[y][0]).alias("col_y"),
+            F.col("n").cast("long").alias("n_rows"),
+            corr_expr(x, y).alias("corr"),
+        )
+        for x, y in _CORR_PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("col_x", "col_y")
