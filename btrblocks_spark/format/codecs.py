@@ -46,6 +46,7 @@ INT_SCHEMES = ("uncompressed", "one_value", "truncation", "for", "delta", "bp", 
 DOUBLE_SCHEMES = (
     "uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal",
     "double_bp", "max_exponent",  # legacy (scheme/double/DoubleBP.cpp, MaxExponent.cpp)
+    "xor",  # beyond-reference: Gorilla/Chimp-style XOR-of-previous (byte-aligned)
 )
 STRING_SCHEMES = ("uncompressed", "one_value", "dict", "fsst")
 
@@ -380,9 +381,63 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
             + msize
         )
 
+    elif scheme == "xor":
+        ctrl, payload = _xor_encode(filled)
+        e.streams = {"ctrl": ctrl, "payload": payload}
+        e.size_bytes = (
+            _int_stream_size(ctrl.astype(np.int64), depth - 1)
+            + len(payload)
+            + 16
+            + msize
+        )
+
     else:
         raise ValueError(f"unknown double scheme {scheme}")
     return e
+
+
+def _xor_encode(filled: np.ndarray):
+    """Beyond-reference time-series codec: XOR each double's bit pattern
+    with its predecessor (Gorilla/Facebook's in-memory TSDB; Chimp refines
+    it), then store only the non-zero byte span — byte-aligned instead of
+    bit-aligned so encode/decode stay fully vectorized in numpy (8 fixed
+    passes, no per-row Python). Control byte = (trailing_zero_bytes << 4)
+    | significant_bytes; payload = the significant bytes, concatenated.
+    Slowly-varying series XOR to a few significant bytes per value."""
+    bits = np.ascontiguousarray(filled).view(np.uint64)
+    x = bits ^ np.concatenate((np.zeros(1, dtype=np.uint64), bits[:-1]))
+    n = len(x)
+    xb = x.view(np.uint8).reshape(n, 8)  # little-endian byte lanes
+    nz = xb != 0
+    any_nz = nz.any(axis=1)
+    first = np.where(any_nz, np.argmax(nz, axis=1), 0).astype(np.int64)
+    last = np.where(any_nz, 7 - np.argmax(nz[:, ::-1], axis=1), -1).astype(np.int64)
+    sig = (last - first + 1).astype(np.uint8)  # 0 when x == 0
+    ctrl = (first.astype(np.uint8) << 4) | sig
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(sig[:-1], out=off[1:])
+    payload = np.zeros(int(off[-1]) + int(sig[-1]) if n else 0, dtype=np.uint8)
+    for j in range(8):
+        sel = (first <= j) & (j <= last)
+        if sel.any():
+            payload[off[sel] + (j - first[sel])] = xb[sel, j]
+    return ctrl, payload
+
+
+def _xor_decode(ctrl: np.ndarray, payload: np.ndarray) -> np.ndarray:
+    n = len(ctrl)
+    tz = (ctrl >> 4).astype(np.int64)
+    sig = (ctrl & 0x0F).astype(np.int64)
+    off = np.zeros(n, dtype=np.int64)
+    np.cumsum(sig[:-1], out=off[1:])
+    xb = np.zeros((n, 8), dtype=np.uint8)
+    for j in range(8):
+        sel = sig > j
+        if sel.any():
+            rows = np.flatnonzero(sel)
+            xb[rows, tz[sel] + j] = payload[off[sel] + j]
+    x = xb.reshape(-1).view(np.uint64)
+    return np.bitwise_xor.accumulate(x).view(np.float64).copy()
 
 
 def _pseudodecimal_split(filled: np.ndarray, mask: np.ndarray):
@@ -435,6 +490,8 @@ def decode_double(e: Encoded) -> np.ndarray:
         out = s["significands"] / _EXP10[s["exponent"]]
         out[s["exc_mask"]] = s["exc_values"]
         return out
+    if e.scheme == "xor":
+        return _xor_decode(s["ctrl"], s["payload"])
     raise ValueError(f"unknown double scheme {e.scheme}")
 
 

@@ -147,3 +147,36 @@ def test_all_null_column():
     assert enc.size_bytes <= 32
     out = codecs.decode_int(enc)
     assert len(out) == 100
+
+
+def test_xor_round_trip_edge_cases():
+    """XOR-of-previous codec: bit-exact round-trip incl. -0.0, NaN payloads,
+    infinities, and denormals (everything is pure bit manipulation)."""
+    vals = np.array([-0.0, 0.0, np.inf, -np.inf, np.nan, 1.1, 1.1, 1.1000001,
+                     5e-324, -5e-324, 1e308, 42.0, 42.0, 0.0])
+    mask = np.ones(len(vals), dtype=bool)
+    enc = codecs.encode_double("xor", vals, mask)
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+
+
+def test_xor_compresses_slowly_varying_series():
+    """A smooth time series XORs to few significant bytes per value: the
+    modeled size must clearly beat the raw 8 B/value, and constant runs
+    contribute zero payload bytes."""
+    t = np.arange(4096, dtype=np.float64)
+    smooth = 1000.0 + np.round(np.sin(t / 100.0), 3)  # few-byte deltas
+    enc = codecs.encode_double("xor", smooth, np.ones(len(t), dtype=bool))
+    assert enc.size_bytes < len(t) * 8 * 0.7
+    const = np.full(4096, 12345.678)
+    enc_c = codecs.encode_double("xor", const, np.ones(4096, dtype=bool))
+    assert len(enc_c.streams["payload"]) == 8  # first value only
+    out = codecs.decode_double(enc_c)
+    np.testing.assert_array_equal(out.view(np.int64), const.view(np.int64))
+
+
+def test_xor_single_value():
+    vals = np.array([3.14159])
+    enc = codecs.encode_double("xor", vals, np.ones(1, dtype=bool))
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
