@@ -2607,3 +2607,94 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges long, n_nodes long, n_triangles long, n_wedges long, "
         "global_clustering double",
     )
+
+
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """prs AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM prs)"""
+    ]
+    # every CTE is MATERIALIZED: each round references the previous edge set
+    # three times, so inlined CTEs would re-evaluate the LSH banding 3^rounds
+    # times
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT doc_a AS node FROM e{i} UNION ALL SELECT doc_b AS node FROM e{i}
+  ) GROUP BY node
+),
+keep{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= 2),
+e{i + 1} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM e{i}
+  WHERE doc_a IN (SELECT node FROM keep{i})
+    AND doc_b IN (SELECT node FROM keep{i})
+)"""
+        )
+    r = _KCORE_ROUNDS
+    return (
+        f"WITH {_SIGS}{_BANDS},\n" + ",\n".join(parts) + f"""
+SELECT (SELECT count(DISTINCT node) FROM (
+          SELECT doc_a AS node FROM e0 UNION ALL SELECT doc_b AS node FROM e0
+       ))::BIGINT AS n_nodes,
+       (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+       (SELECT count(DISTINCT node) FROM (
+          SELECT doc_a AS node FROM e{r} UNION ALL SELECT doc_b AS node FROM e{r}
+       ))::BIGINT AS n_nodes_2core,
+       (SELECT count(*) FROM e{r})::BIGINT AS n_edges_2core"""
+    )
+
+
+@register("dedup_kcore", oracle=_kcore_oracle())
+def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup LSH candidate graph by iterative degree
+    peeling (3 fixed rounds, the pagerank fixed-iteration convention):
+    nodes with degree < 2 are dropped, edges touching them disappear,
+    degrees recompute. The 2-core separates genuine duplicate communities
+    (dense, survive peeling) from isolated pair artifacts (LSH
+    false-positive bridges, peeled away) — the graph-cleanup pass before
+    clustering.
+
+    Scale: each round is two equi-joins (left-semi against the surviving
+    node set) plus a degree count — all keyed shuffles of O(edges) rows;
+    localCheckpoint after each round cuts the growing lineage exactly as
+    dedup_clusters does."""
+    from btrblocks_spark.pipeline.dedup import minhash_lsh_pairs
+
+    edges = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).select(
+        "doc_a", "doc_b"
+    )
+    edges = edges.localCheckpoint(eager=True)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("doc_a").alias("node"))
+            .unionAll(e.select(F.col("doc_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    n_nodes = degrees(edges).count()
+    n_edges = edges.count()
+    core = edges
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(core).filter(F.col("d") >= 2).select("node")
+        core = (
+            core.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "leftsemi")
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    n_nodes_core = degrees(core).count()
+    n_edges_core = core.count()
+    return spark.createDataFrame(
+        [(int(n_nodes), int(n_edges), int(n_nodes_core), int(n_edges_core))],
+        "n_nodes long, n_edges long, n_nodes_2core long, n_edges_2core long",
+    )
