@@ -128,3 +128,45 @@ def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
         "column string, col_type string, chunk long, scheme string, est_ratio double, "
         "raw_size long, est_size long, n_rows long, null_count long, unique_count long",
     )
+
+
+def metadata_agg(path: str, columns: list[str] | None = None) -> list[dict]:
+    """Metadata-only aggregates: COUNT / COUNT(col) / MIN / MAX answered
+    purely from the sidecar's per-chunk stats — zero data files touched
+    (the aggregate-pushdown-to-footer trick of Parquet/Iceberg readers,
+    applied to our btr sidecar; reference's FileMetadata role,
+    compression/Datablock.hpp:30-35).
+
+    At 100 TB this is O(num_chunks) driver-side JSON rows instead of a
+    full-table scan; correctness holds because the writer computes the
+    chunk stats from the exact same rows it persists (null-excluded
+    min/max, all-null chunks carry empty reprs and are skipped).
+
+    Returns one dict per column: {column, n_rows, n_nulls, min, max}
+    (min/max None for skip-typed or all-null columns)."""
+    meta = read_metadata(path)
+    out = []
+    for name, info in meta["columns"].items():
+        if columns is not None and name not in columns:
+            continue
+        kind = info["type"]
+        if kind in ("double", "float"):
+            cast = float
+        elif kind in ("int", "bigint", "smallint", "tinyint", "integer", "long"):
+            cast = int
+        else:
+            cast = str
+        n_rows = n_nulls = 0
+        mn = mx = None
+        for ch in info["chunks"]:
+            n_rows += ch["n_rows"]
+            n_nulls += ch["null_count"]
+            if ch["scheme"] == "skip" or ch["n_rows"] == ch["null_count"]:
+                continue
+            cmn, cmx = cast(ch["min_repr"]), cast(ch["max_repr"])
+            mn = cmn if mn is None else min(mn, cmn)
+            mx = cmx if mx is None else max(mx, cmx)
+        out.append(
+            {"column": name, "n_rows": n_rows, "n_nulls": n_nulls, "min": mn, "max": mx}
+        )
+    return out

@@ -582,3 +582,32 @@ def test_deletion_vectors_merge_on_read(spark, sf_dir, tmp_path):
     gc = vacuum_deletion_vectors(table, keep_versions=1)
     assert r3["dv_version"] in gc["retained_dv_versions"]
     assert read_table_mor(spark, table).count() == expect2
+
+
+def test_metadata_agg_matches_scan(spark, tmp_path):
+    """metadata_agg answers COUNT/nulls/MIN/MAX from the sidecar alone and
+    must equal a full scan, including null handling and all-null chunks."""
+    import pandas as pd
+
+    from btrblocks_spark.config import BtrBlocksConfig
+    from btrblocks_spark.format.reader import metadata_agg
+    from btrblocks_spark.format.writer import write_table
+
+    pdf = pd.DataFrame(
+        {
+            "k": range(200),
+            "v": [None if i % 7 == 0 else float(i) * 1.5 for i in range(200)],
+            "s": [None if i < 100 else f"s{i:03d}" for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "t")
+    write_table(df, path, ["k"], config=BtrBlocksConfig(block_size=64))
+    got = {r["column"]: r for r in metadata_agg(path)}
+    assert got["k"]["n_rows"] == 200 and got["k"]["n_nulls"] == 0
+    assert got["k"]["min"] == 0 and got["k"]["max"] == 199
+    exp_v = [x for x in pdf["v"] if pd.notna(x)]
+    assert got["v"]["n_nulls"] == int(pdf["v"].isna().sum())
+    assert got["v"]["min"] == min(exp_v) and got["v"]["max"] == max(exp_v)
+    assert got["s"]["n_nulls"] == 100
+    assert got["s"]["min"] == "s100" and got["s"]["max"] == "s199"
