@@ -52,7 +52,12 @@ def prune_chunks(meta: dict, column: str, lo=None, hi=None) -> list[int]:
     needed beyond empty-chunk handling)."""
     info = meta["columns"][column]
     kind = info["type"]
-    cast = float if kind in ("double", "float") else int
+    if kind in ("double", "float"):
+        cast = float
+    elif kind == "string":
+        cast = str  # lexicographic zone maps (BETWEEN/prefix predicates)
+    else:
+        cast = int
     keep = []
     for ch in info["chunks"]:
         if ch["n_rows"] == ch["null_count"]:  # all-null chunk: no match possible

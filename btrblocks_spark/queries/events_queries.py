@@ -1306,3 +1306,118 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@register(
+    "events_mad_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+freq AS (SELECT event_type, n AS v, count(*) AS f FROM hourly GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v,
+         SUM(f) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(f) OVER (PARTITION BY event_type) AS t
+  FROM freq
+),
+med AS (
+  SELECT event_type, MIN(CASE WHEN c * 2 >= t THEN v END) AS med
+  FROM cum GROUP BY event_type
+),
+dev AS (
+  SELECT h.event_type, abs(h.n - m.med) AS d
+  FROM hourly h JOIN med m USING (event_type)
+),
+dfreq AS (SELECT event_type, d AS v, count(*) AS f FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT event_type, v,
+         SUM(f) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(f) OVER (PARTITION BY event_type) AS t
+  FROM dfreq
+),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN c * 2 >= t THEN v END) AS mad
+  FROM dcum GROUP BY event_type
+)
+SELECT h.event_type,
+       m.med::BIGINT AS median_hourly,
+       x.mad::BIGINT AS mad,
+       count(*)::BIGINT AS n_hours,
+       SUM(CASE WHEN abs(h.n - m.med) > 3 * x.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_anomalous
+FROM hourly h JOIN med m USING (event_type) JOIN mad x USING (event_type)
+GROUP BY h.event_type, m.med, x.mad
+ORDER BY h.event_type
+""",
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on hourly event volumes: per type, the
+    MEDIAN hourly count and the MAD (median absolute deviation) — the
+    outlier-resistant counterparts of events_anomaly_zscore's mean/stddev —
+    then the count of hours whose deviation exceeds 3×MAD. Unlike z-scores,
+    a single huge traffic spike cannot inflate the baseline it is judged
+    against.
+
+    Both medians use exact integer rank selection (smallest v with
+    2·cum ≥ total) over per-type distinct-VALUE frequency tables — counts
+    are integers, so the windowed tables stay tiny regardless of corpus
+    size, and every engine agrees bit-for-bit (no interpolation).
+
+    Scale: one map-side-combinable rollup to (type, hour); two reduced
+    frequency/window passes; the median/MAD tables broadcast back onto the
+    hourly table."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts div 3600000000000").alias("hr")
+    )
+    hourly = e.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+
+    def rank_median(df: DataFrame, value_col: str, out_name: str) -> DataFrame:
+        freq = df.groupBy("event_type", F.col(value_col).alias("v")).agg(
+            F.count("*").alias("f")
+        )
+        w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wt = Window.partitionBy("event_type")
+        cum = freq.select(
+            "event_type",
+            "v",
+            F.sum("f").over(w).alias("c"),
+            F.sum("f").over(wt).alias("t"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(F.when(F.col("c") * 2 >= F.col("t"), F.col("v"))).alias(out_name)
+        )
+
+    med = rank_median(hourly, "n", "med")
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("n") - F.col("med")).alias("d")
+    )
+    mad = rank_median(dev, "d", "mad")
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalous"),
+        )
+        .select(
+            "event_type",
+            F.col("med").cast("long").alias("median_hourly"),
+            F.col("mad").cast("long").alias("mad"),
+            "n_hours",
+            "n_anomalous",
+        )
+        .orderBy("event_type")
+    )

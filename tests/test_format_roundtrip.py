@@ -611,3 +611,26 @@ def test_metadata_agg_matches_scan(spark, tmp_path):
     assert got["v"]["min"] == min(exp_v) and got["v"]["max"] == max(exp_v)
     assert got["s"]["n_nulls"] == 100
     assert got["s"]["min"] == "s100" and got["s"]["max"] == "s199"
+
+
+def test_prune_chunks_string_zone_maps(spark, tmp_path):
+    """String columns prune on lexicographic chunk min/max — a prefix range
+    over a sorted string key touches only the matching chunks."""
+    import pandas as pd
+
+    from btrblocks_spark.config import BtrBlocksConfig
+    from btrblocks_spark.format.reader import prune_chunks, read_metadata, read_table_skipping
+    from btrblocks_spark.format.writer import write_table
+
+    pdf = pd.DataFrame({"name": [f"key{i:04d}" for i in range(256)], "v": range(256)})
+    path = str(tmp_path / "t")
+    write_table(
+        spark.createDataFrame(pdf), path, ["name"], config=BtrBlocksConfig(block_size=64)
+    )
+    meta = read_metadata(path)
+    kept = prune_chunks(meta, "name", lo="key0100", hi="key0130")
+    assert kept == [1, 2]  # chunks 0 (key0000-0063) and 3 (key0192-0255) pruned
+    df, chunks = read_table_skipping(spark, path, "name", lo="key0100", hi="key0130")
+    assert chunks == [1, 2]
+    got = sorted(r["name"] for r in df.collect())
+    assert got == [f"key{i:04d}" for i in range(100, 131)]
