@@ -110,6 +110,13 @@ HEADLINE = [
     "events_autocorr_lag1",
     "basket_part_pairs",
     "events_interpolate_grid",
+    "basket_association_rules",
+    "dedup_graph_triangles",
+    "stats_corr_matrix",
+    "window_distribution_ranks",
+    "customer_rfm_segments",
+    "dedup_kcore",
+    "events_mad_anomaly",
 ]
 
 

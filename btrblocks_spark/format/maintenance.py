@@ -75,6 +75,40 @@ def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
     return {"version": next_v, "deleted_rows": int(deleted)}
 
 
+def update_where(
+    spark: SparkSession, table_dir: str, predicate: str, assignments: dict[str, str]
+) -> dict:
+    """Row-level UPDATE as a copy-on-write version commit (the DML verb
+    between delete_where and merge_upsert): rows matching ``predicate``
+    get each ``assignments`` column replaced by its SQL expression
+    (evaluated against the old row); all other rows pass through
+    unchanged. NULL predicate rows are untouched (SQL UPDATE semantics).
+
+    One narrow projection over the snapshot — no shuffle, no join; at
+    100 TB the rewrite is scan + write with full pushdown, exactly like
+    delete_where. Snapshot isolation via the atomic ``_latest`` swap."""
+    current = read_snapshot(spark, table_dir)
+    if current is None:
+        raise ValueError(f"no committed table at {table_dir}")
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    updated = current.select(
+        *[
+            F.when(hit, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in current.columns
+        ]
+    )
+    n_updated = current.filter(hit).count()
+    next_v = (_versions(table_dir) or [-1])[-1] + 1
+    updated.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
+    tmp = os.path.join(table_dir, "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    return {"version": next_v, "updated_rows": int(n_updated)}
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> dict:
     """Remove version directories older than the newest ``keep_versions``.
     The pointer target is always retained regardless of age."""

@@ -634,3 +634,39 @@ def test_prune_chunks_string_zone_maps(spark, tmp_path):
     assert chunks == [1, 2]
     got = sorted(r["name"] for r in df.collect())
     assert got == [f"key{i:04d}" for i in range(100, 131)]
+
+
+def test_update_where_cow(spark, sf_dir, tmp_path):
+    """UPDATE-where commits a new version with the assignment applied to
+    matching rows only; non-matching and NULL-predicate rows unchanged;
+    old version stays time-travel readable."""
+    import os
+
+    from btrblocks_spark.format.maintenance import read_version, update_where
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "versioned_upd")
+    os.makedirs(table_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    n_neg = cust.filter("c_acctbal < 0").count()
+    res = update_where(
+        spark,
+        table_dir,
+        "c_acctbal < 0",
+        {"c_acctbal": "0.0", "c_mktsegment": "concat('CLEARED:', c_mktsegment)"},
+    )
+    assert res["version"] == 1 and res["updated_rows"] == n_neg
+    now = read_snapshot(spark, table_dir)
+    assert now.count() == cust.count()
+    assert now.filter("c_acctbal < 0").count() == 0
+    assert now.filter("c_mktsegment like 'CLEARED:%'").count() == n_neg
+    # untouched rows bit-identical
+    untouched_before = cust.filter("c_acctbal >= 0")
+    untouched_after = now.filter("NOT c_mktsegment like 'CLEARED:%'")
+    assert untouched_before.exceptAll(untouched_after).isEmpty()
+    # time travel sees the pre-update state
+    assert read_version(spark, table_dir, 0).filter("c_acctbal < 0").count() == n_neg
