@@ -713,3 +713,65 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "orders_wow_growth",
+    oracle="""
+WITH w AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         count(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT CAST(a.wk AS BIGINT) AS week_idx,
+       a.n_orders::BIGINT AS n_orders,
+       round(a.rev_c / CAST(100 AS DOUBLE), 2) AS revenue,
+       round((CAST(a.n_orders AS DOUBLE) - b.n_orders) / b.n_orders, 6)
+         AS orders_wow,
+       round((CAST(a.rev_c AS DOUBLE) - b.rev_c) / b.rev_c, 6) AS revenue_wow
+FROM w a JOIN w b ON b.wk = a.wk - 1
+ORDER BY week_idx
+""",
+)
+def orders_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth of order volume and revenue — the
+    period-over-period KPI query, built without ANY window function: the
+    weekly rollup (exact epoch-week integers, cent-exact revenue) self-joins
+    on wk-1, an equi-join on a calendar-bounded table. Weeks with no prior
+    week (gaps / first week) drop out, same as a LAG-based formulation with
+    null filtering.
+
+    Scale: one map-side-combinable rollup shuffle to O(weeks) rows;
+    the growth join runs on that reduced table — no single-task window,
+    no global sort except the final O(weeks) presentation ORDER BY."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy(
+        F.expr("datediff(o_orderdate, DATE'1970-01-01') div 7").alias("wk")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c"),
+    )
+    a = w.select(
+        F.col("wk"), F.col("n_orders").alias("n_a"), F.col("rev_c").alias("rev_a")
+    )
+    b = w.select(
+        (F.col("wk") + 1).alias("wk"),
+        F.col("n_orders").alias("n_b"),
+        F.col("rev_c").alias("rev_b"),
+    )
+    return (
+        a.join(b, "wk")
+        .select(
+            F.col("wk").cast("long").alias("week_idx"),
+            F.col("n_a").cast("long").alias("n_orders"),
+            F.round(F.col("rev_a") / F.lit(100.0), 2).alias("revenue"),
+            F.round(
+                (F.col("n_a").cast("double") - F.col("n_b")) / F.col("n_b"), 6
+            ).alias("orders_wow"),
+            F.round(
+                (F.col("rev_a").cast("double") - F.col("rev_b")) / F.col("rev_b"), 6
+            ).alias("revenue_wow"),
+        )
+        .orderBy("week_idx")
+    )

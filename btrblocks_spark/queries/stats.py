@@ -632,3 +632,78 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("col_x", "col_y")
+
+
+@register(
+    "stats_column_entropy",
+    oracle="""
+WITH m AS (
+  SELECT 'l_returnflag' AS col_name, l_returnflag AS v FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+),
+counts AS (SELECT col_name, v, count(*) AS c FROM m GROUP BY 1, 2),
+tot AS (SELECT col_name, SUM(c) AS n, count(*) AS n_distinct FROM counts GROUP BY 1),
+terms AS (
+  SELECT c.col_name,
+         CAST(round((CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM counts c JOIN tot t USING (col_name)
+)
+SELECT col_name, n::BIGINT AS n_rows, n_distinct::BIGINT AS n_distinct,
+       round((0.0 - CAST(SUM(term) AS DOUBLE)) / ln(2.0), 6) AS entropy_bits
+FROM terms JOIN tot USING (col_name)
+GROUP BY col_name, n, n_distinct
+ORDER BY col_name
+""",
+)
+def stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy in bits — the information-theoretic lower
+    bound on compressed bits/value, i.e. the number the scheme planner's
+    estimated ratios chase (a dict+BP encoding of a column cannot beat
+    n·H(X) bits; reference per-chunk unique/histogram stats,
+    stats/NumberStats.hpp:89-121, are the empirical inputs to the same
+    quantity).
+
+    Cross-engine exactness: p·ln(p) terms round to 6 dp then sum as
+    DECIMAL (the domain_entropy / unigram_surprisal pattern); `0.0 - x`
+    avoids the engine-dependent -0.0 of unary negation.
+
+    Scale: ONE melt scan (stack) → (column, value) counts, map-side
+    combinable; everything downstream runs on the distinct-value table;
+    the per-column totals broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    m = l.select(
+        F.expr(
+            "stack(4, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus, "
+            "'l_linenumber', CAST(l_linenumber AS STRING), "
+            "'l_suppkey', CAST(l_suppkey AS STRING)) as (col_name, v)"
+        )
+    )
+    counts = m.groupBy("col_name", "v").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("col_name").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.join(F.broadcast(tot), "col_name").select(
+        "col_name",
+        "n",
+        "n_distinct",
+        F.round(p * F.log(p), 6).cast("decimal(18,6)").alias("term"),
+    )
+    return (
+        terms.groupBy("col_name", "n", "n_distinct")
+        .agg(
+            F.round(
+                (F.lit(0.0) - F.sum("term").cast("double")) / F.log(F.lit(2.0)), 6
+            ).alias("entropy_bits")
+        )
+        .select(
+            "col_name",
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "entropy_bits",
+        )
+        .orderBy("col_name")
+    )
