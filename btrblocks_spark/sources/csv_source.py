@@ -76,8 +76,11 @@ def read_csv(
     casts — so "  42 " parses as 42 and "null"/"" parse as NULL exactly like
     the reference parser (Parser.cpp:88-127)."""
     schema, skipped = schema_from_decl(columns)
+    # the raw read must keep every DECLARED column (including skip-typed
+    # ones) so field positions line up with the file; skipped columns are
+    # dropped only in the typed projection below (btrfiles.hpp:20-22)
     raw_schema = StructType(
-        [StructField(f.name, StringType(), True) for f in schema.fields]
+        [StructField(col["name"], StringType(), True) for col in columns]
     )
     # Null handling: the CSV reader (univocity) maps *unquoted* empty fields
     # to NULL unconditionally; *quoted* empty strings ("") survive via
@@ -124,3 +127,39 @@ def export_csv(df: DataFrame, path: str, sep: str = DEFAULT_SEP, header: bool = 
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+def schema_from_yaml(path: str) -> tuple[StructType, list[str]]:
+    """Parse the reference's YAML schema file format (btrfiles.hpp:8-38:
+    a ``columns:`` list of ``{name, type}`` entries, with ``type: skip``
+    for unsupported columns) into a Spark schema + skip list. Gated on
+    PyYAML being importable; the dict-based ``schema_from_decl`` is the
+    dependency-free path."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover - yaml ships with pyspark
+        raise RuntimeError(
+            "PyYAML not available; pass the declaration to schema_from_decl"
+        ) from exc
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    if not isinstance(doc, dict) or "columns" not in doc:
+        raise ValueError(f"{path}: expected a YAML mapping with a 'columns' list")
+    return schema_from_decl(doc["columns"])
+
+
+def read_csv_with_yaml_schema(
+    spark: SparkSession, csv_path: str, yaml_path: str, sep: str = DEFAULT_SEP
+) -> DataFrame:
+    """convertCSV parity entry point (btrfiles/Parser.cpp:21): CSV + YAML
+    schema file → typed DataFrame with the reference's trim/null semantics
+    and skip-typed columns dropped."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover - yaml ships with pyspark
+        raise RuntimeError("PyYAML not available") from exc
+    with open(yaml_path) as fh:
+        doc = yaml.safe_load(fh)
+    if not isinstance(doc, dict) or "columns" not in doc:
+        raise ValueError(f"{yaml_path}: expected a YAML mapping with a 'columns' list")
+    return read_csv(spark, csv_path, doc["columns"], sep=sep)

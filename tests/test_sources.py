@@ -182,3 +182,36 @@ def test_copy_into_idempotent(spark, sf_dir, tmp_path):
     assert df2.count() == src.count()
     assert meta2["num_rows"] == src.count()
     assert df2.exceptAll(src).isEmpty() and src.exceptAll(df2).isEmpty()
+
+
+def test_yaml_schema_ingest(spark, tmp_path):
+    """Reference YAML schema format (btrfiles.hpp:8-38) drives the CSV
+    parse: types applied, skip columns dropped, trim/null semantics kept."""
+    from btrblocks_spark.sources.csv_source import (
+        read_csv_with_yaml_schema,
+        schema_from_yaml,
+    )
+
+    yml = tmp_path / "schema.yaml"
+    yml.write_text(
+        "columns:\n"
+        "  - name: id\n    type: integer\n"
+        "  - name: when\n    type: skip\n"
+        "  - name: price\n    type: double\n"
+        "  - name: note\n    type: string\n"
+    )
+    csv = tmp_path / "data.csv"
+    csv.write_text(
+        "1|2020-01-01| 3.5 |hello\n"
+        "2|2020-01-02|null|null\n"
+        " 3 |2020-01-03|7.25|  spaced  \n"
+    )
+    schema, skipped = schema_from_yaml(str(yml))
+    assert [f.name for f in schema.fields] == ["id", "price", "note"]
+    assert skipped == ["when"]
+    df = read_csv_with_yaml_schema(spark, str(csv), str(yml))
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(df.columns) == {"id", "price", "note"}
+    assert rows[3]["price"] == 7.25  # non-string trimmed before parse
+    assert rows[2]["price"] is None and rows[2]["note"] is None
+    assert rows[3]["note"] == "  spaced  "  # strings NOT trimmed
