@@ -670,3 +670,34 @@ def test_update_where_cow(spark, sf_dir, tmp_path):
     assert untouched_before.exceptAll(untouched_after).isEmpty()
     # time travel sees the pre-update state
     assert read_version(spark, table_dir, 0).filter("c_acctbal < 0").count() == n_neg
+
+
+def test_chunk_checksums_detect_tamper(spark, sf_dir, tmp_path):
+    """Sidecar chunk checksums: clean table verifies ok; a tampered chunk
+    digest is pinpointed by chunk id; missing checksums are reported."""
+    import json
+    import os
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.verify import (
+        add_chunk_checksums,
+        verify_chunk_checksums,
+    )
+
+    df = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "ck")
+    write_table(df, path, ["n_nationkey"], DEFAULT_CONFIG.with_(block_size=8), "nation")
+
+    assert verify_chunk_checksums(spark, path)["missing"] is True
+    sums = add_chunk_checksums(spark, path)
+    assert len(sums) == (df.count() + 7) // 8
+    res = verify_chunk_checksums(spark, path)
+    assert res["ok"] is True and res["bad_chunks"] == []
+
+    # tamper with one recorded digest → exactly that chunk flagged
+    mpath = os.path.join(path, "_btr_metadata.json")
+    meta = json.load(open(mpath))
+    meta["chunk_checksums"]["1"]["sum"] += 1
+    json.dump(meta, open(mpath, "w"))
+    res = verify_chunk_checksums(spark, path)
+    assert res["ok"] is False and res["bad_chunks"] == [1]
