@@ -775,3 +775,68 @@ def orders_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx")
     )
+
+
+@register(
+    "agg_pandas_udaf_geomean",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       count(*)::BIGINT AS n_orders,
+       round(exp(SUM(CAST(round(ln(o_totalprice) * 1000000) AS BIGINT))
+                 / CAST(1000000 AS DOUBLE) / count(*)), 6) AS geo_mean_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+)
+def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF — the one UDF flavor
+    the rest of the engine didn't exercise (scalar pandas_udf: fsst
+    transforms; mapInArrow: chunker; applyInPandas: per-chunk FSST train;
+    mapInPandas: multimodal/inference; applyInPandasWithState: sessionize;
+    UDTF: sentence split). Computes the per-priority geometric mean of
+    order value.
+
+    Parity without FP order-dependence: the UDAF sums round(ln(x)·1e6) as
+    int64 (order-independent inside the Arrow batch and across batches),
+    and exp() runs once on the final scalar — the round-then-scaled-sum ln
+    pattern, here inside vectorized numpy instead of JVM expressions.
+
+    Scale: partial aggregation of (sum, count) per group map-side, one
+    shuffle of tiny partials — the same plan shape as a built-in agg, with
+    Arrow batching amortizing the Python boundary."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # PandasUDFType spelled explicitly: `from __future__ import annotations`
+    # stringifies type hints, which breaks pandas_udf signature inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ln_sum_scaled(v):
+        import numpy as np
+
+        return int(np.round(np.log(v.to_numpy()) * 1000000).astype(np.int64).sum())
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg — the row count is a second pandas UDAF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return int(len(v))
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            n_rows("o_totalprice").alias("n_orders"),
+            ln_sum_scaled("o_totalprice").alias("ln_sum"),
+        )
+        .select(
+            "priority",
+            "n_orders",
+            F.round(
+                F.exp(
+                    F.col("ln_sum") / F.lit(1000000.0) / F.col("n_orders")
+                ),
+                6,
+            ).alias("geo_mean_price"),
+        )
+        .orderBy("priority")
+    )
