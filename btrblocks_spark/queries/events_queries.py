@@ -1075,17 +1075,22 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same order (the support count behind association-rule mining).
     Deterministic top-k via (support desc, part ids) total order.
 
-    Scale: the self-join is keyed on l_orderkey, so pairs are generated
-    co-partitioned with fan-out bounded by items-per-order squared (TPC-H:
-    ≤ 7 items → ≤ 21 pairs/order); the pair count is map-side combinable
-    and the top-k is TakeOrderedAndProject — no global sort, no unkeyed
-    blowup."""
-    l = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = l.select("ok", F.col("pk").alias("part_a"))
-    b = l.select("ok", F.col("pk").alias("part_b"))
-    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    Scale: per-order baskets build in ONE (order, part) shuffle
+    (collect_set dedups in the same pass); ordered pairs explode NARROWLY
+    from the basket array with fan-out bounded by items-per-order squared
+    (TPC-H: ≤ 7 items → ≤ 21 pairs/order) — no self-join, no second
+    orderkey exchange; the pair count is map-side combinable and the
+    top-k is TakeOrderedAndProject — no global sort, no unkeyed blowup."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_partkey").alias("pks"))
+    )
+    pairs = (
+        baskets.select(F.explode("pks").alias("part_a"), "pks")
+        .select("part_a", F.explode("pks").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
     c = pairs.groupBy("part_a", "part_b").agg(F.count("*").cast("long").alias("support"))
     return c.orderBy(F.desc("support"), "part_a", "part_b").limit(20)
 

@@ -2069,11 +2069,15 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp/fp/fn, precision, recall — the metric that decides num_perm/bands
     tuning before a 100 TB dedup run.
 
-    Scale: truth comes from the inverted-index Jaccard chain, candidates
-    from LSH banding; both are one-shuffle shapes and the confusion join is
+    Scale: truth comes from the PREFIX-FILTERED exact-Jaccard chain
+    (jaccard_prefix_pairs — provably identical output to the plain
+    inverted-index join, test-enforced, at a fraction of the candidate
+    fan-out/shuffle); candidates from LSH banding; the confusion join is
     over pair-id sets (tiny relative to the corpus)."""
+    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").withColumn(
+    truth = jaccard_prefix_pairs(docs).select("doc_a", "doc_b").withColumn(
         "in_t", F.lit(1)
     )
     lsh = minhash_lsh_pairs(docs).withColumn("in_l", F.lit(1))
