@@ -223,3 +223,74 @@ def choose_scheme(
         "est_size": est_size,
         "candidates": cands,
     }
+
+
+
+def suggest_order_keys(df, max_keys: int = 3, sample_rows: int = 8192) -> list[str]:
+    """Auto-select write order keys for maximum compressibility — the
+    sort-key planning step the reference leaves to file order
+    (storage/Relation.cpp:42-69); a lakehouse writer gets to choose.
+
+    Not a proxy heuristic: candidate orderings are EVALUATED through the
+    actual codec cost model on one hash-deterministic sample — sort the
+    sample per candidate, run choose_scheme on every column, sum estimated
+    bytes, keep the cheapest. Candidates: NDV-ascending low-cardinality
+    keys (maximizes runs in correlated columns) and NDV-descending
+    (makes wide id/price columns sorted → delta/FOR-friendly), each with a
+    high-NDV tiebreaker for a near-unique total order (deterministic
+    chunking needs one).
+
+    Cost: one sample scan (no shuffle) + driver-side pandas sorts of
+    ~sample_rows rows; independent of table size."""
+    from pyspark.sql import functions as F
+
+    usable = [
+        f.name
+        for f in df.schema.fields
+        if kind_of(f.dataType.simpleString()) in ("int", "double", "string")
+    ]
+    if not usable:
+        return []
+    n_total = df.count()
+    frac_mod = max(1, n_total // sample_rows)
+    sample = (
+        df.filter(F.abs(F.xxhash64(*[F.col(c) for c in usable])) % frac_mod == 0)
+        .select(usable)
+        .toPandas()
+    )
+    if len(sample) == 0:
+        return usable[:1]
+    ndv = {c: sample[c].nunique(dropna=True) for c in usable}
+    n = len(sample)
+    low_first = sorted(
+        [c for c in usable if ndv[c] < n * 0.5], key=lambda c: (ndv[c], c)
+    )[:max_keys]
+    high_first = sorted(usable, key=lambda c: (-ndv[c], c))[:max_keys]
+    tiebreak = max(usable, key=lambda c: (ndv[c], c))
+    candidates = []
+    for base in (low_first, high_first):
+        keys = list(base)
+        if tiebreak not in keys:
+            keys.append(tiebreak)
+        if keys and keys not in candidates:
+            candidates.append(keys)
+    if not candidates:
+        return [tiebreak]
+
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+    def est_total(keys: list[str]) -> int:
+        ordered = sample.sort_values(keys, kind="mergesort")
+        total = 0
+        for c in usable:
+            col = ordered[c]
+            mask = col.notna().to_numpy()
+            vals = col.to_numpy()
+            if kind_of(types[c]) == "int":
+                vals = col.fillna(0).to_numpy()
+            elif kind_of(types[c]) == "double":
+                vals = col.fillna(0.0).to_numpy()
+            total += choose_scheme(types[c], vals, mask)["est_size"]
+        return total
+
+    return min(candidates, key=est_total)
