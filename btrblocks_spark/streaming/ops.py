@@ -194,6 +194,7 @@ def interval_join(
     clicks: DataFrame,
     max_delay: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each 'click' event to the
     same user's preceding 'view' event within ``max_delay`` (ad-attribution
@@ -204,7 +205,13 @@ def interval_join(
 
     Equality key: user_id (state is hash-partitioned by it); the time
     bound is the interval condition. Returns (user_id, view_time,
-    click_time, view_id, click_id, delay_seconds)."""
+    click_time, view_id, click_id, delay_seconds).
+
+    ``how="leftOuter"`` emits unattributed views too: a view row with NULL
+    click columns is released once the watermark passes view_time +
+    max_delay (state eviction doubles as the no-match signal) — the
+    "which impressions never converted" side of attribution, impossible
+    without watermarks on an unbounded stream."""
     v = (
         views.withWatermark("event_time", watermark)
         .select(
@@ -226,7 +233,7 @@ def interval_join(
         & (F.col("view_time") <= F.col("click_time"))
         & (F.col("click_time") <= F.col("view_time") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return v.join(c, cond).select(
+    return v.join(c, cond, how).select(
         F.col("v_user").alias("user_id"),
         "view_time",
         "click_time",

@@ -391,3 +391,55 @@ def test_watermark_drops_late_data(spark, sf_dir, tmpdir):
     # → closed-and-dropped, never emitted
     assert jan1 == set(), f"late windows leaked: {sorted(jan1)[:3]}"
     assert len(starts) > 0
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, sf_dir, events_dir):
+    """Left-outer stream-stream interval join: matched rows equal the inner
+    join; views whose 30-minute window expired under the watermark emit
+    with NULL click columns — the unattributed-impression report."""
+    from btrblocks_spark.streaming.ops import interval_join
+
+    stream = stream_source(spark, events_dir)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    q = _run_to_memory(
+        interval_join(views, clicks, how="leftOuter"),
+        "interval_join_outer_test",
+        mode="append",
+    )
+    rows = spark.sql("select * from interval_join_outer_test").collect()
+    q.stop()
+
+    matched = sorted(
+        (r["user_id"], r["view_id"], r["click_id"]) for r in rows if r["click_id"] is not None
+    )
+    unmatched = [r for r in rows if r["click_id"] is None]
+
+    # inner-join truth from the batch twin
+    batch = load_table(spark, sf_dir, "events").withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("event_time").alias("view_time"),
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_time") <= F.col("click_time"))
+        & (F.col("click_time") <= F.col("view_time") + F.expr("INTERVAL 30 minutes"))
+    )
+    expect_matched = sorted(
+        (r["v_user"], r["view_id"], r["click_id"])
+        for r in bv.join(bc, cond).collect()
+    )
+    assert matched == expect_matched
+    # the event span is months >> watermark, so expired unmatched views exist
+    assert len(unmatched) > 0
+    for r in unmatched:
+        assert r["click_time"] is None and r["delay_seconds"] is None
