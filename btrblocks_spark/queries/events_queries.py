@@ -1433,3 +1433,49 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+WITH s AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 10
+""",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the most common 3-step event sequences per
+    user journey (the n-gram generalization of events_markov_transitions'
+    single-step matrix — what funnels actually look like before you define
+    one).
+
+    Determinism: the per-user window orders by the unique (ts, event_id)
+    key; trigram counts are pure integers; top-10 breaks count ties on the
+    full trigram.
+
+    Scale: one shuffle partitions by user_id (millions of small groups);
+    both lead() calls share that single window sort; the count rollup sees
+    (typeA,typeB,typeC) keys — at most |types|³ rows; top-k is
+    TakeOrderedAndProject."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(10)
+    )
