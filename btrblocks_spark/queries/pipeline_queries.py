@@ -2702,3 +2702,39 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_nodes), int(n_edges), int(n_nodes_core), int(n_edges_core))],
         "n_nodes long, n_edges long, n_nodes_2core long, n_edges_2core long",
     )
+
+
+@register(
+    "retrieval_fuzzy_search",
+    oracle=f"""
+WITH {_TOKS},
+vocab AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+qs(q) AS (VALUES ('hash'), ('joiin'), ('tabel')),
+m AS (
+  SELECT q, w, df FROM qs JOIN vocab ON levenshtein(q, w) <= 1
+)
+SELECT q, w AS term, df::BIGINT AS doc_freq
+FROM m ORDER BY q, doc_freq DESC, term
+""",
+)
+def q_retrieval_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term lookup — typo-tolerant retrieval: each query string
+    matches every vocabulary term within Levenshtein distance 1, returning
+    matched terms with their document frequencies ('joiin' finds 'join';
+    the did-you-mean / recall-salvage step in front of BM25/phrase search).
+
+    Scale: the edit-distance comparison runs query-terms × VOCABULARY —
+    never against the corpus; the vocab (term, df) table is the already-
+    reduced inverted-index head, and the 3-row query side broadcasts. A
+    production variant adds a deletion-neighborhood (SymSpell) index to cut
+    the vocab scan; the join shape stays identical."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    )
+    vocab = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    qs = spark.createDataFrame([("hash",), ("joiin",), ("tabel",)], "q string")
+    m = vocab.join(F.broadcast(qs), F.levenshtein(F.col("q"), F.col("w")) <= 1)
+    return m.select(
+        "q", F.col("w").alias("term"), F.col("df").cast("long").alias("doc_freq")
+    ).orderBy("q", F.desc("doc_freq"), "term")
