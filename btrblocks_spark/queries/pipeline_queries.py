@@ -2589,7 +2589,12 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stats/NumberStats-style profiling applied to the dedup graph)."""
     from btrblocks_spark.pipeline.dedup import minhash_lsh_pairs
 
-    prs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    # pinned once: the edge list feeds five downstream consumers (degree
+    # table, three join legs, edge count) — without the checkpoint each one
+    # re-runs the whole LSH chain
+    prs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
     deg = (
         prs.select(F.col("doc_a").alias("node"))
         .unionAll(prs.select(F.col("doc_b").alias("node")))
