@@ -701,3 +701,39 @@ def test_chunk_checksums_detect_tamper(spark, sf_dir, tmp_path):
     json.dump(meta, open(mpath, "w"))
     res = verify_chunk_checksums(spark, path)
     assert res["ok"] is False and res["bad_chunks"] == [1]
+
+
+def test_table_changes_cdf(spark, sf_dir, tmp_path):
+    """Change data feed: DELETE shows as 'delete' rows, UPDATE as its
+    delete+insert pair, unchanged rows absent; v0->v2 composes."""
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where,
+        table_changes,
+        update_where,
+    )
+
+    table_dir = str(tmp_path / "cdf")
+    os.makedirs(table_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    cust.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    n_neg = cust.filter("c_acctbal < 0").count()
+    delete_where(spark, table_dir, "c_acctbal < 0")  # v1
+    update_where(spark, table_dir, "c_custkey % 100 = 0", {"c_acctbal": "c_acctbal + 1.0"})  # v2
+
+    cdf01 = table_changes(spark, table_dir, 0, 1)
+    assert cdf01.filter("_change_type = 'insert'").count() == 0
+    assert cdf01.filter("_change_type = 'delete'").count() == n_neg
+
+    cdf12 = table_changes(spark, table_dir, 1, 2)
+    n_upd = cust.filter("c_acctbal >= 0 AND c_custkey % 100 = 0").count()
+    assert cdf12.filter("_change_type = 'insert'").count() == n_upd
+    assert cdf12.filter("_change_type = 'delete'").count() == n_upd
+    # composed diff v0 -> v2: deletes = negatives + pre-update rows
+    cdf02 = table_changes(spark, table_dir, 0, 2)
+    assert cdf02.filter("_change_type = 'delete'").count() == n_neg + n_upd
+    assert cdf02.filter("_change_type = 'insert'").count() == n_upd
