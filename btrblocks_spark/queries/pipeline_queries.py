@@ -2743,3 +2743,84 @@ def q_retrieval_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "q", F.col("w").alias("term"), F.col("df").cast("long").alias("doc_freq")
     ).orderBy("q", F.desc("doc_freq"), "term")
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+WITH {_TOKS},
+big AS (
+  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bp AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM bp GROUP BY 1, 2),
+cu AS (SELECT w1, SUM(c2) AS c1 FROM cb GROUP BY 1),
+terms AS (
+  SELECT bp.doc_id,
+         CAST(round(ln(CAST(c2 AS DOUBLE) / c1) * 1000000) AS BIGINT) AS t
+  FROM bp JOIN cb USING (w1, w2) JOIN cu USING (w1)
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round((0.0 - SUM(t) / CAST(count(*) AS DOUBLE)) / CAST(1000000 AS DOUBLE), 6)
+         AS avg_nll
+FROM terms GROUP BY doc_id
+ORDER BY avg_nll DESC, doc_id
+LIMIT 10
+""",
+)
+def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal: train P(w2|w1) on the corpus's own
+    bigram counts, score every document by its average negative log
+    probability, return the 10 most surprising docs — the sequence-aware
+    upgrade of text_unigram_surprisal (word-salad scores high under a
+    bigram LM even when its unigrams are common; the perplexity-filter
+    signal used in corpus curation).
+
+    Parity: each ln(c2/c1) term rounds to 6 dp and sums as an exact
+    integer (round-then-scaled-sum); counts are integers; one double
+    division per doc at the end, mirrored operation-for-operation.
+
+    Scale: per-doc bigrams come from a doc-partitioned lead window; the
+    LM tables are map-side-combinable count rollups; scoring joins bigram
+    probabilities back on the (w1,w2) key — text itself never shuffles,
+    only token pairs; top-k is TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bp = (
+        toks.select(
+            "doc_id", F.col("w").alias("w1"), F.lead("w").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    cb = bp.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cu = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    terms = (
+        bp.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c2").cast("double") / F.col("c1")) * 1000000
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                (F.lit(0.0) - F.sum("t") / F.count("*").cast("double"))
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(10)
+    )
