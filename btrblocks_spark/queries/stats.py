@@ -707,3 +707,108 @@ def stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@register(
+    "stats_ks_drift",
+    oracle="""
+WITH scaled AS (
+  SELECT l_returnflag AS flag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+),
+bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM scaled),
+b AS (
+  SELECT CAST((cents - lo) * 1000 // (hi - lo + 1) AS BIGINT) AS bucket,
+         SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS n_r,
+         SUM(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS n_n
+  FROM scaled, bounds GROUP BY 1
+),
+cum AS (
+  SELECT hi.bucket,
+         SUM(lo.n_r) AS cum_r, SUM(lo.n_n) AS cum_n
+  FROM b hi JOIN b lo ON lo.bucket <= hi.bucket
+  GROUP BY hi.bucket
+),
+tot AS (SELECT SUM(n_r) AS t_r, SUM(n_n) AS t_n FROM b),
+gaps AS (
+  SELECT bucket,
+         abs(cum_r / CAST(t_r AS DOUBLE) - cum_n / CAST(t_n AS DOUBLE)) AS gap
+  FROM cum CROSS JOIN tot
+),
+best AS (SELECT max(gap) AS ks FROM gaps)
+SELECT (SELECT t_r FROM tot)::BIGINT AS n_r,
+       (SELECT t_n FROM tot)::BIGINT AS n_n,
+       round((SELECT ks FROM best), 6) AS ks_stat,
+       (SELECT min(bucket) FROM gaps WHERE gap = (SELECT ks FROM best))::BIGINT
+         AS argmax_bucket
+""",
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the R-flag and
+    N-flag price distributions — the distribution-drift detector a
+    training-data pipeline runs between corpus snapshots (KS > threshold =
+    the new crawl's length/quality/score distribution moved; retrain or
+    re-curate).
+
+    Built scale-safe: values bucket to a FIXED 1000-cell grid with pure
+    integer arithmetic (same rounding in both engines), so the CDF runs on
+    a bounded table at any corpus size; the cumulative sums come from a
+    triangular self-join over those ≤1000 buckets (≤5·10⁵ joined rows) —
+    no global window, no single-task sort. The KS gap takes one double
+    division per bucket at the end.
+
+    (Bucketed KS is a lower bound of exact KS with error ≤ max bucket
+    mass — the standard streaming/distributed formulation.)"""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    bounds = l.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = (
+        l.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("(cents - lo) * 1000 div (hi - lo + 1)").alias("bucket"),
+            F.when(F.col("flag") == "R", 1).otherwise(0).alias("is_r"),
+            F.when(F.col("flag") == "N", 1).otherwise(0).alias("is_n"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("is_r").alias("n_r"), F.sum("is_n").alias("n_n"))
+    )
+    hi = b.select(F.col("bucket").alias("hb"))
+    lo = b.select(F.col("bucket").alias("lb"), "n_r", "n_n")
+    cum = (
+        hi.join(lo, F.col("lb") <= F.col("hb"))
+        .groupBy("hb")
+        .agg(F.sum("n_r").alias("cum_r"), F.sum("n_n").alias("cum_n"))
+    )
+    tot = b.agg(F.sum("n_r").alias("t_r"), F.sum("n_n").alias("t_n"))
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        F.col("hb").alias("bucket"),
+        F.abs(
+            F.col("cum_r") / F.col("t_r").cast("double")
+            - F.col("cum_n") / F.col("t_n").cast("double")
+        ).alias("gap"),
+        "t_r",
+        "t_n",
+    )
+    best = gaps.agg(F.max("gap").alias("ks")).collect()[0]["ks"]
+    row = gaps.filter(F.col("gap") == best).agg(
+        F.min("bucket").alias("argmax_bucket"),
+        F.first("t_r").alias("t_r"),
+        F.first("t_n").alias("t_n"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(row["t_r"]),
+                int(row["t_n"]),
+                round(float(best), 6),
+                int(row["argmax_bucket"]),
+            )
+        ],
+        "n_r long, n_n long, ks_stat double, argmax_bucket long",
+    )
