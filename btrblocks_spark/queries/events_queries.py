@@ -1479,3 +1479,62 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day_idx, user_id FROM events
+),
+dau AS (SELECT day_idx, count(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+mau AS (
+  SELECT day_idx // 30 AS month_idx, count(DISTINCT user_id) AS mau
+  FROM d GROUP BY 1
+),
+m AS (
+  SELECT day_idx // 30 AS month_idx, SUM(dau) AS dau_sum, count(*) AS n_days
+  FROM dau GROUP BY 1
+)
+SELECT m.month_idx::BIGINT AS month_idx,
+       mau.mau::BIGINT AS mau,
+       m.dau_sum::BIGINT AS dau_sum,
+       m.n_days::BIGINT AS n_days,
+       round(m.dau_sum / CAST(m.n_days AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM m JOIN mau USING (month_idx)
+ORDER BY month_idx
+""",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per 30-day bucket — the product-analytics ratio
+    (avg daily actives over monthly actives; 1.0 = every monthly user
+    active every day). Fixed 30-day integer buckets keep the arithmetic
+    calendar-free and engine-exact.
+
+    Scale: two count-distinct rollups over (day, user) — both shuffle
+    key+user pairs only; the month join runs on O(months) rows. A 100 TB
+    variant swaps exact count(DISTINCT) for hll_sketch_agg partials
+    (stats_hll_sketch_union shows the mergeable path)."""
+    d = load_table(spark, sf_dir, "events").select(
+        F.expr("ts div 86400000000000").alias("day_idx"), "user_id"
+    )
+    dau = d.groupBy("day_idx").agg(F.count_distinct("user_id").alias("dau"))
+    mau = d.groupBy(F.expr("day_idx div 30").alias("month_idx")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    m = dau.groupBy(F.expr("day_idx div 30").alias("month_idx")).agg(
+        F.sum("dau").alias("dau_sum"), F.count("*").alias("n_days")
+    )
+    return (
+        m.join(mau, "month_idx")
+        .select(
+            F.col("month_idx").cast("long"),
+            F.col("mau").cast("long"),
+            F.col("dau_sum").cast("long"),
+            F.col("n_days").cast("long"),
+            F.round(
+                F.col("dau_sum") / F.col("n_days").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month_idx")
+    )

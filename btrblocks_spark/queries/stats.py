@@ -812,3 +812,71 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_r long, n_n long, ks_stat double, argmax_bucket long",
     )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+WITH joint AS (
+  SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS nxy
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+tot AS (SELECT SUM(nxy) AS n FROM joint),
+terms AS (
+  SELECT CAST(round((CAST(nxy AS DOUBLE) / n)
+               * ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 6)
+          AS DECIMAL(18,6)) AS term
+  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+)
+SELECT (SELECT count(*) FROM joint)::BIGINT AS n_cells,
+       round(CAST(SUM(term) AS DOUBLE) / ln(2.0), 6) AS mi_bits
+FROM terms
+""",
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) in bits between returnflag and linestatus
+    — the dependency statistic completing the profiling trio (entropy =
+    single-column bound, correlation = linear numeric dependence, MI = ANY
+    categorical dependence). High MI between columns is the signal for
+    column-group co-encoding and for functional-dependency discovery.
+
+    Parity: each p(x,y)·ln(p(x,y)/(p(x)p(y))) term rounds to 6 dp and sums
+    as DECIMAL (the established round-then-decimal-sum ln pattern); counts
+    are exact integers from ONE map-side-combinable joint rollup; marginals
+    re-aggregate the tiny joint table.
+
+    Scale: one shuffle to |X|·|Y| cells; everything downstream is
+    broadcast-size."""
+    joint = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y"))
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("nxy").cast("double")
+                    * F.col("n")
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term")
+        )
+    )
+    n_cells = joint.count()
+    return terms.agg(
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.round(F.sum("term").cast("double") / F.log(F.lit(2.0)), 6).alias("mi_bits"),
+    )
