@@ -840,3 +840,60 @@ def agg_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM c),
+s AS (SELECT count(*) AS n, SUM(rev) AS tot, SUM(i * rev) AS srev FROM r)
+SELECT n::BIGINT AS n_customers,
+       round(tot / CAST(100 AS DOUBLE), 2) AS total_revenue,
+       round((2.0 * srev - (n + 1) * CAST(tot AS DOUBLE))
+             / (CAST(n AS DOUBLE) * tot), 6) AS gini
+FROM s
+""",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (0 = equal,
+    →1 = one whale) via the sorted-rank identity
+    G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) — the Lorenz-curve statistic
+    behind "what fraction of spend is the top 1%".
+
+    The global ascending rank comes from the two-phase bucketed
+    row_number (_distributed): revenue-range buckets rank in parallel, a
+    one-row-per-bucket offset table globalizes — no single-task sort.
+    Revenue is exact summed cents; every moment is an integer until the
+    single final double expression, mirrored op-for-op.
+
+    Scale: one per-customer rollup shuffle, one bucketed rank pass; Σ i·xᵢ
+    fits BIGINT through bench scale (production scales cents→dollars to
+    extend headroom)."""
+    from btrblocks_spark.queries._distributed import bucketed_row_number
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    r = bucketed_row_number(
+        c, F.expr("rev div 100000000"), ["rev", "o_custkey"], idx_col="i"
+    ).select("rev", "i")
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("tot"),
+        F.sum(F.col("i") * F.col("rev")).alias("srev"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("tot") / F.lit(100.0), 2).alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("srev") - (F.col("n") + 1) * F.col("tot").cast("double"))
+            / (F.col("n").cast("double") * F.col("tot")),
+            6,
+        ).alias("gini"),
+    )
