@@ -520,3 +520,28 @@ def table_changes(
     ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
     dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
     return ins.unionAll(dels)
+
+
+def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
+    """Row-level INSERT as a copy-on-write version commit — completes the
+    DML verb set (INSERT / UPDATE / DELETE / MERGE / CDF all against the
+    same immutable-version + atomic-pointer protocol). The new version is
+    snapshot ∪ rows (multiset append, schema must match by name).
+
+    Scale note: CoW insert rewrites the snapshot — correct but O(table);
+    the high-throughput append path is the chunked streaming sink +
+    compact() (O(new bytes)); this verb exists for transactional batch
+    inserts that must be atomic with the version history (TPC-H RF1
+    shape)."""
+    current = read_snapshot(spark, table_dir)
+    if current is None:
+        raise ValueError(f"no committed table at {table_dir}")
+    n_new = rows.count()
+    merged = current.unionByName(rows)
+    next_v = (_versions(table_dir) or [-1])[-1] + 1
+    merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
+    tmp = os.path.join(table_dir, "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    return {"version": next_v, "inserted_rows": int(n_new)}

@@ -737,3 +737,38 @@ def test_table_changes_cdf(spark, sf_dir, tmp_path):
     cdf02 = table_changes(spark, table_dir, 0, 2)
     assert cdf02.filter("_change_type = 'delete'").count() == n_neg + n_upd
     assert cdf02.filter("_change_type = 'insert'").count() == n_upd
+
+
+def test_tpch_refresh_streams(spark, sf_dir, tmp_path):
+    """TPC-H refresh-function shape: RF2 deletes a slice of orders by key,
+    RF1 re-inserts them; after both, the table equals the original and the
+    CDF between the endpoints is empty."""
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where,
+        insert_rows,
+        table_changes,
+    )
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "rf")
+    os.makedirs(table_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    slice_df = orders.filter("o_orderkey % 97 = 0")
+    n_slice = slice_df.count()
+    assert n_slice > 0
+
+    r2 = delete_where(spark, table_dir, "o_orderkey % 97 = 0")  # RF2
+    assert r2["deleted_rows"] == n_slice
+    r1 = insert_rows(spark, table_dir, slice_df)  # RF1
+    assert r1["inserted_rows"] == n_slice
+
+    now = read_snapshot(spark, table_dir)
+    assert now.count() == orders.count()
+    assert now.exceptAll(orders).isEmpty() and orders.exceptAll(now).isEmpty()
+    assert table_changes(spark, table_dir, 0, 2).count() == 0
