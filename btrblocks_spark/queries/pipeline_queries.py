@@ -2824,3 +2824,51 @@ def q_text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll"), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "ann_binary_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS d0
+  FROM embeddings
+),
+sv AS (SELECT vec_id, d0, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xs FROM v),
+dim AS (SELECT d0, SUM(xs) AS s, count(*) AS n FROM sv GROUP BY d0),
+bits AS (
+  SELECT vec_id, sv.d0,
+         CASE WHEN xs * n > s THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+  FROM sv JOIN dim USING (d0)
+),
+packed AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d0 < 32 THEN b << (d0 % 32) ELSE 0 END) AS lo,
+         SUM(CASE WHEN d0 >= 32 THEN b << (d0 % 32) ELSE 0 END) AS hi
+  FROM bits GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM packed
+      WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+scored AS (
+  SELECT q_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.lo, q_lo)) + bit_count(xor(p.hi, q_hi)) AS hamming
+  FROM packed p CROSS JOIN q WHERE p.vec_id <> q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT q_id, rnk::BIGINT AS rnk, neighbor_id, hamming::BIGINT AS hamming
+FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk
+""",
+)
+def q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by Hamming distance over 1-bit binary-quantized embeddings
+    (similarity.binary_topk) — the 32x-compression tier below SQ8/PQ;
+    XOR+popcount is the whole distance kernel. Completes the quantization
+    ladder (float → SQ8 → PQ → binary) the reference's truncation family
+    implies for vectors."""
+    from btrblocks_spark.pipeline.similarity import binary_topk
+
+    return binary_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
