@@ -1385,7 +1385,11 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type", F.expr("ts div 3600000000000").alias("hr")
     )
-    hourly = e.groupBy("event_type", "hr").agg(F.count("*").alias("n"))
+    # pinned: hourly feeds the median chain, the deviation table, and the
+    # final flag rollup — three consumers, one events scan
+    hourly = e.groupBy("event_type", "hr").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=True
+    )
 
     def rank_median(df: DataFrame, value_col: str, out_name: str) -> DataFrame:
         freq = df.groupBy("event_type", F.col(value_col).alias("v")).agg(

@@ -653,6 +653,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 1000000"
             ).alias("m_v"),
         )
+        # pinned: the per-customer rollup feeds the 3-way melt AND the
+        # final scoring join — without this each reference re-scans orders
+        .localCheckpoint(eager=True)
     )
     melt = (
         c.select(F.lit("r").alias("measure"), F.col("r_v").alias("v"))

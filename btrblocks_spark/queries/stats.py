@@ -681,7 +681,10 @@ def stats_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'l_suppkey', CAST(l_suppkey AS STRING)) as (col_name, v)"
         )
     )
-    counts = m.groupBy("col_name", "v").agg(F.count("*").alias("c"))
+    # pinned: the distinct-value table feeds both the totals and the terms
+    counts = m.groupBy("col_name", "v").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
     tot = counts.groupBy("col_name").agg(
         F.sum("c").alias("n"), F.count("*").alias("n_distinct")
     )
@@ -777,6 +780,9 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.sum("is_r").alias("n_r"), F.sum("is_n").alias("n_n"))
+        # pinned: the ≤1000-bucket table feeds both triangular-join legs
+        # and the totals — one lineitem scan total
+        .localCheckpoint(eager=True)
     )
     hi = b.select(F.col("bucket").alias("hb"))
     lo = b.select(F.col("bucket").alias("lb"), "n_r", "n_n")
@@ -853,6 +859,8 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_returnflag").alias("x"), F.col("l_linestatus").alias("y"))
         .agg(F.count("*").alias("nxy"))
+        # pinned: the |X|x|Y| joint table has four consumers
+        .localCheckpoint(eager=True)
     )
     mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
     my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
