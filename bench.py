@@ -117,6 +117,13 @@ HEADLINE = [
     "customer_rfm_segments",
     "dedup_kcore",
     "events_mad_anomaly",
+    "stats_ks_drift",
+    "stats_mutual_information",
+    "customer_revenue_gini",
+    "events_path_trigrams",
+    "text_bigram_perplexity",
+    "ann_binary_topk",
+    "retrieval_fuzzy_search",
 ]
 
 

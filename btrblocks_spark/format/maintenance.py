@@ -545,3 +545,39 @@ def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
         fh.write(str(next_v))
     os.replace(tmp, os.path.join(table_dir, "_latest"))
     return {"version": next_v, "inserted_rows": int(n_new)}
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    col_a: str,
+    col_b: str,
+    config=None,
+    quantize_bits: int = 12,
+) -> dict:
+    """OPTIMIZE ... ZORDER BY (a, b): rewrite a chunked table clustered on
+    the 2-D Morton curve so range predicates on EITHER dimension prune
+    chunks (Delta's OPTIMIZE ZORDER; the reference's SEQUENTIAL split
+    strategy generalized to two dimensions). The rewrite reuses the
+    ordinary chunked writer with the Morton key as the order key, so the
+    sidecar stats/schemes re-sync in the same pass and chunk skipping
+    works immediately on both source columns.
+
+    Scale: one scan + one range-partitioned write — the same cost as any
+    reclustering rewrite; no extra shuffle beyond the writer's ordering."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.format.zorder import with_zorder
+
+    df, meta = read_table(spark, path)
+    z = with_zorder(df, col_a, col_b, out_col="zkey", quantize_bits=quantize_bits)
+    out_meta = write_table(
+        z, dest, ["zkey"], config or DEFAULT_CONFIG, meta.get("table")
+    )
+    return {
+        "num_rows": out_meta["num_rows"],
+        "num_chunks": out_meta["num_chunks"],
+        "zorder_by": [col_a, col_b],
+    }

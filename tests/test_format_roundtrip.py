@@ -772,3 +772,37 @@ def test_tpch_refresh_streams(spark, sf_dir, tmp_path):
     assert now.count() == orders.count()
     assert now.exceptAll(orders).isEmpty() and orders.exceptAll(now).isEmpty()
     assert table_changes(spark, table_dir, 0, 2).count() == 0
+
+
+def test_optimize_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
+    """After OPTIMIZE ZORDER BY (custkey, totalprice), a range predicate on
+    EITHER column prunes chunks via the ordinary sidecar stats — the
+    one-dimensional sort can only prune its own leading key."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.maintenance import optimize_zorder
+    from btrblocks_spark.format.reader import prune_chunks, read_metadata
+    from btrblocks_spark.format.writer import write_table
+
+    cfg = DEFAULT_CONFIG.with_(block_size=128)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "zordered")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_table(orders, src, ["o_orderkey"], cfg, "orders")
+
+    res = optimize_zorder(
+        spark, src, dst, "o_custkey", "o_totalprice", config=cfg
+    )
+    assert res["num_rows"] == orders.count()
+    meta = read_metadata(dst)
+    nc = meta["num_chunks"]
+    assert nc > 4
+    # both dimensions prune to a strict subset of chunks
+    ck = prune_chunks(meta, "o_custkey", lo=0, hi=50)
+    cp = prune_chunks(meta, "o_totalprice", lo=0.0, hi=20000.0)
+    assert 0 < len(ck) < nc
+    assert 0 < len(cp) < nc
+    # rows survive exactly (zkey column travels with the table)
+    got = spark.read.parquet(dst + "/data").drop("_idx", "zkey")
+    assert got.exceptAll(orders).isEmpty() and orders.exceptAll(got).isEmpty()
