@@ -575,3 +575,87 @@ def hash_features(docs: DataFrame, dims: int = 64) -> DataFrame:
         "n_tokens",
         F.array(*[F.col(f"_f{i}") for i in range(dims)]).alias("features"),
     )
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    ``n_merges`` most frequent adjacent-symbol merges over the corpus — the
+    tokenizer-training workload of an LLM-data pipeline, expressed as an
+    iterative Spark algorithm (same shape as kmeans_refine / pagerank:
+    bounded rounds, reduced state, broadcast decisions).
+
+    The classic reduction: BPE statistics depend only on the WORD-FREQUENCY
+    table, never the corpus — one shuffle builds (word, freq), every round
+    after that runs on the distinct-word table (bounded by vocabulary, not
+    corpus bytes). Per round: weighted adjacent-pair counts (posexplode,
+    map-side combinable), deterministic argmax (count desc, pair asc),
+    broadcast the winning pair, rebuild symbol arrays with an Arrow-batched
+    pandas merge kernel (the one step SQL arrays can't express cleanly).
+
+    Returns (rank, left, right, pair_count) — the ordered merge table a
+    tokenizer ships."""
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.expr("transform(split(w, ''), c -> c)").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select(
+                F.posexplode(F.expr("slice(syms, 1, size(syms) - 1)")).alias(
+                    "i", "left"
+                ),
+                "syms",
+                "freq",
+            )
+            .select(
+                "left",
+                F.expr("syms[i + 1]").alias("right"),
+                "freq",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.desc("pair_count"), "left", "right").limit(1).collect()
+        )
+        if not top:
+            break
+        t = top[0]
+        merges.append((rank, t["left"], t["right"], int(t["pair_count"])))
+        lsym, rsym = t["left"], t["right"]
+
+        # explicit SCALAR type: `from __future__ import annotations` makes
+        # the hints strings, which breaks pandas_udf signature inference
+        @pandas_udf("array<string>", PandasUDFType.SCALAR)
+        def merge_pair(col):
+            out = []
+            for syms in col:
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == lsym and syms[i + 1] == rsym:
+                        res.append(lsym + rsym)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            return pd.Series(out)
+
+        words = words.select(
+            merge_pair("syms").alias("syms"), "freq"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )

@@ -2872,3 +2872,14 @@ def q_ann_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.similarity import binary_topk
 
     return binary_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register("text_bpe_merges")  # rows-only: iterative merge learning is not SQL-expressible
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 learned BPE merges over the documents corpus
+    (pipeline/text.learn_bpe — iterative, per-round argmax + Arrow merge
+    kernel; equality vs a sequential reference implementation is enforced
+    in test_pipeline.py::test_learn_bpe_matches_reference_impl)."""
+    from btrblocks_spark.pipeline.text import learn_bpe
+
+    return learn_bpe(load_table(spark, sf_dir, "documents"), n_merges=8)

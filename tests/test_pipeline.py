@@ -776,3 +776,51 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
         (r["doc_a"], r["doc_b"]) for r in jaccard_prefix_pairs(docs, threshold=0.5).collect()
     }
     assert pref == plain and len(pref) > 0
+
+
+def test_learn_bpe_matches_reference_impl(spark, sf_dir):
+    """Distributed BPE training equals a sequential pure-Python reference
+    on the same corpus (same tiebreak: count desc, pair asc)."""
+    from collections import Counter
+
+    from btrblocks_spark.pipeline.text import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    texts = [r["text"] for r in docs.collect()]
+
+    # sequential reference BPE on the word-frequency table
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                wf[w] += 1
+    vocab = {tuple(w): f for w, f in wf.items()}
+    expect = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        expect.append((rank, l, r, c))
+        merged = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            merged[tuple(res)] = merged.get(tuple(res), 0) + f
+        vocab = merged
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == expect
