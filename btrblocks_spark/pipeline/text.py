@@ -659,3 +659,55 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10, text_col: str = "text") -> Da
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Apply a learned BPE merge table (learn_bpe output, ordered) to
+    tokenize documents: each word splits to characters, then every merge
+    applies in rank order — the deterministic encode pass a trained
+    tokenizer ships. Returns (doc_id, n_words, n_tokens, tokens).
+
+    Scale: pure narrow map — the merge table broadcasts inside the Arrow
+    kernel's closure; one pass over the text, no shuffle. Unlike the
+    training loop there is no per-round job: all merges apply in one
+    kernel invocation per batch."""
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ranked = list(merges)
+
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def encode(col):
+        out = []
+        for text in col:
+            toks = []
+            for w in (text or "").lower().split(" "):
+                if not w:
+                    continue
+                syms = list(w)
+                for l, r in ranked:
+                    i, res = 0, []
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                            res.append(l + r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                toks.extend(syms)
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != F.lit(""))).alias(
+            "n_words"
+        ),
+        encode(text_col).alias("tokens"),
+    ).select(
+        "doc_id", "n_words", F.size("tokens").alias("n_tokens"), "tokens"
+    )

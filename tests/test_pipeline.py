@@ -824,3 +824,26 @@ def test_learn_bpe_matches_reference_impl(spark, sf_dir):
         for r in learn_bpe(docs, n_merges=8).orderBy("rank").collect()
     ]
     assert got == expect
+
+
+def test_bpe_encode_round_trip_and_compression(spark, sf_dir):
+    """Applying learned merges: concatenating a word's tokens restores the
+    word (lossless), and more merges => fewer tokens (the point of BPE)."""
+    from btrblocks_spark.pipeline.text import bpe_encode, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    enc = bpe_encode(docs, merges).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for row in enc:
+        words = [w for w in raw[row["doc_id"]].lower().split(" ") if w]
+        assert row["n_words"] == len(words)
+        assert "".join(row["tokens"]) == "".join(words)  # lossless
+        assert row["n_tokens"] <= sum(len(w) for w in words)
+    total_with = sum(r["n_tokens"] for r in enc)
+    enc0 = bpe_encode(docs, []).collect()
+    total_without = sum(r["n_tokens"] for r in enc0)
+    assert total_with < total_without  # merges actually compress
