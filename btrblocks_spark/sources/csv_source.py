@@ -163,3 +163,66 @@ def read_csv_with_yaml_schema(
     if not isinstance(doc, dict) or "columns" not in doc:
         raise ValueError(f"{yaml_path}: expected a YAML mapping with a 'columns' list")
     return read_csv(spark, csv_path, doc["columns"], sep=sep)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict],
+    sep: str = DEFAULT_SEP,
+    header: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest with a quarantine lane: returns (good, bad) where ``bad``
+    holds rows any of whose non-string fields failed to parse (malformed
+    numeric text that try_cast would silently NULL), with the offending
+    raw values preserved for repair - the badRecordsPath pattern without a
+    side-channel directory, so the quarantine is just another DataFrame to
+    audit, count, or re-ingest after fixing.
+
+    A field is malformed iff the trimmed raw text is non-empty, not the
+    null literal, and fails the cast. Rows where every field parses (or is
+    legitimately null) go to ``good`` with full reference semantics.
+
+    Scale: ONE scan; both outputs are narrow projections of the same raw
+    read (two cheap passes over the same file split set, no shuffle)."""
+    schema, skipped = schema_from_decl(columns)
+    raw_schema = StructType(
+        [StructField(col["name"], StringType(), True) for col in columns]
+    )
+    raw = spark.read.csv(
+        path, schema=raw_schema, sep=sep, header=header,
+        nullValue="\u0000", emptyValue="",
+    )
+    bad_flags = []
+    for f in schema.fields:
+        if isinstance(f.dataType, StringType):
+            continue
+        t = F.trim(F.col(f.name))
+        # coalesce: a NULL raw field (reader-level null) is NOT malformed —
+        # without it the NULL flag would drop the row from BOTH lanes
+        bad_flags.append(
+            F.coalesce(
+                (t != "") & (t != NULL_LITERAL) & t.try_cast(f.dataType).isNull(),
+                F.lit(False),
+            )
+        )
+    is_bad = F.lit(False)
+    for b in bad_flags:
+        is_bad = is_bad | b
+    bad = raw.filter(is_bad)
+    good_raw = raw.filter(~is_bad)
+
+    exprs = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, StringType):
+            e = F.when(c == NULL_LITERAL, F.lit(None)).otherwise(c)
+        else:
+            trimmed = F.trim(c)
+            e = (
+                F.when((trimmed == "") | (trimmed == NULL_LITERAL), F.lit(None))
+                .otherwise(trimmed)
+                .try_cast(f.dataType)
+            )
+        exprs.append(e.alias(f.name))
+    return good_raw.select(*exprs), bad

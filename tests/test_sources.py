@@ -215,3 +215,31 @@ def test_yaml_schema_ingest(spark, tmp_path):
     assert rows[3]["price"] == 7.25  # non-string trimmed before parse
     assert rows[2]["price"] is None and rows[2]["note"] is None
     assert rows[3]["note"] == "  spaced  "  # strings NOT trimmed
+
+
+def test_csv_quarantine_lane(spark, tmp_path):
+    """Malformed numeric fields route the whole row to the quarantine
+    DataFrame with raw text preserved; clean rows parse with full
+    reference semantics."""
+    from btrblocks_spark.sources.csv_source import read_csv_quarantine
+
+    csv = tmp_path / "q.csv"
+    csv.write_text(
+        "1|3.5|ok\n"
+        "2|oops|fine\n"
+        "x3|7.25|text\n"
+        "4|null|null\n"
+        "5||empty\n"
+    )
+    decl = [
+        {"name": "id", "type": "integer"},
+        {"name": "price", "type": "double"},
+        {"name": "note", "type": "string"},
+    ]
+    good, bad = read_csv_quarantine(spark, str(csv), decl)
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {1, 4, 5}
+    assert g[4]["price"] is None and g[4]["note"] is None
+    assert g[5]["price"] is None and g[5]["note"] == "empty"
+    b = sorted((r["id"], r["price"]) for r in bad.collect())
+    assert b == [("2", "oops"), ("x3", "7.25")]
