@@ -333,6 +333,8 @@ def scheme_bench() -> dict:
         ),
         ("int", "for"): 2**28 + rng.integers(0, 2**16, n),
         ("int", "truncation"): 32767 + rng.integers(0, 127, n),
+        ("int", "dod"): 1_700_000_000_000
+        + np.arange(n, dtype=np.int64) * 1000,  # regular timestamps
         ("double", "one_value"): np.full(n, 100.0),
         ("double", "dict"): np.tile(rng.uniform(-1e6, 1e6, 255), n // 255 + 1)[:n],
         ("double", "rle"): runs.astype(np.float64),

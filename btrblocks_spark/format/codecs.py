@@ -42,7 +42,10 @@ import numpy as np
 
 from btrblocks_spark.format import fsst as _fsst
 
-INT_SCHEMES = ("uncompressed", "one_value", "truncation", "for", "delta", "bp", "pfor", "dict", "rle", "frequency")
+INT_SCHEMES = (
+    "uncompressed", "one_value", "truncation", "for", "delta", "bp", "pfor", "dict", "rle", "frequency",
+    "dod",  # beyond-reference: delta-of-delta (Gorilla timestamp scheme)
+)
 DOUBLE_SCHEMES = (
     "uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal",
     "double_bp", "max_exponent",  # legacy (scheme/double/DoubleBP.cpp, MaxExponent.cpp)
@@ -165,6 +168,19 @@ def encode_int(scheme: str, values: np.ndarray, mask: np.ndarray | None = None, 
         e.streams = {"first": int(filled[0]), "deltas": deltas}
         e.size_bytes = _int_stream_size(np.abs(deltas), depth - 1) + 16 + msize
 
+    elif scheme == "dod":
+        # beyond-reference: delta-of-delta for near-regularly-spaced series
+        # (Gorilla's timestamp compression): second differences of an
+        # arithmetic-progression-like column are ~zero, so the cascaded
+        # sub-stream collapses under RLE/BP. No sortedness requirement
+        # (unlike `delta`) — irregular steps just cost wider residuals.
+        d1 = np.diff(filled, prepend=filled[0])
+        d1[0] = 0
+        d2 = np.diff(d1, prepend=d1[0])
+        d2[0] = 0
+        e.streams = {"first": int(filled[0]), "first_delta": int(d1[0] if n > 1 else 0), "dod": d2}
+        e.size_bytes = _int_stream_size(np.abs(d2), depth - 1) + 24 + msize
+
     elif scheme in ("bp", "pfor"):
         lo = int(filled.min())
         resid = filled - lo
@@ -213,6 +229,10 @@ def encode_int(scheme: str, values: np.ndarray, mask: np.ndarray | None = None, 
 
 def decode_int(e: Encoded) -> np.ndarray:
     n, s = e.n, e.streams
+    if e.scheme == "dod":
+        d1 = np.cumsum(s["dod"])
+        out = np.cumsum(d1) + s["first"]
+        return out.astype(np.int64)
     if e.scheme == "uncompressed":
         return s["values"].copy()
     if e.scheme == "one_value":

@@ -180,3 +180,18 @@ def test_xor_single_value():
     enc = codecs.encode_double("xor", vals, np.ones(1, dtype=bool))
     out = codecs.decode_double(enc)
     np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+
+
+def test_dod_round_trip_and_compresses_regular_series():
+    """Delta-of-delta: exact round-trip on irregular data; near-regular
+    timestamps collapse to ~zero second differences (tiny modeled size)."""
+    rng = np.random.default_rng(7)
+    irregular = rng.integers(-(2**40), 2**40, 5000)
+    enc = codecs.encode_int("dod", irregular)
+    np.testing.assert_array_equal(codecs.decode_int(enc), irregular)
+
+    ts = 1_700_000_000_000 + np.arange(65536, dtype=np.int64) * 1000
+    ts[::100] += rng.integers(-5, 5, len(ts[::100]))  # jitter
+    enc = codecs.encode_int("dod", ts)
+    np.testing.assert_array_equal(codecs.decode_int(enc), ts)
+    assert enc.size_bytes < len(ts) * 4 * 0.1  # >10x vs int32 model
