@@ -1542,3 +1542,90 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_idx")
     )
+
+
+@register(
+    "events_conversion_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+w AS (
+  SELECT user_id, event_type, t,
+         min(CASE WHEN event_type = 'purchase' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+  FROM e
+),
+clicks AS (
+  SELECT CASE WHEN next_p IS NOT NULL AND next_p - t <= 3600000000
+              THEN 1 ELSE 0 END AS conv,
+         CASE WHEN next_p IS NOT NULL AND next_p - t <= 3600000000
+              THEN next_p - t END AS d
+  FROM w WHERE event_type = 'click'
+)
+SELECT count(*)::BIGINT AS n_clicks,
+       SUM(conv)::BIGINT AS n_converted,
+       round(SUM(conv) / CAST(count(*) AS DOUBLE), 6) AS conversion_rate,
+       round(SUM(d) / CAST(SUM(conv) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6)
+         AS avg_delay_sec
+FROM clicks
+""",
+)
+def events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion: fraction of clicks followed by the same
+    user's purchase within ONE HOUR, plus the exact average delay — the
+    windowed-attribution KPI (events_funnel orders steps without a time
+    bound; interval_join is the streaming twin of exactly this).
+
+    The next-purchase lookup is a conditional MIN over a forward ROWS
+    frame in the per-user event order (t, event_id unique) — one shuffle
+    on user_id, no range self-join. Delays are exact integer microseconds;
+    the two divisions run once on the final one-row aggregate.
+
+    Scale: the filtered union of clicks+purchases shuffles once by
+    user_id; everything after is map-side."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id", "event_id", "event_type", F.expr("ts div 1000").alias("t")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("t"))
+    ).over(w)
+    clicks = (
+        e.select("event_type", "t", next_p.alias("next_p"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.when(
+                F.col("next_p").isNotNull()
+                & (F.col("next_p") - F.col("t") <= 3600000000),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv"),
+            F.when(
+                F.col("next_p").isNotNull()
+                & (F.col("next_p") - F.col("t") <= 3600000000),
+                F.col("next_p") - F.col("t"),
+            ).alias("d"),
+        )
+    )
+    return clicks.agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.round(F.sum("conv") / F.count("*").cast("double"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(
+            F.sum("d") / F.sum("conv").cast("double") / F.lit(1000000.0), 6
+        ).alias("avg_delay_sec"),
+    )
