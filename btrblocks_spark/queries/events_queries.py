@@ -1629,3 +1629,73 @@ def events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d") / F.sum("conv").cast("double") / F.lit(1000000.0), 6
         ).alias("avg_delay_sec"),
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_GAP_US}
+                OR lag(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT user_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_sessions,
+       SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+       round(SUM(n_events) / CAST(count(*) AS DOUBLE), 6) AS avg_session_events
+FROM per_session
+""",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over gap-based sessions (single-event sessions / all
+    sessions) plus mean session depth — the engagement KPI layered on the
+    events_sessionize machinery, all integer counts until two final
+    divisions.
+
+    Scale: the same single user_id-partitioned window chain as
+    sessionize; the per-session rollup and the one-row summary are
+    map-side-combinable aggregations."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounces"),
+        F.round(bounce / F.count("*").cast("double"), 6).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count("*").cast("double"), 6).alias(
+            "avg_session_events"
+        ),
+    )

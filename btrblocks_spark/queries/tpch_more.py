@@ -675,3 +675,57 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT pk, SUM(q) AS qt, SUM(q * q) AS sq2, count(*) AS n_suppliers
+  FROM sq GROUP BY pk
+)
+SELECT pk AS partkey, n_suppliers::BIGINT AS n_suppliers, qt::BIGINT AS total_qty,
+       round(sq2 / CAST(qt * qt AS DOUBLE), 6) AS hhi
+FROM tot
+WHERE n_suppliers >= 2
+ORDER BY hhi DESC, partkey
+LIMIT 15
+""",
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration index per part: the Herfindahl-Hirschman index
+    of supplier quantity shares, HHI = Σ(qᵢ/Q)² = Σqᵢ²/Q² — the
+    sourcing-risk metric (1.0 = single supplier; 1/n = evenly split).
+    Top-15 most concentrated multi-supplier parts.
+
+    Exactness: quantities are integers, so Σqᵢ² and Q² are exact; ONE
+    double division per part at the end. Two map-side-combinable rollups
+    ((part, supplier) then part), top-k via TakeOrderedAndProject."""
+    sq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    tot = sq.groupBy("pk").agg(
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.count("*").alias("n_suppliers"),
+    )
+    return (
+        tot.filter(F.col("n_suppliers") >= 2)
+        .select(
+            F.col("pk").alias("partkey"),
+            F.col("n_suppliers").cast("long"),
+            F.col("qt").cast("long").alias("total_qty"),
+            F.round(
+                F.col("sq2") / (F.col("qt") * F.col("qt")).cast("double"), 6
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "partkey")
+        .limit(15)
+    )
