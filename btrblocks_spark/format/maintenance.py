@@ -54,6 +54,46 @@ def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame
     return spark.read.parquet(path)
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed between snapshot read and commit attempt."""
+
+
+def _claim_and_commit(table_dir: str, base_v: int | None, write_fn) -> int:
+    """Optimistic concurrency control for version commits: atomically CLAIM
+    the next version number by creating its directory (os.mkdir is atomic —
+    a concurrent writer claiming the same number loses the race and
+    retries), run ``write_fn(version_dir)``, then re-check that ``_latest``
+    still points at the base the writer computed FROM before swapping the
+    pointer. A moved pointer means a concurrent commit landed first: the
+    claimed directory is torn down and CommitConflictError raised — the
+    caller re-reads the snapshot and retries (classic lakehouse OCC; the
+    serialization point is the tiny pointer file, never the data)."""
+    next_v = (_versions(table_dir) or [-1])[-1] + 1
+    vdir = os.path.join(table_dir, f"v={next_v}")
+    while True:
+        try:
+            os.mkdir(vdir)
+            break
+        except FileExistsError:
+            next_v += 1
+            vdir = os.path.join(table_dir, f"v={next_v}")
+    try:
+        write_fn(vdir)
+        if _latest_version(table_dir) != base_v:
+            raise CommitConflictError(
+                f"base version {base_v} superseded by "
+                f"{_latest_version(table_dir)}; retry on the new snapshot"
+            )
+        tmp = os.path.join(table_dir, "_latest.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(next_v))
+        os.replace(tmp, os.path.join(table_dir, "_latest"))
+        return next_v
+    except CommitConflictError:
+        shutil.rmtree(vdir, ignore_errors=True)
+        raise
+
+
 def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
     """Row-level DELETE as a copy-on-write version commit: write a new
     version holding ``NOT predicate`` (null-safe: rows where the predicate
@@ -64,14 +104,13 @@ def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
     current = read_snapshot(spark, table_dir)
     if current is None:
         raise ValueError(f"no committed table at {table_dir}")
+    base_v = _latest_version(table_dir)
     keep = current.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     deleted = current.count() - keep.count()
-    next_v = (_versions(table_dir) or [-1])[-1] + 1
-    keep.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
-    tmp = os.path.join(table_dir, "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(next_v))
-    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    next_v = _claim_and_commit(
+        table_dir, base_v,
+        lambda vdir: keep.write.mode("overwrite").parquet(vdir),
+    )
     return {"version": next_v, "deleted_rows": int(deleted)}
 
 
@@ -100,12 +139,11 @@ def update_where(
         ]
     )
     n_updated = current.filter(hit).count()
-    next_v = (_versions(table_dir) or [-1])[-1] + 1
-    updated.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
-    tmp = os.path.join(table_dir, "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(next_v))
-    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    base_v = _latest_version(table_dir)
+    next_v = _claim_and_commit(
+        table_dir, base_v,
+        lambda vdir: updated.write.mode("overwrite").parquet(vdir),
+    )
     return {"version": next_v, "updated_rows": int(n_updated)}
 
 
@@ -538,12 +576,11 @@ def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
         raise ValueError(f"no committed table at {table_dir}")
     n_new = rows.count()
     merged = current.unionByName(rows)
-    next_v = (_versions(table_dir) or [-1])[-1] + 1
-    merged.write.mode("overwrite").parquet(os.path.join(table_dir, f"v={next_v}"))
-    tmp = os.path.join(table_dir, "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(next_v))
-    os.replace(tmp, os.path.join(table_dir, "_latest"))
+    base_v = _latest_version(table_dir)
+    next_v = _claim_and_commit(
+        table_dir, base_v,
+        lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+    )
     return {"version": next_v, "inserted_rows": int(n_new)}
 
 

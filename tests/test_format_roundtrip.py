@@ -806,3 +806,43 @@ def test_optimize_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
     # rows survive exactly (zkey column travels with the table)
     got = spark.read.parquet(dst + "/data").drop("_idx", "zkey")
     assert got.exceptAll(orders).isEmpty() and orders.exceptAll(got).isEmpty()
+
+
+def test_occ_commit_conflict_detected(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: a commit whose base snapshot was superseded
+    mid-write raises CommitConflictError, tears down its claimed version
+    dir, and leaves the winner's commit intact."""
+    import os
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.maintenance import (
+        CommitConflictError,
+        _claim_and_commit,
+        delete_where,
+    )
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "occ")
+    os.makedirs(table_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    def racing_write(vdir):
+        # a concurrent writer lands a full commit while we are writing
+        delete_where(spark, table_dir, "n_nationkey = 0")
+        nation.limit(5).write.mode("overwrite").parquet(vdir)
+
+    with _pytest.raises(CommitConflictError):
+        _claim_and_commit(table_dir, 0, racing_write)
+
+    # winner's commit visible; loser's claimed dir removed
+    snap = read_snapshot(spark, table_dir)
+    assert snap.count() == nation.count() - 1
+    dirs = sorted(d for d in os.listdir(table_dir) if d.startswith("v="))
+    assert dirs == ["v=0", "v=2"]  # loser claimed v=1? no: winner claimed v=1
+    # normal sequential commits still work after a conflict
+    res = delete_where(spark, table_dir, "n_nationkey = 1")
+    assert res["deleted_rows"] == 1
