@@ -115,3 +115,37 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes"])
 
     return media.mapInPandas(run, schema)
+
+
+def audio_windows_stub(
+    media: DataFrame, window_bytes: int = 1024, hop_bytes: int = 512
+) -> DataFrame:
+    """Audio-modality plumbing: slice each binary payload into overlapping
+    fixed-size windows (the STFT-frame access pattern) and compute a
+    deterministic per-window energy (sum of byte values — the stand-in for
+    RMS until an audio library decodes real samples; the windowing,
+    overlap, batch fan-out, and schema are the real, tested parts).
+
+    Scale: narrow mapInPandas — each payload windows independently,
+    no shuffle; fan-out is len/hop rows per document."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "start": [], "win_len": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, start in enumerate(range(0, len(b), hop_bytes)):
+                    w = b[start : start + window_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(idx)
+                    out["start"].append(start)
+                    out["win_len"].append(len(w))
+                    out["energy"].append(
+                        int(np.frombuffer(w, dtype=np.uint8).astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, window_idx int, start long, win_len int, energy long"
+    )

@@ -2883,3 +2883,36 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.text import learn_bpe
 
     return learn_bpe(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+starts AS (
+  SELECT doc_id, text, CAST(s AS BIGINT) AS start,
+         CAST(s // 512 AS INTEGER) AS window_idx
+  FROM m, unnest(range(0, n, 512)) AS t(s)
+),
+win AS (
+  SELECT doc_id, window_idx, start, substr(text, start + 1, 1024) AS w
+  FROM starts
+)
+SELECT doc_id, window_idx, start,
+       CAST(length(w) AS INTEGER) AS win_len,
+       (SELECT COALESCE(SUM(ascii(c)), 0)
+        FROM unnest(string_split(w, '')) AS u(c))::BIGINT AS energy
+FROM win
+""",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1 KiB windows with 512 B hop over audio-like binary
+    payloads (multimodal.audio_windows_stub), per-window byte-sum energy —
+    the audio counterpart of multimodal_frame_sample. Payloads are the
+    utf-8 (ASCII) text bytes, so the oracle reproduces every window as a
+    text slice and sums codepoints: the WINDOW BYTES and their reduction
+    are compared cross-engine, not just shapes."""
+    from btrblocks_spark.pipeline.multimodal import attach_payload, audio_windows_stub
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return audio_windows_stub(media)
