@@ -366,6 +366,46 @@ def add_column(path: str, name: str, sql_type: str, default=None) -> dict:
     return {"column": name, "type": sql_type, "default": default}
 
 
+def drop_column(path: str, name: str) -> dict:
+    """Schema evolution: remove a column from the declared schema — pure
+    metadata, no data rewrite (stored bytes become dead until the next
+    compaction rewrites files; readers never see the column again)."""
+    import json
+
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    if not any(c["name"] == name for c in meta["schema"]):
+        raise ValueError(f"column {name!r} not in schema")
+    meta["schema"] = [c for c in meta["schema"] if c["name"] != name]
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, default=str)
+    return {"dropped": name}
+
+
+def rename_column(path: str, old: str, new: str) -> dict:
+    """Schema evolution: rename a column — metadata-only. The sidecar entry
+    keeps ``stored_as`` pointing at the physical name so pre-rename files
+    resolve by projection; repeated renames chase the original physical
+    name (files are immutable, so the physical name never changes)."""
+    import json
+
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    if any(c["name"] == new for c in meta["schema"]):
+        raise ValueError(f"column {new!r} already exists")
+    hit = [c for c in meta["schema"] if c["name"] == old]
+    if not hit:
+        raise ValueError(f"column {old!r} not in schema")
+    entry = hit[0]
+    entry["stored_as"] = entry.get("stored_as") or old
+    entry["name"] = new
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, default=str)
+    return {"renamed": old, "to": new, "stored_as": entry["stored_as"]}
+
+
 def read_table_evolved(spark: SparkSession, path: str):
     """Scan honoring schema evolution: files written before an
     ``add_column`` get that column filled with its declared default; files
@@ -382,7 +422,10 @@ def read_table_evolved(spark: SparkSession, path: str):
 
     meta = read_metadata(path)
     data_dir = os.path.join(path, "data")
-    declared = [(c["name"], c["type"], c.get("default")) for c in meta["schema"]]
+    declared = [
+        (c["name"], c["type"], c.get("default"), c.get("stored_as"))
+        for c in meta["schema"]
+    ]
     files = sorted(
         os.path.join(r, f)
         for r, _s, fs in os.walk(data_dir)
@@ -397,13 +440,19 @@ def read_table_evolved(spark: SparkSession, path: str):
     out = None
     for names, paths in sorted(by_cols.items(), key=lambda kv: kv[1][0]):
         part = spark.read.parquet(*paths)
-        for col, typ, default in declared:
-            if col not in names:
+        for col, typ, default, stored_as in declared:
+            if col in names:
+                continue
+            if stored_as and stored_as in names:
+                # renamed column: files from before the rename store it
+                # under the old name — pure projection, no rewrite
+                part = part.withColumn(col, F.col(stored_as))
+            else:
                 part = part.withColumn(col, F.lit(default).cast(typ))
-        part = part.select([c for c, _t, _d in declared])
+        part = part.select([c for c, _t, _d, _s in declared])
         out = part if out is None else out.unionByName(part)
     if out is None:
-        schema = ", ".join(f"{c} {t}" for c, t, _d in declared)
+        schema = ", ".join(f"{c} {t}" for c, t, _d, _s in declared)
         out = spark.createDataFrame([], schema)
     return out, meta
 

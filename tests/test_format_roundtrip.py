@@ -846,3 +846,36 @@ def test_occ_commit_conflict_detected(spark, sf_dir, tmp_path):
     # normal sequential commits still work after a conflict
     res = delete_where(spark, table_dir, "n_nationkey = 1")
     assert res["deleted_rows"] == 1
+
+
+def test_schema_evolution_drop_and_rename(spark, sf_dir, tmp_path):
+    """DROP and RENAME are metadata-only: dropped columns vanish from the
+    evolved scan, renamed columns resolve old files by projection, and a
+    rename chained after a rename still chases the physical name."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.maintenance import (
+        drop_column,
+        read_table_evolved,
+        rename_column,
+    )
+    from btrblocks_spark.format.writer import write_table
+
+    path = str(tmp_path / "evo")
+    nation = load_table(spark, sf_dir, "nation")
+    write_table(nation, path, ["n_nationkey"], DEFAULT_CONFIG.with_(block_size=8))
+
+    drop_column(path, "n_regionkey")
+    rename_column(path, "n_name", "nation_name")
+    rename_column(path, "nation_name", "name_final")
+
+    df, meta = read_table_evolved(spark, path)
+    assert set(df.columns) == {"n_nationkey", "name_final"}
+    got = sorted((r["n_nationkey"], r["name_final"]) for r in df.collect())
+    exp = sorted((r["n_nationkey"], r["n_name"]) for r in nation.collect())
+    assert got == exp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drop_column(path, "n_regionkey")  # already gone
+    with _pytest.raises(ValueError):
+        rename_column(path, "name_final", "n_nationkey")  # exists
