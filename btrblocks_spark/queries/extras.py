@@ -900,3 +900,88 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "scalar_string_advanced",
+    oracle="""
+SELECT n_name,
+       upper(substr(n_name, 1, 3)) AS prefix3,
+       reverse(n_name) AS rev,
+       lpad(n_name, 12, '.') AS padded,
+       replace(n_name, 'A', '@') AS subst,
+       repeat(substr(n_name, 1, 1), 3) AS tripled,
+       split_part(n_name, 'A', 1) AS first_part,
+       levenshtein(n_name, 'ALGERIA')::BIGINT AS lev_to_algeria,
+       length(translate(n_name, 'AEIOU', '')) AS n_consonants
+FROM nation
+ORDER BY n_name
+""",
+)
+def scalar_string_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining string-scalar surface (SURVEY §2b scalar fns) checked
+    for Spark/DuckDB parity: substr/upper, reverse, lpad, replace, repeat,
+    split_part, levenshtein, translate — every function evaluated
+    identically by both engines on the nation names.
+
+    Scale: pure narrow projection, whole-stage codegen, zero shuffles
+    beyond the final 25-row sort."""
+    n = load_table(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        name.alias("n_name"),
+        F.upper(F.substring(name, 1, 3)).alias("prefix3"),
+        F.reverse(name).alias("rev"),
+        F.lpad(name, 12, ".").alias("padded"),
+        F.regexp_replace(name, "A", "@").alias("subst"),
+        F.repeat(F.substring(name, 1, 1), 3).alias("tripled"),
+        F.split_part(name, F.lit("A"), F.lit(1)).alias("first_part"),
+        F.levenshtein(name, F.lit("ALGERIA")).cast("long").alias("lev_to_algeria"),
+        F.length(F.translate(name, "AEIOU", "")).alias("n_consonants"),
+    ).orderBy("n_name")
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         nullif(round(l_discount * 100), 0) AS d100,
+         nullif(round(l_tax * 100), 0) AS t100
+  FROM lineitem
+)
+SELECT SUM(CASE WHEN d100 IS NOT DISTINCT FROM t100 THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_safe_eq,
+       SUM(CASE WHEN d100 IS DISTINCT FROM t100 THEN 1 ELSE 0 END)::BIGINT
+         AS n_distinct,
+       SUM(CASE WHEN d100 = t100 THEN 1 ELSE 0 END)::BIGINT AS n_plain_eq,
+       SUM(CASE WHEN d100 IS NULL AND t100 IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_both_null
+FROM t
+""",
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality semantics (IS [NOT] DISTINCT FROM / Spark <=>):
+    NULLIF fabricates NULLs deterministically (zero discount/tax → NULL),
+    then the four counts pin the three-valued-logic contract — plain ``=``
+    skips NULL pairs, null-safe equality counts them (n_null_safe_eq =
+    n_plain_eq + n_both_null).
+
+    Scale: one scan, map-side-combinable one-row aggregate."""
+    t = load_table(spark, sf_dir, "lineitem").select(
+        F.nullif(F.round(F.col("l_discount") * 100), F.lit(0.0)).alias("d100"),
+        F.nullif(F.round(F.col("l_tax") * 100), F.lit(0.0)).alias("t100"),
+    )
+    d, x = F.col("d100"), F.col("t100")
+    return t.agg(
+        F.sum(F.when(d.eqNullSafe(x), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_safe_eq"),
+        F.sum(F.when(~d.eqNullSafe(x), 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct"),
+        F.sum(F.when(d == x, 1).otherwise(0)).cast("long").alias("n_plain_eq"),
+        F.sum(F.when(d.isNull() & x.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_null"),
+    )
