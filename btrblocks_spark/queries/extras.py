@@ -985,3 +985,50 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_both_null"),
     )
+
+
+@register(
+    "scalar_array_hof",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))::BIGINT
+         AS positive_dims,
+       list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))::BIGINT
+         AS sum_scaled,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6)
+         AS max_abs,
+       (len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.25)) > 0)
+         AS any_gt_quarter,
+       (len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2.0)) = 0)
+         AS all_within_2
+FROM embeddings
+WHERE vec_id < 50
+ORDER BY vec_id
+""",
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    lambda-expression surface (transform / filter / aggregate / exists /
+    forall) checked for cross-engine parity: per-dim sums fold as exact
+    scaled longs (left-fold order is identical in both engines), the rest
+    are order-independent reductions.
+
+    Scale: pure narrow projection over the array column — all lambdas run
+    JVM-side inside codegen, no Python, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.expr("transform(embedding, x -> cast(x as double))")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("positive_dims"),
+        F.aggregate(
+            F.transform(v, lambda x: F.round(x * 1000000).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
+        F.exists(v, lambda x: x > 0.25).alias("any_gt_quarter"),
+        F.forall(v, lambda x: F.abs(x) <= 2.0).alias("all_within_2"),
+    ).orderBy("vec_id")
