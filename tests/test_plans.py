@@ -538,3 +538,37 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+
+
+def test_result_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    """Result cache: second identical call is a hit (compute not invoked);
+    touching an input file invalidates; results equal the live query."""
+    import os
+    import time as _time
+
+    from btrblocks_spark.queries.result_cache import cached_result
+
+    calls = {"n": 0}
+    inp = os.path.join(sf_dir, "nation.parquet")
+
+    def compute():
+        calls["n"] += 1
+        return (
+            load_table(spark, sf_dir, "nation")
+            .groupBy("n_regionkey")
+            .count()
+        )
+
+    root = str(tmp_path / "rc")
+    r1, hit1 = cached_result(spark, "nation_by_region", [inp], compute, root)
+    rows1 = sorted(tuple(r) for r in r1.collect())
+    r2, hit2 = cached_result(spark, "nation_by_region", [inp], compute, root)
+    assert (hit1, hit2) == (False, True)
+    assert calls["n"] == 1
+    assert sorted(tuple(r) for r in r2.collect()) == rows1
+
+    # input mtime change invalidates
+    _time.sleep(0.01)
+    os.utime(inp)
+    _r3, hit3 = cached_result(spark, "nation_by_region", [inp], compute, root)
+    assert hit3 is False and calls["n"] == 2
