@@ -10,6 +10,7 @@ balance corpus mixes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from btrblocks_spark.queries import register
 from btrblocks_spark.tables import load_table
@@ -122,3 +123,32 @@ def q_domain_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.curation import domain_entropy
 
     return domain_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_CARD_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_DATASET_CARD_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, count(*)::BIGINT AS n_rows FROM {t}"
+    for t in _CARD_TABLES
+) + "\nORDER BY table_name"
+
+
+@register("quality_dataset_card", _DATASET_CARD_ORACLE)
+def quality_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: one row per table with its row count — the catalog
+    overview a data consumer reads first (and the cheapest cross-table
+    freshness check: any ingest/delete changes a count).
+
+    Scale: ten independent count jobs, each a metadata-cheap scan; at
+    100 TB every count comes from format sidecars/footers
+    (format_metadata_only_agg shows that path) rather than data reads."""
+    parts = None
+    for t in _CARD_TABLES:
+        row = load_table(spark, sf_dir, t).agg(
+            F.count("*").cast("long").alias("n_rows")
+        ).select(F.lit(t).alias("table_name"), "n_rows")
+        parts = row if parts is None else parts.unionAll(row)
+    return parts.orderBy("table_name")
