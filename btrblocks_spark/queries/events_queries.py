@@ -1699,3 +1699,58 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_session_events"
         ),
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id FROM events
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM du),
+expanded AS (
+  SELECT d + g AS target_d, user_id
+  FROM du, unnest(range(0, 7)) AS t(g)
+),
+wau AS (
+  SELECT target_d, count(DISTINCT user_id) AS active_7d
+  FROM expanded GROUP BY 1
+)
+SELECT target_d::BIGINT AS day_idx, active_7d::BIGINT AS active_7d
+FROM wau, bounds WHERE target_d BETWEEN lo AND hi
+ORDER BY day_idx
+""",
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day active users per day — the windowed distinct
+    that has no native window form (count DISTINCT over a sliding frame
+    isn't mergeable): each (day, user) activity row replicates to the 7
+    target days it supports, then a plain per-day distinct count runs —
+    bounded 7x fan-out of the REDUCED day×user table, never the raw
+    events, and no global window anywhere.
+
+    Scale: one dedup shuffle to day×user, one explode (narrow, 7x), one
+    count-distinct shuffle. The HLL-sketch variant (stats_hll_sketch_union)
+    replaces the second shuffle with mergeable partials when approximate
+    is acceptable."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("ts div 86400000000000").alias("d"), "user_id")
+        .distinct()
+    )
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    expanded = du.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("g")
+    ).select((F.col("d") + F.col("g")).alias("target_d"), "user_id")
+    wau = expanded.groupBy("target_d").agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+    return (
+        wau.crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_d").between(F.col("lo"), F.col("hi")))
+        .select(
+            F.col("target_d").cast("long").alias("day_idx"),
+            F.col("active_7d").cast("long"),
+        )
+        .orderBy("day_idx")
+    )
