@@ -2916,3 +2916,84 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_payload(load_table(spark, sf_dir, "documents"))
     return audio_windows_stub(media)
+
+
+@register(
+    "curation_padding_waste",
+    oracle=f"""
+WITH {_TOKS},
+dl AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+b AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 64 THEN 0 WHEN n_tok <= 128 THEN 1
+              WHEN n_tok <= 256 THEN 2 WHEN n_tok <= 512 THEN 3
+              ELSE 4 END AS bucket
+  FROM dl
+),
+per AS (
+  SELECT bucket, count(*) AS n_docs, SUM(n_tok) AS sum_tok, MAX(n_tok) AS max_tok
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT count(*) AS n, SUM(n_tok) AS s, MAX(n_tok) AS m FROM dl)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_docs::BIGINT AS n_docs,
+       sum_tok::BIGINT AS sum_tok, max_tok::BIGINT AS max_tok,
+       (n_docs * max_tok - sum_tok)::BIGINT AS padding_waste,
+       round((n_docs * max_tok - sum_tok) / CAST(n_docs * max_tok AS DOUBLE), 6)
+         AS waste_frac,
+       (SELECT (n * m - s)::BIGINT FROM tot) AS unbucketed_waste
+FROM per ORDER BY bucket
+""",
+)
+def q_curation_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed training batches: with
+    docs padded to their bucket's max length, how many pad tokens does each
+    bucket burn, vs the single-bucket (pad-everything-to-global-max)
+    baseline carried on every row — the measurement behind choosing bucket
+    boundaries for curation.training_batches.
+
+    Exact integers end-to-end (token counts); one token-count rollup, one
+    tiny bucket aggregate, a 1-row broadcast for the baseline."""
+    dl = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= 64, 0)
+        .when(F.col("n_tok") <= 128, 1)
+        .when(F.col("n_tok") <= 256, 2)
+        .when(F.col("n_tok") <= 512, 3)
+        .otherwise(4)
+    )
+    per = (
+        dl.select(bucket.alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+    tot = dl.agg(
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("long")
+        .alias("unbucketed_waste")
+    )
+    waste = F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("sum_tok").cast("long"),
+            F.col("max_tok").cast("long"),
+            waste.cast("long").alias("padding_waste"),
+            F.round(
+                waste / (F.col("n_docs") * F.col("max_tok")).cast("double"), 6
+            ).alias("waste_frac"),
+            "unbucketed_waste",
+        )
+        .orderBy("bucket")
+    )
