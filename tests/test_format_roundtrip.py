@@ -879,3 +879,49 @@ def test_schema_evolution_drop_and_rename(spark, sf_dir, tmp_path):
         drop_column(path, "n_regionkey")  # already gone
     with _pytest.raises(ValueError):
         rename_column(path, "name_final", "n_nationkey")  # exists
+
+
+def test_catalog_cross_table_snapshot(spark, sf_dir, tmp_path):
+    """Multi-table catalog: a two-table commit is atomic (a reader pinned
+    to the old snapshot sees BOTH old versions, a new reader both new);
+    CAS rejects a stale-snapshot commit."""
+    import os
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.catalog import (
+        commit_tables,
+        read_catalog,
+        read_table_at_snapshot,
+    )
+    from btrblocks_spark.format.maintenance import CommitConflictError
+
+    cat = str(tmp_path / "cat")
+    dirs = {}
+    for t in ("nation", "region"):
+        d = str(tmp_path / t)
+        os.makedirs(d)
+        load_table(spark, sf_dir, t).write.parquet(d + "/v=0")
+        dirs[t] = d
+    commit_tables(cat, {"nation": 0, "region": 0})
+    old_snap = read_catalog(cat)
+
+    # new versions of both tables land in ONE commit
+    for t in ("nation", "region"):
+        load_table(spark, sf_dir, t).limit(2).write.parquet(dirs[t] + "/v=1")
+    commit_tables(cat, {"nation": 1, "region": 1},
+                  expected_snapshot_id=old_snap["snapshot_id"])
+
+    # pinned reader: consistent OLD pair
+    n_old = read_table_at_snapshot(spark, cat, dirs, "nation", old_snap).count()
+    r_old = read_table_at_snapshot(spark, cat, dirs, "region", old_snap).count()
+    assert (n_old, r_old) == (25, 5)
+    # fresh reader: consistent NEW pair
+    snap = read_catalog(cat)
+    assert read_table_at_snapshot(spark, cat, dirs, "nation", snap).count() == 2
+    assert read_table_at_snapshot(spark, cat, dirs, "region", snap).count() == 2
+
+    # stale CAS rejected
+    with _pytest.raises(CommitConflictError):
+        commit_tables(cat, {"nation": 0},
+                      expected_snapshot_id=old_snap["snapshot_id"])
