@@ -1754,3 +1754,160 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@register(
+    "events_threshold_alerts",
+    oracle="""
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+th AS (
+  SELECT event_type, SUM(n) AS tot, count(*) AS n_hours FROM h GROUP BY 1
+),
+marked AS (
+  SELECT h.event_type, hr, n,
+         CASE WHEN n * n_hours > 2 * tot THEN 1 ELSE 0 END AS hot
+  FROM h JOIN th USING (event_type)
+),
+trans AS (
+  SELECT event_type, hr, hot,
+         lag(hot) OVER (PARTITION BY event_type ORDER BY hr) AS prev_hot
+  FROM marked
+)
+SELECT event_type,
+       SUM(CASE WHEN hot = 1 AND COALESCE(prev_hot, 0) = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_alerts_fired,
+       SUM(CASE WHEN hot = 0 AND prev_hot = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_alerts_cleared,
+       SUM(hot)::BIGINT AS n_hot_hours,
+       count(*)::BIGINT AS n_hours
+FROM trans GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-crossing alert detection: an hour is HOT when its volume
+    exceeds 2x the type's mean hourly rate (integer cross-multiplied — no
+    division), and an alert FIRES on the cold→hot edge, CLEARS on hot→cold
+    — edge-triggered alerting (what a monitor pages on), not level
+    counting.
+
+    Scale: the lag window runs over the reduced per-type hourly table
+    (types x hours rows), partitioned by type; one raw shuffle total."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("ts div 3600000000000").alias("hr"))
+        .agg(F.count("*").alias("n"))
+    )
+    th = h.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_hours")
+    )
+    marked = h.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "hr",
+        F.when(F.col("n") * F.col("n_hours") > 2 * F.col("tot"), 1)
+        .otherwise(0)
+        .alias("hot"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    trans = marked.select(
+        "event_type", "hot", F.lag("hot").over(w).alias("prev_hot")
+    )
+    return (
+        trans.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("hot") == 1) & (F.coalesce("prev_hot", F.lit(0)) == 0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alerts_fired"),
+            F.sum(
+                F.when((F.col("hot") == 0) & (F.col("prev_hot") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alerts_cleared"),
+            F.sum("hot").cast("long").alias("n_hot_hours"),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_churn_features",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+mx AS (SELECT max(t) AS now_us FROM e),
+gaps AS (
+  SELECT user_id, t, t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM e
+),
+f AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         count(DISTINCT t // 86400000000) AS active_days,
+         max(t) AS last_t,
+         SUM(gap) AS gap_sum, count(gap) AS n_gaps
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events::BIGINT AS n_events,
+       active_days::BIGINT AS active_days,
+       ((now_us - last_t) // 86400000000)::BIGINT AS days_since_last,
+       CASE WHEN n_gaps > 0
+            THEN round(gap_sum / CAST(n_gaps AS DOUBLE) / 3600000000.0, 6) END
+         AS mean_gap_hours
+FROM f CROSS JOIN mx
+ORDER BY user_id
+LIMIT 50
+""",
+)
+def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn feature vector: event count, distinct active days,
+    recency (days since last event vs corpus max), mean inter-event gap —
+    the feature-engineering rollup a churn model trains on, every input an
+    exact integer until the final gap average.
+
+    Scale: ONE user_id shuffle feeds both the lag window and the rollup
+    (same partitioning, no second exchange); the corpus max is a 1-row
+    broadcast. 50-user sample output keeps the fixture small — the full
+    table is what a feature store would persist."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("t")
+    )
+    mx = e.agg(F.max("t").alias("now_us"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    gaps = e.select(
+        "user_id", "t", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    )
+    f = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.expr("t div 86400000000")).alias("active_days"),
+        F.max("t").alias("last_t"),
+        F.sum("gap").alias("gap_sum"),
+        F.count("gap").alias("n_gaps"),
+    )
+    return (
+        f.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long"),
+            F.col("active_days").cast("long"),
+            F.expr("(now_us - last_t) div 86400000000")
+            .cast("long")
+            .alias("days_since_last"),
+            F.when(
+                F.col("n_gaps") > 0,
+                F.round(
+                    F.col("gap_sum")
+                    / F.col("n_gaps").cast("double")
+                    / F.lit(3600000000.0),
+                    6,
+                ),
+            ).alias("mean_gap_hours"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
