@@ -1032,3 +1032,99 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(v, lambda x: x > 0.25).alias("any_gt_quarter"),
         F.forall(v, lambda x: F.abs(x) <= 2.0).alias("all_within_2"),
     ).orderBy("vec_id")
+
+
+@register(
+    "customer_ltv_cohorts",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey AS ck,
+         (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+          + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE))) AS m,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first_m AS (SELECT ck, MIN(m) AS cohort FROM om GROUP BY ck),
+rev AS (
+  SELECT cohort, om.m - cohort AS age, SUM(cents) AS rev_c,
+         count(DISTINCT om.ck) AS n_active
+  FROM om JOIN first_m USING (ck)
+  GROUP BY cohort, age
+),
+cum AS (
+  SELECT a.cohort, a.age, a.rev_c, a.n_active,
+         SUM(b.rev_c) AS cum_rev_c
+  FROM rev a JOIN rev b ON b.cohort = a.cohort AND b.age <= a.age
+  GROUP BY a.cohort, a.age, a.rev_c, a.n_active
+),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first_m GROUP BY cohort)
+SELECT CAST(cohort AS BIGINT) AS cohort_month,
+       CAST(age AS BIGINT) AS age_months,
+       n_active::BIGINT AS n_active,
+       round(cum_rev_c / CAST(100 AS DOUBLE), 2) AS cum_revenue,
+       round(cum_rev_c / CAST(cohort_size AS DOUBLE) / CAST(100 AS DOUBLE), 2)
+         AS ltv_per_customer
+FROM cum JOIN sizes USING (cohort)
+WHERE age <= 6
+ORDER BY cohort_month, age_months
+""",
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative revenue per acquisition-month cohort by
+    months-since-first-order (ages 0-6) and the per-customer LTV — the
+    revenue counterpart of events_cohort_retention.
+
+    Windowless cumulative: the (cohort, age) revenue table is bounded by
+    calendar-months², so the running sum is a triangular equi-self-join on
+    that reduced table (the repo's standard no-global-window cumulative);
+    revenue is exact summed cents with two final display divisions.
+
+    Scale: one per-(customer, month) rollup, broadcast first-order join,
+    tiny cohort-grid arithmetic."""
+    om = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first_m = om.groupBy("ck").agg(F.min("m").alias("cohort"))
+    rev = (
+        om.join(first_m, "ck")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age"))
+        .agg(
+            F.sum("cents").alias("rev_c"),
+            F.count_distinct("ck").alias("n_active"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = rev.select(
+        "cohort", "age", "rev_c", "n_active"
+    )
+    b = rev.select(
+        F.col("cohort").alias("cohort_b"),
+        F.col("age").alias("age_b"),
+        F.col("rev_c").alias("rev_b"),
+    )
+    cum = (
+        a.join(
+            b,
+            (F.col("cohort_b") == F.col("cohort")) & (F.col("age_b") <= F.col("age")),
+        )
+        .groupBy("cohort", "age", "rev_c", "n_active")
+        .agg(F.sum("rev_b").alias("cum_rev_c"))
+    )
+    sizes = first_m.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .filter(F.col("age") <= 6)
+        .select(
+            F.col("cohort").cast("long").alias("cohort_month"),
+            F.col("age").cast("long").alias("age_months"),
+            F.col("n_active").cast("long"),
+            F.round(F.col("cum_rev_c") / F.lit(100.0), 2).alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev_c") / F.col("cohort_size").cast("double") / F.lit(100.0),
+                2,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
