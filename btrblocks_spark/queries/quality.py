@@ -152,3 +152,48 @@ def quality_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("table_name"), "n_rows")
         parts = row if parts is None else parts.unionAll(row)
     return parts.orderBy("table_name")
+
+
+@register(
+    "quality_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS grp
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*)::BIGINT AS n_groups,
+       SUM(grp)::BIGINT AS n_rows,
+       MIN(grp)::BIGINT AS min_group,
+       SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+       SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END)::BIGINT AS n_rows_at_risk,
+       round(SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END)
+             / CAST(SUM(grp) AS DOUBLE), 6) AS frac_at_risk
+FROM g
+""",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nationkey, mktsegment) quasi-identifier:
+    how many customers sit in equivalence classes smaller than k=5 — the
+    re-identification risk measure a privacy review runs before releasing
+    a dataset (rows in small groups need suppression or generalization).
+
+    Scale: one map-side-combinable groupBy on the quasi-identifier, one
+    tiny rollup; integer-exact with a single display division."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("grp"))
+    )
+    small = F.when(F.col("grp") < 5, F.col("grp")).otherwise(0)
+    return g.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("grp").cast("long").alias("n_rows"),
+        F.min("grp").cast("long").alias("min_group"),
+        F.sum(F.when(F.col("grp") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(small).cast("long").alias("n_rows_at_risk"),
+        F.round(F.sum(small) / F.sum("grp").cast("double"), 6).alias(
+            "frac_at_risk"
+        ),
+    )
