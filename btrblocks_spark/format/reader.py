@@ -175,3 +175,51 @@ def metadata_agg(path: str, columns: list[str] | None = None) -> list[dict]:
             {"column": name, "n_rows": n_rows, "n_nulls": n_nulls, "min": mn, "max": mx}
         )
     return out
+
+
+def sample_chunks(
+    spark: SparkSession, path: str, fraction: float, seed: int = 0
+) -> tuple[DataFrame, list[int]]:
+    """Chunk-granular table sample: deterministically keep ~``fraction`` of
+    chunks (xxhash of chunk id + seed, threshold on the hash — the same
+    RNG-free device as the RANDOM split strategy / stratified sampler) and
+    scan ONLY those, via the same ``_idx`` interval pushdown as
+    read_table_skipping.
+
+    This is TABLESAMPLE SYSTEM for the chunk format: I/O scales with the
+    fraction (whole chunks skip at the row-group level), unlike row-iid
+    Bernoulli sampling which still reads every byte. Chunks are
+    row-position slices of the write order, so on naturally-ordered data a
+    chunk sample behaves like a cluster sample — estimate accordingly
+    (run-correlated columns need more chunks for the same confidence).
+
+    Returns (DataFrame, kept chunk ids); deterministic for a given
+    (table, fraction, seed)."""
+    import hashlib
+
+    meta = read_metadata(path)
+    n = meta["num_chunks"]
+    bs = meta["block_size"]
+    threshold = int(fraction * (1 << 32))
+    keep = [
+        c
+        for c in range(n)
+        if int.from_bytes(
+            hashlib.blake2b(f"{seed}:{c}".encode(), digest_size=4).digest(), "big"
+        )
+        < threshold
+    ]
+    df = spark.read.parquet(os.path.join(path, "data"))
+    if not keep:
+        return df.filter(F.lit(False)).drop("_idx"), []
+    intervals: list[list[int]] = []
+    for c in keep:
+        if intervals and intervals[-1][1] == c:
+            intervals[-1][1] = c + 1
+        else:
+            intervals.append([c, c + 1])
+    cond = None
+    for a, b in intervals:
+        clause = (F.col("_idx") >= a * bs) & (F.col("_idx") < b * bs)
+        cond = clause if cond is None else cond | clause
+    return df.filter(cond).drop("_idx"), keep

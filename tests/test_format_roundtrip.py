@@ -925,3 +925,32 @@ def test_catalog_cross_table_snapshot(spark, sf_dir, tmp_path):
     with _pytest.raises(CommitConflictError):
         commit_tables(cat, {"nation": 0},
                       expected_snapshot_id=old_snap["snapshot_id"])
+
+
+def test_sample_chunks_deterministic_subset(spark, sf_dir, tmp_path):
+    """Chunk sampling reads only whole chunks, is deterministic per seed,
+    and row counts are exact multiples of chunk membership."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.reader import read_metadata, sample_chunks
+    from btrblocks_spark.format.writer import write_table
+
+    path = str(tmp_path / "samp")
+    orders = load_table(spark, sf_dir, "orders")
+    cfg = DEFAULT_CONFIG.with_(block_size=128)
+    write_table(orders, path, ["o_orderkey"], cfg, "orders")
+    meta = read_metadata(path)
+
+    df1, kept1 = sample_chunks(spark, path, 0.4, seed=7)
+    df2, kept2 = sample_chunks(spark, path, 0.4, seed=7)
+    assert kept1 == kept2 and 0 < len(kept1) < meta["num_chunks"]
+    assert df1.count() == df2.count()
+
+    # exact chunk membership: count equals sum of kept chunk sizes
+    n = meta["num_rows"]
+    bs = meta["block_size"]
+    expect = sum(min(bs, n - c * bs) for c in kept1)
+    assert df1.count() == expect
+
+    # different seed, different subset (overwhelmingly likely)
+    _df3, kept3 = sample_chunks(spark, path, 0.4, seed=8)
+    assert kept3 != kept1
