@@ -1911,3 +1911,54 @@ def events_churn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(50)
     )
+
+
+@register(
+    "events_multi_grain_rollup",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 3600000000000 AS hr,
+         epoch_ns(ts) // 86400000000000 AS dy
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN GROUPING(hr) = 0 THEN 'hour'
+            WHEN GROUPING(dy) = 0 THEN 'day'
+            ELSE 'total' END AS grain,
+       coalesce(hr, dy, -1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM e
+GROUP BY GROUPING SETS ((event_type, hr), (event_type, dy), (event_type))
+ORDER BY event_type, grain, bucket
+""",
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day + total rollups of the event stream in ONE aggregation
+    via GROUPING SETS — one scan and one shuffle produce every grain
+    (the hand-rolled alternative, hypertable_rollup, re-aggregates hourly
+    partials; this shows the declarative multi-grain form with
+    GROUPING() disambiguation).
+
+    Scale: Spark expands grouping sets map-side (each input row feeds all
+    three sets before the single exchange) — still one shuffle, output
+    bounded by hours+days+types."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 3600000000000").alias("hr"),
+        F.expr("ts div 86400000000000").alias("dy"),
+    )
+    e.createOrReplaceTempView("_mg_events")
+    return spark.sql(
+        """
+SELECT event_type,
+       CASE WHEN GROUPING(hr) = 0 THEN 'hour'
+            WHEN GROUPING(dy) = 0 THEN 'day'
+            ELSE 'total' END AS grain,
+       CAST(coalesce(hr, dy, -1) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM _mg_events
+GROUP BY GROUPING SETS ((event_type, hr), (event_type, dy), (event_type))
+ORDER BY event_type, grain, bucket
+"""
+    )
