@@ -1128,3 +1128,60 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@register(
+    "orders_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS t FROM c)
+SELECT CAST(digit AS BIGINT) AS digit, n::BIGINT AS n,
+       round(n / CAST(t AS DOUBLE), 6) AS observed_frac,
+       round(ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0), 6) AS benford_frac,
+       round(abs(n / CAST(t AS DOUBLE)
+                 - ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0)), 6)
+         AS abs_deviation
+FROM c CROSS JOIN tot
+ORDER BY digit
+""",
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order values: observed first-significant-
+    digit distribution vs the log10(1+1/d) expectation — the classic
+    forensic-accounting test (fabricated amounts drift from Benford;
+    natural multiplicative processes follow it).
+
+    Determinism: the first digit comes from the DECIMAL STRING of the
+    exact integer cents (integer-to-string is exact in every engine —
+    never double formatting); the Benford expectation is the identical
+    ln-expression tree on both sides, rounded at 6 dp.
+
+    Scale: one map-side-combinable 9-key rollup; the scalar total
+    broadcasts."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    dig = F.col("digit").cast("long")
+    benford = F.log(F.lit(1.0) + F.lit(1.0) / dig) / F.log(F.lit(10.0))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            dig.alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("observed_frac"),
+            F.round(benford, 6).alias("benford_frac"),
+            F.round(
+                F.abs(F.col("n") / F.col("t").cast("double") - benford), 6
+            ).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )
