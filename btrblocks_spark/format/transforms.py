@@ -238,3 +238,96 @@ def pseudodecimal_decode(encoded: DataFrame, col: str = "value") -> DataFrame:
             F.col("significand") / F.pow(F.lit(10.0), F.col("exponent")),
         ).alias(col),
     )
+
+
+def codec_encode_chunks(
+    df: DataFrame,
+    col: str,
+    kind: str,
+    scheme: str,
+    order: str,
+    block_size: int = 65536,
+) -> DataFrame:
+    """Distributed encode of ANY codec-family scheme (incl. pseudodecimal,
+    xor, dod — the kernels with no Parquet delegate): chunk the column
+    deterministically, run the numpy codec per chunk inside applyInPandas,
+    return one row per chunk carrying the pickled stream payload + modeled
+    size — the executor-side btr encode path (reference
+    Datablock::compress per InputChunk, compression/Datablock.cpp:54-148),
+    where the planner/microbench run the same kernels driver-side.
+
+    Scale: one chunk-id shuffle; each chunk encodes independently; the
+    output is O(chunks) rows of compressed payloads."""
+    import pickle
+
+    from btrblocks_spark.format.chunker import with_chunk_id
+
+    chunked = with_chunk_id(df.select(order, col), [order], block_size).select(
+        "_chunk", "_idx", F.col(col).alias("v")
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from btrblocks_spark.format import codecs
+
+        pdf = pdf.sort_values("_idx")
+        chunk = int(pdf["_chunk"].iloc[0])
+        vals = pdf["v"].to_numpy()
+        mask = pd.notna(pdf["v"]).to_numpy()
+        if kind == "int":
+            vals = pdf["v"].fillna(0).to_numpy(dtype=np.int64)
+        elif kind == "double":
+            vals = pdf["v"].fillna(0.0).to_numpy(dtype=np.float64)
+        else:
+            vals = pdf["v"].to_numpy(dtype=object)
+        enc = codecs.encode(kind, scheme, vals, mask)
+        blob = pickle.dumps((enc.streams, enc.mask), protocol=4)
+        return pd.DataFrame(
+            {
+                "chunk": [chunk],
+                "scheme": [scheme],
+                "n": [enc.n],
+                "size_bytes": [enc.size_bytes],
+                "blob": [blob],
+            }
+        )
+
+    return chunked.groupBy("_chunk").applyInPandas(
+        encode_group, "chunk long, scheme string, n long, size_bytes long, blob binary"
+    )
+
+
+def codec_decode_chunks(
+    encoded: DataFrame, kind: str, block_size: int = 65536
+) -> DataFrame:
+    """Inverse of codec_encode_chunks: decode every chunk's payload back to
+    (idx, value) rows — the distributed btr scan path for the kernel-only
+    schemes. Null positions are restored from the stored set-mask (the
+    reference's null-masked equality contract, storage/Chunk.cpp:48-96)."""
+    import pickle
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from btrblocks_spark.format import codecs
+
+        out = []
+        for _i, r in pdf.iterrows():
+            streams, mask = pickle.loads(r["blob"])
+            e = codecs.Encoded(
+                scheme=r["scheme"], n=int(r["n"]), streams=streams, mask=mask
+            )
+            vals = codecs.decode(kind, e)
+            base = int(r["chunk"]) * block_size
+            s = pd.Series(list(vals) if kind == "string" else vals)
+            s[~pd.Series(mask)] = None
+            out.append(
+                pd.DataFrame(
+                    {"idx": range(base, base + int(r["n"])), "value": s}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    vtype = {"int": "long", "double": "double", "string": "string"}[kind]
+    return encoded.groupBy("chunk").applyInPandas(
+        decode_group, f"idx long, value {vtype}"
+    )
