@@ -19,6 +19,7 @@ versions, never in-place edits:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -58,7 +59,9 @@ class CommitConflictError(RuntimeError):
     """Another writer committed between snapshot read and commit attempt."""
 
 
-def _claim_and_commit(table_dir: str, base_v: int | None, write_fn) -> int:
+def _claim_and_commit(
+    table_dir: str, base_v: int | None, write_fn, op_info: dict | None = None
+) -> int:
     """Optimistic concurrency control for version commits: atomically CLAIM
     the next version number by creating its directory (os.mkdir is atomic —
     a concurrent writer claiming the same number loses the race and
@@ -79,6 +82,11 @@ def _claim_and_commit(table_dir: str, base_v: int | None, write_fn) -> int:
             vdir = os.path.join(table_dir, f"v={next_v}")
     try:
         write_fn(vdir)
+        if op_info is not None:
+            # DESCRIBE HISTORY record: what produced this version (the
+            # Delta history analog, queryable via table_history)
+            with open(os.path.join(vdir, "_commit.json"), "w") as fh:
+                json.dump({"version": next_v, "base_version": base_v, **op_info}, fh)
         if _latest_version(table_dir) != base_v:
             raise CommitConflictError(
                 f"base version {base_v} superseded by "
@@ -92,6 +100,40 @@ def _claim_and_commit(table_dir: str, base_v: int | None, write_fn) -> int:
     except CommitConflictError:
         shutil.rmtree(vdir, ignore_errors=True)
         raise
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version with the operation
+    that produced it (op kind, predicate/columns, affected-row counts) —
+    read from the per-version ``_commit.json`` records; versions without
+    one (bootstrap writes) show op 'UNKNOWN'. Vacuumed versions disappear
+    with their directories, so history honesty matches retention."""
+    rows = []
+    for v in _versions(table_dir):
+        cpath = os.path.join(table_dir, f"v={v}", "_commit.json")
+        if os.path.exists(cpath):
+            with open(cpath) as fh:
+                info = json.load(fh)
+            rows.append(
+                (
+                    v,
+                    info.get("base_version"),
+                    info.get("op", "UNKNOWN"),
+                    json.dumps(
+                        {
+                            k: val
+                            for k, val in info.items()
+                            if k not in ("version", "base_version", "op")
+                        },
+                        sort_keys=True,
+                    ),
+                )
+            )
+        else:
+            rows.append((v, None, "UNKNOWN", "{}"))
+    return spark.createDataFrame(
+        rows, "version long, base_version long, op string, details string"
+    )
 
 
 def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
@@ -110,6 +152,7 @@ def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: keep.write.mode("overwrite").parquet(vdir),
+        op_info={"op": "DELETE", "predicate": predicate, "deleted_rows": int(deleted)},
     )
     return {"version": next_v, "deleted_rows": int(deleted)}
 
@@ -143,6 +186,12 @@ def update_where(
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: updated.write.mode("overwrite").parquet(vdir),
+        op_info={
+            "op": "UPDATE",
+            "predicate": predicate,
+            "columns": sorted(assignments),
+            "updated_rows": int(n_updated),
+        },
     )
     return {"version": next_v, "updated_rows": int(n_updated)}
 
@@ -629,6 +678,7 @@ def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: merged.write.mode("overwrite").parquet(vdir),
+        op_info={"op": "INSERT", "inserted_rows": int(n_new)},
     )
     return {"version": next_v, "inserted_rows": int(n_new)}
 

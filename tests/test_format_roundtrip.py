@@ -954,3 +954,35 @@ def test_sample_chunks_deterministic_subset(spark, sf_dir, tmp_path):
     # different seed, different subset (overwhelmingly likely)
     _df3, kept3 = sample_chunks(spark, path, 0.4, seed=8)
     assert kept3 != kept1
+
+
+def test_table_history_describes_commits(spark, sf_dir, tmp_path):
+    """DESCRIBE HISTORY: each DML commit records its op + affected rows,
+    readable as a DataFrame; the bootstrap version shows UNKNOWN."""
+    import json as _json
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where,
+        insert_rows,
+        table_history,
+        update_where,
+    )
+
+    table_dir = str(tmp_path / "hist")
+    os.makedirs(table_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    delete_where(spark, table_dir, "n_nationkey = 3")
+    update_where(spark, table_dir, "n_regionkey = 0", {"n_name": "upper(n_name)"})
+    insert_rows(spark, table_dir, nation.filter("n_nationkey = 3"))
+
+    h = {r["version"]: r for r in table_history(spark, table_dir).collect()}
+    assert h[0]["op"] == "UNKNOWN"
+    assert h[1]["op"] == "DELETE" and _json.loads(h[1]["details"])["deleted_rows"] == 1
+    assert h[2]["op"] == "UPDATE" and _json.loads(h[2]["details"])["columns"] == ["n_name"]
+    assert h[3]["op"] == "INSERT" and _json.loads(h[3]["details"])["inserted_rows"] == 1
+    assert all(h[v]["base_version"] == v - 1 for v in (1, 2, 3))
