@@ -102,6 +102,22 @@ def _claim_and_commit(
         raise
 
 
+def restore_version(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION: roll the table back by committing the
+    old version's rows as a NEW version (history stays linear and append-
+    only — the rollback itself is auditable in table_history, and the bad
+    versions remain time-travel readable until vacuumed; Delta RESTORE
+    semantics)."""
+    src = read_version(spark, table_dir, version)
+    base_v = _latest_version(table_dir)
+    next_v = _claim_and_commit(
+        table_dir, base_v,
+        lambda vdir: src.write.mode("overwrite").parquet(vdir),
+        op_info={"op": "RESTORE", "restored_from": int(version)},
+    )
+    return {"version": next_v, "restored_from": int(version)}
+
+
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version with the operation
     that produced it (op kind, predicate/columns, affected-row counts) —

@@ -986,3 +986,33 @@ def test_table_history_describes_commits(spark, sf_dir, tmp_path):
     assert h[2]["op"] == "UPDATE" and _json.loads(h[2]["details"])["columns"] == ["n_name"]
     assert h[3]["op"] == "INSERT" and _json.loads(h[3]["details"])["inserted_rows"] == 1
     assert all(h[v]["base_version"] == v - 1 for v in (1, 2, 3))
+
+
+def test_restore_version_rolls_back(spark, sf_dir, tmp_path):
+    """RESTORE commits the old rows as a new version: data equals the
+    restore point, history records the rollback, nothing is erased."""
+    import os
+
+    from btrblocks_spark.format.maintenance import (
+        delete_where,
+        restore_version,
+        table_history,
+    )
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "restore")
+    os.makedirs(table_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+
+    delete_where(spark, table_dir, "n_regionkey = 0")  # the "bad" commit
+    assert read_snapshot(spark, table_dir).count() < nation.count()
+
+    res = restore_version(spark, table_dir, 0)
+    assert res["version"] == 2
+    now = read_snapshot(spark, table_dir)
+    assert now.exceptAll(nation).isEmpty() and nation.exceptAll(now).isEmpty()
+    h = {r["version"]: r["op"] for r in table_history(spark, table_dir).collect()}
+    assert h[1] == "DELETE" and h[2] == "RESTORE"
