@@ -59,6 +59,44 @@ class CommitConflictError(RuntimeError):
     """Another writer committed between snapshot read and commit attempt."""
 
 
+class ConstraintViolationError(RuntimeError):
+    """A commit would write rows violating a declared CHECK constraint."""
+
+
+def add_check_constraint(table_dir: str, name: str, predicate: str) -> dict:
+    """Declare a CHECK constraint (SQL predicate every row must satisfy).
+    Enforced at COMMIT time by the DML verbs — a violating UPDATE/INSERT is
+    rejected before the pointer swap, so readers never observe invalid
+    rows (the write-side twin of the read-side constraint_audit)."""
+    path = os.path.join(table_dir, "_constraints.json")
+    cons = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            cons = json.load(fh)
+    cons[name] = predicate
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+    os.replace(tmp, path)
+    return dict(cons)
+
+
+def _check_constraints(df: DataFrame, table_dir: str) -> None:
+    path = os.path.join(table_dir, "_constraints.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        cons = json.load(fh)
+    for name, pred in sorted(cons.items()):
+        # violation = predicate false OR null (a CHECK must evaluate true)
+        n_bad = df.filter(~F.coalesce(F.expr(pred), F.lit(False))).count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"constraint {name!r} ({pred}) violated by {n_bad} rows; "
+                "commit rejected"
+            )
+
+
 def _claim_and_commit(
     table_dir: str, base_v: int | None, write_fn, op_info: dict | None = None
 ) -> int:
@@ -198,6 +236,7 @@ def update_where(
         ]
     )
     n_updated = current.filter(hit).count()
+    _check_constraints(updated, table_dir)
     base_v = _latest_version(table_dir)
     next_v = _claim_and_commit(
         table_dir, base_v,
@@ -690,6 +729,7 @@ def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
         raise ValueError(f"no committed table at {table_dir}")
     n_new = rows.count()
     merged = current.unionByName(rows)
+    _check_constraints(rows, table_dir)  # existing rows were already checked
     base_v = _latest_version(table_dir)
     next_v = _claim_and_commit(
         table_dir, base_v,

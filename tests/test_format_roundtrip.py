@@ -1016,3 +1016,42 @@ def test_restore_version_rolls_back(spark, sf_dir, tmp_path):
     assert now.exceptAll(nation).isEmpty() and nation.exceptAll(now).isEmpty()
     h = {r["version"]: r["op"] for r in table_history(spark, table_dir).collect()}
     assert h[1] == "DELETE" and h[2] == "RESTORE"
+
+
+def test_check_constraints_reject_bad_commits(spark, sf_dir, tmp_path):
+    """Declared CHECK constraints gate commits: a violating UPDATE or
+    INSERT raises and leaves the table (and its history) untouched;
+    conforming DML still lands."""
+    import os
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.maintenance import (
+        ConstraintViolationError,
+        add_check_constraint,
+        insert_rows,
+        table_history,
+        update_where,
+    )
+    from btrblocks_spark.streaming.ops import read_snapshot
+
+    table_dir = str(tmp_path / "chk")
+    os.makedirs(table_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.parquet(table_dir + "/v=0")
+    with open(table_dir + "/_latest", "w") as fh:
+        fh.write("0")
+    add_check_constraint(table_dir, "regionkey_domain", "n_regionkey BETWEEN 0 AND 4")
+
+    with _pytest.raises(ConstraintViolationError):
+        update_where(spark, table_dir, "n_nationkey = 1", {"n_regionkey": "99"})
+    with _pytest.raises(ConstraintViolationError):
+        insert_rows(
+            spark, table_dir,
+            nation.limit(1).withColumn("n_regionkey", F.lit(77).cast("int")),
+        )
+    assert read_snapshot(spark, table_dir).filter("n_regionkey > 4").count() == 0
+    assert table_history(spark, table_dir).count() == 1  # only the bootstrap
+
+    ok = update_where(spark, table_dir, "n_nationkey = 1", {"n_regionkey": "4"})
+    assert ok["updated_rows"] == 1
