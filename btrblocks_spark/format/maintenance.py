@@ -470,6 +470,27 @@ def add_column(path: str, name: str, sql_type: str, default=None) -> dict:
     return {"column": name, "type": sql_type, "default": default}
 
 
+def add_generated_column(path: str, name: str, sql_type: str, expr: str) -> dict:
+    """Schema evolution: declare a GENERATED column — computed from other
+    columns by a SQL expression at scan time (Delta generated-column /
+    virtual-column analog). Pure metadata; files never store it, so it is
+    always consistent with its inputs and costs nothing at rest. The
+    evolved reader projects the expression for every file vintage."""
+    import json as _json
+
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    if any(c["name"] == name for c in meta["schema"]):
+        raise ValueError(f"column {name!r} already exists")
+    meta["schema"].append(
+        {"name": name, "type": sql_type, "generated_as": expr}
+    )
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        _json.dump(meta, fh, indent=1, default=str)
+    return {"column": name, "type": sql_type, "generated_as": expr}
+
+
 def drop_column(path: str, name: str) -> dict:
     """Schema evolution: remove a column from the declared schema — pure
     metadata, no data rewrite (stored bytes become dead until the next
@@ -527,7 +548,8 @@ def read_table_evolved(spark: SparkSession, path: str):
     meta = read_metadata(path)
     data_dir = os.path.join(path, "data")
     declared = [
-        (c["name"], c["type"], c.get("default"), c.get("stored_as"))
+        (c["name"], c["type"], c.get("default"), c.get("stored_as"),
+         c.get("generated_as"))
         for c in meta["schema"]
     ]
     files = sorted(
@@ -544,19 +566,22 @@ def read_table_evolved(spark: SparkSession, path: str):
     out = None
     for names, paths in sorted(by_cols.items(), key=lambda kv: kv[1][0]):
         part = spark.read.parquet(*paths)
-        for col, typ, default, stored_as in declared:
+        for col, typ, default, stored_as, generated_as in declared:
             if col in names:
                 continue
-            if stored_as and stored_as in names:
+            if generated_as:
+                # generated column: computed from the row, every vintage
+                part = part.withColumn(col, F.expr(generated_as).cast(typ))
+            elif stored_as and stored_as in names:
                 # renamed column: files from before the rename store it
                 # under the old name — pure projection, no rewrite
                 part = part.withColumn(col, F.col(stored_as))
             else:
                 part = part.withColumn(col, F.lit(default).cast(typ))
-        part = part.select([c for c, _t, _d, _s in declared])
+        part = part.select([c for c, _t, _d, _s, _g in declared])
         out = part if out is None else out.unionByName(part)
     if out is None:
-        schema = ", ".join(f"{c} {t}" for c, t, _d, _s in declared)
+        schema = ", ".join(f"{c} {t}" for c, t, _d, _s, _g in declared)
         out = spark.createDataFrame([], schema)
     return out, meta
 

@@ -1055,3 +1055,40 @@ def test_check_constraints_reject_bad_commits(spark, sf_dir, tmp_path):
 
     ok = update_where(spark, table_dir, "n_nationkey = 1", {"n_regionkey": "4"})
     assert ok["updated_rows"] == 1
+
+
+def test_generated_column_scan_time(spark, sf_dir, tmp_path):
+    """Generated columns: declared as an expression, computed at scan for
+    every file vintage, never stored."""
+    import pyarrow.parquet as pq
+    import os
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.maintenance import (
+        add_generated_column,
+        read_table_evolved,
+    )
+    from btrblocks_spark.format.writer import write_table
+
+    path = str(tmp_path / "gen")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders, path, ["o_orderkey"], DEFAULT_CONFIG.with_(block_size=512))
+    add_generated_column(
+        path, "price_band", "bigint",
+        "CAST(round(o_totalprice) AS BIGINT) div 50000",
+    )
+    df, _meta = read_table_evolved(spark, path)
+    assert "price_band" in df.columns
+    bad = df.filter(
+        F.col("price_band")
+        != F.expr("CAST(round(o_totalprice) AS BIGINT) div 50000")
+    ).count()
+    assert bad == 0
+    # never stored on disk
+    a_file = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(path, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert "price_band" not in pq.ParquetFile(a_file).schema_arrow.names
