@@ -1962,3 +1962,67 @@ GROUP BY GROUPING SETS ((event_type, hr), (event_type, dy), (event_type))
 ORDER BY event_type, grain, bucket
 """
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+SELECT type_a, type_b, n_both::BIGINT AS n_both,
+       sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+FROM pair
+JOIN sz sa ON sa.event_type = type_a
+JOIN sz sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of USER SETS between
+    every pair of event types (|A∩B| / |A∪B| from exact integer counts) —
+    the segmentation question "do clickers and purchasers overlap?"
+    answered with the same set-similarity machinery the dedup layer uses
+    on shingles.
+
+    Scale: the distinct (user, type) table self-joins CO-PARTITIONED on
+    user_id with fan-out bounded by types-per-user squared (≤ |types|²);
+    set sizes broadcast onto the ≤ |types|² pair rows."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
