@@ -888,3 +888,103 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_cells).cast("long").alias("n_cells"),
         F.round(F.sum("term").cast("double") / F.log(F.lit(2.0)), 6).alias("mi_bits"),
     )
+
+
+@register(
+    "stats_spearman",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+fx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+cx AS (
+  SELECT a.x, 2 * COALESCE(SUM(b.c), 0) + a.c + 1 AS r2
+  FROM fx a LEFT JOIN fx b ON b.x < a.x
+  GROUP BY a.x, a.c
+),
+fy AS (SELECT y, count(*) AS c FROM v GROUP BY y),
+cy AS (
+  SELECT a.y, 2 * COALESCE(SUM(b.c), 0) + a.c + 1 AS r2
+  FROM fy a LEFT JOIN fy b ON b.y < a.y
+  GROUP BY a.y, a.c
+),
+r AS (
+  SELECT cx.r2 AS rx, cy.r2 AS ry
+  FROM v JOIN cx USING (x) JOIN cy USING (y)
+),
+m AS (
+  SELECT count(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r
+)
+SELECT n::BIGINT AS n_rows,
+       round((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+             / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6)
+         AS spearman_rho
+FROM m
+""",
+)
+def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation between quantity and discount —
+    the monotone-dependence complement of stats_corr_matrix's Pearson:
+    average ranks (ties share the mean rank, the textbook definition) come
+    from cumulative counts over the tiny DISTINCT-VALUE tables via a
+    triangular self-join (no window at all), doubled to stay integral
+    (avg rank of a tie group = cum_before + (c+1)/2 →
+    2·rank = 2·cum_before + c + 1), then Pearson runs on the integer
+    2·ranks with exact moments and one final double expression.
+
+    Scale: rank maps are O(distinct values) and broadcast back onto the
+    scan; one moment pass, map-side combinable. At ~10⁹ rows the squared-
+    rank sums outgrow int64 — the production variant switches the partials
+    to per-partition centered Welford merges (same note as the corr
+    matrix)."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+
+    def rank2_map(col: str):
+        # cumulative counts via triangular self-join on the distinct-value
+        # table (value-domain-bounded, so O(k²) is trivial) — the repo's
+        # standard no-global-window cumulative
+        f = v.groupBy(col).agg(F.count("*").alias("c"))
+        a = f.select(F.col(col), F.col("c"))
+        b = f.select(F.col(col).alias("_bv"), F.col("c").alias("_bc"))
+        return (
+            a.join(b, F.col("_bv") < F.col(col), "left")
+            .groupBy(col, "c")
+            .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("below"))
+            .select(
+                col, (2 * F.col("below") + F.col("c") + 1).alias("r2")
+            )
+        )
+
+    rx = rank2_map("x").withColumnRenamed("r2", "rx")
+    ry = rank2_map("y").withColumnRenamed("r2", "ry")
+    r = v.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+    m = r.agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        F.round(
+            (F.col("sxy").cast("double") / n - mx * my)
+            / F.sqrt(
+                (F.col("sxx").cast("double") / n - mx * mx)
+                * (F.col("syy").cast("double") / n - my * my)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
