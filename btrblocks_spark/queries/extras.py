@@ -1185,3 +1185,64 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "customer_pareto_share",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS i,
+         count(*) OVER () AS n, SUM(rev) OVER () AS tot
+  FROM c
+)
+SELECT MAX(n)::BIGINT AS n_customers,
+       SUM(CASE WHEN i * 5 <= n THEN 1 ELSE 0 END)::BIGINT AS n_top20,
+       round(SUM(CASE WHEN i * 5 <= n THEN rev ELSE 0 END)
+             / CAST(MAX(tot) AS DOUBLE), 6) AS top20_revenue_share
+FROM r
+""",
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the revenue share captured by the top 20% of
+    customers (the 80/20 rule check, the Lorenz point the Gini coefficient
+    integrates). Membership is pure integer rank arithmetic (i·5 ≤ n) over
+    the DESCENDING revenue rank.
+
+    The global rank comes from the two-phase bucketed row_number
+    (_distributed) — revenue-range buckets rank in parallel; totals are
+    exact summed cents with one final double division."""
+    from btrblocks_spark.queries._distributed import bucketed_row_number
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    # descending rank: bucket/order on negated revenue
+    ranked = bucketed_row_number(
+        c.select(F.col("o_custkey"), F.col("rev"), (-F.col("rev")).alias("neg")),
+        F.expr("neg div 100000000"),
+        ["neg", "o_custkey"],
+        idx_col="i",
+    ).select("rev", "i")
+    tot = ranked.agg(
+        F.count("*").alias("n"), F.sum("rev").alias("tot")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("i") * 5 <= F.col("n"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_top20"),
+            F.round(
+                F.sum(F.when(F.col("i") * 5 <= F.col("n"), F.col("rev")).otherwise(0))
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("top20_revenue_share"),
+        )
+    )
