@@ -70,6 +70,40 @@ def cosine_topk(
     )
 
 
+def radius_search(
+    vecs: DataFrame,
+    query_ids: list[int],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Range (radius) search: for each query id, ALL neighbors with cosine
+    similarity >= ``threshold`` — the fixed-radius counterpart of
+    ``cosine_topk`` (a vector-store range query; the reference's predicate
+    scan analog over an embedding column, scheme/CompressionScheme.hpp:45).
+
+    Scale shape: the query set is broadcast (small side), the corpus is
+    scanned exactly once, and the threshold filter is applied inside the
+    scan projection — no shuffle, no window, output size bounded by the
+    selectivity of the radius. Unlike top-k there is no per-query rank
+    state, so the operator is embarrassingly parallel at any corpus size."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 _NORM = "sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
 
 

@@ -410,6 +410,29 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_radius_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7))
+SELECT q_id, vec_id AS neighbor_id,
+       round({_cosine_sql('qv', 'v')}, 6) AS cosine
+FROM q CROSS JOIN e
+WHERE vec_id != q_id AND round({_cosine_sql('qv', 'v')}, 6) >= 0.2
+""",
+)
+def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) vector search: every neighbor with cosine >= 0.2 for
+    each probe — the fixed-threshold counterpart of top-k. No window, no
+    shuffle: broadcast probes × one corpus scan with the filter inside the
+    projection."""
+    from btrblocks_spark.pipeline.similarity import radius_search
+
+    return radius_search(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, threshold=0.2
+    )
+
+
+@register(
     "ann_lsh_bucketed",
     oracle=f"""
 WITH {_sketch_cte(4)},

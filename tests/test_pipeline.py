@@ -82,6 +82,22 @@ def test_ann_topk_shapes(spark, sf_dir):
         assert all(r["neighbor_id"] != q for r in rows)
 
 
+def test_ann_radius_search_matches_topk_frontier(spark, sf_dir):
+    from btrblocks_spark.pipeline.similarity import radius_search
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = radius_search(vecs, [0, 1], threshold=0.2).collect()
+    # every hit clears the threshold and is never the probe itself
+    assert all(r["cosine"] >= 0.2 for r in out)
+    assert all(r["neighbor_id"] != r["q_id"] for r in out)
+    # radius hits at a cosine >= the top-1 neighbor's score must include it
+    top = {r["q_id"]: r for r in cosine_topk(vecs, [0, 1], k=1).collect()}
+    hits = {(r["q_id"], r["neighbor_id"]) for r in out}
+    for q, r in top.items():
+        if r["cosine"] >= 0.2:
+            assert (q, r["neighbor_id"]) in hits
+
+
 def test_ann_lsh_subset_of_corpus(spark, sf_dir):
     vecs = load_table(spark, sf_dir, "embeddings")
     approx = lsh_bucketed_topk(vecs, [0], k=5)
