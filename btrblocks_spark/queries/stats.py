@@ -988,3 +988,95 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: point frequency estimates from a fixed-size sketch
+# ---------------------------------------------------------------------------
+
+_CMS_HASHES = [(0, 2654435761, 0), (1, 40503, 1299721), (2, 69621, 104729)]
+_CMS_W = 64
+_CMS_P = 2147483647
+
+_CMS_ORACLE = """
+WITH hashes(d, a, b) AS (VALUES (0, 2654435761, 0), (1, 40503, 1299721), (2, 69621, 104729)),
+cms AS (
+  SELECT d, ((l_suppkey * a + b) % 2147483647) % 64 AS bucket, COUNT(*) AS cnt
+  FROM lineitem CROSS JOIN hashes
+  GROUP BY d, bucket
+),
+probes AS (
+  SELECT s_suppkey, d, ((s_suppkey * a + b) % 2147483647) % 64 AS bucket
+  FROM supplier CROSS JOIN hashes WHERE s_suppkey <= 25
+),
+est AS (
+  SELECT s_suppkey, MIN(COALESCE(cnt, 0)) AS est_cnt
+  FROM probes LEFT JOIN cms USING (d, bucket)
+  GROUP BY s_suppkey
+),
+truth AS (SELECT l_suppkey AS s_suppkey, COUNT(*) AS true_cnt FROM lineitem GROUP BY l_suppkey)
+SELECT CAST(e.s_suppkey AS BIGINT) AS suppkey,
+       CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - COALESCE(t.true_cnt, 0) AS BIGINT) AS overcount
+FROM est e LEFT JOIN truth t USING (s_suppkey)
+"""
+
+
+@register("stats_count_min_sketch", _CMS_ORACLE)
+def stats_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates, audited against true
+    counts (CMS never underestimates, so ``overcount >= 0`` for present
+    keys). The depth-3 x width-64 sketch uses deterministic multiplicative
+    hashes so both engines build bit-identical sketches.
+
+    Scale shape: the sketch build is one map-side expansion (d rows per
+    input row) into a groupBy whose output is at most d*w = 192 rows —
+    at 100 TB the shuffle carries only per-partition partial buckets
+    (map-side combine), and the probe/min phase joins against the
+    broadcast 192-row sketch. The truth join is only the audit half and
+    would be dropped in production use."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def buckets(key_col: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            ((F.col(key_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(_CMS_P))
+                            % F.lit(_CMS_W)
+                        ).cast("long").alias("bucket"),
+                    )
+                    for d, a, b in _CMS_HASHES
+                ]
+            )
+        ).alias("h")
+
+    cms = (
+        l.select(buckets("l_suppkey"))
+        .select("h.d", "h.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        s.filter(F.col("s_suppkey") <= 25)
+        .select("s_suppkey", buckets("s_suppkey"))
+        .select("s_suppkey", "h.d", "h.bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy("s_suppkey")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )
+    truth = l.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").alias("true_cnt")
+    )
+    return est.join(F.broadcast(truth), "s_suppkey", "left").select(
+        F.col("s_suppkey").cast("long").alias("suppkey"),
+        F.coalesce(F.col("true_cnt"), F.lit(0)).cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.coalesce(F.col("true_cnt"), F.lit(0))).cast("long").alias("overcount"),
+    )
