@@ -124,6 +124,8 @@ HEADLINE = [
     "text_bigram_perplexity",
     "ann_binary_topk",
     "retrieval_fuzzy_search",
+    "ann_radius_search",
+    "stats_count_min_sketch",
 ]
 
 

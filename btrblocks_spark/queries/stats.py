@@ -1080,3 +1080,71 @@ def stats_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("long").alias("est_cnt"),
         (F.col("est_cnt") - F.coalesce(F.col("true_cnt"), F.lit(0))).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-pass Misra-Gries (candidate sketch -> exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_K = 128
+
+_HH_ORACLE = f"""
+SELECT CAST(user_id AS BIGINT) AS user_id, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / {_HH_K}.0
+"""
+
+
+def _mg_partition_fn(k: int):
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf["user_id"]:
+                key = int(key)
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"user_id": list(counters.keys()) or []}, dtype="int64")
+
+    return mg
+
+
+@register("stats_heavy_hitters", _HH_ORACLE)
+def stats_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq > n/k) via the two-pass Misra-Gries
+    pattern: per-partition MG summaries (k counters, O(k) memory however
+    many distinct keys a partition holds) produce a candidate superset —
+    pigeonhole guarantees every globally-heavy key is locally heavy in at
+    least one partition — then one exact recount of the candidates alone.
+
+    Scale shape: at 100 TB with billions of distinct keys a plain
+    groupBy-then-having shuffles every key; here pass 1 moves at most
+    k rows per partition (no shuffle — the summary IS the map output) and
+    pass 2's shuffle carries only candidate keys (<= k x partitions).
+    The final filter makes the answer exact and partition-order
+    independent, so the sketch never affects correctness."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    candidates = (
+        e.mapInPandas(_mg_partition_fn(_HH_K), "user_id long").distinct()
+    )
+    n = e.count()
+    return (
+        e.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > F.lit(n) / F.lit(float(_HH_K)))
+        .select(F.col("user_id").cast("long").alias("user_id"), "cnt")
+    )
