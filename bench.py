@@ -126,6 +126,8 @@ HEADLINE = [
     "retrieval_fuzzy_search",
     "ann_radius_search",
     "stats_count_min_sketch",
+    "stats_heavy_hitters",
+    "stats_linear_regression",
 ]
 
 

@@ -1148,3 +1148,133 @@ def stats_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.lit(n) / F.lit(float(_HH_K)))
         .select(F.col("user_id").cast("long").alias("user_id"), "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS linear regression from exact integer sums (slope/intercept per group)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)) / 100.0, 6)
+         AS slope_dollars_per_unit,
+       round((CAST(sy AS DOUBLE) / n
+              - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n))
+                * (CAST(sx AS DOUBLE) / n)) / 100.0, 6) AS intercept_dollars
+FROM s
+"""
+
+
+@register("stats_linear_regression", _OLS_ORACLE)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extendedprice ~ quantity) — the regr_slope /
+    regr_intercept analytics surface, computed from EXACT scaled-integer
+    sums so the distributed partial-agg order can never move a bit: the
+    only FP arithmetic is a fixed scalar expression over the final BIGINT
+    sums, which is IEEE-deterministic on both engines. One map-side
+    combined shuffle of 5 partial sums per group — no second pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qx = F.round(F.col("l_quantity")).cast("long")
+    py = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(py).alias("sy"),
+        F.sum(qx * py).alias("sxy"),
+        F.sum(qx * qx).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope / F.lit(100.0), 6).alias("slope_dollars_per_unit"),
+        F.round((sy / n - slope * (sx / n)) / F.lit(100.0), 6).alias("intercept_dollars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (purchase conversion by user-id parity arms)
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH arms AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted
+  FROM arms GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+    MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+    MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+    MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+  FROM agg
+)
+SELECT n0, c0, n1, c1,
+       round(CAST(c0 AS DOUBLE) / n0, 6) AS p0,
+       round(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+       round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_score
+FROM wide
+"""
+
+
+@register("stats_ab_test", _AB_ORACLE)
+def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between user-id-parity arms on purchase
+    conversion. All counts are exact integers; the z statistic is one
+    scalar IEEE expression over them, so both engines agree bit-for-bit.
+    Scale shape: per-user conversion is a map-side-combined groupBy on
+    user_id; the arm rollup reduces to 2 rows before any scalar math."""
+    e = load_table(spark, sf_dir, "events")
+    arms = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 15
+            ).cast("int").alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    agg = arms.groupBy("arm").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pool = (c0 + c1) / (n0 + n1)
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(c0 / n0, 6).alias("p0"),
+        F.round(c1 / n1, 6).alias("p1"),
+        F.round(
+            (c0 / n0 - c1 / n1)
+            / F.sqrt(pool * (1 - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)),
+            6,
+        ).alias("z_score"),
+    )
