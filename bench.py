@@ -128,6 +128,8 @@ HEADLINE = [
     "stats_count_min_sketch",
     "stats_heavy_hitters",
     "stats_linear_regression",
+    "join_bloom_filtered",
+    "curation_mixture_weights",
 ]
 
 

@@ -3020,3 +3020,52 @@ def q_curation_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: temperature-scaled source mixture weights (data-mixing recipe)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT) AS w_scaled
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, SUM(w_scaled) AS w_total FROM per_source)
+SELECT source, n_docs,
+       round(CAST(n_docs AS DOUBLE) / n_total, 6) AS raw_share,
+       round(CAST(w_scaled AS DOUBLE) / w_total, 6) AS temp_share,
+       round((CAST(w_scaled AS DOUBLE) / w_total)
+             / (CAST(n_docs AS DOUBLE) / n_total), 6) AS upsample_factor
+FROM per_source CROSS JOIN tot
+"""
+
+
+@register("curation_mixture_weights", _MIX_ORACLE)
+def q_curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): each source's
+    training share is proportional to sqrt(n_docs), the standard recipe
+    for flattening a skewed source distribution; upsample_factor is the
+    effective epochs each source needs. sqrt is IEEE-correctly-rounded and
+    the weight is scaled to an exact BIGINT before any cross-row sum, so
+    partial-agg order can never move a bit.
+
+    Scale shape: one map-side-combined groupBy to per-source counts (tiny),
+    then a broadcast of the 2-value total row."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").alias("n_docs")).withColumn(
+        "w_scaled", F.round(F.sqrt(F.col("n_docs")) * 1000000).cast("long")
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w_scaled").alias("w_total")
+    )
+    nd, wt = F.col("n_docs").cast("double"), F.col("w_scaled").cast("double")
+    raw = nd / F.col("n_total").cast("double")
+    temp = wt / F.col("w_total").cast("double")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("upsample_factor"),
+    )

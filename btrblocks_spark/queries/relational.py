@@ -1086,3 +1086,95 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered semi-join: fixed-size membership sketch prunes the probe side
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH hashes(d, a, b) AS (VALUES (0, 2654435761, 0), (1, 40503, 1299721)),
+bloom AS (
+  SELECT DISTINCT d, ((o_custkey * a + b) % 2147483647) % 1024 AS pos
+  FROM orders CROSS JOIN hashes
+),
+probe AS (
+  SELECT c_custkey, d, ((c_custkey * a + b) % 2147483647) % 1024 AS pos
+  FROM customer CROSS JOIN hashes
+),
+verdicts AS (
+  SELECT c_custkey,
+         MIN(CASE WHEN bloom.pos IS NOT NULL THEN 1 ELSE 0 END) AS bloom_maybe
+  FROM probe LEFT JOIN bloom USING (d, pos)
+  GROUP BY c_custkey
+),
+truth AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT COUNT(*) AS n_customers,
+       SUM(v.bloom_maybe) AS bloom_pass,
+       SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS true_present,
+       SUM(v.bloom_maybe) - SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+         AS false_positives
+FROM verdicts v LEFT JOIN truth t USING (c_custkey)
+"""
+
+
+@register("join_bloom_filtered", _BLOOM_ORACLE)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered semi-join audit: a depth-2 x 1024-bit membership
+    sketch of the orders build side decides which customers can possibly
+    join (bloom never yields false negatives; the query counts its false
+    positives against the exact semi-join). The runtime-bloom-filter join
+    pruning pattern (Spark's runtime.bloomFilter analog) made explicit
+    and cross-engine checkable via deterministic multiplicative hashes.
+
+    Scale shape: the sketch is a <=2048-row DISTINCT aggregate (map-side
+    combined) broadcast to the probe scan — at 100 TB the probe side is
+    filtered without shuffling either table; only the audit half joins
+    the exact key set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    P, W = 2147483647, 1024
+    hashes = [(0, 2654435761, 0), (1, 40503, 1299721)]
+
+    def positions(key: str):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            ((F.col(key).cast("long") * F.lit(a) + F.lit(b)) % F.lit(P))
+                            % F.lit(W)
+                        ).cast("long").alias("pos"),
+                    )
+                    for d, a, b in hashes
+                ]
+            )
+        ).alias("h")
+
+    bloom = (
+        o.select(positions("o_custkey")).select("h.d", "h.pos").distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = c.select("c_custkey", positions("c_custkey")).select(
+        "c_custkey", "h.d", "h.pos"
+    )
+    verdicts = (
+        probe.join(F.broadcast(bloom), ["d", "pos"], "left")
+        .groupBy("c_custkey")
+        .agg(F.min(F.coalesce(F.col("present"), F.lit(0))).alias("bloom_maybe"))
+    )
+    truth = o.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "has_orders", F.lit(1)
+    )
+    return (
+        verdicts.join(truth, "c_custkey", "left")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bloom_maybe").alias("bloom_pass"),
+            F.sum(F.coalesce(F.col("has_orders"), F.lit(0))).alias("true_present"),
+            (
+                F.sum("bloom_maybe") - F.sum(F.coalesce(F.col("has_orders"), F.lit(0)))
+            ).alias("false_positives"),
+        )
+    )
