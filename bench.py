@@ -130,6 +130,10 @@ HEADLINE = [
     "stats_linear_regression",
     "join_bloom_filtered",
     "curation_mixture_weights",
+    "stats_chi_square",
+    "events_cusum_changepoint",
+    "stats_mann_whitney_u",
+    "stats_kendall_tau",
 ]
 
 

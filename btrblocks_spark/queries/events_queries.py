@@ -2026,3 +2026,88 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint: peak cumulative deviation of the hourly value series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, sv,
+         SUM(sv) OVER (PARTITION BY event_type ORDER BY hour) AS prefix_sv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+         SUM(sv) OVER (PARTITION BY event_type) AS total_sv,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM b
+),
+s AS (
+  SELECT event_type, hour, nb,
+         abs(CAST(prefix_sv AS DOUBLE) - t * (CAST(total_sv AS DOUBLE) / nb)) AS abs_s
+  FROM w
+),
+r AS (
+  SELECT event_type, hour, nb, abs_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs_s DESC, hour) AS rk
+  FROM s
+)
+SELECT event_type, hour AS changepoint_hour, CAST(nb AS BIGINT) AS n_buckets,
+       round(abs_s / 10000, 6) AS cusum_peak
+FROM r WHERE rk = 1
+"""
+
+
+@register("events_cusum_changepoint", _CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan: for each event type, the hour where the
+    cumulative deviation of the hourly value series from its mean peaks —
+    the classic offline changepoint locator. Bucket sums are exact scaled
+    BIGINTs; the CUSUM statistic is scalar IEEE math per bucket row.
+
+    Scale shape: the raw stream reduces to |types| × |hours| rows in one
+    map-side-combined groupBy BEFORE any window; all windows are
+    PARTITIONED by event_type over that bucket table, whose size grows
+    with the time span (720 hours here), not the data volume — at 100 TB
+    the windowed stage still sees only thousands of rows per type."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("hour")
+    w = b.select(
+        "event_type", "hour",
+        F.sum("sv").over(wo).alias("prefix_sv"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("sv").over(wt).alias("total_sv"),
+        F.count("*").over(wt).alias("nb"),
+    )
+    s = w.select(
+        "event_type", "hour", "nb",
+        F.abs(
+            F.col("prefix_sv").cast("double")
+            - F.col("t") * (F.col("total_sv").cast("double") / F.col("nb"))
+        ).alias("abs_s"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.desc("abs_s"), F.asc("hour"))
+    return (
+        s.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("changepoint_hour"),
+            F.col("nb").cast("long").alias("n_buckets"),
+            F.round(F.col("abs_s") / 10000, 6).alias("cusum_peak"),
+        )
+    )

@@ -1278,3 +1278,265 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event_type x user-parity contingency table)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS arm, COUNT(*) AS o
+  FROM events GROUP BY event_type, arm
+),
+tot AS (SELECT SUM(o) AS n FROM cells),
+rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+ct AS (SELECT arm, SUM(o) AS c FROM cells GROUP BY arm),
+contrib AS (
+  SELECT cells.event_type AS et, cells.arm,
+         (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS x
+  FROM cells JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN tot
+),
+folded AS (
+  SELECT list_sort(list({'et': et, 'arm': arm, 'x': x})) AS ls,
+         COUNT(*) AS n_cells,
+         COUNT(DISTINCT et) AS r_levels,
+         COUNT(DISTINCT arm) AS c_levels
+  FROM contrib
+)
+SELECT n_cells,
+       CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+       round(list_reduce(list_transform(ls, s -> s.x), (acc, v) -> acc + v), 6) AS chi2
+FROM folded
+"""
+
+
+@register("stats_chi_square", _CHI2_ORACLE)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the event_type × user-parity
+    contingency table. Observed counts are exact; expected counts and cell
+    contributions are scalar IEEE expressions; and the final statistic is
+    a LEFT FOLD over the cells in a canonical sort order (sort_array →
+    aggregate), so both engines add the same doubles in the same sequence
+    — the deterministic alternative to an unordered SUM of floats.
+
+    Scale shape: the raw table reduces to ≤ |types|×|arms| cells in one
+    map-side-combined groupBy; everything after is driver-scale metadata."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select("event_type", (F.col("user_id") % 2).alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("arm").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    od, rd = F.col("o").cast("double"), F.col("r").cast("double")
+    cd, nd = F.col("c").cast("double"), F.col("n").cast("double")
+    exp = rd * cd / nd
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "arm")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("event_type").alias("et"),
+            "arm",
+            ((od - exp) * (od - exp) / exp).alias("x"),
+        )
+    )
+    folded = contrib.agg(
+        F.sort_array(F.collect_list(F.struct("et", "arm", "x"))).alias("ls"),
+        F.count("*").alias("n_cells"),
+        F.countDistinct("et").alias("r_levels"),
+        F.countDistinct("arm").alias("c_levels"),
+    )
+    return folded.select(
+        "n_cells",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("ls"), lambda s: s.x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test — nonparametric arm comparison
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag AS arm, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+f AS (SELECT x, COUNT(*) AS c FROM v GROUP BY x),
+r AS (
+  SELECT f.x, f.c, 2 * COALESCE(SUM(b.c), 0) + f.c + 1 AS r2
+  FROM f LEFT JOIN f b ON b.x < f.x
+  GROUP BY f.x, f.c
+),
+j AS (SELECT v.arm, r.r2 FROM v JOIN r ON v.x = r.x),
+agg AS (
+  SELECT
+    SUM(CASE WHEN arm = 'R' THEN 1 ELSE 0 END) AS nr,
+    SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+    SUM(CASE WHEN arm = 'R' THEN r2 ELSE 0 END) AS sr2
+  FROM j
+),
+ties AS (SELECT SUM(c * c * c - c) AS t FROM f)
+SELECT nr, na,
+       round(CAST(sr2 - nr * (nr + 1) AS DOUBLE) / 2, 6) AS u_stat,
+       round((CAST(sr2 - nr * (nr + 1) AS DOUBLE) / 2 - CAST(nr * na AS DOUBLE) / 2)
+             / sqrt((CAST(nr * na AS DOUBLE) / 12)
+                    * (CAST(nr + na + 1 AS DOUBLE)
+                       - CAST(t AS DOUBLE)
+                         / (CAST(nr + na AS DOUBLE) * CAST(nr + na - 1 AS DOUBLE)))), 6)
+         AS z_score
+FROM agg CROSS JOIN ties
+"""
+
+
+@register("stats_mann_whitney_u", _MWU_ORACLE)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (quantity distribution, returnflag R
+    vs A) with the textbook tie-averaged ranks and tie-corrected normal
+    approximation. Ranks come from the repo's windowless doubled-rank
+    pattern (cumulative counts over the 50-value distinct table via a
+    triangular self-join — no global window), so every intermediate is an
+    exact integer and the statistic is one scalar IEEE expression.
+
+    Scale: the rank map is O(distinct values), broadcast onto the scan;
+    one combined moment pass. The tie-cube sum outgrows int64 around 10⁹
+    rows per value — same production caveat as stats_spearman."""
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.col("l_returnflag").alias("arm"),
+            F.col("l_quantity").cast("long").alias("x"),
+        )
+    )
+    f = v.groupBy("x").agg(F.count("*").alias("c"))
+    b = f.select(F.col("x").alias("_bx"), F.col("c").alias("_bc"))
+    r = (
+        f.join(b, F.col("_bx") < F.col("x"), "left")
+        .groupBy("x", "c")
+        .agg(F.coalesce(F.sum("_bc"), F.lit(0)).alias("below"))
+        .select("x", (2 * F.col("below") + F.col("c") + 1).alias("r2"))
+    )
+    j = v.join(F.broadcast(r), "x")
+    agg = j.agg(
+        F.sum(F.when(F.col("arm") == "R", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "R", F.col("r2")).otherwise(0)).alias("sr2"),
+    )
+    ties = f.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("t")
+    )
+    out = agg.crossJoin(F.broadcast(ties))
+    nr, na = F.col("nr"), F.col("na")
+    u = (F.col("sr2") - nr * (nr + 1)).cast("double") / 2
+    mean = (nr * na).cast("double") / 2
+    var = ((nr * na).cast("double") / 12) * (
+        (nr + na + 1).cast("double")
+        - F.col("t").cast("double") / ((nr + na).cast("double") * (nr + na - 1).cast("double"))
+    )
+    return out.select(
+        "nr", "na",
+        F.round(u, 6).alias("u_stat"),
+        F.round((u - mean) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b from the joint frequency table (exact, tie-corrected)
+# ---------------------------------------------------------------------------
+
+_KENDALL_ORACLE = """
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+cells AS (SELECT x, y, COUNT(*) AS c FROM v GROUP BY x, y),
+pairs AS (
+  SELECT SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS cc,
+         SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS dd
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+tx AS (SELECT SUM(cx * (cx - 1) // 2) AS t1
+       FROM (SELECT x, SUM(c) AS cx FROM cells GROUP BY x)),
+ty AS (SELECT SUM(cy * (cy - 1) // 2) AS t2
+       FROM (SELECT y, SUM(c) AS cy FROM cells GROUP BY y))
+SELECT n, cc, dd,
+       round(CAST(cc - dd AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) // 2 - t1 AS DOUBLE)
+                    * CAST(n * (n - 1) // 2 - t2 AS DOUBLE)), 6) AS tau_b
+FROM pairs CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+@register("stats_kendall_tau", _KENDALL_ORACLE)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Kendall tau-b between quantity and discount.
+    The O(n²) pair scan collapses to the joint frequency table (≤ 550
+    cells here — value-domain-bounded, not data-bounded): concordant /
+    discordant pair counts are integer products over cell pairs, tie terms
+    come from the marginals, and the only FP math is the final scalar.
+    The int64-overflow hazard in (n0-t1)(n0-t2) is dodged by casting each
+    factor to double BEFORE the product (they exceed 2^63 squared at
+    sf0.1 already).
+
+    Scale: one map-side-combined groupBy to cells, a broadcast triangular
+    cell join (domain², not rows²), then driver-scale scalars."""
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+    )
+    cells = v.groupBy("x", "y").agg(F.count("*").alias("c"))
+    b = cells.select(
+        F.col("x").alias("_bx"), F.col("y").alias("_by"), F.col("c").alias("_bc")
+    )
+    pairs = (
+        cells.join(F.broadcast(b), F.col("_bx") > F.col("x"))
+        .agg(
+            F.sum(
+                F.when(F.col("_by") > F.col("y"), F.col("c") * F.col("_bc")).otherwise(0)
+            ).alias("cc"),
+            F.sum(
+                F.when(F.col("_by") < F.col("y"), F.col("c") * F.col("_bc")).otherwise(0)
+            ).alias("dd"),
+        )
+    )
+    tot = v.agg(F.count("*").alias("n"))
+    tx = (
+        cells.groupBy("x").agg(F.sum("c").alias("cx"))
+        .agg(F.sum(F.expr("cx * (cx - 1) div 2")).alias("t1"))
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("c").alias("cy"))
+        .agg(F.sum(F.expr("cy * (cy - 1) div 2")).alias("t2"))
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    return out.select(
+        "n", "cc", "dd",
+        F.round(
+            (F.col("cc") - F.col("dd")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("t1")).cast("double") * (n0 - F.col("t2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
