@@ -134,6 +134,8 @@ HEADLINE = [
     "events_cusum_changepoint",
     "stats_mann_whitney_u",
     "stats_kendall_tau",
+    "events_ewma_smoothed",
+    "text_zipf_fit",
 ]
 
 

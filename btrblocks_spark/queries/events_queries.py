@@ -2111,3 +2111,66 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("abs_s") / 10000, 6).alias("cusum_peak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: trailing exponentially-weighted hourly series (alpha = 1/2)
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour,
+         list(CAST(sv AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN 31 PRECEDING AND CURRENT ROW
+         ) AS l
+  FROM b
+)
+SELECT event_type, hour,
+       round(list_reduce(l, (acc, x) -> 0.5 * acc + 0.5 * x) / 10000, 6) AS ewma
+FROM w
+"""
+
+
+@register("events_ewma_smoothed", _EWMA_ORACLE)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA of the hourly value series (alpha = 1/2, 32-hour
+    horizon) — the streaming-smoother recurrence E_t = E_{t-1}/2 + x_t/2
+    evaluated batch-side. alpha = 1/2 on purpose: halving a double is
+    EXACT in IEEE arithmetic, so the whole fold is bit-deterministic and
+    the only rounding is the final display round. Both engines evaluate
+    the identical left fold over the frame-ordered lag list.
+
+    Scale shape: raw events reduce map-side to |types| × |hours| buckets
+    before any window; the 32-lag frame collect runs over that bucket
+    table, partitioned by type — O(time span), not O(volume)."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    frame = (
+        Window.partitionBy("event_type").orderBy("hour").rowsBetween(-31, 0)
+    )
+    w = b.select(
+        "event_type", "hour",
+        F.collect_list(F.col("sv").cast("double")).over(frame).alias("l"),
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("l"), 2, 32),
+        F.element_at(F.col("l"), 1),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return w.select(
+        "event_type", "hour", F.round(ewma / 10000, 6).alias("ewma")
+    )

@@ -3069,3 +3069,92 @@ def q_curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp, 6).alias("temp_share"),
         F.round(temp / raw, 6).alias("upsample_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text: Zipf-law fit over the top-100 unigrams (log-log OLS slope)
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH words AS (
+  SELECT lower(unnest(string_split(text, ' '))) AS w FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS c FROM words WHERE w != '' GROUP BY w),
+topk AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 100),
+ranked AS (
+  SELECT a.w, a.c, 1 + COUNT(b.w) AS rank
+  FROM topk a LEFT JOIN topk b ON (b.c > a.c OR (b.c = a.c AND b.w < a.w))
+  GROUP BY a.w, a.c
+),
+terms AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+  FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM terms
+)
+SELECT n AS n_terms,
+       round(0.0 - CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_exponent,
+       round((CAST(sy AS DOUBLE) / n
+              + (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (0.0 - CAST(sx AS DOUBLE) / n)) / 1000000, 6) AS log_c_intercept
+FROM s
+"""
+
+
+@register("text_zipf_fit", _ZIPF_ORACLE)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit: OLS slope of ln(freq) on ln(rank) over the corpus's
+    top-100 unigrams — the standard corpus-health diagnostic (natural text
+    sits near exponent 1; templated/spam corpora drift off). Each log term
+    is rounded to a scaled BIGINT before any cross-row sum, so the fit is
+    exact integer arithmetic until the final scalar division (the
+    stats_column_entropy determinism trick). Rank comes from a triangular
+    self-join over the 100-row top-k table — no global window.
+
+    Scale shape: one map-side-combined word count, a TakeOrdered top-100
+    (no global sort), then driver-scale arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w0")
+    ).select(F.lower(F.col("w0")).alias("w")).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    topk = counts.orderBy(F.desc("c"), F.asc("w")).limit(100)
+    b = topk.select(F.col("w").alias("_bw"), F.col("c").alias("_bc"))
+    ranked = (
+        topk.join(
+            F.broadcast(b),
+            (F.col("_bc") > F.col("c"))
+            | ((F.col("_bc") == F.col("c")) & (F.col("_bw") < F.col("w"))),
+            "left",
+        )
+        .groupBy("w", "c")
+        .agg((F.count("_bw") + 1).alias("rank"))
+    )
+    terms = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000000).cast("long").alias("lx"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000).cast("long").alias("ly"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    return s.select(
+        n.alias("n_terms"),
+        F.round(F.lit(0.0) - num / den, 6).alias("zipf_exponent"),
+        F.round(
+            (sy.cast("double") / n + (num / den) * (F.lit(0.0) - sx.cast("double") / n))
+            / 1000000,
+            6,
+        ).alias("log_c_intercept"),
+    )
