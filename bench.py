@@ -136,6 +136,7 @@ HEADLINE = [
     "stats_kendall_tau",
     "events_ewma_smoothed",
     "text_zipf_fit",
+    "events_seasonal_decompose",
 ]
 
 

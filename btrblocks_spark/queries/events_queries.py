@@ -2174,3 +2174,109 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "event_type", "hour", F.round(ewma / 10000, 6).alias("ewma")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: trend (centered 24h MA) + hour-of-day seasonal
+# ---------------------------------------------------------------------------
+
+_DECOMPOSE_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, sv,
+         SUM(sv) OVER (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s24,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c24
+  FROM b
+),
+t AS (SELECT event_type, hour, sv, s24 FROM w WHERE c24 = 24),
+season AS (
+  SELECT event_type, hour % 24 AS hod,
+         SUM(24 * sv - s24) AS sd, COUNT(*) AS cd
+  FROM t GROUP BY 1, 2
+),
+micro AS (
+  SELECT t.event_type, t.hour, t.sv,
+         (t.s24 * 25 + 3) // 6 AS tm,
+         CASE WHEN sd < 0 THEN 0 - ((0 - sd) * 25 + 3 * cd) // (6 * cd)
+              ELSE (sd * 25 + 3 * cd) // (6 * cd) END AS sm
+  FROM t JOIN season s ON s.event_type = t.event_type AND s.hod = t.hour % 24
+)
+SELECT event_type, hour,
+       CAST(sv AS DOUBLE) / 10000 AS observed,
+       CAST(tm AS DOUBLE) / 1000000 AS trend,
+       CAST(sm AS DOUBLE) / 1000000 AS seasonal,
+       CAST(sv * 100 - tm - sm AS DOUBLE) / 1000000 AS residual
+FROM micro
+"""
+
+
+@register("events_seasonal_decompose", _DECOMPOSE_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each type's hourly series:
+    trend = centered 24-hour moving average (only full windows), seasonal
+    = hour-of-day mean of the detrended series, residual = the rest.
+    The detrended term is kept as the EXACT integer 24·x−Σ₂₄ (both
+    factors exact), so the seasonal group mean is an exact-integer sum
+    divided once — no unordered float accumulation anywhere.
+
+    Scale shape: raw events reduce map-side to |types|×|hours| buckets;
+    all windows are partitioned by type over that bucket table; the
+    seasonal join is a broadcast of |types|×24 rows."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    frame = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-11, 12)
+    w = b.select(
+        "event_type", "hour", "sv",
+        F.sum("sv").over(frame).alias("s24"),
+        F.count("*").over(frame).alias("c24"),
+    )
+    t = w.filter(F.col("c24") == 24).drop("c24")
+    season = (
+        t.select(
+            "event_type",
+            (F.col("hour") % 24).alias("hod"),
+            (F.lit(24) * F.col("sv") - F.col("s24")).alias("d24"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.sum("d24").alias("sd"), F.count("*").alias("cd"))
+    )
+    j = t.withColumn("hod", F.col("hour") % 24).join(
+        F.broadcast(season), ["event_type", "hod"]
+    )
+    # micro-unit (1e-6) components rounded half-up in EXACT integer
+    # arithmetic — engine round() implementations disagree on the
+    # systematic .5 ties that the /24 denominator produces; integer
+    # half-up (add half the denominator, floor-divide positives) does
+    # not. residual is the exact remainder, so the three components
+    # always sum back to observed.
+    micro = j.select(
+        "event_type", "hour", "sv",
+        F.expr("(s24 * 25 + 3) div 6").alias("tm"),
+        F.expr(
+            "CASE WHEN sd < 0 THEN 0 - ((0 - sd) * 25 + 3 * cd) div (6 * cd) "
+            "ELSE (sd * 25 + 3 * cd) div (6 * cd) END"
+        ).alias("sm"),
+    )
+    return micro.select(
+        "event_type", "hour",
+        (F.col("sv").cast("double") / 10000).alias("observed"),
+        (F.col("tm").cast("double") / 1000000).alias("trend"),
+        (F.col("sm").cast("double") / 1000000).alias("seasonal"),
+        (
+            (F.col("sv") * 100 - F.col("tm") - F.col("sm")).cast("double") / 1000000
+        ).alias("residual"),
+    )
