@@ -137,6 +137,7 @@ HEADLINE = [
     "events_ewma_smoothed",
     "text_zipf_fit",
     "events_seasonal_decompose",
+    "retrieval_query_likelihood",
 ]
 
 

@@ -237,3 +237,70 @@ def phrase_search(docs: DataFrame, phrase: list[str]) -> DataFrame:
             (F.min("p0") + 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents under the Dirichlet-smoothed query-likelihood
+    language model — the other classic lexical ranker beside BM25:
+
+      score(q, d) = Σ_{t ∈ q∩d} round(ln(1 + tf·|C| / (μ·cf_t)), 6)
+                    + |q| · round(ln(μ / (dl + μ)), 6)
+
+    (the standard rank-equivalent decomposition, so unmatched terms never
+    need a row). Per-term contributions are rounded then decimal-summed —
+    order-independent, bit-identical to the SQL oracle. Only docs matching
+    ≥ 1 query term are ranked (as with BM25).
+
+    Scale: one token-stream scan; collection stats (cf_t, |C|) are a
+    broadcast handful of rows; top-k is TakeOrdered, no global sort."""
+    terms = sorted({t.lower() for t in query_terms})
+    pre = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("w"))
+    tok = pre.select("doc_id", "dl", F.lower("w").alias("term"))
+    matched = tok.filter(F.col("term").isin(*terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    cf = matched.groupBy("term").agg(F.count("*").alias("cf"))
+    coll = docs.select(
+        F.size(F.split(F.col(text_col), " ")).alias("_dl")
+    ).agg(F.sum("_dl").alias("c_tokens"))
+
+    term_part = F.round(
+        F.log(
+            1.0
+            + (F.col("tf").cast("double") * F.col("c_tokens"))
+            / (F.lit(mu) * F.col("cf"))
+        ),
+        6,
+    )
+    doc_part = F.round(F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))), 6)
+    scored = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(coll))
+        .withColumn("c_term", term_part)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c_term").cast("decimal(18,6)")).alias("_s_terms"),
+            F.count("*").alias("n_terms_hit"),
+            F.first("dl").alias("dl"),
+        )
+        .withColumn(
+            "score",
+            (
+                F.col("_s_terms")
+                + F.lit(len(terms)) * doc_part.cast("decimal(18,6)")
+            ).cast("double"),
+        )
+        .select("doc_id", "score", "n_terms_hit")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

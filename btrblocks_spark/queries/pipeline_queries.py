@@ -3158,3 +3158,49 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_c_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval: Dirichlet-smoothed query likelihood (the LM ranker beside BM25)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_query_likelihood",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         lower(unnest(string_split(text, ' '))) AS term
+  FROM documents
+),
+matched AS (SELECT * FROM tok WHERE term IN ({_BM25_IN})),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM matched GROUP BY doc_id, term
+),
+cf AS (SELECT term, count(*) AS cf FROM matched GROUP BY term),
+coll AS (
+  SELECT SUM(len(string_split(text, ' '))) AS c_tokens FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(ln(1.0 + (CAST(tf AS DOUBLE) * c_tokens) / (2000.0 * cf)), 6) AS c_term,
+         dl
+  FROM tf JOIN cf USING (term) CROSS JOIN coll
+)
+SELECT doc_id,
+       CAST(sum(CAST(c_term AS DECIMAL(18,6)))
+            + 3 * CAST(round(ln(2000.0 / (first(dl) + 2000.0)), 6) AS DECIMAL(18,6))
+            AS DOUBLE) AS score,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+)
+def q_retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood ranking (see retrieval.query_likelihood_topk)."""
+    from btrblocks_spark.pipeline.retrieval import query_likelihood_topk
+
+    return query_likelihood_topk(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20
+    )
