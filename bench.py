@@ -138,6 +138,7 @@ HEADLINE = [
     "text_zipf_fit",
     "events_seasonal_decompose",
     "retrieval_query_likelihood",
+    "text_heaps_law",
 ]
 
 

@@ -3204,3 +3204,78 @@ def q_retrieval_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_likelihood_topk(
         load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# text: Heaps'-law fit — vocabulary growth V = K·n^beta across sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+WITH tok AS (
+  SELECT source, lower(unnest(string_split(text, ' '))) AS w FROM documents
+),
+per AS (
+  SELECT source, COUNT(*) AS n_tok, COUNT(DISTINCT w) AS n_types
+  FROM tok WHERE w != '' GROUP BY source
+),
+terms AS (
+  SELECT CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+         CAST(round(ln(CAST(n_types AS DOUBLE)) * 1000000) AS BIGINT) AS ly
+  FROM per
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM terms
+)
+SELECT n AS n_sources,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       round((CAST(sy AS DOUBLE) / n
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / n)) / 1000000, 6) AS log_k
+FROM s
+""",
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: regress ln(vocabulary size) on ln(token count)
+    across sources — natural corpora sit near β≈0.5; β→1 flags
+    near-random text, β→0 flags templated/duplicated text. Same
+    determinism discipline as text_zipf_fit: log terms snap to scaled
+    BIGINTs before any cross-row sum, OLS runs on exact integers.
+
+    Scale shape: one token scan into a per-source count_distinct (the
+    only shuffle, map-side partial-combined); the fit itself is
+    driver-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w0")
+    ).select("source", F.lower(F.col("w0")).alias("w")).filter(F.col("w") != "")
+    per = tok.groupBy("source").agg(
+        F.count("*").alias("n_tok"), F.countDistinct("w").alias("n_types")
+    )
+    terms = per.select(
+        F.round(F.log(F.col("n_tok").cast("double")) * 1000000).cast("long").alias("lx"),
+        F.round(F.log(F.col("n_types").cast("double")) * 1000000).cast("long").alias("ly"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sxx") - sx * sx).cast("double")
+    return s.select(
+        n.alias("n_sources"),
+        F.round(num / den, 6).alias("heaps_beta"),
+        F.round(
+            (sy.cast("double") / n - (num / den) * (sx.cast("double") / n)) / 1000000,
+            6,
+        ).alias("log_k"),
+    )
