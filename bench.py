@@ -139,6 +139,7 @@ HEADLINE = [
     "events_seasonal_decompose",
     "retrieval_query_likelihood",
     "text_heaps_law",
+    "stats_weighted_median",
 ]
 
 

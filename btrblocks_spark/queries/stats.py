@@ -1540,3 +1540,76 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (windowless, value-domain cumulative)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH f AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY x
+),
+cum AS (
+  SELECT a.x, COALESCE(SUM(b.w), 0) + a.w AS cw, COALESCE(SUM(b.c), 0) + a.c AS cc
+  FROM f a LEFT JOIN f b ON b.x < a.x
+  GROUP BY a.x, a.w, a.c
+),
+tot AS (SELECT SUM(w) AS tw, SUM(c) AS tc FROM f)
+SELECT MIN(CASE WHEN 2 * cc >= tc THEN x END) AS plain_median,
+       MIN(CASE WHEN 2 * cw >= tw THEN x END) AS weighted_median,
+       tc AS n_rows, tw AS total_weight_cents
+FROM cum CROSS JOIN tot
+GROUP BY tc, tw
+"""
+
+
+@register("stats_weighted_median", _WMEDIAN_ORACLE)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact plain and revenue-weighted median of quantity — the order
+    statistic computed WITHOUT any global sort or window: cumulative
+    row/weight counts come from a triangular self-join over the distinct-
+    value table (domain-bounded, 50 rows), the median is the smallest
+    value whose doubled cumulative crosses the total. Every intermediate
+    is an exact BIGINT.
+
+    Scale: one map-side-combined groupBy to the value domain; the
+    cumulative join is domain², independent of row count."""
+    f = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("py"),
+    ).groupBy("x").agg(
+        F.sum("py").alias("w"), F.count("*").alias("c")
+    )
+    b = f.select(
+        F.col("x").alias("_bx"), F.col("w").alias("_bw"), F.col("c").alias("_bc")
+    )
+    cum = (
+        f.join(F.broadcast(b), F.col("_bx") < F.col("x"), "left")
+        .groupBy("x", "w", "c")
+        .agg(
+            (F.coalesce(F.sum("_bw"), F.lit(0)) + F.col("w")).alias("cw"),
+            (F.coalesce(F.sum("_bc"), F.lit(0)) + F.col("c")).alias("cc"),
+        )
+    )
+    tot = f.agg(F.sum("w").alias("tw"), F.sum("c").alias("tc"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("tc", "tw")
+        .agg(
+            F.min(F.when(2 * F.col("cc") >= F.col("tc"), F.col("x"))).alias(
+                "plain_median"
+            ),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("x"))).alias(
+                "weighted_median"
+            ),
+        )
+        .select(
+            "plain_median", "weighted_median",
+            F.col("tc").alias("n_rows"),
+            F.col("tw").alias("total_weight_cents"),
+        )
+    )
