@@ -140,6 +140,7 @@ HEADLINE = [
     "retrieval_query_likelihood",
     "text_heaps_law",
     "stats_weighted_median",
+    "events_peak_detection",
 ]
 
 

@@ -2280,3 +2280,69 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sv") * 100 - F.col("tm") - F.col("sm")).cast("double") / 1000000
         ).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection: local maxima with minimum prominence over hourly series
+# ---------------------------------------------------------------------------
+
+_PEAKS_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, sv,
+         LAG(sv) OVER (PARTITION BY event_type ORDER BY hour) AS prev,
+         LEAD(sv) OVER (PARTITION BY event_type ORDER BY hour) AS next
+  FROM b
+)
+SELECT event_type, hour,
+       CAST(sv AS DOUBLE) / 10000 AS peak_value,
+       CAST(sv - GREATEST(prev, next) AS DOUBLE) / 10000 AS prominence
+FROM w
+WHERE prev IS NOT NULL AND next IS NOT NULL
+  AND sv > prev AND sv > next
+  AND sv - GREATEST(prev, next) >= 500000
+"""
+
+
+@register("events_peak_detection", _PEAKS_ORACLE)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum peak detection over each type's hourly value series,
+    keeping peaks that clear both neighbors by a minimum prominence (50.0
+    in value units). All comparisons are on exact scaled BIGINTs; the
+    lag/lead windows are partitioned by type over the map-side-reduced
+    bucket table (O(time span) rows)."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    n = b.select(
+        "event_type", "hour", "sv",
+        F.lag("sv").over(w).alias("prev"),
+        F.lead("sv").over(w).alias("next"),
+    )
+    prom = F.col("sv") - F.greatest(F.col("prev"), F.col("next"))
+    return (
+        n.filter(
+            F.col("prev").isNotNull()
+            & F.col("next").isNotNull()
+            & (F.col("sv") > F.col("prev"))
+            & (F.col("sv") > F.col("next"))
+            & (prom >= 500000)
+        )
+        .select(
+            "event_type", "hour",
+            (F.col("sv").cast("double") / 10000).alias("peak_value"),
+            (prom.cast("double") / 10000).alias("prominence"),
+        )
+    )
