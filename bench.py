@@ -141,6 +141,7 @@ HEADLINE = [
     "text_heaps_law",
     "stats_weighted_median",
     "events_peak_detection",
+    "curation_quality_funnel",
 ]
 
 

@@ -3279,3 +3279,71 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("log_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: quality-gate funnel — stage-by-stage retention waterfall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_quality_funnel",
+    oracle="""
+WITH flags AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS f_len,
+         CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 1 ELSE 0 END AS f_lang,
+         CASE WHEN len(string_split(text, ' ')) >= 25 THEN 1 ELSE 0 END AS f_quality,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END
+           AS f_canonical
+  FROM documents
+)
+SELECT COUNT(*) AS n_total,
+       SUM(f_len) AS after_length,
+       SUM(f_len * f_lang) AS after_lang,
+       SUM(f_len * f_lang * f_quality) AS after_quality,
+       SUM(f_len * f_lang * f_quality * f_canonical) AS after_dedup,
+       round(1.0 - CAST(SUM(f_len * f_lang * f_quality * f_canonical) AS DOUBLE)
+                   / COUNT(*), 6) AS total_drop_rate
+FROM flags
+""",
+)
+def q_curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel observability: how many documents survive each
+    successive gate (length → language → quality → exact-dedup canonical).
+    The numbers that decide whether a 100 TB crawl yields 10 TB or 1 TB
+    of training data — and which gate is eating it. Flags are computed in
+    ONE scan; the dedup gate's canonical-per-content-hash uses a
+    partitioned min over md5(text) groups (hash-partitioned, never
+    global). All outputs are exact counts.
+
+    Reference analog: the reject/keep accounting of the compression
+    pipeline's scheme gate (SchemePicker's ratio threshold), lifted to
+    document curation."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    canon = W.partitionBy(F.md5(F.col("text")))
+    flags = d.select(
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("f_len"),
+        F.when(F.col("lang").isin("en", "de", "fr", "es"), 1).otherwise(0).alias("f_lang"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 25, 1)
+        .otherwise(0)
+        .alias("f_quality"),
+        F.when(F.col("doc_id") == F.min("doc_id").over(canon), 1)
+        .otherwise(0)
+        .alias("f_canonical"),
+    )
+    kept = F.col("f_len") * F.col("f_lang") * F.col("f_quality") * F.col("f_canonical")
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum("f_len").alias("after_length"),
+        F.sum(F.col("f_len") * F.col("f_lang")).alias("after_lang"),
+        F.sum(F.col("f_len") * F.col("f_lang") * F.col("f_quality")).alias(
+            "after_quality"
+        ),
+        F.sum(kept).alias("after_dedup"),
+        F.round(
+            1.0 - F.sum(kept).cast("double") / F.count("*"), 6
+        ).alias("total_drop_rate"),
+    )
