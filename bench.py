@@ -142,6 +142,7 @@ HEADLINE = [
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",
+    "events_interarrival_dist",
 ]
 
 

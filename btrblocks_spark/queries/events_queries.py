@@ -2346,3 +2346,65 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prom.cast("double") / 10000).alias("prominence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap distribution (per-user lag, integer bucket edges)
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) AS BIGINT)
+         - LAG(CAST(epoch_ns(ts) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS gap_ns
+  FROM events
+),
+b AS (
+  SELECT CASE
+           WHEN gap_ns < 60000000000 THEN 'a_lt_1m'
+           WHEN gap_ns < 600000000000 THEN 'b_1m_10m'
+           WHEN gap_ns < 3600000000000 THEN 'c_10m_1h'
+           WHEN gap_ns < 86400000000000 THEN 'd_1h_1d'
+           ELSE 'e_ge_1d'
+         END AS gap_bucket,
+         gap_ns
+  FROM g WHERE gap_ns IS NOT NULL
+)
+SELECT gap_bucket, COUNT(*) AS n_gaps,
+       CAST(MIN(gap_ns) AS BIGINT) AS min_gap_ns,
+       CAST(MAX(gap_ns) AS BIGINT) AS max_gap_ns,
+       CAST(SUM(gap_ns) AS BIGINT) AS total_gap_ns
+FROM b GROUP BY gap_bucket
+"""
+
+
+@register("events_interarrival_dist", _GAPS_ORACLE)
+def events_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution: per-user consecutive event gaps
+    bucketed on fixed integer edges (1m/10m/1h/1d). The lag window is
+    partitioned by user (hash-partitioned, never global), ordered by the
+    unique (ts, event_id) pair so ties can't reorder across engines; all
+    outputs are exact integer nanos."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns")
+    ).filter(F.col("gap_ns").isNotNull())
+    bucket = (
+        F.when(F.col("gap_ns") < 60000000000, "a_lt_1m")
+        .when(F.col("gap_ns") < 600000000000, "b_1m_10m")
+        .when(F.col("gap_ns") < 3600000000000, "c_10m_1h")
+        .when(F.col("gap_ns") < 86400000000000, "d_1h_1d")
+        .otherwise("e_ge_1d")
+    )
+    return (
+        g.select(bucket.alias("gap_bucket"), "gap_ns")
+        .groupBy("gap_bucket")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_ns").cast("long").alias("min_gap_ns"),
+            F.max("gap_ns").cast("long").alias("max_gap_ns"),
+            F.sum("gap_ns").cast("long").alias("total_gap_ns"),
+        )
+    )
