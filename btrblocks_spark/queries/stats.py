@@ -1305,11 +1305,16 @@ folded AS (
          COUNT(DISTINCT et) AS r_levels,
          COUNT(DISTINCT arm) AS c_levels
   FROM contrib
-)
+),
+tot2 AS (SELECT SUM(o) AS n FROM cells)
 SELECT n_cells,
        CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
-       round(list_reduce(list_transform(ls, s -> s.x), (acc, v) -> acc + v), 6) AS chi2
-FROM folded
+       round(list_reduce(list_transform(ls, s -> s.x), (acc, v) -> acc + v), 6) AS chi2,
+       round(sqrt(list_reduce(list_transform(ls, s -> s.x), (acc, v) -> acc + v)
+                  / (CAST(n AS DOUBLE)
+                     * CAST(CASE WHEN r_levels < c_levels THEN r_levels ELSE c_levels END - 1
+                            AS DOUBLE))), 6) AS cramers_v
+FROM folded CROSS JOIN tot2
 """
 
 
@@ -1352,17 +1357,26 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("et").alias("r_levels"),
         F.countDistinct("arm").alias("c_levels"),
     )
-    return folded.select(
+    tot2 = cells.agg(F.sum("o").alias("n2"))
+    chi2 = F.aggregate(
+        F.transform(F.col("ls"), lambda s: s.x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return folded.crossJoin(F.broadcast(tot2)).select(
         "n_cells",
         ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
         F.round(
-            F.aggregate(
-                F.transform(F.col("ls"), lambda s: s.x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            F.sqrt(
+                chi2
+                / (
+                    F.col("n2").cast("double")
+                    * (F.least("r_levels", "c_levels") - 1).cast("double")
+                )
             ),
             6,
-        ).alias("chi2"),
+        ).alias("cramers_v"),
     )
 
 
