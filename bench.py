@@ -143,6 +143,7 @@ HEADLINE = [
     "events_peak_detection",
     "curation_quality_funnel",
     "events_interarrival_dist",
+    "events_burstiness",
 ]
 
 

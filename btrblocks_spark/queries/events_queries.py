@@ -2408,3 +2408,68 @@ def events_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_ns").cast("long").alias("total_gap_ns"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness index: (sigma - mu)/(sigma + mu) of per-user inter-arrival gaps
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         (CAST(epoch_ns(ts) AS BIGINT)
+          - LAG(CAST(epoch_ns(ts) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+           // 60000000000 AS gap_min
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(gap_min) AS s1, SUM(gap_min * gap_min) AS s2
+  FROM g WHERE gap_min IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(s1 AS DOUBLE) / n, 6) AS mean_gap_min,
+       round((sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)
+              - CAST(s1 AS DOUBLE) / n)
+             / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n)
+                + CAST(s1 AS DOUBLE) / n), 6) AS burstiness
+FROM m
+"""
+
+
+@register("events_burstiness", _BURST_ORACLE)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) of per-user
+    inter-arrival gaps, grouped by the later event's type: B→1 bursty,
+    B≈0 Poisson, B→−1 periodic. Gaps are floored to integer minutes so
+    the moment sums stay exact BIGINTs (squared-minute partials fit int64
+    to ~10⁹ gaps per type; beyond that the production variant switches to
+    per-partition centered merges — same note as stats_spearman).
+
+    Scale shape: the lag window is partitioned by user; moments are one
+    map-side-combined groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        F.expr(
+            "(ts - lag(ts) over (partition by user_id order by ts, event_id)) div 60000000000"
+        ).alias("gap_min"),
+    ).filter(F.col("gap_min").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("gap_min").alias("s1"),
+        F.sum(F.col("gap_min") * F.col("gap_min")).alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sigma = F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n)
+        / n
+    )
+    return m.select(
+        "event_type", "n",
+        F.round(mu, 6).alias("mean_gap_min"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    )
