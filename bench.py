@@ -144,6 +144,7 @@ HEADLINE = [
     "curation_quality_funnel",
     "events_interarrival_dist",
     "events_burstiness",
+    "events_acf_profile",
 ]
 
 

@@ -2473,3 +2473,84 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 6).alias("mean_gap_min"),
         F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: ACF at lags 1..24 of the hourly value series
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) // 10000 AS sv
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+p AS (
+  SELECT a.event_type, l.lag, a.sv AS x, c.sv AS y
+  FROM b a CROSS JOIN lags l
+  JOIN b c ON c.event_type = a.event_type AND c.hour = a.hour + l.lag
+),
+m AS (
+  SELECT event_type, lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, lag, n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+             6) AS acf
+FROM m
+"""
+
+
+@register("events_acf_profile", _ACF_ORACLE)
+def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile: Pearson ACF of each type's hourly value
+    series at every lag 1..24 — the seasonality diagnostic that picks the
+    rollup grain (a 24h spike says daily cycle). Lagged pairs come from an
+    equi-join of the bucket table to itself shifted by an exploded lag
+    list — no window at all — and the per-lag moments are exact whole-
+    dollar BIGINTs (generalizes events_autocorr_lag1 to the full profile).
+
+    Scale shape: bucket table is |types|×|hours| (map-side reduced); the
+    lag join multiplies it by 24 — still time-span-bounded, shuffled once
+    on (type, hour)."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.expr("sum(v) div 10000").alias("sv"))
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(24))).alias("lag")
+    a = b.select("event_type", "hour", F.col("sv").alias("x"), lags)
+    c = b.select(
+        F.col("event_type").alias("_et"),
+        F.col("hour").alias("_h"),
+        F.col("sv").alias("y"),
+    )
+    p = a.join(
+        c,
+        (F.col("_et") == F.col("event_type")) & (F.col("_h") == F.col("hour") + F.col("lag")),
+    )
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / n
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n
+    return m.select(
+        "event_type", "lag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("acf")
+    )
