@@ -145,6 +145,7 @@ HEADLINE = [
     "events_interarrival_dist",
     "events_burstiness",
     "events_acf_profile",
+    "orders_backlog_series",
 ]
 
 

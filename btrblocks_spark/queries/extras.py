@@ -1246,3 +1246,85 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top20_revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog over time: weekly opened/closed flow and cumulative stock
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_backlog_series",
+    oracle="""
+WITH op AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         COUNT(*) AS opened
+  FROM orders GROUP BY 1
+),
+cl0 AS (
+  SELECT l_orderkey,
+         MAX((CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7) AS wk
+  FROM lineitem GROUP BY 1
+),
+cl AS (SELECT wk, COUNT(*) AS closed FROM cl0 GROUP BY 1),
+wks AS (
+  SELECT COALESCE(op.wk, cl.wk) AS wk,
+         COALESCE(opened, 0) AS opened, COALESCE(closed, 0) AS closed
+  FROM op FULL JOIN cl ON op.wk = cl.wk
+),
+cum AS (
+  SELECT a.wk, a.opened, a.closed, SUM(b.opened - b.closed) AS backlog
+  FROM wks a JOIN wks b ON b.wk <= a.wk
+  GROUP BY a.wk, a.opened, a.closed
+)
+SELECT CAST(wk AS BIGINT) AS week_idx, CAST(opened AS BIGINT) AS opened,
+       CAST(closed AS BIGINT) AS closed, CAST(backlog AS BIGINT) AS backlog
+FROM cum
+""",
+)
+def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: weekly opened (order date) vs closed
+    (last shipment of the order) flows and the cumulative stock — the
+    interval-counting query behind every ops dashboard. The cumulative
+    runs over the O(weeks) calendar-bounded rollup via the triangular
+    self-join (weeks², not rows²) — no global window; every count is an
+    exact integer.
+
+    Scale: two map-side-combined rollups (orders by week; lineitem's
+    per-order max ship week, shuffled once on orderkey) feed a ~350-row
+    week table; everything after is driver-scale."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    op = o.groupBy(
+        F.expr("datediff(o_orderdate, DATE'1970-01-01') div 7").alias("wk")
+    ).agg(F.count("*").alias("opened"))
+    cl = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.max(F.expr("datediff(l_shipdate, DATE'1970-01-01') div 7")).alias("wk")
+        )
+        .groupBy("wk")
+        .agg(F.count("*").alias("closed"))
+    )
+    wks = (
+        op.join(cl, "wk", "full")
+        .select(
+            "wk",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+    )
+    b = wks.select(
+        F.col("wk").alias("_bw"), (F.col("opened") - F.col("closed")).alias("_bd")
+    )
+    cum = (
+        wks.join(F.broadcast(b), F.col("_bw") <= F.col("wk"))
+        .groupBy("wk", "opened", "closed")
+        .agg(F.sum("_bd").alias("backlog"))
+    )
+    return cum.select(
+        F.col("wk").cast("long").alias("week_idx"),
+        F.col("opened").cast("long").alias("opened"),
+        F.col("closed").cast("long").alias("closed"),
+        F.col("backlog").cast("long").alias("backlog"),
+    )
