@@ -146,6 +146,7 @@ HEADLINE = [
     "events_burstiness",
     "events_acf_profile",
     "orders_backlog_series",
+    "customer_order_freq_spectrum",
 ]
 
 

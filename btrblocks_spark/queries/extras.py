@@ -1328,3 +1328,54 @@ def orders_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("closed").cast("long").alias("closed"),
         F.col("backlog").cast("long").alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency-of-frequencies spectrum with Good-Turing smoothing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_freq_spectrum",
+    oracle="""
+WITH c AS (SELECT o_custkey, COUNT(*) AS r FROM orders GROUP BY 1),
+all_c AS (
+  SELECT c_custkey, COALESCE(r, 0) AS r
+  FROM customer LEFT JOIN c ON c_custkey = o_custkey
+),
+spec AS (SELECT r, COUNT(*) AS nr FROM all_c GROUP BY r),
+gt AS (SELECT a.r, a.nr, b.nr AS nr1 FROM spec a LEFT JOIN spec b ON b.r = a.r + 1)
+SELECT CAST(r AS BIGINT) AS n_orders, CAST(nr AS BIGINT) AS n_customers,
+       round((r + 1) * CAST(COALESCE(nr1, 0) AS DOUBLE) / nr, 6)
+         AS good_turing_expected
+FROM gt
+""",
+)
+def customer_order_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many customers placed exactly r
+    orders (zero included via the dimension anti-side), plus the
+    Good-Turing expected count (r+1)·N_{r+1}/N_r — the smoothing estimate
+    language models use for unseen-event mass, here applied to customer
+    activity. Both rollups are exact integer counts; the spectrum join is
+    O(distinct r).
+
+    Scale: one shuffle on custkey, one on r (both map-side combined);
+    the spectrum table is tiny at any data size."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    c = o.groupBy(F.col("o_custkey")).agg(F.count("*").alias("r"))
+    all_c = cust.join(
+        c, cust.c_custkey == c.o_custkey, "left"
+    ).select(F.coalesce("r", F.lit(0)).alias("r"))
+    spec = all_c.groupBy("r").agg(F.count("*").alias("nr"))
+    b = spec.select((F.col("r") - 1).alias("r"), F.col("nr").alias("nr1"))
+    gt = spec.join(F.broadcast(b), "r", "left")
+    return gt.select(
+        F.col("r").cast("long").alias("n_orders"),
+        F.col("nr").cast("long").alias("n_customers"),
+        F.round(
+            (F.col("r") + 1) * F.coalesce(F.col("nr1"), F.lit(0)).cast("double")
+            / F.col("nr"),
+            6,
+        ).alias("good_turing_expected"),
+    )
