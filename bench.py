@@ -147,6 +147,7 @@ HEADLINE = [
     "events_acf_profile",
     "orders_backlog_series",
     "customer_order_freq_spectrum",
+    "multimodal_ahash_neardup",
 ]
 
 

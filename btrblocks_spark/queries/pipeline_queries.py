@@ -3347,3 +3347,117 @@ def q_curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.sum(kept).cast("double") / F.count("*"), 6
         ).alias("total_drop_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: average-hash (aHash) near-duplicate detection on payload bytes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_ahash_neardup",
+    oracle="""
+WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+slices AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         substr(text, CAST(i * n // 16 AS INTEGER) + 1,
+                CAST((i + 1) * n // 16 - i * n // 16 AS INTEGER)) AS sl
+  FROM m, unnest(range(0, 16)) AS t(i)
+),
+sums AS (
+  SELECT doc_id, i,
+         (SELECT COALESCE(SUM(ascii(c)), 0)
+          FROM unnest(string_split(sl, '')) AS u(c)) AS s
+  FROM slices
+),
+tot AS (SELECT doc_id, SUM(s) AS ts FROM sums GROUP BY doc_id),
+sig AS (
+  SELECT sums.doc_id,
+         SUM(CASE WHEN s * 16 > ts THEN 1 << i ELSE 0 END) AS sig
+  FROM sums JOIN tot USING (doc_id) GROUP BY sums.doc_id
+),
+bands AS (
+  SELECT doc_id, sig, CAST(b AS INTEGER) AS band, (sig >> (b * 8)) & 255 AS key
+  FROM sig, unnest(range(0, 2)) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+""",
+)
+def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) near-duplicate detection over opaque payload
+    bytes — the image-dedup counterpart of SimHash for text: split each
+    payload into 16 equal byte slices, bit i = (slice byte-sum × 16 >
+    total byte-sum) (integer compare, no FP), band the 16-bit signature
+    into 2×8-bit LSH keys (a 1-bit difference always leaves one band
+    intact → complete recall at hamming ≤ 1), verify candidates with an
+    exact popcount. Payloads are the ASCII text bytes, as in
+    multimodal_audio_windows, so the byte arithmetic is cross-engine
+    comparable; a real deployment swaps the slice-sum kernel for a decoded
+    luminance grid (decode stub: pipeline/multimodal.py).
+
+    Scale shape: signatures are one scan + a doc-id co-partitioned join of
+    two O(docs) tables; the candidate join is bucketed by band key (its
+    fan-out scales with bucket occupancy — widen the signature/bands for
+    corpus-scale runs, exactly like dedup_simhash_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("doc_id", "text", F.length("text").alias("n"))
+    slices = m.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        "text", "n",
+    ).select(
+        "doc_id", "i",
+        F.expr(
+            "substring(text, cast(i * n div 16 as int) + 1, "
+            "cast((i + 1) * n div 16 - i * n div 16 as int))"
+        ).alias("sl"),
+    )
+    sums = slices.select(
+        "doc_id", "i",
+        F.aggregate(
+            F.split(F.col("sl"), ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + F.coalesce(F.ascii(c), F.lit(0)),
+        ).alias("s"),
+    )
+    tot = sums.groupBy("doc_id").agg(F.sum("s").alias("ts"))
+    sig = (
+        sums.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") * 16 > F.col("ts"),
+                    F.expr("shiftleft(1, cast(i as int))"),
+                ).otherwise(0)
+            ).alias("sig")
+        )
+    )
+    bands = sig.select(
+        "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
+    ).withColumn("key", F.expr("shiftright(sig, band * 8) & 255"))
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"),
+        "band", "key",
+    )
+    cand = (
+        bands.join(b2, ["band", "key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(
+            F.col("doc_id").alias("doc_a"), "doc_b",
+            F.col("sig").alias("sa"), "sb",
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("int"))
+        .filter(F.col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
