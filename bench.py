@@ -148,6 +148,7 @@ HEADLINE = [
     "orders_backlog_series",
     "customer_order_freq_spectrum",
     "multimodal_ahash_neardup",
+    "events_trend_test",
 ]
 
 

@@ -2554,3 +2554,93 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "lag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over the hourly value series
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN c.sv > a.sv THEN 1 WHEN c.sv < a.sv THEN -1 ELSE 0 END) AS s,
+         COUNT(*) AS n_pairs
+  FROM b a JOIN b c ON c.event_type = a.event_type AND c.hour > a.hour
+  GROUP BY a.event_type
+),
+nb AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type),
+ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT event_type, sv, COUNT(*) AS t FROM b GROUP BY event_type, sv)
+  GROUP BY event_type
+)
+SELECT p.event_type, n, s,
+       round((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
+             / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term) / 18), 6)
+         AS z_score
+FROM pairs p JOIN nb USING (event_type) JOIN ties USING (event_type)
+"""
+
+
+@register("events_trend_test", _MK_ORACLE)
+def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test: the canonical nonparametric monotone-trend
+    detector, computed per type over the hourly series. The S statistic is
+    an exact integer sum of pair signs over the triangular bucket join
+    (time-span², not rows²); variance uses the textbook tie correction;
+    the z uses the continuity correction. Only the final z is FP.
+
+    Scale shape: raw events reduce map-side first; the pair join is
+    O(hours²) per type — bounded by the calendar, not the data volume."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    c = b.select(
+        F.col("event_type").alias("_et"),
+        F.col("hour").alias("_h"),
+        F.col("sv").alias("_sv"),
+    )
+    pairs = (
+        b.join(c, (F.col("_et") == F.col("event_type")) & (F.col("_h") > F.col("hour")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("_sv") > F.col("sv"), 1)
+                .when(F.col("_sv") < F.col("sv"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    nb = b.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        b.groupBy("event_type", "sv")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+                "tie_term"
+            )
+        )
+    )
+    out = pairs.join(F.broadcast(nb), "event_type").join(
+        F.broadcast(ties), "event_type"
+    )
+    s = F.col("s")
+    n = F.col("n")
+    num = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    var = (n.cast("double") * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18
+    return out.select(
+        "event_type", "n", "s", F.round(num / F.sqrt(var), 6).alias("z_score")
+    )
