@@ -149,6 +149,7 @@ HEADLINE = [
     "customer_order_freq_spectrum",
     "multimodal_ahash_neardup",
     "events_trend_test",
+    "events_runs_test",
 ]
 
 

@@ -2644,3 +2644,93 @@ def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", "s", F.round(num / F.sqrt(var), 6).alias("z_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: randomness of above/below-mean hourly sequence
+# ---------------------------------------------------------------------------
+
+_RUNSTEST_ORACLE = """
+WITH b AS (
+  SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
+         SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, COUNT(*) AS n, SUM(sv) AS ts FROM b GROUP BY event_type),
+sgn AS (
+  SELECT b.event_type, hour,
+         CASE WHEN sv * n > ts THEN 1 ELSE 0 END AS above
+  FROM b JOIN tot USING (event_type)
+),
+chg AS (
+  SELECT event_type, above,
+         CASE WHEN LAG(above) OVER (PARTITION BY event_type ORDER BY hour)
+                   IS DISTINCT FROM above THEN 1 ELSE 0 END AS is_start
+  FROM sgn
+),
+m AS (
+  SELECT event_type, SUM(is_start) AS r,
+         SUM(above) AS n1, SUM(1 - above) AS n2
+  FROM chg GROUP BY event_type
+)
+SELECT event_type, CAST(r AS BIGINT) AS n_runs,
+       CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       round((r - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 6)
+         AS z_score
+FROM m
+"""
+
+
+@register("events_runs_test", _RUNSTEST_ORACLE)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is each type's hourly series random
+    around its mean, or does it clump (fewer runs) / oscillate (more
+    runs)? The above-mean indicator is the exact integer compare
+    sv·n > Σsv (no division); the run count comes from a lag window
+    PARTITIONED by type over the reduced bucket table (first row counts
+    as a run start via the IS DISTINCT FROM null semantics); the z is one
+    scalar from exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.sum("v").alias("sv"))
+    )
+    tot = b.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("sv").alias("ts")
+    )
+    sgn = b.join(F.broadcast(tot), "event_type").select(
+        "event_type", "hour",
+        F.when(F.col("sv") * F.col("n") > F.col("ts"), 1).otherwise(0).alias("above"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    chg = sgn.select(
+        "event_type", "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    m = chg.groupBy("event_type").agg(
+        F.sum("is_start").alias("r"),
+        F.sum("above").alias("n1"),
+        F.sum(1 - F.col("above")).alias("n2"),
+    )
+    r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
+    mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return m.select(
+        "event_type",
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
