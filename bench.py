@@ -150,6 +150,7 @@ HEADLINE = [
     "multimodal_ahash_neardup",
     "events_trend_test",
     "events_runs_test",
+    "curation_theil_inequality",
 ]
 
 

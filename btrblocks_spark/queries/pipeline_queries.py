@@ -3461,3 +3461,89 @@ def q_multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: Theil inequality index of document lengths, decomposed by source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_theil_inequality",
+    oracle="""
+WITH rows_ AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(round(n_chars * ln(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+           AS xlx_u
+  FROM documents WHERE n_chars > 0
+),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(x) AS xs, SUM(xlx_u) AS sxlx FROM rows_
+),
+grp AS (
+  SELECT source, COUNT(*) AS ng, SUM(x) AS xg FROM rows_ GROUP BY source
+),
+btw AS (
+  SELECT SUM(CAST(round((CAST(xg AS DOUBLE) / xs)
+                 * ln((CAST(xg AS DOUBLE) / ng) / (CAST(xs AS DOUBLE) / n))
+                 * 1000000) AS BIGINT)) AS tb_u
+  FROM grp CROSS JOIN tot
+)
+SELECT n AS n_docs,
+       round(CAST(sxlx AS DOUBLE) / 1000000 / xs
+             - ln(CAST(xs AS DOUBLE) / n), 6) AS theil_total,
+       round(CAST(tb_u AS DOUBLE) / 1000000, 6) AS theil_between,
+       round((CAST(sxlx AS DOUBLE) / 1000000 / xs - ln(CAST(xs AS DOUBLE) / n))
+             - CAST(tb_u AS DOUBLE) / 1000000, 6) AS theil_within
+FROM tot CROSS JOIN btw
+""",
+)
+def q_curation_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of document lengths with the exact between/
+    within-source decomposition — the decomposable counterpart of the Gini
+    (customer_revenue_gini): T = Σ(x/X)·ln(x·N/X) = Σx·ln(x)/X − ln(X/N),
+    and T_between uses only group totals. Per-row x·ln(x) and per-group
+    terms snap to scaled BIGINTs before any cross-row sum (the Zipf-fit
+    discipline), so distributed order never moves a bit.
+
+    Scale shape: one scan with a map-side-combined global and per-source
+    rollup; everything after is driver-scale scalars."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    rows_ = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.round(
+            F.col("n_chars") * F.log(F.col("n_chars").cast("double")) * 1000000
+        ).cast("long").alias("xlx_u"),
+    )
+    tot = rows_.agg(
+        F.count("*").alias("n"), F.sum("x").alias("xs"), F.sum("xlx_u").alias("sxlx")
+    )
+    grp = rows_.groupBy("source").agg(
+        F.count("*").alias("ng"), F.sum("x").alias("xg")
+    )
+    btw = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("xg").cast("double") / F.col("xs"))
+                * F.log(
+                    (F.col("xg").cast("double") / F.col("ng"))
+                    / (F.col("xs").cast("double") / F.col("n"))
+                )
+                * 1000000
+            ).cast("long").alias("tb_u")
+        )
+        .agg(F.sum("tb_u").alias("tb_u"))
+    )
+    out = tot.crossJoin(F.broadcast(btw))
+    total = F.col("sxlx").cast("double") / 1000000 / F.col("xs") - F.log(
+        F.col("xs").cast("double") / F.col("n")
+    )
+    between = F.col("tb_u").cast("double") / 1000000
+    return out.select(
+        F.col("n").alias("n_docs"),
+        F.round(total, 6).alias("theil_total"),
+        F.round(between, 6).alias("theil_between"),
+        F.round(total - between, 6).alias("theil_within"),
+    )
