@@ -378,15 +378,23 @@ def scheme_bench() -> dict:
             ),
             n // 255 + 1,
         )[:n],
-        ("string", "fsst"): np.array(
-            ["".join(rng.choice(list("abcde"), 12)) + str(i) for i in range(8192)],
-            dtype=object,
-        ),
+        # large enough that the per-chunk table train (64 KiB sample)
+        # amortizes the way it does on a real column chunk
+        ("string", "fsst"): np.char.add(
+            rng.integers(97, 102, (262144, 12), dtype=np.uint8)
+            .view("S12")
+            .ravel()
+            .astype("U12"),
+            np.arange(262144).astype("U7"),
+        ).astype(object),
     }
     out = {}
     for (kind, scheme), values in shapes.items():
         if kind == "int":
-            values = values.astype(np.int32)
+            # keep >int32 shapes (dod timestamps ~1.7e12) in int64 — a blind
+            # astype(int32) wraps them and the row measures garbage
+            if values.max() <= 2**31 - 1 and values.min() >= -(2**31):
+                values = values.astype(np.int32)
             raw = values.nbytes
         elif kind == "double":
             raw = values.nbytes
@@ -453,15 +461,41 @@ def main() -> None:
         fmt["schemes"] = scheme_bench()
 
         total = round(sum(timings.values()), 3)
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+        # full per-query + format detail goes to a committed artifact; the
+        # stdout contract line must stay well under 2 KB because the driver
+        # captures only the tail of stdout (round-1 BENCH was unparseable
+        # at 6.3 KB). The JSON line carries per-group subtotals.
+        detail = {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+            "format": fmt,
+        }
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+
+        groups: dict[str, float] = {}
+        for name, sec in timings.items():
+            g = name.split("_", 1)[0]
+            groups[g] = round(groups.get(g, 0.0) + sec, 3)
         print(
             json.dumps(
                 {
                     "metric": "headline_queries_total_time",
                     "value": total,
                     "unit": "sec",
-                    "queries": timings,
-                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                    "format": fmt,
+                    "queries": groups,
+                    "n_queries": len(timings),
+                    "sf": sf_val,
+                    "compression_ratio": fmt.get("disk_compression_ratio"),
+                    "scan_mb_s": fmt.get("scan_mb_s"),
+                    "write_sec": fmt.get("write_sec"),
+                    "detail": "BENCH_DETAIL.json",
                 }
             )
         )

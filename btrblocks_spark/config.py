@@ -65,7 +65,11 @@ class BtrBlocksConfig:
     sample_size: int = 64
     max_cascade_depth: int = 3
     scheme_selection: SchemeSelection = SchemeSelection.SAMPLE
-    integer_schemes: tuple[str, ...] = ("uncompressed", "one_value", "dict", "rle", "pfor", "bp")
+    # delta/dod on by default: with width-honest size models they are the
+    # winning schemes for sorted keys and (ns-)timestamp columns
+    integer_schemes: tuple[str, ...] = (
+        "uncompressed", "one_value", "dict", "rle", "pfor", "bp", "delta", "dod",
+    )
     double_schemes: tuple[str, ...] = DOUBLE_SCHEMES
     string_schemes: tuple[str, ...] = STRING_SCHEMES
     # force a scheme for every column of the type (tests; reference

@@ -21,7 +21,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from btrblocks_spark.format.maintenance import CommitConflictError, read_version
+from btrblocks_spark.format.maintenance import (
+    CommitConflictError,
+    commit_lock,
+    read_version,
+)
 
 
 def _catalog_path(catalog_dir: str) -> str:
@@ -46,22 +50,27 @@ def commit_tables(
     ``expected_snapshot_id`` set, the commit is rejected if another writer
     published in between (CAS on the snapshot id)."""
     os.makedirs(catalog_dir, exist_ok=True)
-    cur = read_catalog(catalog_dir)
-    if (
-        expected_snapshot_id is not None
-        and cur["snapshot_id"] != expected_snapshot_id
-    ):
-        raise CommitConflictError(
-            f"catalog snapshot {expected_snapshot_id} superseded by "
-            f"{cur['snapshot_id']}"
-        )
-    tables = dict(cur["tables"])
-    tables.update(updates)
-    new = {"snapshot_id": cur["snapshot_id"] + 1, "tables": tables}
-    tmp = _catalog_path(catalog_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new, fh)
-    os.replace(tmp, _catalog_path(catalog_dir))
+    # the whole read→compare→replace sequence runs under the exclusive
+    # commit lock — a bare check-then-write lets two committers with the
+    # same expected_snapshot_id both pass the CAS check and one update be
+    # silently lost
+    with commit_lock(catalog_dir):
+        cur = read_catalog(catalog_dir)
+        if (
+            expected_snapshot_id is not None
+            and cur["snapshot_id"] != expected_snapshot_id
+        ):
+            raise CommitConflictError(
+                f"catalog snapshot {expected_snapshot_id} superseded by "
+                f"{cur['snapshot_id']}"
+            )
+        tables = dict(cur["tables"])
+        tables.update(updates)
+        new = {"snapshot_id": cur["snapshot_id"] + 1, "tables": tables}
+        tmp = _catalog_path(catalog_dir) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(new, fh)
+        os.replace(tmp, _catalog_path(catalog_dir))
     return new
 
 

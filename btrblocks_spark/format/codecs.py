@@ -92,6 +92,19 @@ def _bits(x: int) -> int:
     return max(int(x).bit_length(), 1)
 
 
+def _elem_width(arr: np.ndarray) -> int:
+    """Physical element width of an integer stream: 8 bytes once values
+    leave the int32 domain (epoch-nanos timestamps, row ids at 100 TB),
+    else 4. The reference is templated on the column width
+    (common/Units.hpp:52-56); we infer from the values so int64 columns
+    cost honestly instead of the old blanket 4-byte model (which made
+    `uncompressed` look cheaper than bit-packing on ns-timestamps)."""
+    if len(arr) == 0:
+        return 4
+    lo, hi = int(arr.min()), int(arr.max())
+    return 8 if (hi > _INT32_MAX or lo < -(2**31)) else 4
+
+
 def _int_stream_size(arr: np.ndarray, depth: int) -> int:
     """Cost of an integer sub-stream: cheapest of the cascade-eligible
     schemes at remaining depth (reference: sub-streams re-enter the picker,
@@ -99,10 +112,11 @@ def _int_stream_size(arr: np.ndarray, depth: int) -> int:
     n = len(arr)
     if n == 0:
         return 8
+    w = _elem_width(arr)
     if depth <= 0:
-        return n * 4 + 8
+        return n * w + 8
     lo, hi = int(arr.min()), int(arr.max())
-    candidates = [n * 4 + 8]  # uncompressed int32 model
+    candidates = [n * w + 8]  # uncompressed at physical width
     if lo == hi:
         candidates.append(16)  # one_value
     rng = hi - lo
@@ -117,7 +131,7 @@ def _int_stream_size(arr: np.ndarray, depth: int) -> int:
     # dict
     uniq = np.unique(arr)
     if len(uniq) < n // 2:
-        candidates.append(len(uniq) * 4 + n * _bits(len(uniq) - 1) // 8 + 16)
+        candidates.append(len(uniq) * w + n * _bits(len(uniq) - 1) // 8 + 16)
     return min(candidates)
 
 
@@ -135,9 +149,11 @@ def encode_int(scheme: str, values: np.ndarray, mask: np.ndarray | None = None, 
     e = Encoded(scheme=scheme, n=n, mask=mask)
     msize = _mask_size(mask)
 
+    width = _elem_width(set_vals)
+
     if scheme == "uncompressed":
         e.streams = {"values": filled}
-        e.size_bytes = n * 4 + msize
+        e.size_bytes = n * width + msize
 
     elif scheme == "one_value":
         if mask.any() and len(np.unique(set_vals)) != 1:
@@ -198,7 +214,7 @@ def encode_int(scheme: str, values: np.ndarray, mask: np.ndarray | None = None, 
         codes = np.searchsorted(uniq, filled)
         codes[~mask] = 0
         e.streams = {"dict": uniq, "codes": codes}
-        e.size_bytes = len(uniq) * 4 + _int_stream_size(codes, depth - 1) + 8 + msize
+        e.size_bytes = len(uniq) * width + _int_stream_size(codes, depth - 1) + 8 + msize
 
     elif scheme == "rle":
         run_vals, run_lens = _rle_encode(filled, mask)
@@ -561,11 +577,18 @@ def encode_string(scheme: str, values, mask: np.ndarray | None = None, depth: in
         # real FSST (format/fsst.py): one symbol table per chunk, per-string
         # greedy encode, offsets cascaded as an integer stream — the layout
         # of the reference's Fsst.cpp:17-80
-        raw = [x.encode("utf-8") for x in filled]
-        table = _fsst.train(raw)
-        payloads = [_fsst.compress(table, s) for s in raw]
-        code_lengths = np.array([len(p) for p in payloads], dtype=np.int64)
-        e.streams = {"table": table, "payload": b"".join(payloads), "code_lengths": code_lengths}
+        # train consumes a bounded sample — only encode the strings it can
+        # actually read (64 KiB cap), not the whole column
+        sample, budget = [], _fsst._TRAIN_CAP_BYTES
+        for x in filled:
+            if budget <= 0:
+                break
+            b = x.encode("utf-8")
+            sample.append(b)
+            budget -= len(b)
+        table = _fsst.train(sample)
+        payload, code_lengths = _fsst.compress_column(table, filled)
+        e.streams = {"table": table, "payload": payload, "code_lengths": code_lengths}
         e.size_bytes = (
             int(code_lengths.sum())
             + table.serialized_size()
@@ -588,12 +611,7 @@ def decode_string(e: Encoded):
     if e.scheme == "dict":
         return s["dict"][s["codes"]]
     if e.scheme == "fsst":
-        table, payload = s["table"], s["payload"]
-        out, pos = [], 0
-        for ln in s["code_lengths"]:
-            out.append(_fsst.decompress(table, payload[pos : pos + ln]).decode("utf-8"))
-            pos += int(ln)
-        return np.array(out, dtype=object)
+        return _fsst.decompress_column(s["table"], s["payload"], s["code_lengths"])
     raise ValueError(f"unknown string scheme {e.scheme}")
 
 
@@ -623,3 +641,89 @@ def decode(kind: str, e: Encoded):
 
 def schemes_for_kind(kind: str) -> tuple[str, ...]:
     return {"int": INT_SCHEMES, "double": DOUBLE_SCHEMES, "string": STRING_SCHEMES}[kind]
+
+
+# ---------------------------------------------------------------------------
+# Cascade scheme-tree description (BtrReader::getSchemeDescription,
+# compression/BtrReader.cpp:76-121: the reference prints the RECURSIVE
+# scheme tree per column chunk — root scheme plus the scheme of every
+# child stream). The child labels mirror _int_stream_size's cost model:
+# the name reported is the candidate the model actually priced cheapest.
+# ---------------------------------------------------------------------------
+
+def _int_child_plan(arr: np.ndarray, depth: int) -> str:
+    n = len(arr)
+    if n == 0 or depth <= 0:
+        return "uncompressed"
+    arr = np.asarray(arr, dtype=np.int64)
+    w = _elem_width(arr)
+    lo, hi = int(arr.min()), int(arr.max())
+    cands: list[tuple[int, str]] = [(n * w + 8, "uncompressed")]
+    if lo == hi:
+        cands.append((16, "one_value"))
+    rng = hi - lo
+    cands.append((n * _bits(rng) // 8 + 16, "bp"))
+    if n > 1:
+        runs = 1 + int((arr[1:] != arr[:-1]).sum())
+        if runs < n // 2:
+            run_bits = _bits(rng) + 16
+            cands.append((runs * run_bits // 8 + 24, "rle"))
+    uniq = np.unique(arr)
+    if len(uniq) < n // 2:
+        cands.append(
+            (len(uniq) * w + n * _bits(len(uniq) - 1) // 8 + 16, "dict")
+        )
+    return min(cands)[1]
+
+
+def describe_tree(kind: str, e: Encoded, depth: int = 3) -> str:
+    """Render the recursive scheme tree of an encoded chunk, e.g.
+    ``dict(codes:rle)`` or ``rle(values:bp,lengths:truncation)``."""
+    s = e.streams
+    d = depth - 1
+    if kind == "int":
+        if e.scheme == "truncation":
+            width = 8 * s["codes"].dtype.itemsize
+            return f"truncation(codes:u{width})"
+        if e.scheme == "for":
+            return f"for(residuals:{_int_child_plan(s['residuals'], d)})"
+        if e.scheme == "delta":
+            return f"delta(deltas:{_int_child_plan(np.abs(s['deltas']), d)})"
+        if e.scheme == "dod":
+            return f"dod(dod:{_int_child_plan(np.abs(s['dod']), d)})"
+        if e.scheme == "dict":
+            return f"dict(codes:{_int_child_plan(s['codes'], d)})"
+        if e.scheme == "rle":
+            return (
+                f"rle(values:{_int_child_plan(s['run_values'], d)},"
+                f"lengths:{_int_child_plan(s['run_lengths'], d)})"
+            )
+        if e.scheme == "frequency":
+            if len(s["exc_values"]):
+                return f"frequency(exceptions:{_int_child_plan(s['exc_values'], d)})"
+            return "frequency"
+        return e.scheme
+    if kind == "double":
+        if e.scheme == "dict":
+            return f"dict(codes:{_int_child_plan(s['codes'], d)})"
+        if e.scheme == "rle":
+            return f"rle(lengths:{_int_child_plan(s['run_lengths'], d)})"
+        if e.scheme == "frequency":
+            exc = s.get("exc_values")
+            return "frequency(exceptions:double)" if exc is not None and len(exc) else "frequency"
+        if e.scheme == "pseudodecimal":
+            return (
+                f"pseudodecimal(sig:{_int_child_plan(s['significands'], d)},"
+                f"exp:{_int_child_plan(s['exponents'].astype(np.int64), d)})"
+            )
+        if e.scheme == "max_exponent":
+            return f"max_exponent(sig:{_int_child_plan(s['significands'].astype(np.int64), d)})"
+        return e.scheme
+    # string
+    if e.scheme == "dict":
+        pool = "".join(s["dict"].tolist()).encode("utf-8")
+        pool_label = "pool:fsst," if len(pool) >= 16 * 1024 else ""
+        return f"dict({pool_label}codes:{_int_child_plan(s['codes'], d)})"
+    if e.scheme == "fsst":
+        return f"fsst(lengths:{_int_child_plan(s['code_lengths'], d)})"
+    return e.scheme

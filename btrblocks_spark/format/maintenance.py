@@ -19,14 +19,48 @@ versions, never in-place edits:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from btrblocks_spark.streaming.ops import read_snapshot
+
+
+@contextlib.contextmanager
+def commit_lock(dir_path: str, timeout_sec: float = 10.0):
+    """Exclusive commit lock via atomic ``os.mkdir`` — serializes the
+    check-then-swap window of pointer commits (the residual TOCTOU in a
+    bare read→compare→os.replace sequence: two writers holding the same
+    base can interleave between the check and the swap and one update is
+    silently lost). Driver-side and cheap: commits are O(pointer file),
+    never data-sized. A lock older than ``timeout_sec`` is treated as
+    abandoned (crashed committer) and broken."""
+    lock = os.path.join(dir_path, "_commit.lock")
+    os.makedirs(dir_path, exist_ok=True)
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            try:
+                if time.monotonic() > deadline or (
+                    time.time() - os.path.getmtime(lock) > timeout_sec
+                ):
+                    shutil.rmtree(lock, ignore_errors=True)
+                    continue
+            except OSError:
+                continue
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
 
 
 def _versions(table_dir: str) -> list[int]:
@@ -125,15 +159,18 @@ def _claim_and_commit(
             # Delta history analog, queryable via table_history)
             with open(os.path.join(vdir, "_commit.json"), "w") as fh:
                 json.dump({"version": next_v, "base_version": base_v, **op_info}, fh)
-        if _latest_version(table_dir) != base_v:
-            raise CommitConflictError(
-                f"base version {base_v} superseded by "
-                f"{_latest_version(table_dir)}; retry on the new snapshot"
-            )
-        tmp = os.path.join(table_dir, "_latest.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(next_v))
-        os.replace(tmp, os.path.join(table_dir, "_latest"))
+        # check+swap under the exclusive lock: without it two writers on
+        # the same base can both pass the check before either swaps
+        with commit_lock(table_dir):
+            if _latest_version(table_dir) != base_v:
+                raise CommitConflictError(
+                    f"base version {base_v} superseded by "
+                    f"{_latest_version(table_dir)}; retry on the new snapshot"
+                )
+            tmp = os.path.join(table_dir, "_latest.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(next_v))
+            os.replace(tmp, os.path.join(table_dir, "_latest"))
         return next_v
     except CommitConflictError:
         shutil.rmtree(vdir, ignore_errors=True)

@@ -90,6 +90,12 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
                 cands.append("for")
             if "delta" in enabled and bool(np.all(np.diff(arr) >= 0)):
                 cands.append("delta")
+            if "dod" in enabled and n > 2:
+                # delta-of-delta pays off when spacing is near-regular:
+                # second differences span far less than the values
+                d2 = np.diff(arr.astype(np.int64), n=2)
+                if len(d2) and int(np.abs(d2).max()) < max(rng // 16, 2):
+                    cands.append("dod")
             if "bp" in enabled:
                 cands.append("bp")
             if "pfor" in enabled:
@@ -143,8 +149,9 @@ def choose_scheme(
         )
     mask = np.asarray(mask, dtype=bool)
 
+    int_w = codecs._elem_width(values[mask]) if kind == "int" else 4
     raw_size = (
-        n * 4 if kind == "int" else n * 8 if kind == "double" else int(sum(len(x or "") for x in values)) + 4 * n
+        n * int_w if kind == "int" else n * 8 if kind == "double" else int(sum(len(x or "") for x in values)) + 4 * n
     )
 
     forced = forced or config.forced_scheme_for(spark_type)
@@ -156,6 +163,7 @@ def choose_scheme(
             "raw_size": raw_size,
             "est_size": enc.size_bytes,
             "candidates": [forced],
+            "scheme_tree": codecs.describe_tree(kind, enc, config.max_cascade_depth),
         }
 
     # step 1: trivial cases
@@ -170,6 +178,7 @@ def choose_scheme(
             "raw_size": raw_size,
             "est_size": enc.size_bytes,
             "candidates": ["one_value"],
+            "scheme_tree": "one_value",
         }
 
     cands = candidate_schemes(kind, values, mask, config)
@@ -179,7 +188,7 @@ def choose_scheme(
     else:
         est_values, est_mask = run_sample(values, mask, config.sample_count, config.sample_size)
         sample_raw = (
-            len(est_values) * 4
+            len(est_values) * int_w
             if kind == "int"
             else len(est_values) * 8
             if kind == "double"
@@ -194,7 +203,7 @@ def choose_scheme(
     # stats pass already paid it).
     _FULL_EST = {"dict", "fsst"}
 
-    best, best_size = "uncompressed", None
+    best, best_size, best_enc = "uncompressed", None, None
     sizes = {}
     for scheme in cands:
         try:
@@ -208,20 +217,26 @@ def choose_scheme(
             continue
         sizes[scheme] = full_size
         if best_size is None or full_size < best_size:
-            best, best_size = scheme, full_size
+            best, best_size, best_enc = scheme, full_size, enc
 
     est_size = int(best_size if best_size is not None else raw_size)
 
     # step 5: regression guard
     if est_size >= raw_size:
-        best, est_size = "uncompressed", raw_size
+        best, est_size, best_enc = "uncompressed", raw_size, None
 
+    tree = (
+        codecs.describe_tree(kind, best_enc, config.max_cascade_depth)
+        if best_enc is not None
+        else best
+    )
     return {
         "scheme": best,
         "est_ratio": raw_size / max(est_size, 1),
         "raw_size": raw_size,
         "est_size": est_size,
         "candidates": cands,
+        "scheme_tree": tree,
     }
 
 

@@ -120,6 +120,9 @@ def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
                     info["type"],
                     ch["chunk"],
                     ch["scheme"],
+                    # recursive cascade tree (BtrReader::getSchemeDescription);
+                    # older sidecars predate the field
+                    ch.get("scheme_tree", ch["scheme"]),
                     float(ch["est_ratio"]),
                     ch["raw_size"],
                     ch["est_size"],
@@ -130,7 +133,8 @@ def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
             )
     return spark.createDataFrame(
         rows,
-        "column string, col_type string, chunk long, scheme string, est_ratio double, "
+        "column string, col_type string, chunk long, scheme string, scheme_tree string, "
+        "est_ratio double, "
         "raw_size long, est_size long, n_rows long, null_count long, unique_count long",
     )
 

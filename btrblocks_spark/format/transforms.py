@@ -165,7 +165,7 @@ def fsst_encode(
             {
                 "part": pdf["part"],
                 "key": pdf["key"],
-                "codes": [fsst.compress(table, s) for s in raw],
+                "codes": fsst.compress_batch(table, raw),
             }
         )
 
@@ -192,13 +192,17 @@ def fsst_decode(encoded: DataFrame, tables: DataFrame, col: str = "value") -> Da
     def _decode(codes: pd.Series, blobs: pd.Series) -> pd.Series:
         from btrblocks_spark.format import fsst
 
-        cache: dict[bytes, object] = {}
-        out = []
-        for c, b in zip(codes, blobs):
-            t = cache.get(b)
-            if t is None:
-                t = cache[b] = fsst.deserialize(bytes(b))
-            out.append(fsst.decompress(t, bytes(c)).decode("utf-8"))
+        # group rows by table blob, batch-decode each group (per-chunk
+        # tables → typically one group per Arrow batch)
+        out = [None] * len(codes)
+        by_blob: dict[bytes, list[int]] = {}
+        for i, b in enumerate(blobs):
+            by_blob.setdefault(bytes(b), []).append(i)
+        for blob, idxs in by_blob.items():
+            t = fsst.deserialize(blob)
+            dec = fsst.decompress_batch(t, [bytes(codes[i]) for i in idxs])
+            for i, d in zip(idxs, dec):
+                out[i] = d.decode("utf-8")
         return pd.Series(out, dtype="object")
 
     return encoded.join(F.broadcast(tables), "part").select(

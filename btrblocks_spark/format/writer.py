@@ -52,7 +52,8 @@ from btrblocks_spark.format.chunker import unpersist_index, with_chunk_id
 from btrblocks_spark.format.planner import choose_scheme, kind_of
 
 _PLAN_SCHEMA = (
-    "chunk long, column string, col_type string, scheme string, est_ratio double, "
+    "chunk long, column string, col_type string, scheme string, scheme_tree string, "
+    "est_ratio double, "
     "raw_size long, est_size long, n_rows long, null_count long, unique_count long, "
     "min_repr string, max_repr string, avg_run_length double, is_sorted boolean"
 )
@@ -69,7 +70,8 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
         # bypass stats entirely — their values may be unhashable (ndarray
         # cells), so even nunique() is off-limits here
         return {
-            "column": col, "col_type": col_type, "scheme": "skip", "est_ratio": 1.0,
+            "column": col, "col_type": col_type, "scheme": "skip",
+            "scheme_tree": "skip", "est_ratio": 1.0,
             "raw_size": 0, "est_size": 0, "n_rows": n, "null_count": null_count,
             "unique_count": 0, "min_repr": "", "max_repr": "",
             "avg_run_length": 1.0, "is_sorted": False,
@@ -117,6 +119,7 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     plan = choose_scheme(col_type, values, mask, config)
     return {
         "column": col, "col_type": col_type, "scheme": plan["scheme"],
+        "scheme_tree": plan.get("scheme_tree", plan["scheme"]),
         "est_ratio": float(plan["est_ratio"]), "raw_size": int(plan["raw_size"]),
         "est_size": int(plan["est_size"]), "n_rows": n, "null_count": null_count,
         "unique_count": int(uniq), "min_repr": str(mn), "max_repr": str(mx),

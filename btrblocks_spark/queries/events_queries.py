@@ -39,7 +39,7 @@ sessions AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us,
        count(*) AS n_events,
@@ -260,7 +260,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type"
     )
-    bucket = (F.col("ts_us") / F.lit(_RANGE_US)).cast("long")
+    bucket = F.expr(f"ts_us div {_RANGE_US}")
     err = e.filter(F.col("event_type") == "error").select(
         "user_id",
         bucket.alias("jbin"),
@@ -311,7 +311,7 @@ SELECT event_type, day_bucket, hour_bucket, 'hour' AS grain, n_events,
 FROM hourly
 UNION ALL
 SELECT event_type, day_bucket, NULL, 'day',
-       SUM(n_events), SUM(x) / CAST(10000 AS DOUBLE)
+       CAST(SUM(n_events) AS BIGINT), SUM(x) / CAST(10000 AS DOUBLE)
 FROM hourly GROUP BY 1, 2
 """,
 )
@@ -613,7 +613,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (cohort, offset) — tiny cardinality, map-side combinable after the
     distinct."""
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", (F.expr("ts div 1000") / F.lit(_WEEK_US)).cast("long").alias("wk")
+        "user_id", F.expr(f"(ts div 1000) div {_WEEK_US}").alias("wk")
     )
     first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     active = (
@@ -734,7 +734,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "ts",
         "event_id",
-        (F.expr("ts div 1000000000") / 3600).cast("long").alias("hour_bucket"),
+        F.expr("(ts div 1000000000) div 3600").alias("hour_bucket"),
         "value",
     )
     wa = Window.partitionBy("event_type", "hour_bucket").orderBy("ts", "event_id")
@@ -2078,7 +2078,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2153,7 +2153,7 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2232,7 +2232,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2319,7 +2319,7 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2522,7 +2522,7 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2579,7 +2579,7 @@ ties AS (
   FROM (SELECT event_type, sv, COUNT(*) AS t FROM b GROUP BY event_type, sv)
   GROUP BY event_type
 )
-SELECT p.event_type, n, s,
+SELECT p.event_type, n, CAST(s AS BIGINT) AS s,
        round((CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END)
              / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term) / 18), 6)
          AS z_score
@@ -2601,7 +2601,7 @@ def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")
@@ -2696,7 +2696,7 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         e.select(
             "event_type",
-            (F.col("ts") / F.lit(3600000000000)).cast("long").alias("hour"),
+            F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
         )
         .groupBy("event_type", "hour")

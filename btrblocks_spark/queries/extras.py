@@ -29,7 +29,7 @@ SELECT event_type,
        count(*) AS n_events,
        count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
          AS n_missing_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
@@ -176,7 +176,8 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_linestatus,
        count(*) AS n_rows,
        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-       SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+         AS qty_discounted,
        count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.0) AS taxed_suppliers,
        MAX(CAST(round(l_extendedprice * 100) AS BIGINT)) FILTER (WHERE l_returnflag = 'A')
          AS max_price_cents_A
@@ -373,7 +374,7 @@ WITH parsed AS (
 SELECT k // 10 AS k_decile,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       SUM(k) AS sum_k
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM parsed
 WHERE k IS NOT NULL
 GROUP BY 1
@@ -417,7 +418,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
        count(*) AS n,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,

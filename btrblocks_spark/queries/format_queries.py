@@ -78,7 +78,7 @@ def _rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_RLE_RUNS_CTE
     + """
 SELECT v,
-       sum(run_length) AS n_rows,
+       CAST(sum(run_length) AS BIGINT) AS n_rows,
        count(*) AS n_runs,
        max(run_length) AS longest_run,
        min(start_idx) AS first_idx
@@ -175,10 +175,10 @@ def dict_codespace_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT chunk,
            count(*) AS n_rows,
-           sum(CASE WHEN l_quantity > 30 AND l_discount >= 0.05 THEN 1 ELSE 0 END)
-             AS n_selected,
-           coalesce(sum(CASE WHEN l_quantity > 30 AND l_discount >= 0.05
-                             THEN _idx END), -1) AS sel_idx_sum
+           CAST(sum(CASE WHEN l_quantity > 30 AND l_discount >= 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(CASE WHEN l_quantity > 30 AND l_discount >= 0.05
+                             THEN _idx END), -1) AS BIGINT) AS sel_idx_sum
     FROM chunked GROUP BY chunk ORDER BY chunk
     """,
 )
@@ -429,9 +429,9 @@ dec AS (
   FROM enc
 )
 SELECT count(*) AS n_rows,
-       SUM(is_exception) AS n_exceptions,
-       SUM(CASE WHEN decoded = raw_v THEN 1 ELSE 0 END) AS n_roundtrip_exact,
-       SUM(CASE WHEN is_exception = 0 THEN sig ELSE 0 END) AS sum_sig
+       CAST(SUM(is_exception) AS BIGINT) AS n_exceptions,
+       CAST(SUM(CASE WHEN decoded = raw_v THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_exact,
+       CAST(SUM(CASE WHEN is_exception = 0 THEN sig ELSE 0 END) AS BIGINT) AS sum_sig
 FROM dec
 """,
 )
@@ -478,7 +478,7 @@ def pseudodecimal_domain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT o_orderstatus AS status,
        count(*) AS n,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderstatus
@@ -665,7 +665,7 @@ def format_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus AS status,
        count(*)::BIGINT AS n,
-       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000)
 GROUP BY o_orderstatus

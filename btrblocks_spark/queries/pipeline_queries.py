@@ -1306,7 +1306,8 @@ packs AS (
          CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id
   FROM pk
 )
-SELECT p.stratum, p.pack_id, count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,
+SELECT p.stratum, p.pack_id, count(*) AS n_docs,
+       CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
        flatten(list(e.token_ids ORDER BY p.doc_id)) AS token_ids
 FROM packs p JOIN enc e USING (doc_id)
 GROUP BY 1, 2
@@ -1858,8 +1859,8 @@ SELECT d.source AS stratum,
        count(*) AS n_docs,
        min(t.lo) AS lo,
        min(t.hi) AS hi,
-       sum(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS n_clip_lo,
-       sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       CAST(sum(CASE WHEN d.n_chars < t.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
        round(sum(least(greatest(d.n_chars, t.lo), t.hi)) / count(*), 6) AS winsor_mean
 FROM documents d JOIN thr t ON t.stratum = d.source
 GROUP BY 1
@@ -2631,7 +2632,7 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = prs.count()
     n_nodes = deg.count()
     n_wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("w")
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("w")
     ).collect()[0]["w"] or 0
     gcc = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
     return spark.createDataFrame(
@@ -3299,10 +3300,10 @@ WITH flags AS (
   FROM documents
 )
 SELECT COUNT(*) AS n_total,
-       SUM(f_len) AS after_length,
-       SUM(f_len * f_lang) AS after_lang,
-       SUM(f_len * f_lang * f_quality) AS after_quality,
-       SUM(f_len * f_lang * f_quality * f_canonical) AS after_dedup,
+       CAST(SUM(f_len) AS BIGINT) AS after_length,
+       CAST(SUM(f_len * f_lang) AS BIGINT) AS after_lang,
+       CAST(SUM(f_len * f_lang * f_quality) AS BIGINT) AS after_quality,
+       CAST(SUM(f_len * f_lang * f_quality * f_canonical) AS BIGINT) AS after_dedup,
        round(1.0 - CAST(SUM(f_len * f_lang * f_quality * f_canonical) AS DOUBLE)
                    / COUNT(*), 6) AS total_drop_rate
 FROM flags

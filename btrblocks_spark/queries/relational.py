@@ -110,7 +110,7 @@ SELECT
   l_linenumber,
   CAST(l_quantity AS INTEGER) AS qty_int,
   l_extendedprice * (1 + l_tax) AS gross_price,
-  CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
   l_returnflag || '/' || l_linestatus AS flag_status
 FROM lineitem
 WHERE l_linenumber <= 2
@@ -125,7 +125,7 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber"),
         F.col("l_quantity").cast("int").alias("qty_int"),
         (F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax"))).alias("gross_price"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
         F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
     )
 
@@ -1110,10 +1110,11 @@ verdicts AS (
 ),
 truth AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
 SELECT COUNT(*) AS n_customers,
-       SUM(v.bloom_maybe) AS bloom_pass,
-       SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS true_present,
-       SUM(v.bloom_maybe) - SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
-         AS false_positives
+       CAST(SUM(v.bloom_maybe) AS BIGINT) AS bloom_pass,
+       CAST(SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS true_present,
+       CAST(SUM(v.bloom_maybe) - SUM(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives
 FROM verdicts v LEFT JOIN truth t USING (c_custkey)
 """
 

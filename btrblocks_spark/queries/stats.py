@@ -213,7 +213,8 @@ WITH ordered AS (
 runs AS (
   SELECT v, idx, SUM(is_start) OVER (ORDER BY idx) AS run_id FROM ordered
 )
-SELECT run_id, v AS run_value, COUNT(*) AS run_length, MIN(idx) AS start_idx
+SELECT CAST(run_id AS BIGINT) AS run_id, v AS run_value,
+       COUNT(*) AS run_length, MIN(idx) AS start_idx
 FROM runs
 GROUP BY run_id, v
 """
@@ -370,7 +371,7 @@ per_key AS (
   SELECT key_name, key_value, count(*) AS cnt FROM k GROUP BY 1, 2
 )
 SELECT key_name,
-       sum(cnt) AS n_rows,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
        count(*) AS n_keys,
        max(cnt) AS max_freq,
        round(max(cnt) * count(*) / sum(cnt), 6) AS skew_factor
@@ -1223,9 +1224,9 @@ agg AS (
 wide AS (
   SELECT
     MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
-    MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+    CAST(MAX(CASE WHEN arm = 0 THEN n_converted END) AS BIGINT) AS c0,
     MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
-    MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+    CAST(MAX(CASE WHEN arm = 1 THEN n_converted END) AS BIGINT) AS c1
   FROM agg
 )
 SELECT n0, c0, n1, c1,
@@ -1404,7 +1405,7 @@ agg AS (
   FROM j
 ),
 ties AS (SELECT SUM(c * c * c - c) AS t FROM f)
-SELECT nr, na,
+SELECT CAST(nr AS BIGINT) AS nr, CAST(na AS BIGINT) AS na,
        round(CAST(sr2 - nr * (nr + 1) AS DOUBLE) / 2, 6) AS u_stat,
        round((CAST(sr2 - nr * (nr + 1) AS DOUBLE) / 2 - CAST(nr * na AS DOUBLE) / 2)
              / sqrt((CAST(nr * na AS DOUBLE) / 12)
@@ -1489,7 +1490,7 @@ tx AS (SELECT SUM(cx * (cx - 1) // 2) AS t1
        FROM (SELECT x, SUM(c) AS cx FROM cells GROUP BY x)),
 ty AS (SELECT SUM(cy * (cy - 1) // 2) AS t2
        FROM (SELECT y, SUM(c) AS cy FROM cells GROUP BY y))
-SELECT n, cc, dd,
+SELECT n, CAST(cc AS BIGINT) AS cc, CAST(dd AS BIGINT) AS dd,
        round(CAST(cc - dd AS DOUBLE)
              / sqrt(CAST(n * (n - 1) // 2 - t1 AS DOUBLE)
                     * CAST(n * (n - 1) // 2 - t2 AS DOUBLE)), 6) AS tau_b
@@ -1575,7 +1576,7 @@ cum AS (
 tot AS (SELECT SUM(w) AS tw, SUM(c) AS tc FROM f)
 SELECT MIN(CASE WHEN 2 * cc >= tc THEN x END) AS plain_median,
        MIN(CASE WHEN 2 * cw >= tw THEN x END) AS weighted_median,
-       tc AS n_rows, tw AS total_weight_cents
+       CAST(tc AS BIGINT) AS n_rows, CAST(tw AS BIGINT) AS total_weight_cents
 FROM cum CROSS JOIN tot
 GROUP BY tc, tw
 """

@@ -269,7 +269,7 @@ SELECT c.c_custkey AS custkey,
        SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0
          AS revenue,
        n.n_name AS nation,
-       CAST(c.c_acctbal AS DECIMAL(18,2)) AS acctbal
+       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -296,7 +296,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
-            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
             F.col("n_name").alias("nation"),
         )
         .agg((F.sum(revenue_x) / F.lit(10000.0)).alias("revenue"))

@@ -448,7 +448,16 @@ def near_dedup_stream(
         if os.path.isdir(store_dir) and any(
             d.startswith("batch=") for d in os.listdir(store_dir)
         ):
-            prior = spark.read.parquet(store_dir).select("band", "bucket").distinct()
+            # STRICTLY earlier batches only: on microbatch replay after a
+            # failure the store already holds this batch's own bands under
+            # batch=<batch_id> — reading them back would make every doc
+            # collide with itself and overwrite the output as empty.
+            prior = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch") < F.lit(batch_id))
+                .select("band", "bucket")
+                .distinct()
+            )
             dup_prior = (
                 bands_df.join(prior, ["band", "bucket"], "left_semi")
                 .select("doc_id")

@@ -95,6 +95,34 @@ def test_scheme_summary_df(spark, written):
     s = scheme_summary(spark, path)
     assert s.count() == meta["num_chunks"] * len(meta["columns"])
     assert s.filter(F.col("scheme") == "").count() == 0
+    # recursive cascade description (BtrReader::getSchemeDescription,
+    # compression/BtrReader.cpp:76-121): every root scheme with child
+    # streams reports them as root(child:scheme,...)
+    trees = {r["scheme_tree"] for r in s.select("scheme_tree").collect()}
+    assert all(t for t in trees)
+
+
+def test_scheme_tree_records_cascade():
+    """A FOR-encoded chunk must report its residual stream's scheme — tree
+    depth > 1 on a cascading fixture."""
+    import numpy as np
+
+    from btrblocks_spark.format.planner import choose_scheme
+
+    rng = np.random.default_rng(5)
+    vals = 2**28 + rng.integers(0, 2**14, 65536)
+    plan = choose_scheme("int", vals, None, forced="for")
+    assert plan["scheme_tree"].startswith("for(residuals:")
+
+    runs = np.repeat(rng.integers(0, 50, 4000), 20)
+    plan = choose_scheme("int", runs, None, forced="rle")
+    assert plan["scheme_tree"].startswith("rle(values:")
+    assert "lengths:" in plan["scheme_tree"]
+
+    ts = 1_700_000_000_000_000_000 + np.arange(65536, dtype=np.int64) * 1_000_000_000
+    plan = choose_scheme("bigint", ts, None)
+    assert plan["scheme"] in ("delta", "dod")
+    assert "(" in plan["scheme_tree"]
 
 
 def test_read_column_chunk(spark, written):

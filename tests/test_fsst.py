@@ -75,3 +75,36 @@ def test_planner_estimates_with_real_fsst(scheme):
     vals = np.array([f"https://example.com/user/{i}/profile" for i in range(20000)], dtype=object)
     plan = choose_scheme("string", vals, forced=scheme)
     assert plan["est_ratio"] > 1.5
+
+
+def test_batch_codec_matches_scalar():
+    """compress_batch/decompress_batch (C fast path when available, NumPy
+    otherwise) must be byte-for-byte identical to the scalar reference
+    encoder — same greedy longest-match, same escapes."""
+    rng = np.random.default_rng(11)
+    words = ["the", "fox", "http://", "www.", "example.com", "GET ", "?q="]
+    strings = [
+        ("".join(rng.choice(words, rng.integers(0, 9))) + str(i % 31)).encode()
+        for i in range(3000)
+    ]
+    strings += [b"", b"\x00", b"\xff" * 5, bytes(range(256))]
+    table = fsst.train(strings[:300])
+    scalar_enc = [fsst.compress(table, s) for s in strings]
+    batch_enc = fsst.compress_batch(table, strings)
+    assert batch_enc == scalar_enc
+    batch_dec = fsst.decompress_batch(table, batch_enc)
+    assert batch_dec == strings
+
+
+def test_batch_numpy_fallback_matches_scalar(monkeypatch):
+    """The NumPy fallback (no C library) must also match the scalar path."""
+    from btrblocks_spark.format import fsst_native
+
+    monkeypatch.setattr(fsst_native, "lib", None)
+    strings = [f"user-{i%57}@example.com".encode() for i in range(2000)] + [b""]
+    table = fsst.train(strings[:200])
+    assert fsst.compress_batch(table, strings) == [
+        fsst.compress(table, s) for s in strings
+    ]
+    enc = fsst.compress_batch(table, strings)
+    assert fsst.decompress_batch(table, enc) == strings

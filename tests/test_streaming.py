@@ -346,6 +346,21 @@ def test_near_dedup_stream_matches_batch_rule(spark, sf_dir, tmpdir):
     )
     assert again == got
 
+    # full replay after checkpoint loss: every batch re-runs against a
+    # bucket store that already holds its own bands — the prior-store read
+    # must exclude the current batch (batch < batch_id) or every doc
+    # collides with itself and the replayed output is overwritten as empty
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = near_dedup_stream(docs_stream_source(spark, src), store, out, ckpt)
+    q3.awaitTermination(180)
+    q3.stop()
+    replayed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert replayed == got
+
 
 def test_watermark_drops_late_data(spark, sf_dir, tmpdir):
     """Late-data semantics: after the watermark advances past a window, a
