@@ -97,6 +97,8 @@ HEADLINE = [
     "format_dpp_join",
     "curation_shuffle_order",
     "dedup_lsh_recall",
+    "dedup_lsh_tuned_recall",
+    "multimodal_decode_real",
     "dedup_pagerank",
     "merge_scd2_customers",
     "text_bigram_lm",

@@ -48,6 +48,12 @@ STRING_SCHEMES = (
     "one_value",
     "dict",
     "fsst",  # real FSST symbol-table codec (format/fsst.py)
+    # legacy fixed-width dictionary slots (scheme/string/FixedDictionary.cpp,
+    # templated/VarDictionary.hpp; SchemeType DICTIONARY_8/16) — off by
+    # default in the reference; available here behind config, competing on
+    # size when enabled
+    "dict8",
+    "dict16",
 )
 
 

@@ -51,7 +51,10 @@ DOUBLE_SCHEMES = (
     "double_bp", "max_exponent",  # legacy (scheme/double/DoubleBP.cpp, MaxExponent.cpp)
     "xor",  # beyond-reference: Gorilla/Chimp-style XOR-of-previous (byte-aligned)
 )
-STRING_SCHEMES = ("uncompressed", "one_value", "dict", "fsst")
+STRING_SCHEMES = (
+    "uncompressed", "one_value", "dict", "fsst",
+    "dict8", "dict16",  # legacy fixed-width dict (FixedDictionary.cpp)
+)
 
 _EXP10 = np.array([10.0**e for e in range(23)])
 _INT32_MAX = 2**31 - 1
@@ -597,6 +600,27 @@ def encode_string(scheme: str, values, mask: np.ndarray | None = None, depth: in
             + msize
         )
 
+    elif scheme in ("dict8", "dict16"):
+        # legacy fixed-width dictionary (reference FixedDictionary.cpp +
+        # templated/VarDictionary.hpp, SchemeType DICTIONARY_8/16): code
+        # slots are a FIXED u8/u16 stream — constant-time random access
+        # with no cascaded code decode, at the price of a hard dictionary
+        # capacity. Off by default in the reference too; kept for parity
+        # and for point-lookup-heavy columns.
+        cap = 256 if scheme == "dict8" else 65536
+        uniq = np.array(sorted(set(set_vals.tolist())), dtype=object)
+        if len(uniq) > cap:
+            raise ValueError(f"{scheme} requires <= {cap} distinct values")
+        lookup = {s_: i for i, s_ in enumerate(uniq)}
+        codes = np.array(
+            [lookup.get(x, 0) for x in filled],
+            dtype=np.uint8 if scheme == "dict8" else np.uint16,
+        )
+        pool = "".join(uniq.tolist()).encode("utf-8")
+        width = 1 if scheme == "dict8" else 2
+        e.streams = {"dict": uniq, "codes": codes}
+        e.size_bytes = len(pool) + 4 * len(uniq) + n * width + 8 + msize
+
     else:
         raise ValueError(f"unknown string scheme {scheme}")
     return e
@@ -608,7 +632,7 @@ def decode_string(e: Encoded):
         return s["values"].copy()
     if e.scheme == "one_value":
         return np.array([s["value"]] * n, dtype=object)
-    if e.scheme == "dict":
+    if e.scheme in ("dict", "dict8", "dict16"):
         return s["dict"][s["codes"]]
     if e.scheme == "fsst":
         return _fsst.decompress_column(s["table"], s["payload"], s["code_lengths"])
@@ -720,6 +744,8 @@ def describe_tree(kind: str, e: Encoded, depth: int = 3) -> str:
             return f"max_exponent(sig:{_int_child_plan(s['significands'].astype(np.int64), d)})"
         return e.scheme
     # string
+    if e.scheme in ("dict8", "dict16"):
+        return f"{e.scheme}(codes:u{8 * e.streams['codes'].dtype.itemsize})"
     if e.scheme == "dict":
         pool = "".join(s["dict"].tolist()).encode("utf-8")
         pool_label = "pool:fsst," if len(pool) >= 16 * 1024 else ""

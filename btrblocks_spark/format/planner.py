@@ -113,6 +113,12 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
             return ["one_value"]
         if "dict" in enabled:
             cands.append("dict")
+        # legacy fixed-width dictionary (FixedDictionary.cpp): eligible
+        # only while the dictionary fits the fixed code width
+        if "dict8" in enabled and len(uniq) <= 256:
+            cands.append("dict8")
+        if "dict16" in enabled and 256 < len(uniq) <= 65536:
+            cands.append("dict16")
         total_len = sum(len(x) for x in set_vals)
         if (
             "fsst" in enabled

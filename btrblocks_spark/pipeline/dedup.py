@@ -52,6 +52,34 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def lsh_params(
+    threshold: float, target_recall: float = 0.9, max_perm: int = 128
+) -> tuple[int, int]:
+    """Size (num_perm, bands) for a target Jaccard threshold: pick the
+    CHEAPEST banding (fewest total permutations, then fewest bands) whose
+    capture probability 1-(1-t^r)^b at J=t reaches ``target_recall``.
+
+    The round-1 demo default (8 perms / 4 bands → r=2) captures a J=0.5
+    pair with prob 1-(1-0.25)^4 = 0.68 — audit-visible in
+    ``dedup_lsh_recall``. A production corpus wants this sizer: e.g.
+    threshold 0.5 → (32, 16) (r=2, capture 0.99), threshold 0.8 →
+    (24, 8) class. Cost scales linearly in num_perm (one min-agg per
+    permutation) and in bands (one bucket row per band)."""
+    for num_perm in (8, 16, 24, 32, 48, 64, 96, 128):
+        if num_perm > max_perm:
+            break
+        for bands in range(1, num_perm + 1):
+            r = num_perm // bands
+            if num_perm % bands or r < 2:
+                # r=1 degenerates to single-hash buckets: near-total
+                # recall but every hash collision becomes a candidate
+                continue
+            capture = 1.0 - (1.0 - threshold**r) ** bands
+            if capture >= target_recall:
+                return num_perm, bands
+    return max_perm, max_perm // 2  # r=2 at maximal width
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 8, n: int = 3) -> DataFrame:
     """k-permutation MinHash over word n-gram shingles: sig_i(doc) =
     min over shingles of (a_i * h + b_i) mod 2^31-1. One row per doc with

@@ -1,0 +1,296 @@
+"""Real, dependency-free media codecs for the multimodal pipeline.
+
+No image/audio libraries exist in this environment, but three widely-used
+container formats are decodable with the standard library alone:
+
+  PNG   zlib inflate + scanline unfilter (the format spec is public;
+        supports 8-bit gray/RGB/RGBA, non-interlaced)
+  BMP   uncompressed BITMAPINFOHEADER 24/32-bit
+  PPM   P5/P6 binary netpbm
+  WAV   PCM via the stdlib ``wave`` module
+
+This makes ``decode_batch(real_decode=True)`` (pipeline/multimodal.py) a
+real decoder for these formats: width/height/pixel statistics come from
+the actual bytes. JPEG/video stay honestly unsupported (raise).
+
+Encoders for PNG/BMP/WAV are included so tests and queries can generate
+real fixtures deterministically.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse + inflate + unfilter a PNG; returns {width, height, channels,
+    pixels (h, w, c) uint8}. 8-bit depth, non-interlaced, color types
+    0/2/4/6 (no palette)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color not in _CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                )
+            meta = (w, h, _CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int64
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # sub — sequential in x, vectorize per channel lane
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 3:  # average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "pixels": out.reshape(h, w, ch),
+    }
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer: filter 0 scanlines + one zlib IDAT. pixels is
+    (h, w) gray or (h, w, 3|4) uint8."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24/32-bit BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> dict:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core header")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h = abs(h_signed)
+    ch = bpp // 8
+    row_stride = (w * ch + 3) & ~3
+    rows = []
+    for y in range(h):
+        off = pix_off + y * row_stride
+        rows.append(np.frombuffer(data[off : off + w * ch], dtype=np.uint8))
+    pix = np.stack(rows).reshape(h, w, ch)
+    if h_signed > 0:  # bottom-up storage
+        pix = pix[::-1]
+    return {"width": w, "height": h, "channels": ch, "pixels": pix}
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    if pixels.ndim == 2:
+        pixels = np.repeat(pixels[:, :, None], 3, axis=2)
+    h, w, ch = pixels.shape
+    assert ch == 3
+    row_stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        pixels[y].astype(np.uint8).tobytes() + b"\x00" * (row_stride - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM (binary netpbm)
+# ---------------------------------------------------------------------------
+
+def decode_ppm(data: bytes) -> dict:
+    magic = data[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    ch = 1 if magic == b"P5" else 3
+    # header: magic, whitespace-separated width height maxval (comments with #)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while data[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm")
+    pix = np.frombuffer(data[pos : pos + w * h * ch], dtype=np.uint8).reshape(h, w, ch)
+    return {"width": w, "height": h, "channels": ch, "pixels": pix}
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM via stdlib wave)
+# ---------------------------------------------------------------------------
+
+def decode_wav(data: bytes) -> dict:
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        n_ch = wf.getnchannels()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        frames = wf.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {width}")
+    samples = np.frombuffer(frames, dtype=dtype)
+    return {
+        "channels": n_ch,
+        "framerate": rate,
+        "n_frames": n_frames,
+        "samples": samples,
+    }
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 8000, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Sniffing dispatcher
+# ---------------------------------------------------------------------------
+
+def sniff(data: bytes) -> str | None:
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_any(data: bytes) -> dict:
+    """Decode a payload by magic bytes → {fmt, width, height, frames,
+    pixel/sample mean}. Raises NotImplementedError for formats that need
+    codec libraries (JPEG, video)."""
+    fmt = sniff(data)
+    if fmt == "png":
+        d = decode_png(data)
+    elif fmt == "bmp":
+        d = decode_bmp(data)
+    elif fmt == "ppm":
+        d = decode_ppm(data)
+    elif fmt == "wav":
+        d = decode_wav(data)
+        return {
+            "fmt": "wav",
+            "width": d["channels"],
+            "height": d["framerate"],
+            "frames": d["n_frames"],
+            "mean": float(d["samples"].mean()) if len(d["samples"]) else 0.0,
+        }
+    else:
+        raise NotImplementedError(
+            "unsupported media container (JPEG/video need codec libraries "
+            "not present in this environment)"
+        )
+    return {
+        "fmt": fmt,
+        "width": d["width"],
+        "height": d["height"],
+        "frames": 1,
+        "mean": float(d["pixels"].mean()),
+    }

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas kernels.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment — see ``decode_batch``); everything around it — schema,
-deterministic metadata, batch shape, ``mapInPandas`` plumbing, partitioning
-— is real and tested. Swapping the stub for PIL/libav is a one-function
-change.
+Decode is REAL for PNG/BMP/PPM/WAV via the dependency-free container
+codecs in ``pipeline/media_codecs.py`` (zlib inflate + scanline unfilter,
+stdlib ``wave``) — ``decode_batch(real_decode=True)`` reads actual payload
+bytes, oracle-checked end-to-end by the ``multimodal_decode_real`` query.
+JPEG and video decode require codec libraries absent from this
+environment and raise ``NotImplementedError`` honestly; the surrounding
+plumbing (schema, batching, partitioning) is shared and tested either
+way.
 
 Scale notes: payloads ride in the DataFrame as binary columns → Parquet
 keeps them page-compressed and column-pruned (a metadata-only query never
@@ -48,13 +51,27 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_batch(pdf: pd.DataFrame, real_decode: bool = False) -> pd.DataFrame:
-    """Per-batch feature extraction. ``real_decode=True`` is the hook for an
-    actual media decoder and raises until one is wired in."""
+    """Per-batch feature extraction.
+
+    ``real_decode=True`` runs the REAL stdlib decoders
+    (pipeline/media_codecs.py): PNG (zlib inflate + unfilter), BMP, binary
+    PPM/PGM, and PCM WAV — width/height/frames/means come from the actual
+    payload bytes, not metadata. Formats that require codec libraries
+    (JPEG, video) raise NotImplementedError per payload, honestly."""
     if real_decode:
-        raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "environment; the deterministic fake below exercises the full "
-            "Spark plumbing (schema, batching, partitioning)"
+        from btrblocks_spark.pipeline import media_codecs as mc
+
+        decoded = [mc.decode_any(bytes(b)) for b in pdf["payload"]]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "fmt": [d["fmt"] for d in decoded],
+                "width": pd.array([d["width"] for d in decoded], dtype="int32"),
+                "height": pd.array([d["height"] for d in decoded], dtype="int32"),
+                "n_bytes": pdf["payload"].str.len().astype("int64").values,
+                "byte_mean": [round(d["mean"], 6) for d in decoded],
+                "frames": pd.array([d["frames"] for d in decoded], dtype="int32"),
+            }
         )
     payloads = pdf["payload"]
     return pd.DataFrame(
@@ -149,3 +166,35 @@ def audio_windows_stub(
     return media.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, window_idx int, start long, win_len int, energy long"
     )
+
+
+def attach_real_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL media payloads deterministically from doc_id: a
+    constant-pixel PNG (dimensions and pixel value are exact functions of
+    doc_id) or a constant-sample PCM WAV clip. Because every byte is
+    generated through the real encoders (pipeline/media_codecs.py), a
+    decode of these payloads proves the decoder reads actual container
+    bytes — and the expected stats are pure arithmetic, so an SQL oracle
+    can check the decode end-to-end."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from btrblocks_spark.pipeline.media_codecs import encode_png, encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    n = 100 + d % 50
+                    payloads.append(
+                        encode_wav(np.full(n, d % 1000, dtype=np.int16))
+                    )
+                else:
+                    w, h = 8 + d % 16, 8 + (d // 16) % 16
+                    payloads.append(
+                        encode_png(np.full((h, w, 3), d % 256, dtype=np.uint8))
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

@@ -19,7 +19,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # 32-bit multiplicative-hash constants for MinHash permutations (primes).
-MINHASH_PERMS: list[tuple[int, int]] = [
+# The first 8 pairs are frozen literals (registered oracles mirror them in
+# SQL); the list is extended deterministically to 128 pairs so callers can
+# run production-scale signatures (num_perm up to 128) without new constants.
+_MINHASH_PERMS_BASE: list[tuple[int, int]] = [
     (1299721, 15485863),
     (1299827, 32452843),
     (1299833, 49979687),
@@ -29,6 +32,32 @@ MINHASH_PERMS: list[tuple[int, int]] = [
     (1300109, 122949823),
     (1300151, 141650939),
 ]
+
+
+def _next_primes(start: int, count: int) -> list[int]:
+    out, x = [], start + 1
+    while len(out) < count:
+        is_p = x % 2 == 1
+        d = 3
+        while is_p and d * d <= x:
+            if x % d == 0:
+                is_p = False
+            d += 2
+        if is_p:
+            out.append(x)
+        x += 1
+    return out
+
+
+def _extend_perms(total: int) -> list[tuple[int, int]]:
+    base = list(_MINHASH_PERMS_BASE)
+    need = total - len(base)
+    a_s = _next_primes(base[-1][0], need)
+    b_s = _next_primes(base[-1][1], need)
+    return base + list(zip(a_s, b_s))
+
+
+MINHASH_PERMS: list[tuple[int, int]] = _extend_perms(128)
 MERSENNE31 = 2147483647
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID

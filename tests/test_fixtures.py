@@ -83,7 +83,9 @@ def _fixtures():
         ["".join(RNG.choice(list("abcdefghij0123456789"), 10)) for _ in range(255)],
         dtype=object,
     )
-    fx["string_dict_8"] = ("string", _round_robin(alnum, N), {"dict"})
+    # 255 distinct values: both the cascaded dict and the legacy fixed
+    # u8-code dict (FixedDictionary.cpp) are valid winners
+    fx["string_dict_8"] = ("string", _round_robin(alnum, N), {"dict", "dict8"})
     big = np.array(
         ["".join(RNG.choice(list("abcdefghijklmno"), 6)) for _ in range(32_000)],
         dtype=object,
@@ -158,3 +160,33 @@ def test_null_shapes(null_frac, label):
         assert _mask_size(mask) == 0
     else:
         assert _mask_size(mask) <= len(mask) // 8 + 16
+
+
+def test_fixed_width_string_dict():
+    """Legacy DICTIONARY_8/16 (scheme/string/FixedDictionary.cpp,
+    templated/VarDictionary.hpp): fixed u8/u16 code slots, hard capacity,
+    exact round-trip; dict16 engages above 256 distinct values."""
+    import numpy as np
+
+    from btrblocks_spark.format import codecs
+
+    vals8 = _round_robin(
+        np.array([f"seg-{i:03d}" for i in range(200)], dtype=object), 10_000
+    )
+    e8 = codecs.encode("string", "dict8", vals8)
+    assert e8.streams["codes"].dtype == np.uint8
+    np.testing.assert_array_equal(codecs.decode("string", e8), vals8)
+
+    vals16 = _round_robin(
+        np.array([f"k-{i:05d}" for i in range(1000)], dtype=object), 20_000
+    )
+    with pytest.raises(ValueError):
+        codecs.encode("string", "dict8", vals16)
+    e16 = codecs.encode("string", "dict16", vals16)
+    assert e16.streams["codes"].dtype == np.uint16
+    np.testing.assert_array_equal(codecs.decode("string", e16), vals16)
+
+    plan = choose_scheme("string", vals16)
+    assert "dict16" in plan["candidates"]
+    forced = choose_scheme("string", vals8, forced="dict8")
+    assert forced["scheme_tree"] == "dict8(codes:u8)"

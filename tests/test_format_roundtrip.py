@@ -1120,3 +1120,28 @@ def test_generated_column_scan_time(spark, sf_dir, tmp_path):
         if f.endswith(".parquet")
     )
     assert "price_band" not in pq.ParquetFile(a_file).schema_arrow.names
+
+
+def test_int64_timestamp_column_through_writer(spark, sf_dir):
+    """int64 epoch-ns columns go through the int codec path with honest
+    8-byte sizing: writing the events table must round-trip exactly and
+    the planner must pick a delta-family scheme for the sorted ns-grained
+    `ts` column (not `uncompressed`, which the old 4-byte model favored)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="btr_ts_")
+    try:
+        df = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        cfg = DEFAULT_CONFIG.with_(block_size=2048)
+        meta = write_table(df.orderBy("ts", "event_id"), d, ["ts", "event_id"], cfg, "events")
+        ts_schemes = {c["scheme"] for c in meta["columns"]["ts"]["chunks"]}
+        assert ts_schemes & {"delta", "dod", "for", "rle"}, ts_schemes
+        back, _ = read_table(spark, d)
+        assert frames_equal(
+            back.select("event_id", "ts"), df.select("event_id", "ts")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

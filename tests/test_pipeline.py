@@ -863,3 +863,100 @@ def test_bpe_encode_round_trip_and_compression(spark, sf_dir):
     enc0 = bpe_encode(docs, []).collect()
     total_without = sum(r["n_tokens"] for r in enc0)
     assert total_with < total_without  # merges actually compress
+
+
+def test_lsh_params_sizer():
+    """lsh_params picks the cheapest banding whose capture probability
+    1-(1-t^r)^b reaches the recall target, never the degenerate r=1."""
+    from btrblocks_spark.pipeline.dedup import lsh_params
+
+    for t in (0.3, 0.5, 0.7, 0.8, 0.9):
+        num_perm, bands = lsh_params(t)
+        r = num_perm // bands
+        assert r >= 2 and num_perm % bands == 0
+        capture = 1.0 - (1.0 - t**r) ** bands
+        assert capture >= 0.9, (t, num_perm, bands, capture)
+    # the demo default 8/4 is exactly the right answer for t=0.8
+    assert lsh_params(0.8) == (8, 4)
+
+
+def test_media_codecs_roundtrip():
+    """Real stdlib media codecs (pipeline/media_codecs.py): PNG inflate +
+    unfilter, BMP, binary PPM, PCM WAV — exact pixel/sample round-trips."""
+    import numpy as np
+
+    from btrblocks_spark.pipeline import media_codecs as mc
+
+    rng = np.random.default_rng(1)
+    for shape in [(13, 17), (9, 11, 3), (5, 7, 4)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        d = mc.decode_png(mc.encode_png(px))
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert (d["pixels"] == want).all()
+
+    px = rng.integers(0, 256, (10, 6, 3)).astype(np.uint8)
+    d = mc.decode_bmp(mc.encode_bmp(px))
+    assert (d["pixels"] == px).all()
+
+    d = mc.decode_ppm(b"P6\n# c\n6 4\n255\n" + px[:4, :6].tobytes())
+    assert (d["width"], d["height"], d["channels"]) == (6, 4, 3)
+
+    s = (1000 * np.sin(np.arange(800) / 10)).astype(np.int16)
+    d = mc.decode_wav(mc.encode_wav(s, 8000))
+    assert d["n_frames"] == 800 and (d["samples"] == s).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mc.decode_any(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_png_all_filter_types_decode():
+    """The PNG unfilter path must handle filters 0-4 — construct a PNG with
+    one scanline per filter type and check the decode against a reference
+    reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from btrblocks_spark.pipeline import media_codecs as mc
+
+    rng = np.random.default_rng(2)
+    h, w, ch = 5, 7, 3
+    pix = rng.integers(0, 256, (h, w, ch)).astype(np.int64)
+
+    def flt(y, ftype):
+        cur = pix[y].reshape(-1)
+        prev = pix[y - 1].reshape(-1) if y else np.zeros(w * ch, dtype=np.int64)
+        out = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            ul = prev[x - ch] if x >= ch else 0
+            up = prev[x]
+            if ftype == 0:
+                out[x] = cur[x]
+            elif ftype == 1:
+                out[x] = cur[x] - left
+            elif ftype == 2:
+                out[x] = cur[x] - up
+            elif ftype == 3:
+                out[x] = cur[x] - (left + up) // 2
+            else:
+                out[x] = cur[x] - mc._paeth(int(left), int(up), int(ul))
+        return bytes([ftype]) + (out & 0xFF).astype(np.uint8).tobytes()
+
+    raw = b"".join(flt(y, y % 5) for y in range(h))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = mc.decode_png(blob)
+    assert (d["pixels"] == pix.astype(np.uint8)).all()
