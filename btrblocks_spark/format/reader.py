@@ -14,16 +14,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from btrblocks_spark.format import fs as _fs
 
-def read_metadata(path: str) -> dict:
-    with open(os.path.join(path, "_btr_metadata.json")) as fh:
-        return json.load(fh)
+
+def read_metadata(path: str, spark: SparkSession | None = None) -> dict:
+    """Sidecar read. Local paths use plain ``open``; URI paths
+    (``s3a://…``, ``file://…``) go through the Hadoop FileSystem client
+    (format/fs.py — the S7 object-store path, decompression-speed-s3.cpp:37+),
+    which needs the session's Hadoop conf, hence the optional ``spark``."""
+    return _fs.read_json(_fs.join(path, "_btr_metadata.json"), spark)
 
 
 def read_table(spark: SparkSession, path: str, with_index: bool = False):
     """Scan the chunked table. Returns (DataFrame, metadata)."""
-    meta = read_metadata(path)
-    df = spark.read.parquet(os.path.join(path, "data"))
+    meta = read_metadata(path, spark)
+    df = spark.read.parquet(_fs.join(path, "data"))
     if not with_index:
         df = df.drop("_idx")
     return df, meta
@@ -33,10 +38,10 @@ def read_column_chunk(spark: SparkSession, path: str, column: str, chunk: int) -
     """Read one column of one chunk — the ``BtrReader::readColumn`` analog
     (compression/BtrReader.cpp:31-74). Parquet row-group pruning on the _idx
     range keeps this an O(chunk) read, not a table scan."""
-    meta = read_metadata(path)
+    meta = read_metadata(path, spark)
     bs = meta["block_size"]
     lo, hi = chunk * bs, (chunk + 1) * bs
-    df = spark.read.parquet(os.path.join(path, "data"))
+    df = spark.read.parquet(_fs.join(path, "data"))
     return df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi)).select("_idx", column)
 
 
@@ -81,10 +86,10 @@ def read_table_skipping(
     between scanning every file and touching only the chunks a range query
     needs — without any shuffle, and composable with Catalyst's own
     pushdown (both filters land in PushedFilters)."""
-    meta = read_metadata(path)
+    meta = read_metadata(path, spark)
     bs = meta["block_size"]
     chunks = prune_chunks(meta, column, lo, hi)
-    df = spark.read.parquet(os.path.join(path, "data"))
+    df = spark.read.parquet(_fs.join(path, "data"))
     if not chunks:
         cond = F.lit(False)
     else:
@@ -110,7 +115,7 @@ def read_table_skipping(
 def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
     """btrmeta analog: one row per column×chunk with scheme + stats + sizes
     (tools/conversion/btrmeta.cpp:22-60, BtrReader::getSchemeDescription)."""
-    meta = read_metadata(path)
+    meta = read_metadata(path, spark)
     rows = []
     for col, info in meta["columns"].items():
         for ch in info["chunks"]:
@@ -139,7 +144,7 @@ def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def metadata_agg(path: str, columns: list[str] | None = None) -> list[dict]:
+def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSession | None = None) -> list[dict]:
     """Metadata-only aggregates: COUNT / COUNT(col) / MIN / MAX answered
     purely from the sidecar's per-chunk stats — zero data files touched
     (the aggregate-pushdown-to-footer trick of Parquet/Iceberg readers,
@@ -153,7 +158,7 @@ def metadata_agg(path: str, columns: list[str] | None = None) -> list[dict]:
 
     Returns one dict per column: {column, n_rows, n_nulls, min, max}
     (min/max None for skip-typed or all-null columns)."""
-    meta = read_metadata(path)
+    meta = read_metadata(path, spark)
     out = []
     for name, info in meta["columns"].items():
         if columns is not None and name not in columns:
@@ -201,7 +206,7 @@ def sample_chunks(
     (table, fraction, seed)."""
     import hashlib
 
-    meta = read_metadata(path)
+    meta = read_metadata(path, spark)
     n = meta["num_chunks"]
     bs = meta["block_size"]
     threshold = int(fraction * (1 << 32))
@@ -213,7 +218,7 @@ def sample_chunks(
         )
         < threshold
     ]
-    df = spark.read.parquet(os.path.join(path, "data"))
+    df = spark.read.parquet(_fs.join(path, "data"))
     if not keep:
         return df.filter(F.lit(False)).drop("_idx"), []
     intervals: list[list[int]] = []

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from btrblocks_spark.config import DEFAULT_CONFIG, BtrBlocksConfig
+from btrblocks_spark.format import fs as _fs
 from btrblocks_spark.format.chunker import unpersist_index, with_chunk_id
 from btrblocks_spark.format.planner import choose_scheme, kind_of
 
@@ -229,7 +230,7 @@ def write_table(
         num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
 
         staged = _stage_by_chunk(chunked, int(num_chunks))
-        data_path = os.path.join(path, "data")
+        data_path = _fs.join(path, "data")
         # chunk-aligned layout: rows are _idx-sorted within partitions and
         # every non-final chunk has exactly block_size rows, so
         # maxRecordsPerFile splits files on exact chunk boundaries → one
@@ -273,15 +274,9 @@ def write_table(
     # whole in one read partition (splitting would emit duplicate plan rows)
     # while still fanning chunks out across tasks — no shuffle, no staging
     # copy, and the plan reads the compressed bytes a reader will see.
-    max_file = max(
-        (
-            os.path.getsize(os.path.join(r, f))
-            for r, _s, fs in os.walk(data_path)
-            for f in fs
-            if f.endswith(".parquet")
-        ),
-        default=1,
-    )
+    # file sizes via the fs abstraction: os.walk locally, a Hadoop LIST on
+    # object-store URIs (S7) — metadata-only either way
+    max_file = max(_fs.list_file_sizes(data_path, ".parquet", spark), default=1)
     spark_conf = spark.conf
     prev_mpb = spark_conf.get("spark.sql.files.maxPartitionBytes")
     spark_conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
@@ -328,7 +323,5 @@ def write_table(
         },
         "write_seconds": round(time.time() - t0, 3),
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
-        json.dump(metadata, fh, indent=1, default=str)
+    _fs.write_json(_fs.join(path, "_btr_metadata.json"), metadata, spark)
     return metadata

@@ -1,0 +1,102 @@
+"""S3 / object-store source configuration (reference S7:
+``tools/conversion/decompression-speed-s3.cpp:25-40`` builds an S3 client —
+region, credentials chain, transfer concurrency — and streams the
+``metadata`` blob + column parts with GetObject;
+``tools/conversion/s3-management.hpp`` wraps bucket listing/cleanup).
+
+Spark-first analog: S3 access is the *same* read path as local —
+``spark.read.parquet("s3a://bucket/table/data")`` through the Hadoop S3A
+connector — so the source needs no bespoke byte-streaming code. What this
+module provides is the client setup the reference does in C++: credential /
+endpoint / performance configuration on the active Hadoop conf, plus
+btr-table open helpers that route the metadata sidecar through the same
+Hadoop FileSystem client (format/fs.py).
+
+Offline story (this sandbox has no network): every helper is exercised by
+tests through ``file://`` URIs — the identical Hadoop FileSystem code path
+(URI → FileSystem.get → stream) an ``s3a://`` URI takes, minus the wire.
+``configure_s3`` is additionally unit-tested as pure conf wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from btrblocks_spark.format import fs as _fs
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    region: str | None = None,
+    anonymous: bool = False,
+    path_style_access: bool = False,
+    connection_maximum: int = 96,
+    fast_upload: bool = True,
+) -> dict[str, str]:
+    """Set the Hadoop S3A client configuration on the live session and
+    return the conf dict that was applied.
+
+    Mirrors the reference's client setup (decompression-speed-s3.cpp:25-40:
+    region + credentials provider + executor pool sizing). Defaults are the
+    scale-safe ones for a 1000-executor cluster hammering one bucket:
+    a large per-JVM connection pool and S3A "fast upload" (incremental
+    multipart) for the write path.
+
+    ``anonymous=True`` selects the AnonymousAWSCredentialsProvider (public
+    buckets — the reference's public BI benchmark dataset is fetched
+    anonymously, bench/AwsDatasetDownloader.cpp:16-36).
+    """
+    conf: dict[str, str] = {
+        "fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "fs.s3a.connection.maximum": str(connection_maximum),
+        "fs.s3a.fast.upload": str(fast_upload).lower(),
+        # directory-listing performance: S3 LIST is the metadata bottleneck
+        # at 100k-object tables; v2 list + bigger page = fewer round trips
+        "fs.s3a.paging.maximum": "1000",
+    }
+    if anonymous:
+        conf["fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if access_key:
+        conf["fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["fs.s3a.secret.key"] = secret_key
+    if session_token:
+        conf["fs.s3a.session.token"] = session_token
+        conf["fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+        )
+    if endpoint:
+        conf["fs.s3a.endpoint"] = endpoint
+    if region:
+        conf["fs.s3a.endpoint.region"] = region
+    if path_style_access:
+        conf["fs.s3a.path.style.access"] = "true"
+    hconf = spark._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return conf
+
+
+def read_btr_uri(spark: SparkSession, uri: str) -> tuple[DataFrame, dict]:
+    """Open a compressed table at any Hadoop URI (``s3a://bucket/tbl``,
+    ``hdfs://…``, ``file:///…``): sidecar via the Hadoop FS client, data via
+    the vectorized parquet scan. Same contract as ``format.reader.read_table``.
+    """
+    from btrblocks_spark.format.reader import read_table
+
+    return read_table(spark, uri)
+
+
+def parquet_uri(spark: SparkSession, uri: str) -> DataFrame:
+    """Plain parquet directory at an object-store URI — the reference's
+    directory→relation loader (btrfiles/Relation.cpp:8-33) over S3. Catalyst
+    pushdown/pruning apply unchanged; S3A translates column-chunk range
+    reads into ranged GETs, so a 2-column projection of a 100-column table
+    fetches ~2% of the bytes."""
+    return spark.read.parquet(uri)
