@@ -99,6 +99,7 @@ HEADLINE = [
     "dedup_lsh_recall",
     "dedup_lsh_tuned_recall",
     "multimodal_decode_real",
+    "multimodal_decode_jpeg",
     "dedup_pagerank",
     "merge_scd2_customers",
     "text_bigram_lm",

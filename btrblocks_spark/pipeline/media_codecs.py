@@ -8,10 +8,12 @@ container formats are decodable with the standard library alone:
   BMP   uncompressed BITMAPINFOHEADER 24/32-bit
   PPM   P5/P6 binary netpbm
   WAV   PCM via the stdlib ``wave`` module
+  JPEG  baseline sequential DCT via the pure-NumPy codec in
+        ``pipeline/jpeg.py`` (Huffman + dequant + IDCT, 4:4:4/4:2:0)
 
 This makes ``decode_batch(real_decode=True)`` (pipeline/multimodal.py) a
 real decoder for these formats: width/height/pixel statistics come from
-the actual bytes. JPEG/video stay honestly unsupported (raise).
+the actual bytes. Video stays honestly unsupported (raise).
 
 Encoders for PNG/BMP/WAV are included so tests and queries can generate
 real fixtures deterministically.
@@ -253,6 +255,8 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000, channels: int = 1) ->
 def sniff(data: bytes) -> str | None:
     if data[:8] == _PNG_SIG:
         return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] in (b"P5", b"P6"):
@@ -269,6 +273,10 @@ def decode_any(data: bytes) -> dict:
     fmt = sniff(data)
     if fmt == "png":
         d = decode_png(data)
+    elif fmt == "jpeg":
+        from btrblocks_spark.pipeline.jpeg import decode_jpeg
+
+        d = decode_jpeg(data)
     elif fmt == "bmp":
         d = decode_bmp(data)
     elif fmt == "ppm":
@@ -284,7 +292,7 @@ def decode_any(data: bytes) -> dict:
         }
     else:
         raise NotImplementedError(
-            "unsupported media container (JPEG/video need codec libraries "
+            "unsupported media container (video needs codec libraries "
             "not present in this environment)"
         )
     return {

@@ -55,9 +55,10 @@ def decode_batch(pdf: pd.DataFrame, real_decode: bool = False) -> pd.DataFrame:
 
     ``real_decode=True`` runs the REAL stdlib decoders
     (pipeline/media_codecs.py): PNG (zlib inflate + unfilter), BMP, binary
-    PPM/PGM, and PCM WAV — width/height/frames/means come from the actual
+    PPM/PGM, PCM WAV, and baseline JPEG (pure-NumPy Huffman+IDCT codec,
+    pipeline/jpeg.py) — width/height/frames/means come from the actual
     payload bytes, not metadata. Formats that require codec libraries
-    (JPEG, video) raise NotImplementedError per payload, honestly."""
+    (video) raise NotImplementedError per payload, honestly."""
     if real_decode:
         from btrblocks_spark.pipeline import media_codecs as mc
 
@@ -195,6 +196,32 @@ def attach_real_payload(docs: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_png(np.full((h, w, 3), d % 256, dtype=np.uint8))
                     )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL JPEG payloads: per doc, a constant grayscale
+    baseline JPEG whose pixel value is the EVEN number (doc_id % 127) * 2 —
+    with the flat quantization step the encoder uses, a constant block's DC
+    coefficient quantizes losslessly, so decode is bit-exact and the decoded
+    byte_mean equals the constant (see pipeline/jpeg.py). Dimensions are
+    doc_id arithmetic. Every byte passes through the real entropy coder, so
+    decoding these proves Huffman + dequant + IDCT end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 16, 8 + (d // 16) % 16
+                v = (d % 127) * 2
+                payloads.append(encode_jpeg(np.full((h, w), v, dtype=np.uint8)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

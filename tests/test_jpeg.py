@@ -1,0 +1,73 @@
+"""Pure-NumPy baseline JPEG codec (pipeline/jpeg.py): round-trips, sampling
+modes, container dispatch, and honest failure on unsupported variants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from btrblocks_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+from btrblocks_spark.pipeline.media_codecs import decode_any, sniff
+
+
+def test_constant_gray_exact():
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert (d["width"], d["height"]) == (24, 16)
+    assert np.array_equal(d["pixels"], img)
+
+
+def test_per_block_constant_exact():
+    # distinct even value per 8x8 block: every DC quantizes losslessly,
+    # every AC is zero -> bit-exact decode
+    vals = np.arange(12).reshape(3, 4) * 20 + 20
+    img = np.kron(vals, np.ones((8, 8))).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert np.array_equal(d["pixels"], img)
+
+
+def test_gradient_lossy_bounded():
+    x = np.linspace(0, 255, 64)
+    img = np.tile(x, (32, 1)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    err = np.abs(d["pixels"].astype(int) - img.astype(int)).max()
+    assert err <= 8  # flat q=16 bounds coefficient error
+
+
+def test_rgb_444_and_420():
+    img = np.zeros((10, 14, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 120, 130, 140
+    for subsample in (False, True):
+        d = decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert d["pixels"].shape == (10, 14, 3)
+        assert np.abs(d["pixels"].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_odd_dimensions_crop():
+    img = np.full((13, 17), 100, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(img))
+    assert d["pixels"].shape == (13, 17)
+    assert np.array_equal(d["pixels"], img)
+
+
+def test_sniff_and_decode_any():
+    img = np.full((8, 8), 64, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    assert sniff(blob) == "jpeg"
+    d = decode_any(blob)
+    assert d["fmt"] == "jpeg" and d["mean"] == 64.0
+    assert (d["width"], d["height"], d["frames"]) == (8, 8, 1)
+
+
+def test_non_baseline_rejected():
+    img = np.full((8, 8), 64, dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+def test_not_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02\x03")
