@@ -100,6 +100,8 @@ HEADLINE = [
     "dedup_lsh_tuned_recall",
     "multimodal_decode_real",
     "multimodal_decode_jpeg",
+    "multimodal_video_frames",
+    "multimodal_audio_spectral",
     "dedup_pagerank",
     "merge_scd2_customers",
     "text_bigram_lm",

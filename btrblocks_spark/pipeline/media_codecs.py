@@ -252,6 +252,82 @@ def encode_wav(samples: np.ndarray, framerate: int = 8000, channels: int = 1) ->
 # Sniffing dispatcher
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# AVI (MJPEG) — RIFF container with baseline-JPEG frames; the video path.
+# Container layout is the public RIFF/AVI spec; frames decode through the
+# pure-NumPy JPEG codec (pipeline/jpeg.py), so video decode + frame
+# sampling are REAL end-to-end (no codec libraries).
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Encode grayscale/RGB uint8 frames as a minimal MJPEG AVI."""
+    from btrblocks_spark.pipeline.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f) for f in frames]
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fcc + body)
+
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I", 1000000 // fps, max_bytes * fps, 0, 0x10, len(jpegs), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpegs), max_bytes, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(data: bytes) -> dict:
+    """Decode an MJPEG AVI -> {width, height, n_frames, frames} with each
+    frame a decoded uint8 pixel array. Walks RIFF chunks (even-padded),
+    collects the movi list's 00dc/00db payloads, decodes each as JPEG."""
+    from btrblocks_spark.pipeline.jpeg import decode_jpeg
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    jpegs = []
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            fcc = buf[i : i + 4]
+            (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            body = buf[i + 8 : i + 8 + size]
+            if fcc == b"LIST":
+                walk(body[4:])
+            elif fcc[2:4] in (b"dc", b"db"):
+                jpegs.append(body)
+            i += 8 + size + (size % 2)
+
+    walk(data[12:])
+    if not jpegs:
+        raise NotImplementedError("AVI without video frame chunks")
+    frames = [decode_jpeg(j)["pixels"] for j in jpegs]
+    return {
+        "width": frames[0].shape[1],
+        "height": frames[0].shape[0],
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
 def sniff(data: bytes) -> str | None:
     if data[:8] == _PNG_SIG:
         return "png"
@@ -263,6 +339,8 @@ def sniff(data: bytes) -> str | None:
         return "ppm"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     return None
 
 
@@ -281,6 +359,16 @@ def decode_any(data: bytes) -> dict:
         d = decode_bmp(data)
     elif fmt == "ppm":
         d = decode_ppm(data)
+    elif fmt == "avi":
+        v = decode_avi(data)
+        means = [float(f.mean()) for f in v["frames"]]
+        return {
+            "fmt": "avi",
+            "width": v["width"],
+            "height": v["height"],
+            "frames": v["n_frames"],
+            "mean": float(sum(means) / len(means)),
+        }
     elif fmt == "wav":
         d = decode_wav(data)
         return {

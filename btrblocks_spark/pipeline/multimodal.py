@@ -225,3 +225,136 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def attach_video_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL video payloads: an MJPEG AVI per document whose
+    frame i is a constant 8x8 grayscale image of even value
+    ((doc_id + i) % 127) * 2 — each frame entropy-coded by the real JPEG
+    encoder, wrapped in a real RIFF/AVI container (media_codecs.py). Frame
+    count is 2 + doc_id % 5. Constant even pixels decode bit-exact, so
+    per-frame stats are pure doc_id arithmetic for the SQL oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.media_codecs import encode_avi_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 5
+                frames = [
+                    np.full((8, 8), ((d + i) % 127) * 2, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling: decode the AVI container (RIFF walk +
+    per-frame JPEG decode), emit one row per sampled frame with its decoded
+    dimensions and pixel mean. The production shape for \"sample every Nth
+    frame of 100M videos\": narrow 1->N mapInPandas, no shuffle, each
+    payload decoded once per task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from btrblocks_spark.pipeline.media_codecs import decode_avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = decode_avi(bytes(payload))
+                for i in range(0, v["n_frames"], every_n):
+                    f = v["frames"][i]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            int(f.shape[1]),
+                            int(f.shape[0]),
+                            round(float(f.mean()), 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_no", "width", "height", "frame_mean"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, frame_no int, width int, height int, frame_mean double"
+    )
+
+
+def attach_audio_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL audio payloads: a PCM WAV per document holding an
+    integer number of periods of a cosine at FFT bin k = 1 + doc_id % 120
+    of a 256-sample analysis frame, amplitude 1000 + doc_id % 500. With
+    whole periods per frame, the spectrum concentrates at exactly bin k —
+    so the dominant-bin feature the FFT extractor computes is pure doc_id
+    arithmetic for the SQL oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.media_codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 120
+                amp = 1000 + d % 500
+                n = 256 * (2 + d % 3)  # 2-4 full analysis frames
+                t = np.arange(n)
+                samples = np.round(
+                    amp * np.cos(2 * np.pi * k * t / 256)
+                ).astype(np.int16)
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")
+
+
+def audio_spectral(media: DataFrame, frame_len: int = 256, hop: int = 256) -> DataFrame:
+    """REAL audio spectral analysis: decode PCM WAV samples, frame them,
+    FFT each frame (numpy rfft), and emit per-document spectral features —
+    window count, the dominant frequency bin (argmax of the mean magnitude
+    spectrum, DC excluded), and total signal energy.
+
+    Scale: narrow mapInPandas over the payload column — each clip analyzes
+    independently (no shuffle); at fleet scale the FFT cost is
+    embarrassingly parallel and Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.media_codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(payload))
+                x = d["samples"].astype(np.float64)
+                n_win = max((len(x) - frame_len) // hop + 1, 0)
+                if n_win == 0:
+                    rows.append((int(doc_id), 0, -1, 0))
+                    continue
+                frames = np.stack(
+                    [x[i * hop : i * hop + frame_len] for i in range(n_win)]
+                )
+                mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                dominant = int(mag[1:].argmax()) + 1  # DC excluded
+                energy = int(np.round(x * x).sum())
+                rows.append((int(doc_id), n_win, dominant, energy))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "dominant_bin", "energy"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, "doc_id long, n_windows int, dominant_bin int, energy long"
+    )

@@ -2190,6 +2190,59 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "fmt", "width", "height", "byte_mean")
 
 
+@register(
+    "multimodal_video_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(u.i AS INTEGER) AS frame_no,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(((doc_id + u.i) % 127) * 2 AS DOUBLE) AS frame_mean
+FROM documents, UNNEST(range(0, 2 + doc_id % 5, 2)) AS u(i)
+WHERE doc_id < 60
+""",
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling: payloads are genuine MJPEG AVI
+    containers (RIFF chunks wrapping per-frame baseline JPEGs, both written
+    and read by the repo's own pure-NumPy codecs — media_codecs.py
+    encode_avi_mjpeg/decode_avi, pipeline/jpeg.py). Every 2nd frame is
+    decoded and its dimensions + pixel mean emitted; constants survive the
+    lossy path bit-exact, so the oracle checks each sampled frame's decoded
+    value. Completes the multimodal matrix: image (PNG/BMP/PPM/JPEG), audio
+    (WAV), video (AVI) all decode for real."""
+    from btrblocks_spark.pipeline.multimodal import attach_video_payload, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = attach_video_payload(docs)
+    return frame_sample(media, every_n=2)
+
+
+@register(
+    "multimodal_audio_spectral",
+    oracle="""
+SELECT doc_id,
+       CAST(2 + doc_id % 3 AS INTEGER) AS n_windows,
+       CAST(1 + doc_id % 120 AS INTEGER) AS dominant_bin
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio spectral analysis end-to-end: payloads are genuine PCM WAV
+    clips holding a cosine at FFT bin (1 + doc_id % 120) of a 256-sample
+    frame; the extractor decodes the WAV, frames the samples, runs numpy
+    rfft and reports the dominant frequency bin — which must land exactly
+    on the generated bin (whole periods per frame concentrate the spectrum;
+    verified robust to int16 quantization). Window count is payload-length
+    arithmetic. The energy column stays out of the oracle projection: it
+    would re-derive cos() in SQL and cross-engine trig isn't bit-stable."""
+    from btrblocks_spark.pipeline.multimodal import attach_audio_payload, audio_spectral
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_audio_payload(docs)
+    return audio_spectral(media).select("doc_id", "n_windows", "dominant_bin")
+
+
 # ---------------------------------------------------------------------------
 # Tuned LSH recall: parameters auto-sized by dedup.lsh_params for the same
 # Jaccard threshold the truth set uses (0.5) — 24 perms / 12 bands of 2

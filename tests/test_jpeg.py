@@ -71,3 +71,28 @@ def test_non_baseline_rejected():
 def test_not_jpeg_rejected():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_avi_mjpeg_roundtrip():
+    from btrblocks_spark.pipeline.media_codecs import decode_avi, encode_avi_mjpeg
+
+    frames = [np.full((8, 12), v, dtype=np.uint8) for v in (10, 20, 30, 40)]
+    v = decode_avi(encode_avi_mjpeg(frames))
+    assert (v["width"], v["height"], v["n_frames"]) == (12, 8, 4)
+    for f, orig in zip(v["frames"], frames):
+        assert np.array_equal(f, orig)
+
+
+def test_avi_decode_any():
+    from btrblocks_spark.pipeline.media_codecs import decode_any, encode_avi_mjpeg
+
+    frames = [np.full((8, 8), v, dtype=np.uint8) for v in (100, 104)]
+    d = decode_any(encode_avi_mjpeg(frames))
+    assert d == {"fmt": "avi", "width": 8, "height": 8, "frames": 2, "mean": 102.0}
+
+
+def test_avi_not_riff_rejected():
+    from btrblocks_spark.pipeline.media_codecs import decode_avi
+
+    with pytest.raises(ValueError):
+        decode_avi(b"JUNKJUNKJUNKJUNK")

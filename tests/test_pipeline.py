@@ -960,3 +960,33 @@ def test_png_all_filter_types_decode():
     )
     d = mc.decode_png(blob)
     assert (d["pixels"] == pix.astype(np.uint8)).all()
+
+
+def test_video_frame_sample_real(spark, sf_dir):
+    from btrblocks_spark.pipeline.multimodal import attach_video_payload, frame_sample
+    from btrblocks_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    rows = frame_sample(attach_video_payload(docs), every_n=2).collect()
+    assert rows
+    for r in rows:
+        d, i = r["doc_id"], r["frame_no"]
+        assert i % 2 == 0 and i < 2 + d % 5
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["frame_mean"] == float(((d + i) % 127) * 2)
+
+
+def test_audio_spectral_real(spark, sf_dir):
+    from btrblocks_spark.pipeline.multimodal import attach_audio_payload, audio_spectral
+    from btrblocks_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    rows = audio_spectral(attach_audio_payload(docs)).collect()
+    assert rows
+    for r in rows:
+        d = r["doc_id"]
+        assert r["n_windows"] == 2 + d % 3
+        assert r["dominant_bin"] == 1 + d % 120
+        assert r["energy"] > 0
