@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
     "multimodal_audio_spectral",
+    "training_logreg_quality",
     "dedup_pagerank",
     "merge_scd2_customers",
     "text_bigram_lm",

@@ -3760,3 +3760,126 @@ def q_curation_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(between, 6).alias("theil_between"),
         F.round(total - between, 6).alias("theil_within"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model training: deterministic distributed logistic regression
+# (pipeline/training.py) — the trainer behind model-based curation.
+# ---------------------------------------------------------------------------
+
+_LOGREG_FEATS_SQL = """
+feats AS (
+  SELECT doc_id,
+         n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         (length(text) - length(replace(text, '.', ''))) / 100.0 AS x3,
+         CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS y
+  FROM documents
+)"""
+
+
+@register(
+    "training_logreg_quality",
+    oracle=f"""
+WITH {_LOGREG_FEATS_SQL},
+g1 AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(y - 0.5, 6) AS DECIMAL(38,6))) AS g0,
+         sum(CAST(round((y - 0.5) * x1, 6) AS DECIMAL(38,6))) AS g1,
+         sum(CAST(round((y - 0.5) * x2, 6) AS DECIMAL(38,6))) AS g2,
+         sum(CAST(round((y - 0.5) * x3, 6) AS DECIMAL(38,6))) AS g3
+  FROM feats
+),
+w1 AS (
+  SELECT n,
+         0 + (0.0625 * CAST(g0 AS DOUBLE)) / n AS w0,
+         0 + (0.0625 * CAST(g1 AS DOUBLE)) / n AS w1,
+         0 + (0.0625 * CAST(g2 AS DOUBLE)) / n AS w2,
+         0 + (0.0625 * CAST(g3 AS DOUBLE)) / n AS w3
+  FROM g1
+),
+g2 AS (
+  SELECT
+    sum(CAST(round(y - 1.0 / (1.0 + exp(-(((w0 + w1 * x1) + w2 * x2) + w3 * x3))), 6)
+        AS DECIMAL(38,6))) AS g0,
+    sum(CAST(round((y - 1.0 / (1.0 + exp(-(((w0 + w1 * x1) + w2 * x2) + w3 * x3)))) * x1, 6)
+        AS DECIMAL(38,6))) AS g1,
+    sum(CAST(round((y - 1.0 / (1.0 + exp(-(((w0 + w1 * x1) + w2 * x2) + w3 * x3)))) * x2, 6)
+        AS DECIMAL(38,6))) AS g2,
+    sum(CAST(round((y - 1.0 / (1.0 + exp(-(((w0 + w1 * x1) + w2 * x2) + w3 * x3)))) * x3, 6)
+        AS DECIMAL(38,6))) AS g3
+  FROM feats, w1
+),
+wf AS (
+  SELECT w1.n,
+         w1.w0 + (0.0625 * CAST(g2.g0 AS DOUBLE)) / w1.n AS w0,
+         w1.w1 + (0.0625 * CAST(g2.g1 AS DOUBLE)) / w1.n AS w1,
+         w1.w2 + (0.0625 * CAST(g2.g2 AS DOUBLE)) / w1.n AS w2,
+         w1.w3 + (0.0625 * CAST(g2.g3 AS DOUBLE)) / w1.n AS w3
+  FROM w1, g2
+),
+acc AS (
+  SELECT CAST(sum(CASE WHEN ((((w0 + w1 * x1) + w2 * x2) + w3 * x3) > 0) = (y = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS correct
+  FROM feats, wf
+)
+SELECT CAST(wf.n AS BIGINT) AS n,
+       round(wf.w0, 6) AS w0,
+       round(wf.w1, 6) AS w1,
+       round(wf.w2, 6) AS w2,
+       round(wf.w3, 6) AS w3,
+       acc.correct AS correct,
+       round(CAST(acc.correct AS DOUBLE) / wf.n, 6) AS accuracy
+FROM wf, acc
+""",
+)
+def q_training_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING: two deterministic batch-GD
+    iterations of logistic regression (pipeline/training.py) over integer-
+    derived document features (scaled length, whitespace-token count,
+    period count) against a separable length label, then exact train
+    accuracy via the sign of the margin (no sigmoid at decision time).
+
+    The oracle replays the identical training run in SQL CTE by CTE —
+    every gradient is a round-to-6dp DECIMAL sum and every weight update a
+    fixed-association IEEE expression, so Spark's distributed training and
+    DuckDB's sequential replay land on the same doubles. Iteration 1 is
+    exact rational arithmetic (sigmoid(0) = 1/2 and the features carry at
+    most 4 decimal places); iteration 2 rounds the exp()-bearing residual
+    before summing (the stats-battery contract).
+
+    Scale: one map-side-combinable aggregate per iteration; the driver
+    holds O(features) scalars. Same plan at 100 TB."""
+    from btrblocks_spark.pipeline.training import logreg_predict, logreg_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(100.0)).alias("x2"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+            / F.lit(100.0)
+        ).alias("x3"),
+        F.when(F.col("n_chars") > 250, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    cols = ["x1", "x2", "x3"]
+    trained = logreg_train(feats, cols, iterations=2)
+    w, n = trained["weights"], trained["n"]
+    pred = logreg_predict(feats, w, cols)
+    correct = int(
+        pred.agg(
+            F.sum((F.col("pred") == F.col("y")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+    )
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.lit(float(w[0])), 6).alias("w0"),
+        F.round(F.lit(float(w[1])), 6).alias("w1"),
+        F.round(F.lit(float(w[2])), 6).alias("w2"),
+        F.round(F.lit(float(w[3])), 6).alias("w3"),
+        F.lit(correct).cast("long").alias("correct"),
+        F.round(
+            F.lit(float(correct)).cast("double") / F.lit(n).cast("double"), 6
+        ).alias("accuracy"),
+    )

@@ -907,8 +907,12 @@ def test_media_codecs_roundtrip():
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # JPEG now decodes for real (pipeline/jpeg.py); malformed JPEG bytes
+    # are a parse error, and library-dependent formats still raise honestly
+    with _pytest.raises(ValueError):
         mc.decode_any(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with _pytest.raises(NotImplementedError):
+        mc.decode_any(b"GIF89a rest-of-gif")
 
 
 def test_png_all_filter_types_decode():
@@ -990,3 +994,26 @@ def test_audio_spectral_real(spark, sf_dir):
         assert r["n_windows"] == 2 + d % 3
         assert r["dominant_bin"] == 1 + d % 120
         assert r["energy"] > 0
+
+
+def test_logreg_training_deterministic_and_learns(spark, sf_dir):
+    from btrblocks_spark.pipeline.training import logreg_predict, logreg_train
+    from btrblocks_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        F.when(F.col("n_chars") > 250, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    t1 = logreg_train(feats, ["x1"], iterations=3)
+    # bit-identical under a different partitioning (decimal-sum contract)
+    t2 = logreg_train(feats.repartition(7), ["x1"], iterations=3)
+    assert t1 == t2
+    # the separable label moves the feature weight in the right direction
+    assert t1["weights"][1] > 0
+    pred = logreg_predict(feats, t1["weights"], ["x1"])
+    acc = pred.agg(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    assert acc > 0.5
