@@ -103,6 +103,8 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_audio_spectral",
     "training_logreg_quality",
+    "multimodal_resize_real",
+    "embedding_second_moment",
     "dedup_pagerank",
     "merge_scd2_customers",
     "text_bigram_lm",

@@ -390,3 +390,45 @@ def decode_any(data: bytes) -> dict:
         "frames": 1,
         "mean": float(d["pixels"].mean()),
     }
+
+
+def decode_pixels(data: bytes) -> dict:
+    """Decode an IMAGE payload to its pixel array → {fmt, pixels} (uint8,
+    (h,w) gray / (h,w,c)). The raw-pixel sibling of decode_any for
+    operators that transform content (resize, crop, re-encode)."""
+    fmt = sniff(data)
+    if fmt == "png":
+        return {"fmt": fmt, "pixels": decode_png(data)["pixels"]}
+    if fmt == "bmp":
+        return {"fmt": fmt, "pixels": decode_bmp(data)["pixels"]}
+    if fmt == "ppm":
+        return {"fmt": fmt, "pixels": decode_ppm(data)["pixels"]}
+    if fmt == "jpeg":
+        from btrblocks_spark.pipeline.jpeg import decode_jpeg
+
+        return {"fmt": fmt, "pixels": decode_jpeg(data)["pixels"]}
+    raise NotImplementedError(f"not a decodable still image: {fmt!r}")
+
+
+def bilinear_resize(px: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
+    """Bilinear resample (align-corners=False pixel-center mapping, edge
+    clamp). Built on lerp a + t*(b-a), which is exact on constant regions —
+    the property the multimodal oracles rely on."""
+    squeeze = px.ndim == 2
+    if squeeze:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    ys = np.clip((np.arange(target_h) + 0.5) * h / target_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(target_w) + 0.5) * w / target_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    ty = (ys - y0)[:, None, None]
+    tx = (xs - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] + tx * (p[y0][:, x1] - p[y0][:, x0])
+    bot = p[y1][:, x0] + tx * (p[y1][:, x1] - p[y1][:, x0])
+    out = top + ty * (bot - top)
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if squeeze else out

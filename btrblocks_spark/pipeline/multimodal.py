@@ -358,3 +358,47 @@ def audio_spectral(media: DataFrame, frame_len: int = 256, hop: int = 256) -> Da
     return media.select("doc_id", "payload").mapInPandas(
         run, "doc_id long, n_windows int, dominant_bin int, energy long"
     )
+
+
+def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize: decode each payload (PNG/BMP/PPM/JPEG), bilinear
+    resample to (target_w, target_h), re-encode as PNG. Returns doc_id,
+    fmt='png', new dims, the re-encoded payload, and the resized pixel
+    mean. Replaces the round-1 resize_stub — content actually changes.
+
+    Scale: narrow mapInPandas, one decode+resample+encode per payload,
+    no shuffle; the canonical preprocess step before vision-model training."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.media_codecs import (
+            bilinear_resize,
+            decode_pixels,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_pixels(bytes(payload))["pixels"]
+                out = bilinear_resize(px, target_h, target_w)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "png",
+                        target_w,
+                        target_h,
+                        encode_png(out),
+                        round(float(out.mean()), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "payload", "pixel_mean"],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run,
+        "doc_id long, fmt string, width int, height int, payload binary, pixel_mean double",
+    )

@@ -92,3 +92,74 @@ def logreg_predict(
     return feats.withColumn("z", z).withColumn(
         "pred", (F.col("z") > 0).cast("int")
     )
+
+
+def second_moment_matrix(
+    vectors: DataFrame, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Exact distributed Gram/second-moment matrix of an embedding column —
+    the reduction behind PCA whitening, covariance shrinkage, and linear
+    probes over a corpus of vectors.
+
+    Exactness contract: each ROW's outer product is quantized with
+    floor(x_i * x_j * scale + 0.5) — round-half-up, the identical IEEE
+    expression the SQL oracle writes — and the quantized contributions sum
+    as int64, so the reduction is bit-exact under any partitioning and
+    matches DuckDB's integer sum. Upper triangle only (i <= j).
+
+    Scale: the corpus is read once, map-side reduced to d*(d+1)/2 integers
+    per partition; the only shuffle is the tiny final combine. Same plan at
+    100 TB x 4096 dims (partial sums stay O(d^2) per executor)."""
+    import numpy as np
+
+    d_probe = len(vectors.select(vec_col).first()[0])
+    iu = np.triu_indices(d_probe)
+
+    def run(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # per-row quantized outer products, summed exactly as int64
+            prods = np.einsum("ni,nj->nij", x, x)[:, iu[0], iu[1]]
+            q = np.floor(prods * scale + 0.5).astype(np.int64).sum(axis=0)
+            yield pd_.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "s": q}
+            )
+
+    partial = vectors.select(vec_col).mapInPandas(run, "i int, j int, s long")
+    return (
+        partial.groupBy("i", "j")
+        .agg(F.sum("s").alias("s_scaled"))
+        .select(
+            "i",
+            "j",
+            "s_scaled",
+            (F.col("s_scaled").cast("double") / F.lit(float(scale))).alias("m"),
+        )
+    )
+
+
+def pca_power_iteration(
+    vectors: DataFrame, vec_col: str = "embedding", iterations: int = 8
+) -> list[float]:
+    """Dominant eigenvector of the second-moment matrix by power iteration.
+    The matrix is an exact integer-quantized reduction (above), collected
+    as O(d^2) scalars; iteration runs driver-side in numpy (deterministic:
+    fixed start vector of ones, fixed iteration count, no data-dependent
+    branching). Returns the unit eigenvector."""
+    import numpy as np
+
+    rows = second_moment_matrix(vectors, vec_col).collect()
+    d = max(r["j"] for r in rows)
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["m"]
+        m[r["j"] - 1, r["i"] - 1] = r["m"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iterations):
+        v = m @ v
+        v = v / np.linalg.norm(v)
+    return [float(x) for x in v]

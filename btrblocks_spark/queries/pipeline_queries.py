@@ -3883,3 +3883,93 @@ def q_training_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(float(correct)).cast("double") / F.lit(n).cast("double"), 6
         ).alias("accuracy"),
     )
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+SELECT doc_id,
+       'png' AS fmt,
+       CAST(6 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS byte_mean
+FROM documents WHERE doc_id < 300 AND doc_id % 3 <> 0
+""",
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: genuine PNG payloads are decoded,
+    bilinear-resampled to 6x5 (media_codecs.bilinear_resize — lerp form,
+    exact on constant regions), re-encoded as PNG, and the OUTPUT payloads
+    are decoded again for verification — so the oracle checks the full
+    decode -> resample -> encode -> decode chain. Constant-pixel fixtures
+    make every resized mean pure doc_id arithmetic. Replaces round-1's
+    resize_stub (metadata-only) with a content-transforming operator."""
+    from btrblocks_spark.pipeline.multimodal import (
+        attach_real_payload,
+        extract_features,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 300) & (F.col("doc_id") % 3 != 0)
+    )
+    resized = resize_images(attach_real_payload(docs), target_w=6, target_h=5)
+    feats = extract_features(resized, real_decode=True)
+    return feats.select("doc_id", "fmt", "width", "height", "byte_mean")
+
+
+@register(
+    "embedding_second_moment",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS s_scaled,
+       CAST(sum(CAST(floor(a.x * b.x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS m
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+""",
+)
+def q_embedding_second_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed second-moment (Gram) matrix of the embedding
+    corpus (pipeline/training.second_moment_matrix) — the reduction behind
+    PCA whitening and covariance estimates. Per-row outer products are
+    quantized floor(x_i*x_j*1e6 + 0.5) and summed as int64, so the Spark
+    BLAS-batched kernel and DuckDB's unnest-self-join land on identical
+    integers; 64 dims -> 2080 upper-triangle entries."""
+    from btrblocks_spark.pipeline.training import second_moment_matrix
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return second_moment_matrix(vecs)
+
+
+@register("embedding_pca_topk")  # rows-only: eigensolve is not SQL-expressible
+def q_embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PCA: dominant eigenvector via power iteration over the exact
+    second-moment matrix (O(d^2) driver scalars; 8 fixed iterations,
+    deterministic), then the 10 vectors with the largest |projection| onto
+    it — the outlier/representative-sample primitive for embedding-space
+    curation. The eigensolve itself is the one non-SQL step (rows-only
+    oracle); the matrix it consumes is the bit-exact oracle-checked
+    reduction above."""
+    from btrblocks_spark.pipeline.training import pca_power_iteration
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    e = pca_power_iteration(vecs)
+    earr = F.array(*[F.lit(float(c)) for c in e])
+    proj = F.expr(
+        "aggregate(zip_with(embedding, _e, (a, b) -> CAST(a AS DOUBLE) * b), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    return (
+        vecs.withColumn("_e", earr)
+        .select("vec_id", F.abs(proj).alias("abs_proj"))
+        .orderBy(F.col("abs_proj").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("abs_proj", 6).alias("abs_proj"))
+    )

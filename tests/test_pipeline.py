@@ -1017,3 +1017,46 @@ def test_logreg_training_deterministic_and_learns(spark, sf_dir):
         F.avg((F.col("pred") == F.col("y")).cast("double")).alias("a")
     ).collect()[0]["a"]
     assert acc > 0.5
+
+
+def test_second_moment_partition_invariant_and_pca(spark, sf_dir):
+    from btrblocks_spark.pipeline.training import (
+        pca_power_iteration,
+        second_moment_matrix,
+    )
+    from btrblocks_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = {(r["i"], r["j"]): r["s_scaled"] for r in second_moment_matrix(vecs).collect()}
+    b = {
+        (r["i"], r["j"]): r["s_scaled"]
+        for r in second_moment_matrix(vecs.repartition(13)).collect()
+    }
+    assert a == b and len(a) == 64 * 65 // 2
+    # diagonal entries are sums of squares: strictly positive
+    assert all(a[(i, i)] > 0 for i in range(1, 65))
+    e = pca_power_iteration(vecs)
+    assert len(e) == 64
+    assert abs(sum(c * c for c in e) - 1.0) < 1e-9
+
+
+def test_resize_images_real(spark, sf_dir):
+    from btrblocks_spark.pipeline.multimodal import (
+        attach_real_payload,
+        extract_features,
+        resize_images,
+    )
+    from btrblocks_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 30) & (F.col("doc_id") % 3 != 0)
+    )
+    out = extract_features(
+        resize_images(attach_real_payload(docs), target_w=7, target_h=9),
+        real_decode=True,
+    ).collect()
+    assert out
+    for r in out:
+        assert (r["fmt"], r["width"], r["height"]) == ("png", 7, 9)
+        assert r["byte_mean"] == float(r["doc_id"] % 256)
