@@ -104,6 +104,7 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "training_logreg_quality",
     "multimodal_resize_real",
+    "multimodal_decode_gif",
     "embedding_second_moment",
     "dedup_pagerank",
     "merge_scd2_customers",

@@ -10,6 +10,8 @@ container formats are decodable with the standard library alone:
   WAV   PCM via the stdlib ``wave`` module
   JPEG  baseline sequential DCT via the pure-NumPy codec in
         ``pipeline/jpeg.py`` (Huffman + dequant + IDCT, 4:4:4/4:2:0)
+  GIF   LZW decode (multi-frame + interlace); uncompressed-LZW encoder
+  AVI   MJPEG video container (RIFF walk, frames via the JPEG codec)
 
 This makes ``decode_batch(real_decode=True)`` (pipeline/multimodal.py) a
 real decoder for these formats: width/height/pixel statistics come from
@@ -341,6 +343,8 @@ def sniff(data: bytes) -> str | None:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -359,6 +363,16 @@ def decode_any(data: bytes) -> dict:
         d = decode_bmp(data)
     elif fmt == "ppm":
         d = decode_ppm(data)
+    elif fmt == "gif":
+        v = decode_gif(data)
+        means = [float(f.mean()) for f in v["frames"]]
+        return {
+            "fmt": "gif",
+            "width": v["width"],
+            "height": v["height"],
+            "frames": v["n_frames"],
+            "mean": float(sum(means) / len(means)),
+        }
     elif fmt == "avi":
         v = decode_avi(data)
         means = [float(f.mean()) for f in v["frames"]]
@@ -407,6 +421,8 @@ def decode_pixels(data: bytes) -> dict:
         from btrblocks_spark.pipeline.jpeg import decode_jpeg
 
         return {"fmt": fmt, "pixels": decode_jpeg(data)["pixels"]}
+    if fmt == "gif":
+        return {"fmt": fmt, "pixels": decode_gif(data)["frames"][0]}
     raise NotImplementedError(f"not a decodable still image: {fmt!r}")
 
 
@@ -432,3 +448,160 @@ def bilinear_resize(px: np.ndarray, target_h: int, target_w: int) -> np.ndarray:
     out = top + ty * (bot - top)
     out = np.clip(np.round(out), 0, 255).astype(np.uint8)
     return out[:, :, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# GIF — LZW-compressed palette images (GIF87a/89a spec is public). Decoder
+# handles global/local palettes, multiple frames (animated), interlace;
+# encoder emits valid single-frame GIFs using the classic "uncompressed
+# LZW" trick (literal codes with frequent CLEARs so the code width never
+# grows) — byte-exact round-trips for fixtures.
+# ---------------------------------------------------------------------------
+
+def decode_gif(data: bytes) -> dict:
+    """Decode a GIF → {width, height, n_frames, frames} (uint8 RGB per
+    frame; frames composited independently against their own palette)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gpal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, fw, fh, fflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        pal = gpal
+        if fflags & 0x80:
+            n = 2 << (fflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        min_code = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(comp), min_code, fw * fh)
+        px = pal[np.array(idx, dtype=np.int32)].reshape(fh, fw, 3)
+        if fflags & 0x40:  # interlaced: de-interleave rows
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
+        frames.append(px)
+    if not frames:
+        raise ValueError("GIF without image data")
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
+
+
+def _lzw_decode(comp: bytes, min_code: int, expect: int) -> list[int]:
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in comp:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out[:expect]
+            if code < len(table):
+                entry = table[code]
+            elif prev is not None:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= expect:
+                return out[:expect]
+    return out[:expect]
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode uint8 (h, w, 3) RGB (≤256 distinct colors) or (h, w) gray as
+    a single-frame GIF87a. LZW payload uses literal codes with a CLEAR
+    before each one — valid, never grows the code width (the classic
+    uncompressed-GIF device), so the decode is bit-exact."""
+    if pixels.ndim == 2:
+        pixels = np.stack([pixels] * 3, axis=-1)
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError("encode_gif supports ≤256 distinct colors")
+    bits = max(int(len(pal) - 1).bit_length(), 1)
+    min_code = max(bits, 2)
+    psize = 1 << min_code  # palette block must match the size field below
+    pal_full = np.zeros((psize, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    clear = 1 << min_code
+    width = min_code + 1
+    # bitstream: CLEAR, px, CLEAR, px, ..., EOI
+    acc = nbits = 0
+    payload = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for p in idx:
+        emit(clear)
+        emit(int(p))
+    emit(clear + 1)  # EOI
+    if nbits:
+        payload.append(acc & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (0x70) | (min_code - 1), 0, 0)
+    out += pal_full.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(payload), 255):
+        block = payload[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)

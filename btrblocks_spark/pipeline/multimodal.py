@@ -1,14 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas kernels.
 
-Decode is REAL for PNG/BMP/PPM/WAV via the dependency-free container
+Decode is REAL for PNG/BMP/PPM/GIF/JPEG/WAV/AVI via the dependency-free
 codecs in ``pipeline/media_codecs.py`` (zlib inflate + scanline unfilter,
-stdlib ``wave``) — ``decode_batch(real_decode=True)`` reads actual payload
-bytes, oracle-checked end-to-end by the ``multimodal_decode_real`` query.
-JPEG and video decode require codec libraries absent from this
-environment and raise ``NotImplementedError`` honestly; the surrounding
-plumbing (schema, batching, partitioning) is shared and tested either
-way.
+LZW, stdlib ``wave``, pure-NumPy baseline JPEG in ``pipeline/jpeg.py``,
+MJPEG-AVI RIFF walk) — ``decode_batch(real_decode=True)`` reads actual
+payload bytes, oracle-checked end-to-end by the ``multimodal_decode_*``
+queries; resize/frame-sample/spectral features transform real content.
+Only library-dependent codecs (H.264-class video, MP3) raise
+``NotImplementedError`` honestly.
 
 Scale notes: payloads ride in the DataFrame as binary columns → Parquet
 keeps them page-compressed and column-pruned (a metadata-only query never
@@ -402,3 +402,26 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         run,
         "doc_id long, fmt string, width int, height int, payload binary, pixel_mean double",
     )
+
+
+def attach_gif_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF payloads: constant-color frames through the
+    LZW encoder (media_codecs.encode_gif). GIF is palette-lossless, so the
+    decode returns the exact constant — no evenness constraint needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from btrblocks_spark.pipeline.media_codecs import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 16, 8 + (d // 16) % 16
+                payloads.append(
+                    encode_gif(np.full((h, w), d % 256, dtype=np.uint8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id long, payload binary")

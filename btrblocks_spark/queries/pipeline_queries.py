@@ -3973,3 +3973,26 @@ def q_embedding_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.round("abs_proj", 6).alias("abs_proj"))
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+SELECT doc_id,
+       'gif' AS fmt,
+       CAST(8 + doc_id % 16 AS INTEGER) AS width,
+       CAST(8 + (doc_id // 16) % 16 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS DOUBLE) AS byte_mean
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: LZW-compressed payloads written by the
+    repo's own encoder (classic uncompressed-LZW device), decoded through
+    the real LZW state machine + palette lookup (media_codecs.decode_gif).
+    GIF is lossless, so decoded means are exactly doc_id % 256."""
+    from btrblocks_spark.pipeline.multimodal import attach_gif_payload, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_features(attach_gif_payload(docs), real_decode=True)
+    return feats.select("doc_id", "fmt", "width", "height", "byte_mean")

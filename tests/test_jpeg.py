@@ -96,3 +96,34 @@ def test_avi_not_riff_rejected():
 
     with pytest.raises(ValueError):
         decode_avi(b"JUNKJUNKJUNKJUNK")
+
+
+def test_gif_roundtrip_and_interlace_parse():
+    from btrblocks_spark.pipeline.media_codecs import decode_gif, encode_gif
+
+    img = np.zeros((6, 9, 3), dtype=np.uint8)
+    img[..., 0] = 200
+    img[2:4, 3:6, 1] = 99
+    d = decode_gif(encode_gif(img))
+    assert (d["width"], d["height"], d["n_frames"]) == (9, 6, 1)
+    assert np.array_equal(d["frames"][0], img)
+    # gray input widens to RGB
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+    d2 = decode_gif(encode_gif(g))
+    assert np.array_equal(d2["frames"][0], np.stack([g] * 3, axis=-1))
+
+
+def test_gif_too_many_colors_rejected():
+    from btrblocks_spark.pipeline.media_codecs import encode_gif
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        encode_gif(img)
+
+
+def test_gif_not_gif_rejected():
+    from btrblocks_spark.pipeline.media_codecs import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
