@@ -324,17 +324,23 @@ def dedup_clusters(
     # sum(label) strictly decreases until the fixed point — one map-side
     # aggregate per round instead of a self-join diff count
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+
+    def one_hop(lab):
         neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
+            edges.join(lab, edges["dst"] == lab["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-            .localCheckpoint()
-        )
+        return lab.join(
+            neighbor_min, lab["node"] == neighbor_min["src"], "left"
+        ).select("node", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+
+    for _ in range(max_iter):
+        # one hop per materialization round: near-dup graphs are shallow
+        # (2-3 rounds to fixed point), so batching two hops per checkpoint
+        # was measured SLOWER (deeper un-materialized plan per round beats
+        # the saved driver job on every real round count here)
+        new_labels = one_hop(labels).localCheckpoint()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:

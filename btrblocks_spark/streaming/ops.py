@@ -491,3 +491,39 @@ def near_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def score_stream(
+    stream_docs: DataFrame, weights: list[float] | None = None
+) -> DataFrame:
+    """Streaming quality scoring with a TRAINED classifier: applies the
+    logistic-regression margin (pipeline/training.logreg_predict's exact
+    expression — fixed-association weighted sum over integer-derived
+    features, prediction by margin sign, no exp() at decision time) to a
+    document stream.
+
+    ``weights`` come from a batch ``logreg_train`` run (the offline-train /
+    online-score split every production quality filter uses — the trained
+    model is a handful of driver-side scalars, broadcast implicitly as plan
+    literals). Default weights are a fixed snapshot so the operator is
+    usable standalone.
+
+    Stateless per-row map: no watermark, no state store; at 100 TB/day the
+    scorer scales with source parallelism alone."""
+    from btrblocks_spark.pipeline.training import logreg_predict
+
+    if weights is None:
+        weights = [0.0, 0.05, 0.01, -0.02]  # bias, len, tokens, punct
+    feats = stream_docs.select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(100.0)).alias("x2"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+            / F.lit(100.0)
+        ).alias("x3"),
+    )
+    return logreg_predict(feats, weights, ["x1", "x2", "x3"]).select(
+        "doc_id", F.round("z", 6).alias("score"), F.col("pred").alias("keep")
+    )

@@ -458,3 +458,49 @@ def test_interval_join_left_outer_emits_unmatched(spark, sf_dir, events_dir):
     assert len(unmatched) > 0
     for r in unmatched:
         assert r["click_time"] is None and r["delay_seconds"] is None
+
+
+def test_score_stream_matches_batch(spark, sf_dir, tmpdir):
+    """Streaming scoring == batch scoring with the same trained weights
+    (stateless map ⇒ exact batch equivalence), trained for real first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.pipeline.training import logreg_train
+    from btrblocks_spark.streaming.ops import docs_stream_source, score_stream
+    from btrblocks_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    feats = docs.select(
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(100.0)).alias("x2"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+            / F.lit(100.0)
+        ).alias("x3"),
+        F.when(F.col("n_chars") > 250, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    w = logreg_train(feats, ["x1", "x2", "x3"], iterations=2)["weights"]
+
+    src = os.path.join(tmpdir, "score_src")
+    docs.write.parquet(src)
+    out = os.path.join(tmpdir, "score_out")
+    q = (
+        score_stream(docs_stream_source(spark, src), w)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_score"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in score_stream(docs, w).collect()
+    }
+    assert got == want and len(want) == 200
