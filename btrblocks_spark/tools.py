@@ -1,0 +1,146 @@
+"""Command-line tools — parity with the reference's conversion binaries
+(``tools/conversion/``): csvtobtr, btrtocsv, btrmeta, decompression-speed.
+
+Usage (one JVM per invocation; all heavy lifting is the library code):
+
+    python -m btrblocks_spark.tools csvtobtr --csv in.csv --yaml schema.yaml \\
+        --btr /path/table --order-keys k1,k2 [--verify]
+    python -m btrblocks_spark.tools btrtocsv --btr /path/table --csv out.csv
+    python -m btrblocks_spark.tools btrmeta /path/table
+    python -m btrblocks_spark.tools decompression-speed /path/table [--reps 3]
+
+Reference analogs: ``csvtobtr.cpp:49-66`` (convert + -verify flag),
+``btrtocsv.cpp``, ``btrmeta.cpp:22-60`` (per-column-chunk scheme dump),
+``decompression-speed.cpp:91-239`` (timed scan reps). Paths may be URIs
+(s3a://, file://) — the sidecar goes through the Hadoop FS client.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _get_spark(spark=None):
+    if spark is not None:
+        return spark
+    from btrblocks_spark.session import get_spark
+
+    return get_spark(app_name="btrblocks-tools")
+
+
+def cmd_csvtobtr(args, spark=None) -> int:
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.verify import round_trip_verify
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.csv_source import (
+        read_csv_with_yaml_schema,
+    )
+
+    spark = _get_spark(spark)
+    df = read_csv_with_yaml_schema(spark, args.csv, args.yaml)
+    keys = [k for k in (args.order_keys or "").split(",") if k] or [df.columns[0]]
+    cfg = DEFAULT_CONFIG if args.block_size is None else DEFAULT_CONFIG.with_(
+        block_size=args.block_size
+    )
+    meta = write_table(df, args.btr, keys, cfg)
+    print(
+        f"wrote {meta['num_rows']} rows / {meta['num_chunks']} chunks to {args.btr} "
+        f"(est ratio {meta['totals']['est_compression_ratio']}x, "
+        f"{meta['write_seconds']}s)"
+    )
+    if args.verify:
+        ok = round_trip_verify(df, spark, args.btr)
+        print(f"verify: {'OK' if ok else 'MISMATCH'}")
+        return 0 if ok else 1
+    return 0
+
+
+def cmd_btrtocsv(args, spark=None) -> int:
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.sources.csv_source import export_csv
+
+    spark = _get_spark(spark)
+    df, meta = read_table(spark, args.btr)
+    export_csv(df, args.csv)
+    print(f"exported {meta['num_rows']} rows to {args.csv}")
+    return 0
+
+
+def cmd_btrmeta(args, spark=None) -> int:
+    from btrblocks_spark.format.reader import read_metadata, scheme_summary
+
+    spark = _get_spark(spark)
+    meta = read_metadata(args.table, spark)
+    t = meta["totals"]
+    print(
+        f"table {meta['table']}: {meta['num_rows']} rows, "
+        f"{meta['num_chunks']} chunks x {meta['block_size']}, "
+        f"est ratio {t['est_compression_ratio']}x"
+    )
+    for row in scheme_summary(spark, args.table).collect():
+        print(
+            f"  {row['column']:<20} chunk {row['chunk']:<3} "
+            f"{row['scheme_tree']:<28} ratio {row['est_ratio']:<7} "
+            f"rows {row['n_rows']} nulls {row['null_count']} "
+            f"uniq {row['unique_count']}"
+        )
+    return 0
+
+
+def cmd_decompression_speed(args, spark=None) -> int:
+    from btrblocks_spark.format.reader import read_metadata
+
+    spark = _get_spark(spark)
+    from btrblocks_spark.format import fs as _fs
+
+    meta = read_metadata(args.table, spark)
+    data = _fs.join(args.table, "data")
+    raw_bytes = meta["totals"]["raw_bytes"]
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        spark.read.parquet(data).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    mb = raw_bytes / 1e6
+    print(
+        f"scan {meta['num_rows']} rows ({mb:.1f} MB raw) best of {args.reps}: "
+        f"{best:.3f}s = {mb / best:.1f} MB/s"
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="btrblocks_spark.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("csvtobtr", help="CSV + YAML schema -> compressed table")
+    c.add_argument("--csv", required=True)
+    c.add_argument("--yaml", required=True)
+    c.add_argument("--btr", required=True)
+    c.add_argument("--order-keys", default="")
+    c.add_argument("--block-size", type=int, default=None)
+    c.add_argument("--verify", action="store_true")
+    c.set_defaults(fn=cmd_csvtobtr)
+
+    c = sub.add_parser("btrtocsv", help="compressed table -> CSV export")
+    c.add_argument("--btr", required=True)
+    c.add_argument("--csv", required=True)
+    c.set_defaults(fn=cmd_btrtocsv)
+
+    c = sub.add_parser("btrmeta", help="dump per-column-chunk scheme metadata")
+    c.add_argument("table")
+    c.set_defaults(fn=cmd_btrmeta)
+
+    c = sub.add_parser("decompression-speed", help="timed full-table scan")
+    c.add_argument("table")
+    c.add_argument("--reps", type=int, default=3)
+    c.set_defaults(fn=cmd_decompression_speed)
+
+    args = p.parse_args(argv)
+    return args.fn(args, spark=spark)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -243,3 +243,53 @@ def test_csv_quarantine_lane(spark, tmp_path):
     assert g[5]["price"] is None and g[5]["note"] == "empty"
     b = sorted((r["id"], r["price"]) for r in bad.collect())
     assert b == [("2", "oops"), ("x3", "7.25")]
+
+
+def test_cli_tools_end_to_end(spark, tmpdir):
+    """CLI parity (reference tools/conversion binaries): csvtobtr -verify,
+    btrmeta, btrtocsv, decompression-speed — all through tools.main with an
+    injected session."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from btrblocks_spark.tools import main
+
+    csv_in = os.path.join(tmpdir, "in.csv")
+    with open(csv_in, "w") as fh:
+        for i in range(50):
+            fh.write(f"{i}|v{i % 7}|{i * 1.5}\n")
+    yml = os.path.join(tmpdir, "schema.yaml")
+    with open(yml, "w") as fh:
+        fh.write(
+            "columns:\n"
+            "  - {name: k, type: integer}\n"
+            "  - {name: s, type: string}\n"
+            "  - {name: v, type: double}\n"
+        )
+    btr = os.path.join(tmpdir, "tbl")
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main(
+            ["csvtobtr", "--csv", csv_in, "--yaml", yml, "--btr", btr,
+             "--order-keys", "k", "--block-size", "16", "--verify"],
+            spark=spark,
+        )
+    assert rc == 0 and "verify: OK" in out.getvalue()
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main(["btrmeta", btr], spark=spark) == 0
+    assert "50 rows" in out.getvalue() and "chunk" in out.getvalue()
+
+    csv_out = os.path.join(tmpdir, "out.csv")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main(["btrtocsv", "--btr", btr, "--csv", csv_out], spark=spark) == 0
+    assert "exported 50 rows" in out.getvalue()
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        assert main(["decompression-speed", btr, "--reps", "1"], spark=spark) == 0
+    assert "MB/s" in out.getvalue()
