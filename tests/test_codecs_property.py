@@ -108,3 +108,41 @@ def test_string_property(scheme, col):
     out = codecs.decode_string(enc)
     set_idx = np.flatnonzero(mask)
     assert all(out[i] == filled[i] for i in set_idx)
+
+
+@st.composite
+def int64_column(draw):
+    """Int64-domain values (epoch-nanos magnitudes) — exercises the
+    width-aware paths added for 64-bit columns (round 2: _elem_width,
+    delta/dod on ns timestamps)."""
+    n = draw(st.integers(min_value=1, max_value=300))
+    base = draw(st.integers(min_value=-(2**62), max_value=2**62))
+    vals = draw(
+        st.lists(
+            st.integers(min_value=-(2**20), max_value=2**20),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    arr = np.array([base + v for v in vals], dtype=np.int64)
+    mask = np.array(draw(st.lists(st.booleans(), min_size=n, max_size=n)), dtype=bool)
+    return arr, mask
+
+
+@given(int64_column())
+@settings(max_examples=30, deadline=None)
+@pytest.mark.parametrize("scheme", sorted(codecs.INT_SCHEMES))
+def test_int64_property(scheme, col):
+    values, mask = col
+    if not mask.any():
+        return
+    if scheme == "delta":
+        values = np.sort(values)
+    filled = values.copy()
+    filled[~mask] = filled[mask][0]
+    try:
+        enc = codecs.encode_int(scheme, filled, mask)
+    except ValueError:
+        return  # precondition rejection is allowed
+    out = codecs.decode_int(enc)
+    np.testing.assert_array_equal(np.asarray(out)[mask], filled[mask])
