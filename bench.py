@@ -378,6 +378,7 @@ def scheme_bench() -> dict:
             rng.random(n) < 0.98, 2.5, rng.uniform(0, 100, n)
         ),
         ("double", "pseudodecimal"): np.round(rng.uniform(0, 100, n), 2),
+        ("double", "alp"): np.round(rng.uniform(0, 100, n), 2),
         ("double", "xor"): 1000.0
         + np.round(np.sin(np.arange(n) / 100.0), 3),  # smooth time series
         ("string", "dict"): np.tile(

@@ -42,6 +42,8 @@ DOUBLE_SCHEMES = (
     "rle",
     "frequency",
     "pseudodecimal",  # signature scheme (scheme/double/Pseudodecimal.cpp)
+    "alp",  # beyond-reference (PVLDB 2023): chunk-wide (e, f) decimal digits;
+            # competes on size, wins on fixed-scale decimal columns
 )
 STRING_SCHEMES = (
     "uncompressed",

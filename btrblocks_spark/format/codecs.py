@@ -50,6 +50,10 @@ DOUBLE_SCHEMES = (
     "uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal",
     "double_bp", "max_exponent",  # legacy (scheme/double/DoubleBP.cpp, MaxExponent.cpp)
     "xor",  # beyond-reference: Gorilla/Chimp-style XOR-of-previous (byte-aligned)
+    "alp",  # beyond-reference: ALP (Afroozeh & Boncz, PVLDB 2023) — one
+            # (exponent, factor) pair per chunk vs pseudodecimal's per-value
+            # exponent search; digits cascade into FOR/BP like the reference's
+            # Pseudodecimal.cpp significand stream
 )
 STRING_SCHEMES = (
     "uncompressed", "one_value", "dict", "fsst",
@@ -420,6 +424,25 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
             + msize
         )
 
+    elif scheme == "alp":
+        digits, alp_e, alp_f, exc_mask = _alp_split(filled, mask)
+        if mask.any() and exc_mask[mask].mean() > 0.5:
+            raise ValueError("alp: >50% exceptions")
+        e.streams = {
+            "digits": digits,
+            "e": alp_e,
+            "f": alp_f,
+            "exc_mask": exc_mask,
+            "exc_values": filled[exc_mask],
+        }
+        e.size_bytes = (
+            _int_stream_size(digits[~exc_mask], depth - 1)
+            + _mask_size(exc_mask)
+            + int(exc_mask.sum()) * 8
+            + 16
+            + msize
+        )
+
     elif scheme == "xor":
         ctrl, payload = _xor_encode(filled)
         e.streams = {"ctrl": ctrl, "payload": payload}
@@ -479,6 +502,63 @@ def _xor_decode(ctrl: np.ndarray, payload: np.ndarray) -> np.ndarray:
     return np.bitwise_xor.accumulate(x).view(np.float64).copy()
 
 
+_ALP_MAX_E = 18  # 10^18 still fits int64 digits for unit-scale doubles
+
+
+def _alp_choose_ef(sample: np.ndarray) -> tuple[int, int]:
+    """Pick one (exponent e, factor f) pair for the whole chunk by grid
+    search on a sample — the core idea of ALP (Adaptive Lossless
+    floating-Point compression, PVLDB 2023): most real columns carry decimals
+    with a fixed scale, so `round(v * 10^e / 10^f)` lands on small integers
+    for a single chunk-wide (e, f). Score = packed digit bytes + 16 bytes per
+    exception; smallest wins. 190 combos, each fully vectorized."""
+    best, best_score = (0, 0), None
+    for e in range(_ALP_MAX_E + 1):
+        scaled = sample * _EXP10[e]
+        for f in range(e + 1):
+            digits = np.round(scaled / _EXP10[f])
+            with np.errstate(invalid="ignore"):
+                ok = np.isfinite(digits) & (np.abs(digits) < 2**51)
+            dig_i = np.where(ok, digits, 0.0)
+            dec = dig_i * _EXP10[f] / _EXP10[e]
+            ok &= dec == sample
+            # int64 digits drop the sign of zero: -0.0 must be an exception
+            ok &= ~((sample == 0.0) & np.signbit(sample))
+            n_exc = int((~ok).sum())
+            if ok.any():
+                rng = int(digits[ok].max()) - int(digits[ok].min())
+                bits = _bits(rng)
+            else:
+                bits = 64
+            score = len(sample) * bits / 8 + n_exc * 16
+            if best_score is None or score < best_score:
+                best_score, best = score, (e, f)
+    return best
+
+
+def _alp_split(filled: np.ndarray, mask: np.ndarray):
+    """Encode the full vector at the sampled (e, f): digits = round(v *
+    10^e / 10^f), verified value-by-value against the exact decode
+    expression (digits * 10^f / 10^e) so the round-trip is bit-exact by
+    construction; misses become patches (ALP §4.2 'exceptions')."""
+    set_idx = np.flatnonzero(mask)
+    if len(set_idx) == 0:
+        return np.zeros(len(filled), dtype=np.int64), 0, 0, np.zeros(len(filled), dtype=bool)
+    sample_idx = set_idx[:: max(1, len(set_idx) // 1024)][:1024]
+    alp_e, alp_f = _alp_choose_ef(filled[sample_idx])
+    with np.errstate(over="ignore", invalid="ignore"):
+        digits = np.round(filled * _EXP10[alp_e] / _EXP10[alp_f])
+        ok = np.isfinite(digits) & (np.abs(digits) < 2**51)
+        dig = np.where(ok, digits, 0.0).astype(np.int64)
+        dec = dig.astype(np.float64) * _EXP10[alp_f] / _EXP10[alp_e]
+        ok &= dec == filled
+        ok &= ~((filled == 0.0) & np.signbit(filled))
+    exc_mask = mask & ~ok
+    dig[~ok] = 0
+    dig[~mask] = 0
+    return dig, alp_e, alp_f, exc_mask
+
+
 def _pseudodecimal_split(filled: np.ndarray, mask: np.ndarray):
     """Per value find the smallest exponent e ≤ 22 with an exact decimal
     round-trip (reference Pseudodecimal.cpp:56-135): sig = round(d * 10^e),
@@ -527,6 +607,10 @@ def decode_double(e: Encoded) -> np.ndarray:
         return bits.view(np.float64).copy()
     if e.scheme == "max_exponent":
         out = s["significands"] / _EXP10[s["exponent"]]
+        out[s["exc_mask"]] = s["exc_values"]
+        return out
+    if e.scheme == "alp":
+        out = s["digits"].astype(np.float64) * _EXP10[s["f"]] / _EXP10[s["e"]]
         out[s["exc_mask"]] = s["exc_values"]
         return out
     if e.scheme == "xor":
@@ -742,6 +826,11 @@ def describe_tree(kind: str, e: Encoded, depth: int = 3) -> str:
             )
         if e.scheme == "max_exponent":
             return f"max_exponent(sig:{_int_child_plan(s['significands'].astype(np.int64), d)})"
+        if e.scheme == "alp":
+            return (
+                f"alp(e{s['e']}f{s['f']},"
+                f"digits:{_int_child_plan(s['digits'], d)})"
+            )
         return e.scheme
     # string
     if e.scheme in ("dict8", "dict16"):

@@ -107,6 +107,15 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
                 )
                 if exc.mean() <= 0.5:
                     cands.append("pseudodecimal")
+            if "alp" in enabled:
+                # one chunk-wide (e, f) vs pseudodecimal's per-value search;
+                # encode() itself bails >50% exceptions, so a cheap gate on
+                # the same sampled stats suffices
+                _, _, _, aexc = codecs._alp_split(
+                    np.asarray(arr, dtype=np.float64), np.ones(n, dtype=bool)
+                )
+                if aexc.mean() <= 0.5:
+                    cands.append("alp")
     else:  # string
         uniq = set(set_vals.tolist())
         if len(uniq) == 1:

@@ -65,6 +65,7 @@ DOUBLE_SHAPES = {
     "rle": np.repeat(RNG.choice(np.array([1.5, 2.5, 3.5]), N // 20 + 1), 20)[:N],
     "frequency": np.where(RNG.random(N) < 0.97, 2.5, RNG.random(N) * 100),
     "pseudodecimal": np.round(RNG.random(N) * 10_000, 2),
+    "alp": np.round(RNG.random(N) * 10_000, 2),
     "uncompressed": RNG.standard_normal(N),
 }
 
@@ -81,6 +82,38 @@ def test_double_round_trip(scheme):
     np.testing.assert_array_equal(
         out[mask].view(np.int64), filled[mask].view(np.int64)
     )
+
+
+def test_alp_edge_cases():
+    """ALP (PVLDB 2023): -0.0 / non-finite / non-decimal values become
+    patches; the single chunk-wide (e, f) still round-trips bit-exactly.
+    Edge values are diluted with enough clean decimals to pass the >50%
+    exception bail, mirroring the pseudodecimal gate."""
+    edge = np.array([-0.0, 0.0, np.inf, -np.inf, np.nan, 1e-22, 1e22,
+                     2**40 + 0.5, 0.1 + 0.2])
+    clean = np.round(np.linspace(0.01, 99.99, 50), 2)
+    vals = np.concatenate([edge, clean])
+    mask = np.ones(len(vals), dtype=bool)
+    enc = codecs.encode_double("alp", vals, mask)
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), vals.view(np.int64))
+    # -0.0 cannot ride the int64 digit stream (sign of zero lost)
+    assert enc.streams["exc_mask"][0]
+
+
+def test_alp_beats_pseudodecimal_on_fixed_scale_decimals():
+    """ALP's chunk-wide (e, f) stores just the digit stream; pseudodecimal
+    pays a per-value exponent column on top — on a uniform 2-decimal price
+    column ALP must win and the planner must pick it."""
+    from btrblocks_spark.format import planner
+
+    vals = np.round(RNG.random(4096) * 10_000, 2)
+    mask = np.ones(len(vals), dtype=bool)
+    a = codecs.encode_double("alp", vals, mask)
+    p = codecs.encode_double("pseudodecimal", vals, mask)
+    assert a.size_bytes < p.size_bytes
+    pick = planner.choose_scheme("double", vals, mask)
+    assert pick["scheme"] == "alp", pick
 
 
 def test_pseudodecimal_edge_cases():

@@ -69,13 +69,13 @@ def _fixtures():
     )
     p = RNG.integers(0, 5, N)
     fx["double_decimal"] = (
-        "double", np.round(RNG.uniform(0, 100, N), 4) * 10.0**0, {"pseudodecimal"},
+        "double", np.round(RNG.uniform(0, 100, N), 4) * 10.0**0, {"pseudodecimal", "alp"},
     )
     dec = np.round(RNG.uniform(0, 100, N), 2)
     irr = RNG.standard_normal(N)
     patched = np.where(RNG.random(N) < 0.95, dec, irr)
     patched[0] = -0.0
-    fx["double_decimal_patched"] = ("double", patched, {"pseudodecimal"})
+    fx["double_decimal_patched"] = ("double", patched, {"pseudodecimal", "alp"})
     fx["string_one_value"] = (
         "string", np.array(["Hello Compression !"] * N, dtype=object), {"one_value"},
     )

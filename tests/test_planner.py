@@ -70,11 +70,19 @@ def test_small_range_picks_packing_class():
     assert plan["est_ratio"] > 2
 
 
-def test_decimal_doubles_pick_pseudodecimal():
+def test_decimal_doubles_pick_decimal_scheme():
+    # pseudodecimal is the reference's signature pick; with ALP enabled the
+    # chunk-wide (e, f) variant wins the size race on fixed-scale decimals
     vals = np.round(RNG.random(N) * 1000, 2)
     plan = choose_scheme("double", vals)
-    assert plan["scheme"] == "pseudodecimal"
+    assert plan["scheme"] in ("pseudodecimal", "alp")
     assert plan["est_ratio"] > 1.5
+    forced = choose_scheme(
+        "double", vals, config=DEFAULT_CONFIG.with_(double_schemes=(
+            "uncompressed", "one_value", "dict", "rle", "frequency", "pseudodecimal",
+        ))
+    )
+    assert forced["scheme"] == "pseudodecimal"
 
 
 def test_low_cardinality_strings_pick_dict():
