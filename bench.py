@@ -148,6 +148,8 @@ HEADLINE = [
     "events_seasonal_decompose",
     "retrieval_query_likelihood",
     "text_heaps_law",
+    "text_source_divergence",
+    "text_source_overlap",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

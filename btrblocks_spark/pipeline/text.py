@@ -740,3 +740,116 @@ def bpe_encode(
     ).select(
         "doc_id", "n_words", F.size("tokens").alias("n_tokens"), "tokens"
     )
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus: KL(P_s ‖
+    P_corpus) and Jensen-Shannon divergence. A training pipeline watches
+    these to catch a source whose token mix shifted (crawler regression,
+    license change, new spam cluster) before it contaminates a mixture.
+
+    Math note: JS needs terms for corpus words ABSENT from the source,
+    where p_s = 0 and the word's JS contribution reduces to p_c·ln 2. Those
+    collapse into the closed form ln 2 · (1 − coverage) with coverage =
+    Σ_{w∈source} count_corpus(w) / N — an EXACT integer sum — so only
+    (source, word) pairs with nonzero count are ever materialized.
+
+    Determinism: per-word terms are scalar IEEE expressions on exact
+    integer counts, rounded to 6 decimals, then summed as DECIMAL(18,6)
+    (order-independent); the final combination is scalar math on
+    aggregates — bit-identical on Spark and DuckDB.
+
+    Shape (100 TB): one groupBy(source, w) with map-side combine is the
+    only corpus-sized shuffle; the per-word join keys on w against the
+    corpus vocab (Spark broadcasts it when small); per-source totals are
+    |sources| rows, broadcast. Nothing is per-document downstream."""
+    t = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    counts = t.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+    wtot = counts.groupBy("w").agg(F.sum("c").alias("cw"))
+    ntot = counts.agg(F.sum("c").alias("n"))
+    ps = F.col("c").cast("double") / F.col("ns").cast("double")
+    pc = F.col("cw").cast("double") / F.col("n").cast("double")
+    g = (
+        counts.join(wtot, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "ns",
+            "n",
+            "cw",
+            F.round(ps * F.log(ps / pc), 6).alias("term_kl"),
+            F.round(
+                ps * F.log(F.lit(2.0) * ps / (ps + pc))
+                + pc * F.log(F.lit(2.0) * pc / (ps + pc)),
+                6,
+            ).alias("term_js"),
+        )
+    )
+    cov = F.sum("cw").cast("double") / F.max("n").cast("double")
+    return g.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.round(cov, 6).alias("coverage"),
+        F.round(
+            F.sum(F.col("term_kl").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("kl_vs_corpus"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.sum(F.col("term_js").cast("decimal(18,6)")).cast("double")
+                + F.log(F.lit(2.0)) * (F.lit(1.0) - cov)
+            ),
+            6,
+        ).alias("js_vs_corpus"),
+    )
+
+
+def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every source pair,
+    the Jaccard and containment of their word-{n}-gram shingle SETS. High
+    overlap between two "independent" sources means one mirrors the other
+    — double-counting in a training mixture.
+
+    Shape (100 TB): the corpus reduces to distinct (source, shingle) in one
+    map-side-combined aggregation; the pair join is an inverted-index
+    self-join keyed on shingle, so fan-out per shingle is bounded by
+    |sources| (dozens), NOT by document count — the output is the
+    |sources|² matrix, driver-scale. Jaccard/containment are exact integer
+    ratios evaluated as one scalar division each."""
+    sh = (
+        shingles(docs.select(F.col("source"), F.col("text")), n=n, id_col="source")
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    left = sh.select(F.col("source").alias("src_a"), "shingle")
+    right = sh.select(F.col("source").alias("src_b"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("common").cast("long").alias("n_common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("common").cast("double")
+                / F.least("sz_a", "sz_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

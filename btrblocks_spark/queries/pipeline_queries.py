@@ -3996,3 +3996,88 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     feats = extract_features(attach_gif_payload(docs), real_decode=True)
     return feats.select("doc_id", "fmt", "width", "height", "byte_mean")
+
+
+# ---------------------------------------------------------------------------
+# cross-source drift / contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_divergence",
+    oracle="""
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (SELECT source, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+stot AS (SELECT source, SUM(c) AS ns FROM counts GROUP BY 1),
+wtot AS (SELECT w, SUM(c) AS cw FROM counts GROUP BY 1),
+ntot AS (SELECT SUM(c) AS n FROM counts),
+g AS (
+  SELECT counts.source, stot.ns, ntot.n, wtot.cw,
+         round(CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
+               * ln((CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+                    / (CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))), 6) AS term_kl,
+         round(CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
+               * ln(2.0 * (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+                    / (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
+                       + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE)))
+               + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE)
+               * ln(2.0 * (CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))
+                    / (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
+                       + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))), 6) AS term_js
+  FROM counts JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN ntot
+)
+SELECT source,
+       CAST(max(ns) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(CAST(sum(cw) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS coverage,
+       round(CAST(sum(CAST(term_kl AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_vs_corpus,
+       round(0.5 * (CAST(sum(CAST(term_js AS DECIMAL(18,6))) AS DOUBLE)
+             + ln(2.0) * (1.0 - CAST(sum(cw) AS DOUBLE) / CAST(max(n) AS DOUBLE))), 6)
+         AS js_vs_corpus
+FROM g GROUP BY source
+""",
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import source_divergence
+
+    return source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_source_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 2) OVER win IS NOT NULL
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT l.source AS src_a, r.source AS src_b, COUNT(*) AS n_common
+  FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.source < r.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard,
+       round(CAST(n_common AS DOUBLE)
+             / CAST(CASE WHEN sa.sz < sb.sz THEN sa.sz ELSE sb.sz END AS DOUBLE), 6)
+         AS containment
+FROM common
+JOIN sizes sa ON sa.source = common.src_a
+JOIN sizes sb ON sb.source = common.src_b
+""",
+)
+def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.text import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"))
