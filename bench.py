@@ -381,6 +381,7 @@ def scheme_bench() -> dict:
         ),
         ("double", "pseudodecimal"): np.round(rng.uniform(0, 100, n), 2),
         ("double", "alp"): np.round(rng.uniform(0, 100, n), 2),
+        ("double", "alp_rd"): 100.0 + rng.random(n),  # clustered exponents
         ("double", "xor"): 1000.0
         + np.round(np.sin(np.arange(n) / 100.0), 3),  # smooth time series
         ("string", "dict"): np.tile(

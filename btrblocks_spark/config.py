@@ -44,6 +44,8 @@ DOUBLE_SCHEMES = (
     "pseudodecimal",  # signature scheme (scheme/double/Pseudodecimal.cpp)
     "alp",  # beyond-reference (PVLDB 2023): chunk-wide (e, f) decimal digits;
             # competes on size, wins on fixed-scale decimal columns
+    "alp_rd",  # ALP §4.3 real-double fallback: left-bits dictionary + packed
+            # rights; wins ~10-20% on clustered-exponent scientific columns
 )
 STRING_SCHEMES = (
     "uncompressed",

@@ -54,6 +54,10 @@ DOUBLE_SCHEMES = (
             # (exponent, factor) pair per chunk vs pseudodecimal's per-value
             # exponent search; digits cascade into FOR/BP like the reference's
             # Pseudodecimal.cpp significand stream
+    "alp_rd",  # ALP for "real doubles" (paper §4.3): split the bit pattern
+            # at a chunk-chosen cut, dictionary-code the left (sign+exponent+
+            # top-mantissa) parts, bit-pack the rights — pure bit slicing,
+            # bit-exact on any input incl. NaN/-0.0
 )
 STRING_SCHEMES = (
     "uncompressed", "one_value", "dict", "fsst",
@@ -443,6 +447,38 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
             + msize
         )
 
+    elif scheme == "alp_rd":
+        bits = np.ascontiguousarray(filled).view(np.uint64)
+        lw = _alp_rd_choose_left_width(bits[:: max(1, n // 1024)][:1024] if n else bits)
+        left = (bits >> np.uint64(64 - lw)).astype(np.uint16)
+        uniq, cnt = np.unique(left, return_counts=True)
+        top = uniq[np.argsort(cnt)[::-1][:8]]
+        ldict = np.sort(top)
+        pos = np.searchsorted(ldict, left)
+        pos_c = np.clip(pos, 0, len(ldict) - 1)
+        in_dict = ldict[pos_c] == left
+        codes = np.where(in_dict, pos_c, 0).astype(np.int64)
+        right = bits & np.uint64((1 << (64 - lw)) - 1)
+        exc_mask = ~in_dict
+        e.streams = {
+            "left_width": lw,
+            "ldict": ldict,
+            "codes": codes,
+            "right": right,
+            "exc_mask": exc_mask,
+            "exc_lefts": left[exc_mask],
+        }
+        code_bits = _bits(max(len(ldict) - 1, 1))
+        e.size_bytes = (
+            n * (64 - lw) // 8
+            + n * code_bits // 8
+            + len(ldict) * 2
+            + _mask_size(exc_mask)
+            + int(exc_mask.sum()) * 2
+            + 16
+            + msize
+        )
+
     elif scheme == "xor":
         ctrl, payload = _xor_encode(filled)
         e.streams = {"ctrl": ctrl, "payload": payload}
@@ -503,6 +539,23 @@ def _xor_decode(ctrl: np.ndarray, payload: np.ndarray) -> np.ndarray:
 
 
 _ALP_MAX_E = 18  # 10^18 still fits int64 digits for unit-scale doubles
+
+
+def _alp_rd_choose_left_width(sample_bits: np.ndarray) -> int:
+    """Pick the left-part width (1..16 bits, ALP §4.3) minimizing estimated
+    size on a sample: rights are full-entropy (64-lw bits each), lefts are
+    3-bit dictionary codes when in the top-8, 16-bit patches otherwise."""
+    best_lw, best_score = 12, None
+    n = max(len(sample_bits), 1)
+    for lw in range(1, 17):
+        left = (sample_bits >> np.uint64(64 - lw)).astype(np.uint16)
+        _, cnt = np.unique(left, return_counts=True)
+        top_cov = int(np.sort(cnt)[::-1][:8].sum())
+        n_exc = n - top_cov
+        score = n * (64 - lw) + n * 3 + n_exc * 16
+        if best_score is None or score < best_score:
+            best_score, best_lw = score, lw
+    return best_lw
 
 
 def _alp_choose_ef(sample: np.ndarray) -> tuple[int, int]:
@@ -613,6 +666,12 @@ def decode_double(e: Encoded) -> np.ndarray:
         out = s["digits"].astype(np.float64) * _EXP10[s["f"]] / _EXP10[s["e"]]
         out[s["exc_mask"]] = s["exc_values"]
         return out
+    if e.scheme == "alp_rd":
+        lw = s["left_width"]
+        left = s["ldict"][s["codes"]].astype(np.uint64)
+        left[s["exc_mask"]] = s["exc_lefts"].astype(np.uint64)
+        bits = (left << np.uint64(64 - lw)) | s["right"]
+        return bits.view(np.float64).copy()
     if e.scheme == "xor":
         return _xor_decode(s["ctrl"], s["payload"])
     raise ValueError(f"unknown double scheme {e.scheme}")
@@ -830,6 +889,11 @@ def describe_tree(kind: str, e: Encoded, depth: int = 3) -> str:
             return (
                 f"alp(e{s['e']}f{s['f']},"
                 f"digits:{_int_child_plan(s['digits'], d)})"
+            )
+        if e.scheme == "alp_rd":
+            return (
+                f"alp_rd(l{s['left_width']},dict{len(s['ldict'])},"
+                f"right:bp{64 - s['left_width']})"
             )
         return e.scheme
     # string

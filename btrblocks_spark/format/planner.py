@@ -116,6 +116,10 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
                 )
                 if aexc.mean() <= 0.5:
                     cands.append("alp")
+            if "alp_rd" in enabled:
+                # bit-slicing variant is total (never rejects); the size race
+                # + regression guard drop it when exponents don't cluster
+                cands.append("alp_rd")
     else:  # string
         uniq = set(set_vals.tolist())
         if len(uniq) == 1:

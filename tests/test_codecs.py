@@ -66,6 +66,7 @@ DOUBLE_SHAPES = {
     "frequency": np.where(RNG.random(N) < 0.97, 2.5, RNG.random(N) * 100),
     "pseudodecimal": np.round(RNG.random(N) * 10_000, 2),
     "alp": np.round(RNG.random(N) * 10_000, 2),
+    "alp_rd": 100.0 + RNG.random(N),  # one binade: lefts collapse to 1 entry
     "uncompressed": RNG.standard_normal(N),
 }
 
@@ -114,6 +115,24 @@ def test_alp_beats_pseudodecimal_on_fixed_scale_decimals():
     assert a.size_bytes < p.size_bytes
     pick = planner.choose_scheme("double", vals, mask)
     assert pick["scheme"] == "alp", pick
+
+
+def test_alp_rd_is_total_and_beats_raw_on_clustered_exponents():
+    """ALP-RD (paper §4.3) is pure bit slicing: every input — NaN payloads,
+    ±inf, -0.0, denormals — round-trips bit-exactly with no value
+    exceptions, and a single-binade column compresses via the left-part
+    dictionary."""
+    edge = np.array([-0.0, 0.0, np.inf, -np.inf, np.nan, 5e-324, 1e300])
+    mask = np.ones(len(edge), dtype=bool)
+    enc = codecs.encode_double("alp_rd", edge, mask)
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), edge.view(np.int64))
+
+    narrow = 100.0 + RNG.random(4096)
+    enc = codecs.encode_double("alp_rd", narrow, np.ones(4096, dtype=bool))
+    assert enc.size_bytes < 4096 * 8
+    out = codecs.decode_double(enc)
+    np.testing.assert_array_equal(out.view(np.int64), narrow.view(np.int64))
 
 
 def test_pseudodecimal_edge_cases():

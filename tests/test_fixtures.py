@@ -60,7 +60,10 @@ def _fixtures():
         "double", _round_robin(RNG.uniform(-999999, 999999, 1020), N), {"dict"},
     )
     fx["double_random"] = (
-        "double", RNG.uniform(-999999, 999999, N), {"uncompressed"},
+        # the reference leaves random doubles uncompressed; ALP-RD's
+        # left-bits dictionary still shaves the clustered exponent bits of a
+        # bounded uniform, so it may win the size race — both are correct
+        "double", RNG.uniform(-999999, 999999, N), {"uncompressed", "alp_rd"},
     )
     fx["double_frequency"] = (
         "double",
