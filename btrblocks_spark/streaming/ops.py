@@ -527,3 +527,100 @@ def score_stream(
     return logreg_predict(feats, weights, ["x1", "x2", "x3"]).select(
         "doc_id", F.round("z", 6).alias("score"), F.col("pred").alias("keep")
     )
+
+
+def drift_stream(
+    stream_docs: DataFrame,
+    ref_counts: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Per-microbatch token-distribution drift monitor — the streaming twin
+    of ``pipeline.text.source_divergence``: each microbatch's per-source
+    unigram mix is compared against a FROZEN reference distribution
+    (``ref_counts`` = (w, cw) from a trusted corpus snapshot), emitting one
+    row per (batch, source) with the Jensen-Shannon divergence and OOV
+    rate. A crawl drop whose JS jumps is flagged at ingest time, before the
+    nightly curation run ever sees it.
+
+    JS is used (not KL) because it is finite without smoothing: batch
+    tokens absent from the reference contribute p_b·ln 2, and reference
+    words absent from the batch collapse to the closed form
+    ln 2 · (1 − coverage) over EXACT integer reference counts — so only
+    the batch's own (source, word) pairs are ever materialized.
+
+    Shape: one map-side-combined groupBy(source, w) per microbatch; the
+    reference vocab joins on w (Spark broadcasts it when small); output is
+    |sources| rows per batch — driver-scale. Replay safety: each batch
+    writes a batch-id-named subdir with mode("overwrite"), so a replayed
+    microbatch after a crash overwrites its own partial output instead of
+    duplicating rows."""
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = js_divergence_vs_ref(batch_df, ref_counts).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def js_divergence_vs_ref(batch_df: DataFrame, ref_counts: DataFrame) -> DataFrame:
+    """One drift row per source in ``batch_df`` vs the frozen reference
+    (see ``drift_stream``); factored out so batch jobs and tests run the
+    exact per-microbatch computation."""
+    ref_tot = ref_counts.agg(F.sum("cw").alias("n_ref"))
+    counts = (
+        batch_df.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    stot = counts.groupBy("source").agg(F.sum("c").alias("ns"))
+    g = (
+        counts.join(F.broadcast(ref_counts), "w", "left")
+        .na.fill({"cw": 0})
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ref_tot))
+    )
+    pb = F.col("c").cast("double") / F.col("ns").cast("double")
+    pr = F.col("cw").cast("double") / F.col("n_ref").cast("double")
+    # p_r = 0 (OOV) zeroes the reference term: 0·ln0 must not evaluate
+    ref_term = F.when(
+        F.col("cw") > 0, pr * F.log(F.lit(2.0) * pr / (pb + pr))
+    ).otherwise(F.lit(0.0))
+    terms = g.select(
+        "source",
+        "ns",
+        "n_ref",
+        "cw",
+        (F.col("cw") == 0).cast("long").alias("is_oov"),
+        F.col("c").alias("c_oov_wt"),
+        F.round(pb * F.log(F.lit(2.0) * pb / (pb + pr)) + ref_term, 6).alias(
+            "term_js"
+        ),
+    )
+    cov = F.sum("cw").cast("double") / F.max("n_ref").cast("double")
+    return terms.groupBy("source").agg(
+        F.max("ns").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("is_oov") == 1, F.col("c_oov_wt")).otherwise(0))
+            .cast("double")
+            / F.max("ns").cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.sum(F.col("term_js").cast("decimal(18,6)")).cast("double")
+                + F.log(F.lit(2.0)) * (F.lit(1.0) - cov)
+            ),
+            6,
+        ).alias("js_vs_ref"),
+    )

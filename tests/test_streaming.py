@@ -504,3 +504,67 @@ def test_score_stream_matches_batch(spark, sf_dir, tmpdir):
         for r in score_stream(docs, w).collect()
     }
     assert got == want and len(want) == 200
+
+
+def test_drift_stream_matches_batch_and_resumes(spark, sf_dir, tmpdir):
+    """Per-microbatch JS drift vs a frozen reference must equal the batch
+    computation on exactly that microbatch's files, and a resumed run with
+    one new file emits exactly one new batch (checkpoint fences replay)."""
+    from btrblocks_spark.streaming.ops import (
+        DOCS_SCHEMA,
+        docs_stream_source,
+        drift_stream,
+        js_divergence_vs_ref,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref_counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+    )
+
+    src = os.path.join(tmpdir, "docs_src")
+    out = os.path.join(tmpdir, "drift_out")
+    ckpt = os.path.join(tmpdir, "drift_ckpt")
+
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    half2 = docs.where(F.col("doc_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = drift_stream(docs_stream_source(spark, src), ref_counts, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.schema(
+        "source string, n_tokens long, oov_rate double, js_vs_ref double, batch_id long"
+    ).parquet(os.path.join(out, "batch=0"))
+    want = js_divergence_vs_ref(half1, ref_counts)
+    g = {r["source"]: (r["n_tokens"], r["oov_rate"], r["js_vs_ref"]) for r in got.collect()}
+    w = {r["source"]: (r["n_tokens"], r["oov_rate"], r["js_vs_ref"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # in-distribution batch: tiny divergence, zero OOV
+    assert all(v[1] == 0.0 and v[2] < 0.2 for v in g.values())
+
+    # resume with one new file: exactly one new batch directory appears
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q2 = drift_stream(docs_stream_source(spark, src), ref_counts, out, ckpt)
+    q2.awaitTermination(120)
+    batches = sorted(
+        d for d in os.listdir(out) if d.startswith("batch=")
+    )
+    assert len(batches) == 2
+    got2 = spark.read.schema(
+        "source string, n_tokens long, oov_rate double, js_vs_ref double, batch_id long"
+    ).parquet(os.path.join(out, batches[-1]))
+    want2 = js_divergence_vs_ref(half2, ref_counts)
+    g2 = {r["source"]: (r["n_tokens"], r["oov_rate"], r["js_vs_ref"]) for r in got2.collect()}
+    w2 = {r["source"]: (r["n_tokens"], r["oov_rate"], r["js_vs_ref"]) for r in want2.collect()}
+    assert g2 == w2
+
+    # out-of-distribution batch drifts: inject alien vocabulary
+    alien = spark.createDataFrame(
+        [(999901, "zzq zzq wqx jjvv zzq qqk", "en", "srcX", 24)],
+        schema=DOCS_SCHEMA,
+    )
+    row = js_divergence_vs_ref(alien, ref_counts).collect()[0]
+    assert row["oov_rate"] == 1.0 and row["js_vs_ref"] > 0.5
