@@ -782,6 +782,30 @@ def decode_string(e: Encoded):
     raise ValueError(f"unknown string scheme {e.scheme}")
 
 
+def decode_string_arrow(e: Encoded):
+    """Decode a string chunk straight to a ``pyarrow`` Array — the columnar
+    hand-off a scan pipeline consumes (Arrow buffers flow into Spark /
+    pandas / parquet writers zero-copy; materializing per-string Python
+    objects costs ~10× the decode itself). Falls back to wrapping the
+    object decode when no buffer-level path exists for the scheme."""
+    import pyarrow as pa
+
+    s = e.streams
+    if e.scheme == "fsst":
+        arr = _fsst.decompress_column_arrow(
+            s["table"], s["payload"], s["code_lengths"]
+        )
+        if arr is not None:
+            return arr
+    if e.scheme in ("dict", "dict8", "dict16"):
+        # dictionary-preserving hand-off: Arrow keeps codes + pool as-is
+        return pa.DictionaryArray.from_arrays(
+            pa.array(s["codes"], type=pa.int64()),
+            pa.array(s["dict"].tolist(), type=pa.large_utf8()),
+        )
+    return pa.array(decode_string(e), type=pa.large_utf8())
+
+
 # ---------------------------------------------------------------------------
 # Unified entry points
 # ---------------------------------------------------------------------------

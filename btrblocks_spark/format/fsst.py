@@ -768,6 +768,21 @@ def decompress_column(
 ) -> np.ndarray:
     """Decode the concatenated chunk layout back to a numpy object array of
     str, Arrow-bridged (no per-string Python loop when available)."""
+    arr = decompress_column_arrow(table, payload, code_lengths)
+    if arr is None:
+        decoded = decompress_batch_concat(table, payload, code_lengths)
+        return np.array([b.decode("utf-8") for b in decoded], dtype=object)
+    return np.asarray(arr.to_pandas(), dtype=object)
+
+
+def decompress_column_arrow(
+    table: SymbolTable, payload: bytes, code_lengths: np.ndarray
+):
+    """Decode straight to a ``pyarrow.large_utf8`` Array — the columnar
+    hand-off a scan actually needs (Arrow buffers feed Spark/pandas without
+    ever materializing per-string Python objects; object conversion costs
+    ~10× the decode itself). Returns None when the C kernel or pyarrow is
+    unavailable; callers fall back to the batch path."""
     from btrblocks_spark.format import fsst_native as nat
 
     n = len(code_lengths)
@@ -777,8 +792,7 @@ def decompress_column(
         if nat.lib is None:
             raise RuntimeError
     except Exception:  # noqa: BLE001
-        decoded = decompress_batch_concat(table, payload, code_lengths)
-        return np.array([b.decode("utf-8") for b in decoded], dtype=object)
+        return None
 
     buf = np.frombuffer(payload, dtype=np.uint8)
     m = len(buf)
@@ -802,13 +816,9 @@ def decompress_column(
         nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
     )
     if total < 0:
-        decoded = decompress_batch_concat(table, payload, code_lengths)
-        return np.array([b.decode("utf-8") for b in decoded], dtype=object)
-    import pyarrow as pa
-
-    arr = pa.Array.from_buffers(
+        return None
+    return pa.Array.from_buffers(
         pa.large_utf8(),
         n,
         [None, pa.py_buffer(out_off), pa.py_buffer(out[:total])],
     )
-    return np.asarray(arr.to_pandas(), dtype=object)

@@ -108,3 +108,34 @@ def test_batch_numpy_fallback_matches_scalar(monkeypatch):
     ]
     enc = fsst.compress_batch(table, strings)
     assert fsst.decompress_batch(table, enc) == strings
+
+
+def test_decode_string_arrow_matches_object_decode():
+    """The Arrow hand-off path must produce exactly the strings the object
+    decode does, for both fsst and dict (DictionaryArray) schemes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from btrblocks_spark.format import codecs
+
+    rng = np.random.default_rng(5)
+    vals = np.array(
+        ["".join(rng.choice(list("abcdef "), rng.integers(3, 30))) for _ in range(2000)],
+        dtype=object,
+    )
+    mask = np.ones(len(vals), dtype=bool)
+    low_card = np.array(list(rng.choice(["aa", "bb", "cc", "dd"], len(vals))), dtype=object)
+    for scheme, data in (
+        ("fsst", vals),
+        ("dict", vals),
+        ("dict8", low_card),
+        ("uncompressed", vals),
+    ):
+        vals = data
+        enc = codecs.encode_string(scheme, vals, mask)
+        obj = codecs.decode_string(enc)
+        arr = codecs.decode_string_arrow(enc)
+        if isinstance(arr, pa.DictionaryArray):
+            arr = arr.cast(pa.large_utf8())
+        got = arr.to_pylist()
+        assert got == list(obj), scheme
