@@ -150,6 +150,8 @@ HEADLINE = [
     "text_heaps_law",
     "text_source_divergence",
     "text_source_overlap",
+    "training_threshold_sweep",
+    "training_calibration",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

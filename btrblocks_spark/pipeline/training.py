@@ -163,3 +163,121 @@ def pca_power_iteration(
         v = m @ v
         v = v / np.linalg.norm(v)
     return [float(x) for x in v]
+
+
+def threshold_sweep(docs: DataFrame, n_steps: int = 10) -> DataFrame:
+    """Operating-point selection for the quality filter: sweep an 11-point
+    threshold grid over the classifier score and report the exact confusion
+    matrix + precision/recall/F1 at each threshold — the curve a pipeline
+    owner reads to pick the keep/drop cut before a 100 TB filter run.
+
+    The score is the stream scorer's margin with weights scaled to EXACT
+    INTEGERS (×20000): score = n_chars + 2·n_words − 4·n_periods, so every
+    comparison, bin edge, and count is integer arithmetic — no FP
+    reduction-order risk anywhere; the final P/R/F1 are single scalar
+    divisions of exact counts. Label: the same separable length label the
+    trainer uses (n_chars > 250).
+
+    Shape: one scan computes (score, y); min/max reduce to a broadcast
+    1-row frame; the grid cross-join fans each row to 11 threshold rows
+    (bounded constant), then one map-side-combined groupBy(threshold)."""
+    s = docs.select(
+        (
+            F.col("n_chars")
+            + 2 * F.size(F.split("text", " "))
+            - 4 * (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        )
+        .cast("long")
+        .alias("score"),
+        (F.col("n_chars") > 250).cast("long").alias("y"),
+    )
+    bounds = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    grid = bounds.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_steps}), "
+                f"i -> lo + CAST(i * (hi - lo) AS LONG) DIV {n_steps})"
+            )
+        ).alias("threshold")
+    ).distinct()
+    j = s.crossJoin(F.broadcast(grid))
+    agg = j.groupBy("threshold").agg(
+        F.sum(((F.col("score") >= F.col("threshold")) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("score") >= F.col("threshold")) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("score") < F.col("threshold")) & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("score") < F.col("threshold")) & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"), 6),
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram for the quality score: equal-width integer bins
+    over the scaled score, each reporting its size, empirical positive
+    rate, normalized mean score, and the calibration gap |rate − score| —
+    the per-bin decomposition of expected calibration error.
+
+    All bin edges and sums are exact integers (score is integer-scaled, the
+    per-bin score sum is Σ(score−lo) as BIGINT); each reported double is a
+    single scalar division of exact aggregates — bit-deterministic under
+    any partition order."""
+    s = docs.select(
+        (
+            F.col("n_chars")
+            + 2 * F.size(F.split("text", " "))
+            - 4 * (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        )
+        .cast("long")
+        .alias("score"),
+        (F.col("n_chars") > 250).cast("long").alias("y"),
+    )
+    bounds = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    b = s.crossJoin(F.broadcast(bounds)).select(
+        "score",
+        "y",
+        "lo",
+        "hi",
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"CAST((score - lo) * {n_bins} AS LONG) DIV greatest(hi - lo + 1, 1)"),
+        ).alias("bin"),
+    )
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.col("score") - F.col("lo")).cast("long").alias("sum_off"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+    frac = F.round(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6)
+    mean_norm = F.round(
+        F.col("sum_off").cast("double")
+        / (F.col("n") * F.greatest(F.col("hi") - F.col("lo"), F.lit(1))).cast("double"),
+        6,
+    )
+    return agg.select(
+        "bin",
+        "n",
+        F.col("n_pos"),
+        frac.alias("frac_pos"),
+        mean_norm.alias("mean_score_norm"),
+        F.round(F.abs(frac - mean_norm), 6).alias("calibration_gap"),
+    )

@@ -4081,3 +4081,83 @@ def q_text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.text import source_overlap
 
     return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+_SCORE_SQL = """
+s AS (
+  SELECT n_chars + 2 * len(string_split(text, ' '))
+         - 4 * (length(text) - length(replace(text, '.', ''))) AS score,
+         CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM s)"""
+
+
+@register(
+    "training_threshold_sweep",
+    oracle=f"""
+WITH {_SCORE_SQL},
+grid AS (
+  SELECT DISTINCT lo + (i * (hi - lo)) // 10 AS threshold
+  FROM bounds, generate_series(0, 10) AS g(i)
+),
+agg AS (
+  SELECT threshold,
+         SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN score < threshold AND y = 0 THEN 1 ELSE 0 END) AS tn
+  FROM s CROSS JOIN grid GROUP BY threshold
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN tp + fp > 0
+            THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+FROM agg
+""",
+)
+def q_training_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.training import threshold_sweep
+
+    return threshold_sweep(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_calibration",
+    oracle=f"""
+WITH {_SCORE_SQL},
+b AS (
+  SELECT score, y, lo, hi,
+         CASE WHEN ((score - lo) * 10) // (CASE WHEN hi - lo + 1 > 1 THEN hi - lo + 1 ELSE 1 END) > 9
+              THEN 9
+              ELSE ((score - lo) * 10) // (CASE WHEN hi - lo + 1 > 1 THEN hi - lo + 1 ELSE 1 END)
+         END AS bin
+  FROM s CROSS JOIN bounds
+),
+agg AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos, SUM(score - lo) AS sum_off,
+         MAX(lo) AS lo, MAX(hi) AS hi
+  FROM b GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+       round(CAST(sum_off AS DOUBLE)
+             / CAST(n * (CASE WHEN hi - lo > 1 THEN hi - lo ELSE 1 END) AS DOUBLE), 6)
+         AS mean_score_norm,
+       round(abs(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 - round(CAST(sum_off AS DOUBLE)
+                         / CAST(n * (CASE WHEN hi - lo > 1 THEN hi - lo ELSE 1 END) AS DOUBLE), 6)), 6)
+         AS calibration_gap
+FROM agg
+""",
+)
+def q_training_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.pipeline.training import calibration_bins
+
+    return calibration_bins(load_table(spark, sf_dir, "documents"))
