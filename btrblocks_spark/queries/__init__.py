@@ -50,3 +50,29 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     _load_all()
     return dict(ORACLE)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose every registered operator as a SQL temp view, so the whole
+    engine surface is reachable from plain ``spark.sql``:
+
+        register_query_views(spark, "/data/sf0.1")
+        spark.sql("SELECT * FROM text_source_divergence ORDER BY source")
+
+    Views are LAZY DataFrames — nothing executes until queried, and
+    Catalyst fuses any outer SQL (filters, projections, joins over the
+    view) into the operator's own plan, so view-wrapped operators compose
+    without materialization. Base tables are registered too (same names the
+    oracle layer uses). Returns the registered view names."""
+    from btrblocks_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    queries = all_queries()
+    todo = names if names is not None else sorted(queries)
+    out = []
+    for name in todo:
+        queries[name](spark, sf_dir).createOrReplaceTempView(name)
+        out.append(name)
+    return out

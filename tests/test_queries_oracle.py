@@ -31,3 +31,22 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_register_query_views_sql_surface(spark, sf_dir):
+    """Every operator is reachable from plain spark.sql as a lazy view, and
+    outer SQL composes with the view's plan (filter over an operator)."""
+    from btrblocks_spark.queries import register_query_views
+
+    names = register_query_views(
+        spark, sf_dir, ["text_source_divergence", "q1_pricing_summary"]
+    )
+    assert names == ["text_source_divergence", "q1_pricing_summary"]
+    rows = spark.sql(
+        "SELECT source, js_vs_ref FROM ("
+        "SELECT source, js_vs_corpus AS js_vs_ref FROM text_source_divergence"
+        ") WHERE js_vs_ref >= 0 ORDER BY source LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    n = spark.sql("SELECT count(*) AS n FROM q1_pricing_summary").collect()[0]["n"]
+    assert n > 0
