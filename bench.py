@@ -152,6 +152,7 @@ HEADLINE = [
     "text_source_overlap",
     "training_threshold_sweep",
     "training_calibration",
+    "stats_quantile_sketch",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

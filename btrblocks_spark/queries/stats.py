@@ -1628,3 +1628,143 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").alias("total_weight_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (KMV-style min-k-by-hash sample) + exact audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_quantile_sketch",
+    oracle="""
+WITH keyed AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         md5(l_orderkey || '-' || l_linenumber || '-'
+             || CAST(round(l_extendedprice * 100) AS BIGINT)) AS h
+  FROM lineitem
+),
+samp AS (SELECT v FROM keyed ORDER BY h LIMIT 1024),
+arr AS (SELECT list_sort(list(v)) AS vs, count(*) AS k FROM samp),
+ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p),
+freq AS (SELECT v, count(*) AS n FROM keyed GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_n,
+         SUM(n) OVER () AS total_n
+  FROM freq
+),
+exact AS (
+  SELECT p, MIN(v) AS exact_cents
+  FROM cum CROSS JOIN ps
+  WHERE cum_n * 100 >= p * total_n
+  GROUP BY p
+),
+sk AS (
+  SELECT p, CAST(k AS BIGINT) AS k,
+         vs[CAST((p * (k - 1)) // 100 AS BIGINT) + 1] AS sketch_cents
+  FROM arr CROSS JOIN ps
+)
+SELECT sk.p AS p, sk.k AS k,
+       CAST(sk.sketch_cents AS BIGINT) AS sketch_cents,
+       CAST(exact.exact_cents AS BIGINT) AS exact_cents,
+       CAST(abs(sk.sketch_cents - exact.exact_cents) AS BIGINT) AS abs_err_cents
+FROM sk JOIN exact ON sk.p = exact.p
+""",
+)
+def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with an in-query accuracy audit: a KMV-style
+    min-k-by-hash sample (k = 1024 rows with the smallest md5 of
+    (orderkey, linenumber, cents) — the value rides in the hash key so
+    rows tied at the cut carry identical values and the sampled multiset
+    is unambiguous) is a DETERMINISTIC uniform sample —
+    set-semantics mergeable (min-k of a union is the min-k of the min-ks),
+    partition-count-invariant by construction, and reproducible across
+    engines (the DuckDB oracle draws the identical sample). Empirical sample
+    quantiles carry DKW-bound error ~O(1/sqrt(k)); the same query computes
+    exact rank-based quantiles over the reduced (value, count) table and
+    reports the sketch's absolute error per percentile — the recall-audit
+    pattern (`ann_recall_audit`) applied to quantiles.
+
+    Scale: Spark executes orderBy(h).limit(k) as TakeOrderedAndProject —
+    per-partition top-k heaps merged at the driver, no global sort, O(k)
+    memory per task; at 100 TB that is exactly the mergeable-sketch
+    topology (map-side sketches, tiny merge). The exact audit side
+    collapses to distinct cents values first (the percentile-profile
+    pattern), so the window runs over the reduced domain only. Everything
+    reported is exact integer cents — no FP anywhere."""
+    l = load_table(spark, sf_dir, "lineitem")
+    keyed = l.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.md5(
+            F.concat_ws(
+                "-",
+                "l_orderkey",
+                "l_linenumber",
+                F.round(F.col("l_extendedprice") * 100).cast("long"),
+            )
+        ).alias("h"),
+    )
+    k_cap = 1024
+    samp = keyed.orderBy("h").limit(k_cap)
+    arr = samp.agg(
+        F.sort_array(F.collect_list("v")).alias("vs"),
+        F.count("*").cast("long").alias("k"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])).alias("p")
+    )
+    sk = arr.crossJoin(F.broadcast(ps)).select(
+        "p",
+        "k",
+        F.element_at(
+            "vs", (F.expr("(p * (k - 1)) DIV 100") + 1).cast("int")
+        ).alias("sketch_cents"),
+    )
+    # exact side: cumulative counts over the reduced cents domain with the
+    # two-phase bucketed pattern (_distributed.py) — local cum-sum per
+    # 65536-cent bucket, then a driver-scale bucket-offset fixup; no
+    # global window anywhere
+    freq = keyed.groupBy("v").agg(F.count("*").alias("n"))
+    b = freq.withColumn("_b", F.expr("v DIV 65536"))
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_local_cum", F.sum("n").over(w_local))
+    meta = (
+        b.groupBy("_b")
+        .agg(F.sum("n").alias("_bn"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_bn").over(
+                    Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_offset")
+    )
+    total = freq.agg(F.sum("n").alias("total_n"))
+    cum = (
+        local.join(F.broadcast(meta), "_b")
+        .crossJoin(F.broadcast(total))
+        .select("v", (F.col("_local_cum") + F.col("_offset")).alias("cum_n"), "total_n")
+    )
+    exact = (
+        cum.crossJoin(F.broadcast(ps.select(F.col("p").alias("pe"))))
+        .where(F.col("cum_n") * 100 >= F.col("pe") * F.col("total_n"))
+        .groupBy("pe")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return sk.join(exact, sk.p == exact.pe).select(
+        "p",
+        "k",
+        F.col("sketch_cents").cast("long").alias("sketch_cents"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        F.abs(F.col("sketch_cents") - F.col("exact_cents"))
+        .cast("long")
+        .alias("abs_err_cents"),
+    )
