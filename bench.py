@@ -153,6 +153,7 @@ HEADLINE = [
     "training_threshold_sweep",
     "training_calibration",
     "stats_quantile_sketch",
+    "stats_kmv_distinct",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

@@ -1768,3 +1768,64 @@ def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_err_cents"),
     )
+
+
+@register(
+    "stats_kmv_distinct",
+    oracle="""
+WITH hs AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events
+),
+samp AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+agg AS (SELECT MAX(h) AS hk, COUNT(*) AS k FROM samp),
+exact AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT CAST(k AS BIGINT) AS k, CAST(hk AS BIGINT) AS hk,
+       round(CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+                  ELSE CAST(k - 1 AS DOUBLE) * 4294967296.0 / CAST(hk AS DOUBLE)
+             END, 2) AS est_distinct,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+                      ELSE CAST(k - 1 AS DOUBLE) * 4294967296.0 / CAST(hk AS DOUBLE)
+                 END - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+FROM agg CROSS JOIN exact
+""",
+)
+def stats_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch with an in-query exact audit: the KMV
+    (k-minimum-values) estimator over the portable 32-bit hash — keep the
+    k = 256 smallest distinct hash values; the k-th smallest normalized
+    hash u_k estimates the density of the hashed value set, so
+    distinct ≈ (k−1)/u_k (Bar-Yossef et al. 2002, the sketch HyperLogLog
+    refined). Deterministic (md5-derived hash, identical in DuckDB),
+    set-mergeable (min-k of a union = min-k of min-ks), and
+    partition-invariant. When the sample is not full the estimate IS the
+    exact count.
+
+    Scale: per-partition top-k heaps (TakeOrderedAndProject) after a
+    map-side-combined distinct on the 4-byte hash — no full value domain
+    shuffle; the audit countDistinct is the expensive exact path the
+    sketch replaces at 100 TB."""
+    from btrblocks_spark.pipeline.text import hash32
+
+    e = load_table(spark, sf_dir, "events")
+    k_cap = 256
+    hs = e.select(hash32(F.col("user_id").cast("string")).alias("h")).distinct()
+    samp = hs.orderBy("h").limit(k_cap)
+    agg = samp.agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("k"))
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    est = F.when(F.col("k") < k_cap, F.col("k").cast("double")).otherwise(
+        (F.col("k") - 1).cast("double") * F.lit(4294967296.0) / F.col("hk").cast("double")
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "k",
+        F.col("hk").cast("long").alias("hk"),
+        F.round(est, 2).alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
