@@ -624,3 +624,71 @@ def js_divergence_vs_ref(batch_df: DataFrame, ref_counts: DataFrame) -> DataFram
             6,
         ).alias("js_vs_ref"),
     )
+
+
+def kmv_sketch_stream(
+    stream: DataFrame,
+    key_col: str,
+    out_dir: str,
+    checkpoint: str,
+    k: int = 256,
+    trigger_available_now: bool = True,
+):
+    """Running distinct-count sketch over an unbounded stream: per
+    microbatch, take the batch's k smallest distinct portable-32-bit
+    hashes of ``key_col``, UNION with the stored sketch, and keep the
+    min-k of the union — the KMV merge, which is associative and
+    idempotent, so the maintained sketch equals the batch sketch over
+    everything ever ingested (the mergeability property, test-proven).
+    State is O(k) forever; the batch estimator (stats_kmv_distinct's
+    (k−1)/u_k) reads the tiny stored set.
+
+    Replay safety: the merge is idempotent (min-k ∪ same-batch = min-k),
+    so a replayed microbatch converges to the identical sketch — no
+    fencing needed beyond the atomic snapshot swap (write new dir, then
+    repoint, maintenance-style single-writer)."""
+    from btrblocks_spark.pipeline.text import hash32
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_mins = (
+            batch_df.select(hash32(F.col(key_col).cast("string")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        cur_dir = os.path.join(out_dir, "current")
+        try:
+            prior = spark.read.schema("h long").parquet(cur_dir)
+        except Exception:  # noqa: BLE001 — first batch: no snapshot yet
+            prior = None
+        merged = (
+            batch_mins if prior is None else prior.union(batch_mins).distinct()
+        ).orderBy("h").limit(k)
+        new_dir = os.path.join(out_dir, f"v{batch_id}")
+        merged.coalesce(1).write.mode("overwrite").parquet(new_dir)
+        # atomic repoint: the current pointer flips only after the new
+        # snapshot is fully written (single-writer, maintenance-style)
+        tmp = cur_dir + ".tmp"
+        if os.path.islink(tmp) or os.path.exists(tmp):
+            os.unlink(tmp)
+        os.symlink(new_dir, tmp)
+        os.replace(tmp, cur_dir)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def kmv_estimate(spark: SparkSession, out_dir: str, k: int = 256):
+    """Distinct estimate from the maintained sketch: exact sample size when
+    not full, else (k−1) · 2³² / u_k (stats_kmv_distinct's estimator)."""
+    s = spark.read.schema("h long").parquet(os.path.join(out_dir, "current"))
+    agg = s.agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("n"))
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.col("n") - 1).cast("double") * F.lit(4294967296.0) / F.col("hk").cast("double")
+    )
+    return agg.select("n", "hk", F.round(est, 2).alias("est_distinct"))

@@ -568,3 +568,53 @@ def test_drift_stream_matches_batch_and_resumes(spark, sf_dir, tmpdir):
     )
     row = js_divergence_vs_ref(alien, ref_counts).collect()[0]
     assert row["oov_rate"] == 1.0 and row["js_vs_ref"] > 0.5
+
+
+def test_kmv_sketch_stream_equals_batch_sketch(spark, sf_dir, events_dir, tmpdir):
+    """The streamed min-k merge must converge to EXACTLY the batch min-k
+    set over everything ingested (KMV merge associativity), and the
+    estimator must match stats_kmv_distinct's formula on that set."""
+    from btrblocks_spark.pipeline.text import hash32
+    from btrblocks_spark.streaming.ops import kmv_estimate, kmv_sketch_stream
+
+    out = os.path.join(tmpdir, "kmv_out")
+    ckpt = os.path.join(tmpdir, "kmv_ckpt")
+    q = kmv_sketch_stream(
+        stream_source(spark, events_dir), "user_id", out, ckpt, k=64
+    )
+    q.awaitTermination(120)
+
+    stored = sorted(
+        r["h"] for r in spark.read.schema("h long").parquet(
+            os.path.join(out, "current")
+        ).collect()
+    )
+    want = sorted(
+        r["h"]
+        for r in spark.read.parquet(events_dir)
+        .select(hash32(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    )
+    assert stored == want and len(stored) > 0
+
+    est = kmv_estimate(spark, out, k=64).collect()[0]
+    n_exact = spark.read.parquet(events_dir).select("user_id").distinct().count()
+    if est["n"] < 64:
+        assert est["est_distinct"] == float(n_exact)
+    else:
+        assert abs(est["est_distinct"] - n_exact) / n_exact < 0.5
+
+    # resume with no new files: sketch unchanged (idempotent merge)
+    q2 = kmv_sketch_stream(
+        stream_source(spark, events_dir), "user_id", out, ckpt, k=64
+    )
+    q2.awaitTermination(120)
+    stored2 = sorted(
+        r["h"] for r in spark.read.schema("h long").parquet(
+            os.path.join(out, "current")
+        ).collect()
+    )
+    assert stored2 == want
