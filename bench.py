@@ -154,6 +154,7 @@ HEADLINE = [
     "training_calibration",
     "stats_quantile_sketch",
     "stats_kmv_distinct",
+    "embedding_centroid_drift",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

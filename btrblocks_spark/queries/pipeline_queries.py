@@ -4161,3 +4161,80 @@ def q_training_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.training import calibration_bins
 
     return calibration_bins(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+WITH ex AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+),
+per AS (
+  SELECT label, i, SUM(q) AS s, COUNT(*) AS nl
+  FROM ex GROUP BY 1, 2
+),
+gtot AS (SELECT i, SUM(s) AS sg, SUM(nl) AS ng FROM per GROUP BY 1),
+d AS (
+  SELECT per.label, per.nl, gtot.ng,
+         CAST(per.s * gtot.ng - gtot.sg * per.nl AS DECIMAL(19,0)) AS diff
+  FROM per JOIN gtot ON per.i = gtot.i
+)
+SELECT label,
+       CAST(max(nl) AS BIGINT) AS n_vecs,
+       round(sqrt(CAST(SUM(diff * diff) AS DOUBLE))
+             / (CAST(max(nl) AS DOUBLE) * CAST(max(ng) AS DOUBLE) * 1000000.0), 6)
+         AS centroid_l2_drift
+FROM d GROUP BY label
+""",
+)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label cluster: the L2 distance between each
+    label's centroid and the corpus centroid, from EXACT integer sums —
+    per-element quantization floor(x*1e6 + 0.5) (the second-moment idiom),
+    per-(label, dim) int64 partials, and the rational-arithmetic identity
+    ||c_l − c_g|| = ||S_l·n − S·n_l|| / (n_l·n·1e6): the numerator squares
+    exact DECIMAL(19,0) diffs into DECIMAL(38,0) sums (order-independent),
+    and only the final sqrt/divide touches IEEE. A label whose centroid
+    drifts from the corpus marks a cluster worth inspecting (mislabeled
+    batch, modality leak, embedding-model version skew).
+
+    Scale: one map-side-combined groupBy(label, dim) over the exploded
+    embeddings — |labels|·d partial rows; the global centroid derives from
+    those partials (no second scan); everything downstream is
+    driver-scale."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ex = vecs.select(
+        "label",
+        F.posexplode("embedding").alias("p", "x"),
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast("long").alias("q"),
+    )
+    per = ex.groupBy("label", "i").agg(
+        F.sum("q").alias("s"), F.count("*").alias("nl")
+    )
+    glob = per.groupBy("i").agg(F.sum("s").alias("sg"), F.sum("nl").alias("ng"))
+    d = per.join(glob, "i").select(
+        "label",
+        "nl",
+        "ng",
+        (F.col("s") * F.col("ng") - F.col("sg") * F.col("nl"))
+        .cast("decimal(19,0)")
+        .alias("diff"),
+    )
+    return d.groupBy("label").agg(
+        F.max("nl").cast("long").alias("n_vecs"),
+        F.round(
+            F.sqrt(F.sum(F.col("diff") * F.col("diff")).cast("double"))
+            / (
+                F.max("nl").cast("double")
+                * F.max("ng").cast("double")
+                * F.lit(1000000.0)
+            ),
+            6,
+        ).alias("centroid_l2_drift"),
+    )
