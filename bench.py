@@ -155,6 +155,8 @@ HEADLINE = [
     "stats_quantile_sketch",
     "stats_kmv_distinct",
     "embedding_centroid_drift",
+    "text_ngram_novelty",
+    "stats_bootstrap_ci",
     "stats_weighted_median",
     "events_peak_detection",
     "curation_quality_funnel",

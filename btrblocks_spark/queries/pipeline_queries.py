@@ -4238,3 +4238,52 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_drift"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH {_SHINGLES},
+occ AS (SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc FROM occ GROUP BY 1)
+SELECT occ.doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = occ.doc_id THEN c ELSE 0 END) AS BIGINT)
+         AS novel_shingles,
+       round(CAST(SUM(CASE WHEN first_doc = occ.doc_id THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS novelty
+FROM occ JOIN first_seen ON occ.shingle = first_seen.shingle
+GROUP BY occ.doc_id
+""",
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve: the fraction of a document's 3-gram
+    occurrences whose shingle was never seen in any EARLIER document
+    (ingest order = doc_id). A template flood or boilerplate burst shows
+    up as a run of near-zero novelty; fresh crawl content scores high.
+    The classic corpus-growth diagnostic (the occurrence-level twin of
+    Heaps' law) used to decide when a source is mined out.
+
+    Scale: shingles reduce to (doc, shingle, count) in one map-side
+    combinable aggregation; first-seen is a second tiny groupBy over
+    distinct shingles; the join keys on shingle (corpus vocab). All counts
+    exact integers; one scalar division per document."""
+    from btrblocks_spark.pipeline.text import shingles
+
+    sh = shingles(load_table(spark, sf_dir, "documents"), n=3)
+    occ = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    first_seen = occ.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), F.col("c")).otherwise(0)
+    )
+    return (
+        occ.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_shingles"),
+            novel.cast("long").alias("novel_shingles"),
+            F.round(
+                novel.cast("double") / F.sum("c").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1829,3 +1829,128 @@ def stats_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap — distributed CI for the mean
+# ---------------------------------------------------------------------------
+
+_POIS = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0 "
+    "WHEN u < 0.7357588823428847 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "stats_bootstrap_ci",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+rep AS (
+  SELECT event_type, b, cents,
+         ('0x' || substr(md5(event_id || '-' || b), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM base CROSS JOIN generate_series(0, 31) AS g(b)
+),
+w AS (SELECT event_type, b, cents, {_POIS} AS w FROM rep),
+means AS (
+  SELECT event_type, b,
+         round(CAST(SUM(w * cents) AS DOUBLE)
+               / (CAST(SUM(w) AS DOUBLE) * 100.0), 6) AS m
+  FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+),
+pt AS (
+  SELECT event_type,
+         round(CAST(SUM(cents) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0), 6)
+           AS mean_value,
+         COUNT(*) AS n
+  FROM base GROUP BY 1
+),
+folded AS (
+  SELECT event_type, list_sort(list(m)) AS ms, COUNT(*) AS n_reps
+  FROM means GROUP BY 1
+)
+SELECT folded.event_type AS event_type,
+       CAST(pt.n AS BIGINT) AS n,
+       pt.mean_value AS mean_value,
+       CAST(n_reps AS BIGINT) AS n_reps,
+       ms[2] AS ci_lo,
+       ms[n_reps - 1] AS ci_hi
+FROM folded JOIN pt ON folded.event_type = pt.event_type
+""",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap confidence interval for the per-type mean
+    event value — the POISSON BOOTSTRAP (each row enters replicate b with
+    multiplicity ~ Poisson(1)), the one bootstrap that runs in a single
+    scan on a cluster because resample membership is decided row-locally
+    with no sampling coordination. Made fully DETERMINISTIC here: the
+    multiplicity comes from inverting the Poisson(1) CDF at
+    u = hash32(event_id, b)/2^32 — reproducible across engines, runs, and
+    partitionings. 32 replicates; the CI is the 2nd/31st sorted replicate
+    mean (~93.75% interval); replicate means are exact-integer-cents
+    ratios, so the only IEEE ops are one division per replicate and the
+    final sort.
+
+    Scale: the 32× fan-out is a map-side literal explode (CPU, no
+    shuffle); one map-side-combinable groupBy(type, replicate) of integer
+    partials; everything after is |types|·32 rows — driver-scale."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rep = base.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("-", "event_id", "b")), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w = rep.select("event_type", "b", "cents", F.expr(_POIS).alias("w"))
+    means = (
+        w.groupBy("event_type", "b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"), F.sum("w").alias("sw"))
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(
+                F.col("swc").cast("double") / (F.col("sw").cast("double") * 100.0), 6
+            ).alias("m"),
+        )
+    )
+    pt = base.groupBy("event_type").agg(
+        F.round(
+            F.sum("cents").cast("double") / (F.count("*").cast("double") * 100.0), 6
+        ).alias("mean_value"),
+        F.count("*").cast("long").alias("n"),
+    )
+    folded = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.count("*").cast("long").alias("n_reps"),
+    )
+    return folded.join(pt, "event_type").select(
+        "event_type",
+        "n",
+        "mean_value",
+        "n_reps",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", (F.col("n_reps") - 1).cast("int")).alias("ci_hi"),
+    )
