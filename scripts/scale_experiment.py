@@ -67,9 +67,25 @@ def main() -> int:
     docs10 = scale_union(docs, "doc_id", 10, "text").localCheckpoint()
     embs10 = scale_union(embs, "vec_id", 10).localCheckpoint()
 
+    from btrblocks_spark.pipeline.text import source_divergence
+
+    def novelty(d):
+        from btrblocks_spark.pipeline.text import shingles
+
+        sh = shingles(d, n=3)
+        occ = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+        first = occ.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+        materialize(
+            occ.join(first, "shingle")
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("fd") == F.col("doc_id"), F.col("c")).otherwise(0)))
+        )
+
     chains = {
         "minhash_lsh": lambda d: materialize(minhash_lsh_pairs(d)),
         "quality_scores": lambda d: materialize(quality_scores(d)),
+        "source_divergence": lambda d: materialize(source_divergence(d)),
+        "ngram_novelty": novelty,
     }
     report = {}
     for name, fn in chains.items():
