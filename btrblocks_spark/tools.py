@@ -111,6 +111,25 @@ def cmd_decompression_speed(args, spark=None) -> int:
     return 0
 
 
+def cmd_sql(args, spark=None) -> int:
+    """Run ad-hoc SQL over the testdata tables — and, with --views, over
+    every registered operator as a lazy view (the whole engine surface
+    from the command line)."""
+    from btrblocks_spark.tables import register_temp_views
+
+    spark = _get_spark(spark)
+    if args.views:
+        from btrblocks_spark.queries import register_query_views
+
+        names = [v for v in args.views.split(",") if v] or None
+        register_query_views(spark, args.sf_dir, names)
+    else:
+        register_temp_views(spark, args.sf_dir)
+    df = spark.sql(args.query)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     p = argparse.ArgumentParser(prog="btrblocks_spark.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +156,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     c.add_argument("table")
     c.add_argument("--reps", type=int, default=3)
     c.set_defaults(fn=cmd_decompression_speed)
+
+    c = sub.add_parser("sql", help="ad-hoc SQL over tables (+ operator views)")
+    c.add_argument("query")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument(
+        "--views",
+        default="",
+        help="comma-separated operator views to register (empty = tables only)",
+    )
+    c.add_argument("--limit", type=int, default=50)
+    c.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args, spark=spark)

@@ -293,3 +293,37 @@ def test_cli_tools_end_to_end(spark, tmpdir):
     with redirect_stdout(out):
         assert main(["decompression-speed", btr, "--reps", "1"], spark=spark) == 0
     assert "MB/s" in out.getvalue()
+
+
+def test_cli_sql_over_operator_views(spark, sf_dir):
+    """The sql subcommand runs ad-hoc SQL over tables and registered
+    operator views through tools.main with an injected session."""
+    import io
+    from contextlib import redirect_stdout
+
+    from btrblocks_spark.tools import main
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main(
+            [
+                "sql",
+                "SELECT count(*) AS n FROM documents",
+                "--sf-dir", sf_dir,
+            ],
+            spark=spark,
+        )
+    assert rc == 0 and "n" in out.getvalue()
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main(
+            [
+                "sql",
+                "SELECT source FROM text_source_divergence ORDER BY source LIMIT 1",
+                "--sf-dir", sf_dir,
+                "--views", "text_source_divergence",
+            ],
+            spark=spark,
+        )
+    assert rc == 0 and "src" in out.getvalue()
