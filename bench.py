@@ -86,6 +86,9 @@ HEADLINE = [
     "curation_winsorize",
     "text_sentences_udtf",
     "dedup_duplicate_spans",
+    "dedup_block_level",
+    "dedup_duplicate_islands",
+    "dedup_cluster_keep_best",
     "dedup_semantic_keep",
     "ann_sq8_topk",
     "curation_topk_per_source",

@@ -353,6 +353,83 @@ def dedup_clusters(
     )
 
 
+def cluster_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
+    """Representative selection over near-dup clusters: for every connected
+    component from ``dedup_clusters``, keep the HIGHEST-quality member (ties
+    broken by min doc_id) instead of the arbitrary min-id canonical that
+    plain dedup keeps. This is the "keep best, not first" refinement every
+    production corpus dedup wants — quality came from a scorer, so dropping
+    a well-formed duplicate in favor of a boilerplate-laden one wastes the
+    cluster's budget.
+
+    ``quality`` must carry (doc_id, quality). Shape at scale: one doc_id
+    co-partitioned join (both sides already keyed on doc_id) + one groupBy
+    on cluster_id whose max(struct) partial is map-side combinable — the
+    text column is never read, let alone shuffled."""
+    clusters = dedup_clusters(docs)
+    j = clusters.join(quality.select("doc_id", "quality"), "doc_id")
+    agg = j.groupBy("cluster_id").agg(
+        # argmax(quality) with min-doc_id tie-break, as one combinable agg:
+        # max over (quality, -doc_id) lexicographic order
+        F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))).alias("b"),
+        F.count("*").alias("cluster_size"),
+    )
+    return agg.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (-F.col("b.neg_id")).cast("long").alias("keep_doc_id"),
+        F.col("b.quality").alias("best_quality"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def duplicate_islands(
+    docs: DataFrame, w: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Maximal duplicated RANGES per document (the span-merge step of
+    ExactSubstr dedup, Lee et al. 2022): every ``w``-token span that occurs
+    more than once corpus-wide is a duplicate position; runs of adjacent
+    duplicate positions merge into one island row [start_tok, end_tok]
+    (1-based, inclusive). ``duplicate_spans`` counts duplication;
+    this locates it precisely enough to CUT — the island boundaries are
+    exactly what a rewrite pass needs.
+
+    Shape at scale: span hashes are a narrow map; occurrence counting is a
+    window over the uniform 128-bit hash (one shuffle, ids only); the
+    gaps-and-islands merge is a per-document window (second shuffle, keyed
+    on doc_id) — classic two-shuffle, text never moves."""
+    from pyspark.sql.window import Window
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w"))
+    grams = F.expr(
+        f"transform(sequence(1, size(w) - {w - 1}),"
+        f" i -> md5(array_join(slice(w, i, {w}), ' ')))"
+    )
+    sp = d.filter(F.size("w") >= w).select(
+        "doc_id", F.posexplode(grams).alias("p", "h")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "h")
+    # occurrence count via a window on the span hash (not a self-join): the
+    # explode pipeline evaluates once, same rationale as duplicate_spans
+    dup = (
+        sp.withColumn("n_occ", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        dup.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + (w - 1)).cast("long").alias("end_tok"),
+            F.count("*").cast("long").alias("n_spans"),
+        )
+        .withColumn("len_tokens", (F.col("end_tok") - F.col("start_tok") + 1).cast("long"))
+        .drop("grp")
+    )
+
+
 # --- embedding sign-sketch LSH ----------------------------------------------
 
 def hyperplane_signs(num_planes: int, dim: int) -> list[list[int]]:
@@ -536,6 +613,72 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
+    )
+
+
+def block_level_dedup(
+    docs: DataFrame, block_words: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Block-level exact dedup WITH text rewrite (the ExactSubstr operation
+    from "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, at fixed-block granularity): split every document into
+    non-overlapping ``block_words``-word blocks, keep each distinct block
+    only at its FIRST corpus occurrence (min (doc_id, block_idx)), and
+    reassemble every document from its surviving blocks in original order.
+    Unlike ``duplicate_spans`` (a read-only duplication profile) this is the
+    rewrite: the returned frame says exactly what each doc shrinks to.
+
+    Per doc: total blocks, kept blocks, rewritten char count, and the md5 of
+    the rewritten text (the full text is reconstructable but hashing keeps
+    the result frame narrow for the oracle compare).
+
+    Shape at scale — two shuffles, text shuffles at most once:
+      1. winner election: blocks are hashed map-side (md5, 32 bytes) and the
+         groupBy ships only (hash, doc_id, block_idx); min(struct) is
+         map-side combinable. The block TEXT never enters this shuffle.
+      2. reassembly: winners collapse to one (doc_id, kept-indices) row per
+         doc — a doc_id-keyed join against the corpus; the rewrite re-slices
+         the original text locally from the kept indices, so no block text
+         is ever exchanged.
+    Empty/null docs are excluded (no blocks to elect)."""
+    bw = int(block_words)
+    d = docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    )
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {bw}.0) as int) - 1),"
+                f" i -> array_join(slice(w, i * {bw} + 1, {bw}), ' '))"
+            )
+        ).alias("blk", "block"),
+    )
+    winners = (
+        blocks.select("doc_id", "blk", F.md5("block").alias("h"))
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "blk")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"), F.col("first.blk").alias("blk"))
+    )
+    kept_per_doc = winners.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("blk")).alias("kept")
+    )
+    rewritten = F.when(F.col("kept").isNull(), F.lit("")).otherwise(
+        F.expr(
+            f"array_join(transform(kept,"
+            f" i -> array_join(slice(w, i * {bw} + 1, {bw}), ' ')), ' ')"
+        )
+    )
+    return (
+        d.join(kept_per_doc, "doc_id", "left")
+        .withColumn("kept_text", rewritten)
+        .select(
+            "doc_id",
+            F.expr(f"cast(ceil(size(w) / {bw}.0) as bigint)").alias("n_blocks"),
+            F.coalesce(F.size("kept"), F.lit(0)).cast("long").alias("kept_blocks"),
+            F.length("kept_text").cast("long").alias("kept_chars"),
+            F.md5("kept_text").alias("kept_text_md5"),
+        )
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from btrblocks_spark.pipeline.dedup import (
+    block_level_dedup,
     dedup_exact,
     levenshtein_refine_pairs,
     embedding_cosine_pairs,
@@ -120,6 +121,39 @@ GROUP BY 1
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_block_level",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+b AS (
+  SELECT doc_id, i AS blk,
+         array_to_string(w[i*10+1 : i*10+10], ' ') AS block
+  FROM d, LATERAL unnest(generate_series(0, CAST(ceil(len(w)/10.0) AS INT) - 1)) AS t(i)
+),
+r AS (
+  SELECT doc_id, blk, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, blk) AS rn
+  FROM b
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_blocks,
+       count(*) FILTER (WHERE rn = 1)::BIGINT AS kept_blocks,
+       length(coalesce(string_agg(block, ' ' ORDER BY blk) FILTER (WHERE rn = 1), ''))::BIGINT
+         AS kept_chars,
+       md5(coalesce(string_agg(block, ' ' ORDER BY blk) FILTER (WHERE rn = 1), ''))
+         AS kept_text_md5
+FROM r
+GROUP BY doc_id
+""",
+)
+def q_dedup_block_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_level_dedup(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -4287,3 +4321,62 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+WITH cl AS ({_ORACLE_REG["dedup_clusters"]}),
+q AS ({_ORACLE_REG["text_quality"]}),
+j AS (SELECT cl.cluster_id, cl.doc_id, q.quality FROM cl JOIN q USING (doc_id)),
+r AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM j
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS keep_doc_id,
+       quality AS best_quality, sz::BIGINT AS cluster_size
+FROM r WHERE rn = 1
+""",
+)
+def q_dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the highest-quality member of every near-dup cluster instead of
+    the min-id canonical (dedup.cluster_keep_best over dedup_clusters +
+    text.quality_scores)."""
+    from btrblocks_spark.pipeline.dedup import cluster_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_keep_best(docs, quality_scores(docs).select("doc_id", "quality"))
+
+
+@register(
+    "dedup_duplicate_islands",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5
+),
+s AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i : i+4], ' ')) AS h
+  FROM d, LATERAL unnest(generate_series(1, len(w) - 4)) AS t(i)
+),
+c AS (SELECT h, count(*) AS n_occ FROM s GROUP BY 1),
+dup AS (SELECT doc_id, pos FROM s JOIN c USING (h) WHERE n_occ > 1),
+g AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 4)::BIGINT AS end_tok,
+       count(*)::BIGINT AS n_spans,
+       (max(pos) + 4 - min(pos) + 1)::BIGINT AS len_tokens
+FROM g GROUP BY doc_id, grp
+""",
+)
+def q_dedup_duplicate_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token ranges per doc — the span-merge (islands)
+    step of ExactSubstr dedup (dedup.duplicate_islands, w=5)."""
+    from btrblocks_spark.pipeline.dedup import duplicate_islands
+
+    return duplicate_islands(load_table(spark, sf_dir, "documents"), w=5)

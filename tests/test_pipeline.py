@@ -583,6 +583,71 @@ def test_duplicate_spans_semantics(spark):
     assert rows[4]["dup_spans"] == 0 and rows[4]["dup_frac"] == 0.0
 
 
+def test_block_level_dedup_rewrites_docs(spark):
+    from hashlib import md5
+
+    from btrblocks_spark.pipeline.dedup import block_level_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),      # blocks (w=3): "a b c", "x y z" — both first
+            (2, "a b c q r s"),      # "a b c" duplicates doc 1's block 0
+            (3, "x y z"),            # whole doc is a duplicate block -> empty rewrite
+            (4, "u v"),              # short tail block, unique
+            (5, None),               # null text excluded entirely
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in block_level_dedup(docs, block_words=3).collect()}
+    assert 5 not in rows
+    assert rows[1]["n_blocks"] == 2 and rows[1]["kept_blocks"] == 2
+    assert rows[1]["kept_text_md5"] == md5(b"a b c x y z").hexdigest()
+    assert rows[2]["kept_blocks"] == 1
+    assert rows[2]["kept_text_md5"] == md5(b"q r s").hexdigest()
+    assert rows[3]["kept_blocks"] == 0 and rows[3]["kept_chars"] == 0
+    assert rows[3]["kept_text_md5"] == md5(b"").hexdigest()
+    assert rows[4]["n_blocks"] == 1 and rows[4]["kept_text_md5"] == md5(b"u v").hexdigest()
+
+
+def test_duplicate_islands_merges_adjacent_spans(spark):
+    from btrblocks_spark.pipeline.dedup import duplicate_islands
+
+    # doc 1 and 2 share the 6-token prefix -> spans at pos 1 and 2 (w=5)
+    # merge into ONE island [1, 6]; their unique tails emit nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "a b c d e f x y z"),
+            (3, "p q r s t"),  # unique single span -> no island
+            (4, "p q"),        # too short -> no spans at all
+        ],
+        ["doc_id", "text"],
+    )
+    rows = duplicate_islands(docs, w=5).collect()
+    got = {(r.doc_id, r.start_tok, r.end_tok, r.n_spans, r.len_tokens) for r in rows}
+    assert got == {(1, 1, 6, 2, 6), (2, 1, 6, 2, 6)}
+
+
+def test_cluster_keep_best_prefers_quality(spark):
+    from btrblocks_spark.pipeline.dedup import cluster_keep_best, dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(1, 4)]
+        + [(9, "totally different words here entirely now")],
+        ["doc_id", "text"],
+    )
+    clusters = {r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()}
+    assert clusters[1] == clusters[2] == clusters[3]  # identical docs cluster
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.5)], ["doc_id", "quality"]
+    )
+    rows = {r.cluster_id: r for r in cluster_keep_best(docs, quality).collect()}
+    trio = rows[clusters[1]]
+    assert trio.keep_doc_id == 2  # max quality, min-id tie-break over doc 3
+    assert trio.cluster_size == 3 and trio.best_quality == 0.9
+    assert rows[clusters[9]].keep_doc_id == 9 and rows[clusters[9]].cluster_size == 1
+
+
 def test_sq8_codes_in_range_and_reconstruction_bounded(spark, sf_dir):
     from btrblocks_spark.pipeline.similarity import sq8_quantize, _as_double, sq8_ranges
 
