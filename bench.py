@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_block_level",
     "dedup_duplicate_islands",
     "dedup_cluster_keep_best",
+    "format_fd_profile",
+    "format_sort_advisor",
     "dedup_semantic_keep",
     "ann_sq8_topk",
     "curation_topk_per_source",

@@ -759,3 +759,144 @@ def format_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "column_name string, n_rows long, n_nulls long, min_v double, max_v double",
     )
+
+
+_FD_PAIRS = [
+    ("p_partkey", "p_brand"),
+    ("p_name", "p_brand"),
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_size", "p_brand"),
+]
+
+_FD_ORACLE = (
+    "WITH m AS (\n  SELECT "
+    + ", ".join(
+        f"count(DISTINCT {det}) AS nd_{det}" for det in dict.fromkeys(d for d, _ in _FD_PAIRS)
+    )
+    + ",\n         "
+    + ", ".join(
+        f"count(DISTINCT ({det}, {dep})) AS np_{det}_{dep}" for det, dep in _FD_PAIRS
+    )
+    + "\n  FROM part\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{det}' AS det_col, '{dep}' AS dep_col, nd_{det}::BIGINT AS n_det, "
+        f"np_{det}_{dep}::BIGINT AS n_pairs, np_{det}_{dep} = nd_{det} AS fd_holds, "
+        f"round(CAST(np_{det}_{dep} AS DOUBLE) / CAST(nd_{det} AS DOUBLE), 6) AS deps_per_det "
+        f"FROM m"
+        for det, dep in _FD_PAIRS
+    )
+)
+
+
+@register("format_fd_profile", oracle=_FD_ORACLE)
+def format_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profile over candidate column pairs of ``part``:
+    det → dep holds iff n_distinct(det) == n_distinct(det, dep). This is the
+    column-GROUP analog of the per-column chunk stats (reference
+    stats/NumberStats.hpp / stats/StringStats.hpp see one column at a time):
+    a held FD means the dependent column is derivable from the determinant's
+    dictionary — a column-group encoding (shared dict / 1:1 mapping table)
+    beats encoding the columns independently.
+
+    Scale: one pass; multiple exact distinct aggregates expand the scan
+    |pairs|-fold (Spark's Expand) — at 100 TB swap count_distinct for
+    approx_count_distinct (HLL) with identical plan shape; exact here so the
+    oracle compare is bit-tight."""
+    p = load_table(spark, sf_dir, "part")
+    dets = list(dict.fromkeys(det for det, _ in _FD_PAIRS))
+    m = p.agg(
+        *[F.countDistinct(det).alias(f"nd_{det}") for det in dets],
+        *[
+            F.countDistinct(det, dep).alias(f"np_{det}_{dep}")
+            for det, dep in _FD_PAIRS
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.col(f"nd_{det}").cast("long").alias("n_det"),
+                F.col(f"np_{det}_{dep}").cast("long").alias("n_pairs"),
+                (F.col(f"np_{det}_{dep}") == F.col(f"nd_{det}")).alias("fd_holds"),
+                F.round(
+                    F.col(f"np_{det}_{dep}").cast("double")
+                    / F.col(f"nd_{det}").cast("double"),
+                    6,
+                ).alias("deps_per_det"),
+            )
+            for det, dep in _FD_PAIRS
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_SORT_CANDIDATES = ["l_shipdate", "l_returnflag", "l_quantity", "l_partkey", "l_suppkey"]
+_SORT_DATA_COLS = [
+    "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount", "l_tax",
+]
+
+_SORT_ORACLE = (
+    "WITH m AS (\n  SELECT count(*) AS n_rows,\n         "
+    + ",\n         ".join(
+        f"count(DISTINCT ({c}, {d})) AS np_{c}_{d}"
+        for c in _SORT_CANDIDATES
+        for d in _SORT_DATA_COLS
+    )
+    + "\n  FROM lineitem\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS sort_col, "
+        f"({' + '.join(f'np_{c}_{d}' for d in _SORT_DATA_COLS)})::BIGINT AS est_total_runs, "
+        f"round(CAST(n_rows AS DOUBLE) * {len(_SORT_DATA_COLS)} / "
+        f"CAST({' + '.join(f'np_{c}_{d}' for d in _SORT_DATA_COLS)} AS DOUBLE), 6) "
+        f"AS est_avg_run_len FROM m"
+        for c in _SORT_CANDIDATES
+    )
+)
+
+
+@register("format_sort_advisor", oracle=_SORT_ORACLE)
+def format_sort_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor for the compressed writer: for each candidate sort
+    column C, a LOWER BOUND on the total RLE run count the data columns
+    would have if the table were range-sorted by C — each distinct (C, d)
+    combination contributes at least one run of d, so est_total_runs =
+    sum over data columns d of n_distinct(C, d); fewer runs = better RLE /
+    dict-RLE cascades. This drives the layout decision the writer's
+    repartitionByRange key makes at 100 TB (the reference leaves ordering
+    to the ingest order, storage/Relation.cpp getRanges SEQUENTIAL; a
+    cluster-scale writer gets to CHOOSE).
+
+    Scale: identical shape to format_fd_profile — one expanded scan of
+    exact pair-distinct aggregates; swap in approx_count_distinct at
+    production scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.countDistinct(c, d).alias(f"np_{c}_{d}")
+            for c in _SORT_CANDIDATES
+            for d in _SORT_DATA_COLS
+        ],
+    )
+    total = {
+        c: sum((F.col(f"np_{c}_{d}") for d in _SORT_DATA_COLS), F.lit(0))
+        for c in _SORT_CANDIDATES
+    }
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("sort_col"),
+                total[c].cast("long").alias("est_total_runs"),
+                F.round(
+                    F.col("n_rows").cast("double")
+                    * len(_SORT_DATA_COLS)
+                    / total[c].cast("double"),
+                    6,
+                ).alias("est_avg_run_len"),
+            )
+            for c in _SORT_CANDIDATES
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")

@@ -620,19 +620,24 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (exy - mx * my) / F.sqrt((exx - mx * mx) * (eyy - my * my)), 6
         )
 
-    rows = [
-        m.select(
-            F.lit(_CORR_VARS[x][0]).alias("col_x"),
-            F.lit(_CORR_VARS[y][0]).alias("col_y"),
-            F.col("n").cast("long").alias("n_rows"),
-            corr_expr(x, y).alias("corr"),
-        )
-        for x, y in _CORR_PAIRS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("col_x", "col_y")
+    # one row -> 6 pair rows via explode, NOT a 6-branch union: the union
+    # relied on ReuseExchange to dedupe the scan; this shape guarantees a
+    # single scan + single aggregate regardless of optimizer rules
+    pair_rows = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_VARS[x][0]).alias("col_x"),
+                F.lit(_CORR_VARS[y][0]).alias("col_y"),
+                corr_expr(x, y).alias("corr"),
+            )
+            for x, y in _CORR_PAIRS
+        ]
+    )
+    return (
+        m.select(F.col("n").cast("long").alias("n_rows"), F.explode(pair_rows).alias("p"))
+        .select("p.col_x", "p.col_y", "n_rows", "p.corr")
+        .orderBy("col_x", "col_y")
+    )
 
 
 @register(
