@@ -648,6 +648,70 @@ def test_cluster_keep_best_prefers_quality(spark):
     assert rows[clusters[9]].keep_doc_id == 9 and rows[clusters[9]].cluster_size == 1
 
 
+def test_block_dedup_and_islands_match_python_model(spark):
+    """Randomized cross-check against a sequential pure-Python model: a
+    seeded corpus over a 6-word vocabulary forces heavy block/span
+    collisions; the distributed first-occurrence election and the island
+    merge must agree with the obvious in-order algorithm exactly."""
+    import random
+
+    from btrblocks_spark.pipeline.dedup import block_level_dedup, duplicate_islands
+
+    rng = random.Random(42)
+    vocab = ["ka", "re", "mo", "ta", "li", "su"]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    # --- model: block-level first-occurrence keep (w=3) ---
+    bw, first, expect = 3, {}, {}
+    for doc_id, text in corpus:
+        words = text.split(" ")
+        blocks = [" ".join(words[i : i + bw]) for i in range(0, len(words), bw)]
+        kept = []
+        for idx, b in enumerate(blocks):
+            first.setdefault(b, (doc_id, idx))
+            if first[b] == (doc_id, idx):
+                kept.append(b)
+        expect[doc_id] = (len(blocks), len(kept), " ".join(kept))
+    got = {r.doc_id: r for r in block_level_dedup(docs, block_words=bw).collect()}
+    assert set(got) == set(expect)
+    from hashlib import md5
+
+    for doc_id, (n_blocks, kept_blocks, kept_text) in expect.items():
+        r = got[doc_id]
+        assert (r.n_blocks, r.kept_blocks) == (n_blocks, kept_blocks), doc_id
+        assert r.kept_text_md5 == md5(kept_text.encode()).hexdigest(), doc_id
+
+    # --- model: duplicate islands (w=4) ---
+    w = 4
+    occ: dict = {}
+    positions = {}
+    for doc_id, text in corpus:
+        words = text.split(" ")
+        sp = [" ".join(words[i : i + w]) for i in range(len(words) - w + 1)]
+        positions[doc_id] = sp
+        for s in sp:
+            occ[s] = occ.get(s, 0) + 1
+    want = set()
+    for doc_id, sp in positions.items():
+        dup = [i + 1 for i, s in enumerate(sp) if occ[s] > 1]  # 1-based
+        run: list = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((doc_id, run[0], run[-1] + w - 1, len(run)))
+                run = []
+            if p is not None:
+                run.append(p)
+    got_islands = {
+        (r.doc_id, r.start_tok, r.end_tok, r.n_spans)
+        for r in duplicate_islands(docs, w=w).collect()
+    }
+    assert got_islands == want
+
+
 def test_sq8_codes_in_range_and_reconstruction_bounded(spark, sf_dir):
     from btrblocks_spark.pipeline.similarity import sq8_quantize, _as_double, sq8_ranges
 
