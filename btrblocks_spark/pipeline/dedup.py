@@ -642,10 +642,32 @@ def block_level_dedup(
          is ever exchanged.
     Empty/null docs are excluded (no blocks to elect)."""
     bw = int(block_words)
-    d = docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
+    d = split_nonempty_docs(docs, text_col=text_col, id_col=id_col)
+    winners = (
+        block_hashes(d, bw)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "blk")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"), F.col("first.blk").alias("blk"))
+    )
+    return block_rewrite(d, winners, bw).select(
+        "doc_id", "n_blocks", "kept_blocks", "kept_chars", "kept_text_md5"
+    )
+
+
+def split_nonempty_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token array) for every non-empty document — the shared
+    front of the block-dedup family."""
+    return docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0)).select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     )
-    blocks = d.select(
+
+
+def block_hashes(d: DataFrame, bw: int) -> DataFrame:
+    """(doc_id, blk, h): md5 of every non-overlapping ``bw``-word block,
+    hashed map-side so downstream shuffles never carry block text."""
+    return d.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -653,13 +675,14 @@ def block_level_dedup(
                 f" i -> array_join(slice(w, i * {bw} + 1, {bw}), ' '))"
             )
         ).alias("blk", "block"),
-    )
-    winners = (
-        blocks.select("doc_id", "blk", F.md5("block").alias("h"))
-        .groupBy("h")
-        .agg(F.min(F.struct("doc_id", "blk")).alias("first"))
-        .select(F.col("first.doc_id").alias("doc_id"), F.col("first.blk").alias("blk"))
-    )
+    ).select("doc_id", "blk", F.md5("block").alias("h"))
+
+
+def block_rewrite(d: DataFrame, winners: DataFrame, bw: int) -> DataFrame:
+    """Reassemble every doc from its surviving block indices: one doc_id
+    join of a tiny (doc_id, kept-indices) frame against the token arrays;
+    the rewrite re-slices locally, exchanging no block text. Returns
+    doc_id, n_blocks, kept_blocks, kept_chars, kept_text, kept_text_md5."""
     kept_per_doc = winners.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("blk")).alias("kept")
     )
@@ -677,6 +700,7 @@ def block_level_dedup(
             F.expr(f"cast(ceil(size(w) / {bw}.0) as bigint)").alias("n_blocks"),
             F.coalesce(F.size("kept"), F.lit(0)).cast("long").alias("kept_blocks"),
             F.length("kept_text").cast("long").alias("kept_chars"),
+            "kept_text",
             F.md5("kept_text").alias("kept_text_md5"),
         )
     )

@@ -493,6 +493,82 @@ def near_dedup_stream(
     )
 
 
+def block_dedup_stream(
+    stream_docs: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    block_words: int = 10,
+):
+    """Streaming ExactSubstr block rewrite (the incremental twin of
+    ``dedup.block_level_dedup``): as document batches arrive, a block
+    survives iff its hash was never seen in an EARLIER batch (persisted
+    block-hash store) and it is the first occurrence within its own batch
+    (min (doc_id, blk)); each doc is rewritten from its surviving blocks.
+    With doc_id-ordered arrival this equals the batch-global
+    first-occurrence rule exactly — test-proven against the batch twin.
+
+    Why foreachBatch: the keep/drop state is per block HASH while the
+    rewrite is per DOC — a two-level dependency no built-in streaming dedup
+    expresses. The store is plain parquet of winner hashes per batch.
+
+    Replay safety: the prior-store read is fenced to batch < batch_id and
+    every write lands in a batch-id-named subdir with mode("overwrite"), so
+    a replayed microbatch reproduces its output byte-for-byte (same
+    contract as near_dedup_stream).
+
+    Scale: per microbatch, block hashing is a narrow map; the within-batch
+    election groups (hash, id) pairs; the store probe is one left_anti join
+    on the uniform md5 key; the rewrite joins a tiny per-doc index list back
+    on doc_id — block text never shuffles, document text moves once."""
+    from btrblocks_spark.pipeline.dedup import (
+        block_hashes,
+        block_rewrite,
+        split_nonempty_docs,
+    )
+
+    bw = int(block_words)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        d = split_nonempty_docs(batch_df)
+        # within-batch first occurrence; evaluated twice (store + rewrite)
+        batch_winners = (
+            block_hashes(d, bw)
+            .groupBy("h")
+            .agg(F.min(F.struct("doc_id", "blk")).alias("first"))
+            .select("h", F.col("first.doc_id").alias("doc_id"), F.col("first.blk").alias("blk"))
+            .localCheckpoint()
+        )
+        winners = batch_winners
+        if os.path.isdir(store_dir) and any(
+            d_.startswith("batch=") for d_ in os.listdir(store_dir)
+        ):
+            # STRICTLY earlier batches only (replay fence, see docstring)
+            prior = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch") < F.lit(batch_id))
+                .select("h")
+            )
+            winners = batch_winners.join(prior, "h", "left_anti")
+
+        out = block_rewrite(d, winners.select("doc_id", "blk"), bw)
+        # only NEW hashes enter the store — ones already present from an
+        # earlier batch stay discoverable there, so the store holds each
+        # hash exactly once (first-claiming batch)
+        winners.select("h").write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    return (
+        stream_docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def score_stream(
     stream_docs: DataFrame, weights: list[float] | None = None
 ) -> DataFrame:

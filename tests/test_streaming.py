@@ -618,3 +618,53 @@ def test_kmv_sketch_stream_equals_batch_sketch(spark, sf_dir, events_dir, tmpdir
         ).collect()
     )
     assert stored2 == want
+
+
+def test_block_dedup_stream_matches_batch_rewrite(spark, sf_dir, tmpdir):
+    """Streaming block-level dedup over doc_id-ordered file arrivals must
+    reproduce the batch block_level_dedup rewrite exactly, and a full
+    checkpoint-loss replay against a populated store must not change it."""
+    from btrblocks_spark.pipeline.dedup import block_level_dedup
+    from btrblocks_spark.streaming.ops import block_dedup_stream, docs_stream_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(tmpdir, "docs_src")
+    os.makedirs(src, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 180), (180, 10**9)]):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        stage = os.path.join(tmpdir, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dest = os.path.join(src, f"drop{i}.parquet")
+        os.rename(os.path.join(stage, pf), dest)
+        t = 1_700_000_000 + i * 10
+        os.utime(dest, (t, t))
+
+    store = os.path.join(tmpdir, "block_store")
+    out = os.path.join(tmpdir, "rewritten")
+    ckpt = os.path.join(tmpdir, "ckpt_block_dedup")
+    q = block_dedup_stream(docs_stream_source(spark, src), store, out, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+
+    def snapshot():
+        return {
+            r["doc_id"]: (r["n_blocks"], r["kept_blocks"], r["kept_text_md5"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = snapshot()
+    want = {
+        r["doc_id"]: (r["n_blocks"], r["kept_blocks"], r["kept_text_md5"])
+        for r in block_level_dedup(docs).collect()
+    }
+    assert got == want
+
+    # replay after checkpoint loss: the store already holds every batch's
+    # winner hashes — the batch<batch_id fence must keep blocks from
+    # colliding with their own stored hashes
+    shutil.rmtree(ckpt)
+    q2 = block_dedup_stream(docs_stream_source(spark, src), store, out, ckpt)
+    q2.awaitTermination(180)
+    q2.stop()
+    assert snapshot() == want
