@@ -130,6 +130,56 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCAN_JSONL_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_len,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id
+FROM documents GROUP BY lang
+"""
+
+
+@register("scan_jsonl_roundtrip", _SCAN_JSONL_ORACLE)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink loop (training-corpus ingest format): export the
+    documents table as JSON-lines with explicit nulls, re-ingest it with a
+    DECLARED schema (never inferred — sources/jsonl_source.py), and
+    aggregate; the result must equal the same aggregate over the raw
+    parquet (DuckDB oracle), proving the round-trip is lossless including
+    unicode text and null fields.
+
+    Scale: export and re-scan are both splittable distributed passes; the
+    declared schema makes the JSON parser extract only requested fields."""
+    import shutil
+    import tempfile
+
+    from btrblocks_spark.sources.jsonl_source import export_jsonl, read_jsonl
+
+    out = tempfile.mkdtemp(prefix="btr_jsonl_query_")
+    export_jsonl(load_table(spark, sf_dir, "documents"), out)
+    decl = [
+        {"name": "doc_id", "type": "bigint"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "source", "type": "string"},
+        {"name": "n_chars", "type": "bigint"},
+    ]
+    back = read_jsonl(spark, out, decl)
+    result = back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_len"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+    # pin rows before the temp dir vanishes (driver may collect lazily)
+    result = result.localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # Filters: comparison / BETWEEN / IN / LIKE / IS NULL / AND-OR-NOT
 # ---------------------------------------------------------------------------

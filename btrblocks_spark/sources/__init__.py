@@ -9,5 +9,18 @@ from btrblocks_spark.sources.csv_source import (
     read_csv,
     schema_from_decl,
 )
+from btrblocks_spark.sources.jsonl_source import (
+    export_jsonl,
+    read_jsonl,
+    read_jsonl_quarantine,
+)
 
-__all__ = ["read_csv", "export_csv", "schema_from_decl", "BtrBlocksDataSource"]
+__all__ = [
+    "read_csv",
+    "export_csv",
+    "schema_from_decl",
+    "BtrBlocksDataSource",
+    "read_jsonl",
+    "export_jsonl",
+    "read_jsonl_quarantine",
+]

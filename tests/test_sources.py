@@ -327,3 +327,74 @@ def test_cli_sql_over_operator_views(spark, sf_dir):
             spark=spark,
         )
     assert rc == 0 and "src" in out.getvalue()
+
+
+def test_jsonl_round_trip_with_nulls(spark, sf_dir, tmpdir):
+    """export_jsonl keeps explicit nulls; read_jsonl with the declared
+    schema reproduces the frame exactly (including unicode text)."""
+    from btrblocks_spark.sources.jsonl_source import export_jsonl, read_jsonl
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    from pyspark.sql import functions as F
+
+    src = src.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    out = os.path.join(tmpdir, "docs_jsonl")
+    export_jsonl(src, out)
+    decl = [
+        {"name": "doc_id", "type": "bigint"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": "string"},
+        {"name": "n_chars", "type": "bigint"},
+    ]
+    back = read_jsonl(spark, out, decl)
+    want = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in src.collect()}
+    got = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert got == want
+
+
+def test_jsonl_declared_schema_prunes_and_skips(spark, tmpdir):
+    """Undeclared fields are never surfaced; skip-typed columns are dropped;
+    declared-but-absent fields are NULL."""
+    from btrblocks_spark.sources.jsonl_source import read_jsonl
+
+    p = os.path.join(tmpdir, "in.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"a": 1, "b": "x", "extra": 99, "t": "2020-01-01"}\n')
+        fh.write('{"a": 2, "b": null}\n')
+        fh.write('{"b": "z"}\n')
+    decl = [
+        {"name": "a", "type": "bigint"},
+        {"name": "b", "type": "string"},
+        {"name": "t", "type": "timestamp"},  # unsupported -> SKIP
+        {"name": "missing", "type": "double"},
+    ]
+    df = read_jsonl(spark, p, decl)
+    assert df.columns == ["a", "b", "missing"]
+    rows = sorted(df.collect(), key=lambda r: (r["a"] is None, r["a"]))
+    assert [(r["a"], r["b"], r["missing"]) for r in rows] == [
+        (1, "x", None),
+        (2, None, None),
+        (None, "z", None),
+    ]
+
+
+def test_jsonl_quarantine_lane(spark, tmpdir):
+    """Malformed lines land in the bad lane with raw text preserved; good
+    rows parse with full semantics; both lanes come from ONE scan."""
+    from btrblocks_spark.sources.jsonl_source import read_jsonl_quarantine
+
+    p = os.path.join(tmpdir, "in.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"a": 1, "b": "ok"}\n')
+        fh.write('{"a": not-json}\n')
+        fh.write('{"a": 3, "b": "fine"}\n')
+        fh.write("plain text line\n")
+    decl = [{"name": "a", "type": "bigint"}, {"name": "b", "type": "string"}]
+    good, bad = read_jsonl_quarantine(spark, p, decl)
+    assert {(r["a"], r["b"]) for r in good.collect()} == {(1, "ok"), (3, "fine")}
+    bad_lines = {r["raw_line"] for r in bad.collect()}
+    assert bad_lines == {'{"a": not-json}', "plain text line"}
