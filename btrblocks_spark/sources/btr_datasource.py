@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -200,6 +201,35 @@ class AppendCommit(WriterCommitMessage):
     rows: int
 
 
+def _write_chunk_files(
+    iterator, path: str, columns, block_size: int, prefix: str, suffix: str
+) -> tuple[list[str], int]:
+    """Executor-side chunk emit shared by the batch and streaming writers:
+    slice the task's Arrow batches into block_size chunks and write each as
+    one zstd parquet file named ``{prefix}-{uuid}{suffix}``. Readers only
+    list ``*.parquet``, so a non-final suffix keeps in-flight files
+    invisible until the driver-side commit renames them."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [b for b in iterator if b.num_rows > 0]
+    files: list[str] = []
+    total = 0
+    if batches:
+        table = pa.Table.from_batches(batches).select(list(columns))
+        total = table.num_rows
+        for off in range(0, total, block_size):
+            part = table.slice(off, block_size)
+            fname = os.path.join(
+                path, "data", f"{prefix}-{uuid.uuid4().hex}{suffix}"
+            )
+            pq.write_table(part, fname, compression="zstd")
+            files.append(fname)
+    return files, total
+
+
 class BtrBlocksWriter(DataSourceArrowWriter):
     """``df.write.format("btrblocks").mode("append")`` — the fast append
     path into an existing chunked table. Each task writes its partition as
@@ -232,24 +262,9 @@ class BtrBlocksWriter(DataSourceArrowWriter):
         self.block_size = int(meta["block_size"])
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        batches = [b for b in iterator if b.num_rows > 0]
-        files: list[str] = []
-        total = 0
-        if batches:
-            table = pa.Table.from_batches(batches).select(self.columns)
-            total = table.num_rows
-            for off in range(0, total, self.block_size):
-                part = table.slice(off, self.block_size)
-                fname = os.path.join(
-                    self.path, "data", f"append-{uuid.uuid4().hex}.parquet"
-                )
-                pq.write_table(part, fname, compression="zstd")
-                files.append(fname)
+        files, total = _write_chunk_files(
+            iterator, self.path, self.columns, self.block_size, "append", ".parquet"
+        )
         return AppendCommit(tuple(files), total)
 
     def commit(self, messages) -> None:
@@ -282,6 +297,101 @@ class BtrBlocksWriter(DataSourceArrowWriter):
                     pass
 
 
+class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("btrblocks")`` — exactly-once streaming
+    append into an existing chunked table.
+
+    Per microbatch: each task writes its Arrow batches as chunk-shaped
+    ``.inflight`` files (invisible to every reader — they all list only
+    ``*.parquet``); the driver-side ``commit(messages, batchId)`` renames
+    them to final names and logs ``{"batch": batchId, "scope": <fence>,
+    "files": [...], "rows": n}`` in ``_appends.json``.
+
+    Exactly-once: Spark replays a microbatch only after a failure between
+    the sink commit and the checkpoint commit, with the SAME batchId from
+    the SAME checkpoint. The fence scope is the checkpointLocation (when
+    Spark exposes it in the sink options; a caller-supplied
+    ``commitScope`` option overrides, and "default" otherwise), so a
+    replayed (scope, batchId) deletes its in-flight files instead of
+    logging duplicates — re-running with a FRESH checkpoint is a new query
+    and appends normally. ``abort`` removes every in-flight file, so a
+    failed epoch leaves no visible data: all-or-nothing per microbatch.
+
+    Scale: data bytes move only inside executor tasks; commit is O(files
+    in this epoch) driver-side renames — on an object store route these
+    through format/fs.py's Hadoop FS handle instead of os.rename."""
+
+    def __init__(self, options: dict, schema):
+        self.path = options["path"]
+        meta = read_metadata(self.path)  # table must exist
+        declared = [c["name"] for c in meta["schema"]]
+        incoming = [f.name for f in schema.fields]
+        if sorted(incoming) != sorted(declared):
+            raise ValueError(
+                f"schema mismatch: table has {declared}, write has {incoming}"
+            )
+        self.columns = declared
+        self.block_size = int(meta["block_size"])
+        self.scope = options.get(
+            "commitScope", options.get("checkpointLocation", "default")
+        )
+
+    def write(self, iterator):
+        files, total = _write_chunk_files(
+            iterator, self.path, self.columns, self.block_size, "stream", ".inflight"
+        )
+        return AppendCommit(tuple(files), total)
+
+    def _log_path(self) -> str:
+        return os.path.join(self.path, "_appends.json")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import json
+
+        inflight = [f for m in messages if m for f in m.files]
+        log = []
+        if os.path.exists(self._log_path()):
+            with open(self._log_path()) as fh:
+                log = json.load(fh)
+        if any(
+            e.get("batch") == batchId and e.get("scope") == self.scope for e in log
+        ):
+            # replayed epoch: this data is already committed — drop the rerun
+            for f in inflight:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return
+        final = []
+        for f in inflight:
+            dest = f[: -len(".inflight")] + ".parquet"
+            os.replace(f, dest)
+            final.append(dest)
+        log.append(
+            {
+                "batch": batchId,
+                "scope": self.scope,
+                "files": final,
+                "rows": sum(m.rows for m in messages if m),
+            }
+        )
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh)
+        os.replace(tmp, self._log_path())
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
 class BtrBlocksDataSource(DataSource):
     """Readable (batch + streaming) data source over a `write_table`
     directory."""
@@ -302,3 +412,6 @@ class BtrBlocksDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> BtrBlocksWriter:
         return BtrBlocksWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> BtrBlocksStreamWriter:  # noqa: N802
+        return BtrBlocksStreamWriter(self.options, schema)

@@ -166,3 +166,70 @@ def test_datasource_append_write_path(spark, sf_dir, tmp_path):
     # overwrite is rejected (append-only contract)
     with pytest.raises(Exception, match="append-only"):
         nation.write.format("btrblocks").mode("overwrite").save(path)
+
+
+def test_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
+    """df.writeStream.format("btrblocks"): microbatches land as committed
+    chunk files (no .inflight residue), the append log records one entry
+    per (scope, batchId), and a replayed commit with the same batchId is
+    dropped instead of double-appending."""
+    import json
+    import os
+
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter
+
+    nation = load_table(spark, sf_dir, "nation")
+    src_path = str(tmp_path / "src_tbl")
+    dst_path = str(tmp_path / "dst_tbl")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation, src_path, ["n_nationkey"], config=cfg)
+    # destination starts as a 0-row table with the same declared schema
+    write_table(nation.limit(0), dst_path, ["n_nationkey"], config=cfg)
+    spark.dataSource.register(BtrBlocksDataSource)
+
+    ckpt = str(tmp_path / "ckpt_sink")
+    q = (
+        spark.readStream.format("btrblocks")
+        .option("path", src_path)
+        .load()
+        .writeStream.format("btrblocks")
+        .option("path", dst_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = _load(spark, dst_path)
+    assert got.count() == nation.count()
+    assert got.exceptAll(nation).count() == 0 and nation.exceptAll(got).count() == 0
+    assert not any(
+        f.endswith(".inflight") for f in os.listdir(os.path.join(dst_path, "data"))
+    )
+    with open(os.path.join(dst_path, "_appends.json")) as fh:
+        log = json.load(fh)
+    assert [e["batch"] for e in log] == sorted({e["batch"] for e in log})
+    n_committed_rows = sum(e["rows"] for e in log)
+    assert n_committed_rows == nation.count()
+
+    # replay fence: re-commit the last batchId within the same scope — the
+    # rerun's in-flight files must be deleted, the log unchanged
+    scope = log[-1]["scope"]
+    w = BtrBlocksStreamWriter({"path": dst_path, "commitScope": scope}, got.schema)
+    import pyarrow as pa
+
+    replay_tbl = pa.Table.from_pandas(nation.limit(3).toPandas())
+    msg = w.write(iter(replay_tbl.to_batches()))
+    assert all(f.endswith(".inflight") for f in msg.files)
+    w.commit([msg], log[-1]["batch"])
+    assert not any(os.path.exists(f) for f in msg.files)
+    with open(os.path.join(dst_path, "_appends.json")) as fh:
+        log2 = json.load(fh)
+    assert log2 == log
+    assert _load(spark, dst_path).count() == nation.count()
+
+    # a genuinely NEW batchId in the same scope commits normally
+    msg2 = w.write(iter(replay_tbl.to_batches()))
+    w.commit([msg2], log[-1]["batch"] + 1)
+    assert _load(spark, dst_path).count() == nation.count() + 3
