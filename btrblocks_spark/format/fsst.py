@@ -492,22 +492,35 @@ def _native_tables(table: SymbolTable):
     return sym_bytes, sym_lens
 
 
-def _batch_native(table: SymbolTable, strings: list[bytes], encode: bool):
-    """C fast path (fsst_native); returns None if unavailable."""
+def _pad8(buf: np.ndarray) -> np.ndarray:
+    """Zero-pad a uint8 buffer by 8 bytes — the C kernels' overread slack."""
+    padded = np.zeros(len(buf) + 8, dtype=np.uint8)
+    padded[: len(buf)] = buf
+    return padded
+
+
+def _native_kernel(
+    table: SymbolTable, padded: np.ndarray, str_off: np.ndarray, encode: bool
+):
+    """THE single cffi marshalling point for the C batch kernels. Takes the
+    8-zero-padded concatenated byte buffer and its [n_strings+1] int64
+    offsets; returns ``(out, out_off)`` numpy arrays (out already sliced to
+    the written length) or None when the library is unavailable or the
+    kernel reports capacity failure (-1) — callers fall back to the Python
+    path. Output capacity contract lives HERE and nowhere else: encode
+    worst case is 2 bytes per input byte (every byte escaped), decode worst
+    case 8 bytes per code (longest symbol), +16 slack."""
     from btrblocks_spark.format import fsst_native as nat
 
     if nat.lib is None:
         return None
-    buf, starts, ends, lens = _concat(strings)
-    n = len(buf)
+    n_strings = len(str_off) - 1
+    m = len(padded) - 8
     sym_bytes, sym_lens = _native_tables(table)
-    str_off = np.zeros(len(strings) + 1, dtype=np.int64)
-    str_off[1:] = ends
-    padded = np.zeros(n + 8, dtype=np.uint8)
-    padded[:n] = buf
-    cap = (2 * n + 16) if encode else (8 * n + 16)
+    str_off = np.ascontiguousarray(str_off, dtype=np.int64)
+    cap = (2 * m + 16) if encode else (8 * m + 16)
     out = np.empty(cap, dtype=np.uint8)
-    out_off = np.empty(len(strings) + 1, dtype=np.int64)
+    out_off = np.empty(n_strings + 1, dtype=np.int64)
     f = nat.lib.fsst_encode_batch if encode else nat.lib.fsst_decode_batch
     total = f(
         nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_bytes)),
@@ -515,14 +528,40 @@ def _batch_native(table: SymbolTable, strings: list[bytes], encode: bool):
         len(table.symbols),
         nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(padded)),
         nat.ffi.cast("const int64_t *", nat.ffi.from_buffer(str_off)),
-        len(strings),
+        n_strings,
         nat.ffi.cast("uint8_t *", nat.ffi.from_buffer(out)),
         cap,
         nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
     )
     if total < 0:
         return None
-    ob = out[:total].tobytes()
+    return out[:total], out_off
+
+
+def _strings_native_input(strings: list[bytes]):
+    """(padded, str_off) for a list of strings."""
+    buf, _starts, ends, _lens = _concat(strings)
+    str_off = np.zeros(len(strings) + 1, dtype=np.int64)
+    str_off[1:] = ends
+    return _pad8(buf), str_off
+
+
+def _lengths_native_input(payload: bytes, code_lengths: np.ndarray):
+    """(padded, str_off) for a concatenated payload + per-string lengths."""
+    n = len(code_lengths)
+    str_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.asarray(code_lengths, dtype=np.int64), out=str_off[1:])
+    return _pad8(np.frombuffer(payload, dtype=np.uint8)), str_off
+
+
+def _batch_native(table: SymbolTable, strings: list[bytes], encode: bool):
+    """C fast path (fsst_native); returns None if unavailable."""
+    padded, str_off = _strings_native_input(strings)
+    res = _native_kernel(table, padded, str_off, encode)
+    if res is None:
+        return None
+    out, out_off = res
+    ob = out.tobytes()
     return [ob[out_off[i] : out_off[i + 1]] for i in range(len(strings))]
 
 
@@ -534,32 +573,11 @@ def compress_batch_concat(
     per-string bytes objects."""
     if not strings:
         return b"", np.zeros(0, dtype=np.int64)
-    from btrblocks_spark.format import fsst_native as nat
-
-    if nat.lib is not None:
-        buf, starts, ends, lens = _concat(strings)
-        n = len(buf)
-        sym_bytes, sym_lens = _native_tables(table)
-        str_off = np.zeros(len(strings) + 1, dtype=np.int64)
-        str_off[1:] = ends
-        padded = np.zeros(n + 8, dtype=np.uint8)
-        padded[:n] = buf
-        cap = 2 * n + 16
-        out = np.empty(cap, dtype=np.uint8)
-        out_off = np.empty(len(strings) + 1, dtype=np.int64)
-        total = nat.lib.fsst_encode_batch(
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_bytes)),
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_lens)),
-            len(table.symbols),
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(padded)),
-            nat.ffi.cast("const int64_t *", nat.ffi.from_buffer(str_off)),
-            len(strings),
-            nat.ffi.cast("uint8_t *", nat.ffi.from_buffer(out)),
-            cap,
-            nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
-        )
-        if total >= 0:
-            return out[:total].tobytes(), np.diff(out_off)
+    padded, str_off = _strings_native_input(strings)
+    res = _native_kernel(table, padded, str_off, encode=True)
+    if res is not None:
+        out, out_off = res
+        return out.tobytes(), np.diff(out_off)
     payloads = compress_batch(table, strings)
     return b"".join(payloads), np.fromiter(
         (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
@@ -574,33 +592,12 @@ def decompress_batch_concat(
     n = len(code_lengths)
     if n == 0:
         return []
-    from btrblocks_spark.format import fsst_native as nat
-
-    if nat.lib is not None:
-        buf = np.frombuffer(payload, dtype=np.uint8)
-        m = len(buf)
-        padded = np.zeros(m + 8, dtype=np.uint8)
-        padded[:m] = buf
-        str_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(np.asarray(code_lengths, dtype=np.int64), out=str_off[1:])
-        sym_bytes, sym_lens = _native_tables(table)
-        cap = 8 * m + 16
-        out = np.empty(cap, dtype=np.uint8)
-        out_off = np.empty(n + 1, dtype=np.int64)
-        total = nat.lib.fsst_decode_batch(
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_bytes)),
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_lens)),
-            len(table.symbols),
-            nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(padded)),
-            nat.ffi.cast("const int64_t *", nat.ffi.from_buffer(str_off)),
-            n,
-            nat.ffi.cast("uint8_t *", nat.ffi.from_buffer(out)),
-            cap,
-            nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
-        )
-        if total >= 0:
-            ob = out[:total].tobytes()
-            return [ob[out_off[i] : out_off[i + 1]] for i in range(n)]
+    padded, str_off = _lengths_native_input(payload, code_lengths)
+    res = _native_kernel(table, padded, str_off, encode=False)
+    if res is not None:
+        out, out_off = res
+        ob = out.tobytes()
+        return [ob[out_off[i] : out_off[i + 1]] for i in range(n)]
     offs = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(np.asarray(code_lengths, dtype=np.int64), out=offs[1:])
     return decompress_batch(
@@ -740,27 +737,11 @@ def compress_column(table: SymbolTable, values) -> tuple[bytes, np.ndarray]:
     except Exception:  # noqa: BLE001
         return compress_batch_concat(table, [str(x).encode("utf-8") for x in values])
 
-    padded = np.zeros(n + 8, dtype=np.uint8)
-    padded[:n] = buf
-    sym_bytes, sym_lens = _native_tables(table)
-    cap = 2 * n + 16
-    out = np.empty(cap, dtype=np.uint8)
-    out_off = np.empty(len(values) + 1, dtype=np.int64)
-    str_off = np.ascontiguousarray(str_off)
-    total = nat.lib.fsst_encode_batch(
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_bytes)),
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_lens)),
-        len(table.symbols),
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(padded)),
-        nat.ffi.cast("const int64_t *", nat.ffi.from_buffer(str_off)),
-        len(values),
-        nat.ffi.cast("uint8_t *", nat.ffi.from_buffer(out)),
-        cap,
-        nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
-    )
-    if total < 0:
+    res = _native_kernel(table, _pad8(buf), str_off, encode=True)
+    if res is None:
         return compress_batch_concat(table, [str(x).encode("utf-8") for x in values])
-    return out[:total].tobytes(), np.diff(out_off)
+    out, out_off = res
+    return out.tobytes(), np.diff(out_off)
 
 
 def decompress_column(
@@ -794,31 +775,13 @@ def decompress_column_arrow(
     except Exception:  # noqa: BLE001
         return None
 
-    buf = np.frombuffer(payload, dtype=np.uint8)
-    m = len(buf)
-    padded = np.zeros(m + 8, dtype=np.uint8)
-    padded[:m] = buf
-    str_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.asarray(code_lengths, dtype=np.int64), out=str_off[1:])
-    sym_bytes, sym_lens = _native_tables(table)
-    cap = 8 * m + 16
-    out = np.empty(cap, dtype=np.uint8)
-    out_off = np.empty(n + 1, dtype=np.int64)
-    total = nat.lib.fsst_decode_batch(
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_bytes)),
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(sym_lens)),
-        len(table.symbols),
-        nat.ffi.cast("const uint8_t *", nat.ffi.from_buffer(padded)),
-        nat.ffi.cast("const int64_t *", nat.ffi.from_buffer(str_off)),
-        n,
-        nat.ffi.cast("uint8_t *", nat.ffi.from_buffer(out)),
-        cap,
-        nat.ffi.cast("int64_t *", nat.ffi.from_buffer(out_off)),
-    )
-    if total < 0:
+    padded, str_off = _lengths_native_input(payload, code_lengths)
+    res = _native_kernel(table, padded, str_off, encode=False)
+    if res is None:
         return None
+    out, out_off = res
     return pa.Array.from_buffers(
         pa.large_utf8(),
         n,
-        [None, pa.py_buffer(out_off), pa.py_buffer(out[:total])],
+        [None, pa.py_buffer(out_off), pa.py_buffer(out)],
     )

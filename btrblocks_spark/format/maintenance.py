@@ -38,29 +38,53 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
     bare read→compare→os.replace sequence: two writers holding the same
     base can interleave between the check and the swap and one update is
     silently lost). Driver-side and cheap: commits are O(pointer file),
-    never data-sized. A lock older than ``timeout_sec`` is treated as
-    abandoned (crashed committer) and broken."""
+    never data-sized.
+
+    A waiter whose own ``timeout_sec`` expires RAISES; it never breaks the
+    lock (the holder may simply be slow — stealing a live lock reopens the
+    lost-update race this lock exists to close). Stale-break applies only
+    to locks whose mtime age exceeds ``stale_sec`` (a crashed committer),
+    and release is owner-checked via a token file so a broken-and-reacquired
+    lock is never deleted by the previous holder's ``finally``."""
+    import uuid
+
+    stale_sec = max(60.0, 6 * timeout_sec)
     lock = os.path.join(dir_path, "_commit.lock")
+    token_path = os.path.join(lock, "owner")
+    token = uuid.uuid4().hex
     os.makedirs(dir_path, exist_ok=True)
     deadline = time.monotonic() + timeout_sec
     while True:
         try:
             os.mkdir(lock)
+            with open(token_path, "w") as fh:
+                fh.write(token)
             break
         except FileExistsError:
             try:
-                if time.monotonic() > deadline or (
-                    time.time() - os.path.getmtime(lock) > timeout_sec
-                ):
+                if time.time() - os.path.getmtime(lock) > stale_sec:
+                    # crashed holder: break it, then race to re-acquire
+                    # (only one mkdir wins)
                     shutil.rmtree(lock, ignore_errors=True)
                     continue
             except OSError:
                 continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit_lock: {lock} held for >{timeout_sec}s by a live "
+                    "committer; raise timeout_sec or retry"
+                )
             time.sleep(0.02)
     try:
         yield
     finally:
-        shutil.rmtree(lock, ignore_errors=True)
+        try:
+            with open(token_path) as fh:
+                still_ours = fh.read() == token
+        except OSError:
+            still_ours = False
+        if still_ours:
+            shutil.rmtree(lock, ignore_errors=True)
 
 
 def _versions(table_dir: str) -> list[int]:

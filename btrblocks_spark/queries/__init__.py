@@ -52,25 +52,85 @@ def all_oracles() -> dict[str, str]:
     return dict(ORACLE)
 
 
+# Queries whose BUILDER executes cluster work (iterative training loops
+# with per-round collects, temp-dir writes + localCheckpoint round-trips,
+# count()-driven plan decisions). Wrapping these in a temp view is still
+# possible, but registration itself would run minutes of jobs — the
+# opposite of the "views are lazy" contract — so the default registration
+# skips them; pass include_eager=True (or name them explicitly) to opt in.
+EAGER_BUILD = frozenset(
+    {
+        "agg_percentiles_disc",
+        "ann_binary_topk",
+        "ann_kmeans_refine",
+        "basket_association_rules",
+        "customer_ltv_cohorts",
+        "customer_rfm_segments",
+        "dedup_cluster_keep_best",
+        "dedup_clusters",
+        "dedup_graph_triangles",
+        "dedup_jaccard_prefix",
+        "dedup_kcore",
+        "dedup_lsh_recall",
+        "dedup_lsh_tuned_recall",
+        "dedup_pagerank",
+        "dedup_tfidf_cosine",
+        "dict_codespace_filter",
+        "embedding_pca_topk",
+        "embedding_second_moment",
+        "events_mad_anomaly",
+        "format_chunk_stats",
+        "format_datasource_roundtrip",
+        "format_delete_vectors",
+        "format_dpp_join",
+        "format_scheme_plan",
+        "format_metadata_only_agg",
+        "format_partition_pruned_scan",
+        "frequency_domain_roundtrip",
+        "scan_jsonl_roundtrip",
+        "scan_predicate_bitmap",
+        "sql_recursive_month_spine",
+        "stats_column_entropy",
+        "stats_heavy_hitters",
+        "stats_ks_drift",
+        "stats_mutual_information",
+        "stats_string_profile",
+        "text_bpe_merges",
+        "training_logreg_quality",
+    }
+)
+
+
 def register_query_views(
-    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    include_eager: bool = False,
 ) -> list[str]:
-    """Expose every registered operator as a SQL temp view, so the whole
-    engine surface is reachable from plain ``spark.sql``:
+    """Expose registered operators as SQL temp views, so the engine surface
+    is reachable from plain ``spark.sql``:
 
         register_query_views(spark, "/data/sf0.1")
         spark.sql("SELECT * FROM text_source_divergence ORDER BY source")
 
-    Views are LAZY DataFrames — nothing executes until queried, and
-    Catalyst fuses any outer SQL (filters, projections, joins over the
+    Registered views are LAZY DataFrames — nothing executes until queried,
+    and Catalyst fuses any outer SQL (filters, projections, joins over the
     view) into the operator's own plan, so view-wrapped operators compose
-    without materialization. Base tables are registered too (same names the
-    oracle layer uses). Returns the registered view names."""
+    without materialization. For that contract to be TRUE, queries whose
+    builder itself executes work (``EAGER_BUILD``: iterative trainers,
+    round-trip queries that write temp tables, count()-driven plans) are
+    skipped by default — name them explicitly or pass ``include_eager=True``
+    to register them too, accepting the build-time execution. Base tables
+    are registered as well (same names the oracle layer uses). Returns the
+    registered view names."""
     from btrblocks_spark.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
     queries = all_queries()
-    todo = names if names is not None else sorted(queries)
+    if names is not None:
+        todo = names
+    else:
+        todo = sorted(q for q in queries if include_eager or q not in EAGER_BUILD)
     out = []
     for name in todo:
         queries[name](spark, sf_dir).createOrReplaceTempView(name)

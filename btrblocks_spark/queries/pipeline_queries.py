@@ -2344,7 +2344,9 @@ FROM j
 )
 def q_lsh_tuned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_lsh_recall's tuning answer: the same audit run at the
-    lsh_params(threshold=0.5)-sized banding (16 perms / 8 bands). The
+    lsh_params(threshold=0.5)-sized banding (24 perms / 12 bands — the
+    sizer rejects 16/8 because its capture probability at J=0.5 is 0.8999,
+    just under the 0.9 target; the oracle SQL hardcodes the same 24/12). The
     recall_at_t column is the evidence that the sizer's capture-probability
     model holds on real shingle data — the pre-flight check before
     committing a 100 TB dedup to a parameter choice."""

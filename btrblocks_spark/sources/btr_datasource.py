@@ -303,19 +303,25 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
 
     Per microbatch: each task writes its Arrow batches as chunk-shaped
     ``.inflight`` files (invisible to every reader — they all list only
-    ``*.parquet``); the driver-side ``commit(messages, batchId)`` renames
-    them to final names and logs ``{"batch": batchId, "scope": <fence>,
-    "files": [...], "rows": n}`` in ``_appends.json``.
+    ``*.parquet``); the driver-side ``commit(messages, batchId)`` runs a
+    write-ahead protocol against ``_appends.json``: append a *pending*
+    entry recording every inflight→final rename, perform the renames, flip
+    the entry to *committed*. The intent write is the single atomic
+    decision point, so a crash anywhere recovers exactly-once on replay:
+    a pending entry's renames are completed from the FIRST attempt's
+    still-on-disk inflight files (no loss), a committed entry deletes the
+    rerun's files (no duplicates).
 
     Exactly-once: Spark replays a microbatch only after a failure between
     the sink commit and the checkpoint commit, with the SAME batchId from
-    the SAME checkpoint. The fence scope is the checkpointLocation (when
-    Spark exposes it in the sink options; a caller-supplied
-    ``commitScope`` option overrides, and "default" otherwise), so a
-    replayed (scope, batchId) deletes its in-flight files instead of
-    logging duplicates — re-running with a FRESH checkpoint is a new query
-    and appends normally. ``abort`` removes every in-flight file, so a
-    failed epoch leaves no visible data: all-or-nothing per microbatch.
+    the SAME checkpoint. The fence scope is the sink's
+    ``checkpointLocation`` option (override with ``commitScope`` when the
+    checkpoint comes from the session default conf; the writer refuses to
+    start without one — a shared guessed scope would let two queries
+    shadow each other's batchIds and silently drop data). Re-running with
+    a FRESH checkpoint is a new scope and appends normally. ``abort``
+    removes every in-flight file, so a failed epoch leaves no visible
+    data: all-or-nothing per microbatch.
 
     Scale: data bytes move only inside executor tasks; commit is O(files
     in this epoch) driver-side renames — on an object store route these
@@ -332,9 +338,18 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
             )
         self.columns = declared
         self.block_size = int(meta["block_size"])
-        self.scope = options.get(
-            "commitScope", options.get("checkpointLocation", "default")
-        )
+        # the fence is only sound per checkpoint lineage — two queries with
+        # different checkpoints MUST get different scopes, or one's batchIds
+        # shadow the other's and its data is silently dropped as "replays".
+        # Never guess a shared default; fail loudly instead.
+        self.scope = options.get("commitScope", options.get("checkpointLocation"))
+        if not self.scope:
+            raise ValueError(
+                "btrblocks streaming sink requires a per-query fence scope: "
+                "set .option('checkpointLocation', ...) on the writeStream "
+                "(or .option('commitScope', <unique id>) when the checkpoint "
+                "comes from the session default conf)"
+            )
 
     def write(self, iterator):
         files, total = _write_chunk_files(
@@ -345,41 +360,75 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
     def _log_path(self) -> str:
         return os.path.join(self.path, "_appends.json")
 
-    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+    def _read_log(self) -> list:
         import json
 
-        inflight = [f for m in messages if m for f in m.files]
-        log = []
         if os.path.exists(self._log_path()):
             with open(self._log_path()) as fh:
-                log = json.load(fh)
-        if any(
-            e.get("batch") == batchId and e.get("scope") == self.scope for e in log
-        ):
-            # replayed epoch: this data is already committed — drop the rerun
+                return json.load(fh)
+        return []
+
+    def _write_log(self, log: list) -> None:
+        import json
+
+        tmp = self._log_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh)
+        os.replace(tmp, self._log_path())
+
+    @staticmethod
+    def _finish_renames(entry: dict) -> None:
+        """Complete the entry's inflight→final renames idempotently: a
+        source already renamed (missing inflight, final present) is skipped,
+        so this is safe to re-run from any crash point."""
+        for src, dest in entry["renames"].items():
+            if os.path.exists(src):
+                os.replace(src, dest)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        # Write-ahead commit: (1) append an intent entry mapping each
+        # inflight file to its final name, (2) perform the renames,
+        # (3) flip the entry to committed. A crash at any point recovers on
+        # replay: a pending entry's renames are COMPLETED from the original
+        # attempt's still-on-disk inflight files (deterministic names in the
+        # log — no loss), a committed entry drops the rerun (no duplicates).
+        # The intent write is the single atomic decision point (os.replace).
+        inflight = [f for m in messages if m for f in m.files]
+        log = self._read_log()
+        prior = next(
+            (
+                e
+                for e in log
+                if e.get("batch") == batchId and e.get("scope") == self.scope
+            ),
+            None,
+        )
+        if prior is not None:
+            if prior.get("state") == "pending":
+                # first attempt crashed mid-rename: finish ITS renames, then
+                # mark committed — the rerun's files are the duplicates
+                self._finish_renames(prior)
+                prior["state"] = "committed"
+                self._write_log(log)
             for f in inflight:
                 try:
                     os.remove(f)
                 except OSError:
                     pass
             return
-        final = []
-        for f in inflight:
-            dest = f[: -len(".inflight")] + ".parquet"
-            os.replace(f, dest)
-            final.append(dest)
-        log.append(
-            {
-                "batch": batchId,
-                "scope": self.scope,
-                "files": final,
-                "rows": sum(m.rows for m in messages if m),
-            }
-        )
-        tmp = self._log_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh)
-        os.replace(tmp, self._log_path())
+        entry = {
+            "batch": batchId,
+            "scope": self.scope,
+            "renames": {f: f[: -len(".inflight")] + ".parquet" for f in inflight},
+            "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
+            "rows": sum(m.rows for m in messages if m),
+            "state": "pending",
+        }
+        log.append(entry)
+        self._write_log(log)  # intent durable BEFORE any file becomes visible
+        self._finish_renames(entry)
+        entry["state"] = "committed"
+        self._write_log(log)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         for m in messages:

@@ -720,20 +720,31 @@ def kmv_sketch_stream(
     (k−1)/u_k) reads the tiny stored set.
 
     Replay safety: the merge is idempotent (min-k ∪ same-batch = min-k),
-    so a replayed microbatch converges to the identical sketch — no
-    fencing needed beyond the atomic snapshot swap (write new dir, then
-    repoint, maintenance-style single-writer)."""
+    and the snapshot swap is atomic (write new dir, then repoint,
+    maintenance-style single-writer). One case needs an explicit fence:
+    when ``current`` ALREADY resolves to this batch's own ``v{batch_id}``
+    dir, the crash happened after the repoint — re-merging would lazily
+    read the very directory the write is about to clobber (a scan of
+    deleted files, or silent state collapse with ignoreMissingFiles). The
+    sketch on disk is already the correct merged result by idempotence,
+    so the replayed batch is a no-op."""
     from btrblocks_spark.pipeline.text import hash32
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        cur_dir = os.path.join(out_dir, "current")
+        new_dir_fence = os.path.join(out_dir, f"v{batch_id}")
+        if os.path.islink(cur_dir) and os.path.realpath(cur_dir) == os.path.realpath(
+            new_dir_fence
+        ):
+            # replayed batch, snapshot already merged + repointed: done
+            return
         batch_mins = (
             batch_df.select(hash32(F.col(key_col).cast("string")).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)
         )
-        cur_dir = os.path.join(out_dir, "current")
         try:
             prior = spark.read.schema("h long").parquet(cur_dir)
         except Exception:  # noqa: BLE001 — first batch: no snapshot yet

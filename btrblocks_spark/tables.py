@@ -28,8 +28,25 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (applicationId, sf_dir, name) -> DataFrame. Testdata tables are immutable
+# parquet; the DataFrame is an immutable logical plan, so reuse is safe and
+# saves the one-task footer-schema job spark.read.parquet runs per call —
+# without the memo, registering all ~250 lazy operator views (or running
+# the bench fleet) pays that job once per query.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts arrives as either parquet TIMESTAMP(NANOS) (read as
         # BIGINT epoch-nanos via nanosAsLong) or TIMESTAMP(MICROS) (read as

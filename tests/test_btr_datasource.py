@@ -233,3 +233,56 @@ def test_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
     msg2 = w.write(iter(replay_tbl.to_batches()))
     w.commit([msg2], log[-1]["batch"] + 1)
     assert _load(spark, dst_path).count() == nation.count() + 3
+
+
+def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
+    """Crash between the WAL intent write and the renames must not lose or
+    duplicate the batch: replaying the same batchId completes the FIRST
+    attempt's renames from its on-disk inflight files and discards the
+    rerun's files."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter
+
+    nation = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "torn_tbl")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.limit(0), dst, ["n_nationkey"], config=cfg)
+
+    w = BtrBlocksStreamWriter({"path": dst, "commitScope": "q1"}, nation.schema)
+    tbl = pa.Table.from_pandas(nation.limit(5).toPandas())
+
+    # first attempt: write inflight files, then simulate a crash AFTER the
+    # intent entry but BEFORE any rename by writing the pending entry by hand
+    msg1 = w.write(iter(tbl.to_batches()))
+    log_path = os.path.join(dst, "_appends.json")
+    entry = {
+        "batch": 0,
+        "scope": "q1",
+        "renames": {f: f[: -len(".inflight")] + ".parquet" for f in msg1.files},
+        "files": [f[: -len(".inflight")] + ".parquet" for f in msg1.files],
+        "rows": msg1.rows,
+        "state": "pending",
+    }
+    with open(log_path, "w") as fh:
+        json.dump([entry], fh)
+
+    # replay of batch 0: a NEW write attempt + commit
+    msg2 = w.write(iter(tbl.to_batches()))
+    w.commit([msg2], 0)
+
+    with open(log_path) as fh:
+        log = json.load(fh)
+    assert [e["state"] for e in log] == ["committed"]
+    # first attempt's files became visible; rerun's files are gone
+    assert all(os.path.exists(f) for f in entry["files"])
+    assert not any(os.path.exists(f) for f in msg2.files)
+    got = _load(spark, dst)
+    assert got.count() == 5  # exactly once
+
+    # scope is mandatory: no checkpointLocation and no commitScope → refuse
+    with pytest.raises(ValueError, match="fence scope"):
+        BtrBlocksStreamWriter({"path": dst}, nation.schema)

@@ -1145,3 +1145,49 @@ def test_int64_timestamp_column_through_writer(spark, sf_dir):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_commit_lock_semantics(tmp_path):
+    """A live lock is never stolen by an impatient waiter (raise instead);
+    a stale lock (crashed committer) IS broken; release is owner-checked so
+    a prior holder's cleanup can't delete a re-acquired lock."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.maintenance import commit_lock
+
+    d = str(tmp_path / "locked")
+    lock = os.path.join(d, "_commit.lock")
+
+    # live holder: waiter times out with an error, lock stays intact
+    with commit_lock(d, timeout_sec=0.2):
+        with _pytest.raises(TimeoutError):
+            with commit_lock(d, timeout_sec=0.2):
+                pass
+        assert os.path.isdir(lock)  # not stolen
+    assert not os.path.exists(lock)  # released by owner
+
+    # stale lock from a crashed committer: broken and re-acquired
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner"), "w") as fh:
+        fh.write("deadbeef")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))
+    with commit_lock(d, timeout_sec=0.2):
+        # we hold it now; the crashed owner's token was replaced
+        with open(os.path.join(lock, "owner")) as fh:
+            assert fh.read() != "deadbeef"
+    assert not os.path.exists(lock)
+
+    # owner-checked release: if the token changed hands, cleanup is a no-op
+    cm = commit_lock(d, timeout_sec=0.2)
+    cm.__enter__()
+    with open(os.path.join(lock, "owner"), "w") as fh:
+        fh.write("someone-else")
+    cm.__exit__(None, None, None)
+    assert os.path.isdir(lock)  # NOT deleted by the no-longer-owner
+    import shutil as _shutil
+
+    _shutil.rmtree(lock)

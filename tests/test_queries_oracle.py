@@ -50,3 +50,27 @@ def test_register_query_views_sql_surface(spark, sf_dir):
     assert len(rows) == 5
     n = spark.sql("SELECT count(*) AS n FROM q1_pricing_summary").collect()[0]["n"]
     assert n > 0
+
+
+def test_register_query_views_default_is_metadata_only(spark, sf_dir):
+    """Default registration (no names) must be pure metadata: no Spark job
+    may run while building/registering the non-EAGER_BUILD views — the
+    'views are lazy' contract. Eager-builder queries are excluded by
+    default and available by explicit name."""
+    from btrblocks_spark.queries import EAGER_BUILD, all_queries, register_query_views
+
+    sc = spark.sparkContext
+    group = "viewreg_lazy_check"
+    sc.setJobGroup(group, "view registration must not execute")
+    try:
+        names = register_query_views(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    assert set(names).isdisjoint(EAGER_BUILD)
+    assert len(names) == len(all_queries()) - len(EAGER_BUILD)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert list(jobs) == [], f"view registration ran jobs: {jobs}"
+    # eager ones still register on request
+    got = register_query_views(spark, sf_dir, ["stats_heavy_hitters"])
+    assert got == ["stats_heavy_hitters"]
+    assert spark.sql("SELECT * FROM stats_heavy_hitters").count() >= 0

@@ -619,6 +619,21 @@ def test_kmv_sketch_stream_equals_batch_sketch(spark, sf_dir, events_dir, tmpdir
     )
     assert stored2 == want
 
+    # checkpoint-loss replay of the LAST batch: 'current' already resolves
+    # to that batch's own v{id} snapshot — the fence must no-op instead of
+    # overwriting the directory the merge plan reads (state collapse)
+    shutil.rmtree(ckpt)
+    q3 = kmv_sketch_stream(
+        stream_source(spark, events_dir), "user_id", out, ckpt, k=64
+    )
+    q3.awaitTermination(120)
+    stored3 = sorted(
+        r["h"] for r in spark.read.schema("h long").parquet(
+            os.path.join(out, "current")
+        ).collect()
+    )
+    assert stored3 == want
+
 
 def test_block_dedup_stream_matches_batch_rewrite(spark, sf_dir, tmpdir):
     """Streaming block-level dedup over doc_id-ordered file arrivals must
