@@ -767,6 +767,66 @@ def semantic_keep(
     )
 
 
+def semantic_contamination(
+    train_vecs: DataFrame,
+    bench_vecs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic complement
+    to text.contamination_flags: flag training vectors whose cosine with
+    ANY benchmark vector reaches ``threshold``. Catches paraphrased or
+    translated eval leakage that shares no n-grams with the benchmark (the
+    reason SemDeDup-style screens exist alongside exact-overlap ones).
+    Returns one row per training vector: (vec_id, max_bench_cosine,
+    nearest_bench_id, flagged), ties on cosine broken by smallest bench id.
+
+    Shape: the benchmark side is broadcast (eval sets are MBs, not TBs) and
+    scored exactly against every training vector — recall 1.0 by
+    construction, which is the requirement for a leak screen (an LSH
+    pre-filter would trade recall for speed exactly where misses are
+    leaks). The |train|x|bench| score rows never shuffle: the max-cosine
+    aggregation is map-side partial on vec_id, so only per-vector partials
+    move. Cosine uses the fixed left-fold (cosine_expr), bit-reproducible
+    across engines."""
+    b = F.broadcast(
+        bench_vecs.select(
+            F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+        )
+    )
+    scored = (
+        train_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_tv"))
+        .crossJoin(b)
+        .select(
+            "vec_id",
+            F.col("_bid").alias("bench_id"),
+            F.round(cosine_expr("_tv", "_bv"), 6).alias("cosine"),
+        )
+    )
+    best = scored.groupBy(F.col("vec_id").alias("_bvid")).agg(
+        F.max("cosine").alias("max_bench_cosine")
+    )
+    # deterministic argmax: smallest bench id among the (rounded) ties
+    pick = (
+        scored.join(
+            best,
+            (scored["vec_id"] == best["_bvid"])
+            & (scored["cosine"] == best["max_bench_cosine"]),
+        )
+        .select("vec_id", "max_bench_cosine", "bench_id")
+        .groupBy("vec_id", "max_bench_cosine")
+        .agg(F.min("bench_id").alias("nearest_bench_id"))
+    )
+    return pick.select(
+        "vec_id",
+        "max_bench_cosine",
+        "nearest_bench_id",
+        (F.col("max_bench_cosine") >= threshold).cast("int").alias("flagged"),
+    )
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.3,

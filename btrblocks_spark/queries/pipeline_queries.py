@@ -1698,6 +1698,47 @@ def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_keep(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register(
+    "dedup_semantic_contamination",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 41 = 0),
+t AS (SELECT vec_id, v AS tv FROM e WHERE vec_id % 41 <> 0),
+scored AS (
+  SELECT t.vec_id, b.bench_id, round({_cosine_sql('t.tv', 'b.bv')}, 6) AS cosine
+  FROM t CROSS JOIN b
+),
+best AS (SELECT vec_id, max(cosine) AS max_bench_cosine FROM scored GROUP BY 1),
+pick AS (
+  SELECT s.vec_id, bst.max_bench_cosine, min(s.bench_id) AS nearest_bench_id
+  FROM scored s
+  JOIN best bst ON s.vec_id = bst.vec_id AND s.cosine = bst.max_bench_cosine
+  GROUP BY 1, 2
+)
+SELECT vec_id, max_bench_cosine, nearest_bench_id,
+       CAST(max_bench_cosine >= 0.5 AS INTEGER) AS flagged
+FROM pick
+""",
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination (dedup.semantic_contamination):
+    a deterministic slice of the embeddings table (vec_id % 41 == 0) stands
+    in for the benchmark set; every remaining training vector gets its max
+    cosine against the benchmark, the nearest benchmark id, and a
+    contamination flag at threshold 0.5 — the semantic complement to
+    text_decontaminate's n-gram overlap screen."""
+    from btrblocks_spark.pipeline.dedup import semantic_contamination
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = e.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("bench_id"), "v"
+    )
+    train = e.filter(F.col("vec_id") % 41 != 0)
+    return semantic_contamination(train, bench, threshold=0.5)
+
+
 _SQ8_RECON_SQL = """
 dims AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
 rg AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim),
