@@ -138,6 +138,11 @@ def with_global_index(
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    if "_pid" in df.columns:
+        # the tagging below appends its own _pid and indexes it positionally
+        # (last column); a pre-existing _pid would be silently overwritten
+        # and mis-indexed
+        raise ValueError("input already has a '_pid' column; rename it first")
 
     total = df.count() if total_rows is None else int(total_rows)
     bounds = _sample_boundaries(df, order_keys, num_partitions, total)

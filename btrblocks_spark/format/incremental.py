@@ -71,6 +71,13 @@ def incremental_agg(
     }
     if not new and prev is not None:
         return prev, stats
+    if not new:
+        # first refresh of an EMPTY table: spark.read.parquet(*[]) would
+        # raise an opaque analysis error — name the real cause instead
+        raise ValueError(
+            "incremental_agg: no data files to aggregate and no prior "
+            "snapshot — write data to the table before the first refresh"
+        )
 
     sum_aliases = [f"sum_{c}" for c in sum_cols]
     part = (

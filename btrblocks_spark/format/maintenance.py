@@ -63,9 +63,17 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > stale_sec:
-                    # crashed holder: break it, then race to re-acquire
-                    # (only one mkdir wins)
-                    shutil.rmtree(lock, ignore_errors=True)
+                    # crashed holder: break it via atomic rename-aside —
+                    # rmtree-in-place would let a SECOND breaker delete a
+                    # lock the first breaker's winner just re-acquired
+                    # (two holders). Only the breaker whose rename succeeds
+                    # removes anything; losers hit ENOENT and loop.
+                    aside = f"{lock}.stale-{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, aside)
+                    except OSError:
+                        continue
+                    shutil.rmtree(aside, ignore_errors=True)
                     continue
             except OSError:
                 continue
@@ -358,6 +366,10 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
 
     import dataclasses
 
+    # finish any interrupted compaction FIRST — scanning data/ with a
+    # half-applied swap on disk would double-count or miss rows
+    _apply_compact_journal(path)
+
     meta = read_metadata(path)
     bs = int(meta["block_size"])
     cfg = dataclasses.replace(config or DEFAULT_CONFIG, block_size=bs)
@@ -459,22 +471,10 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
-    # swap files: drop fragments, adopt the rewritten tail
-    for f in frag:
-        os.remove(f)
-    moved = 0
-    for r, _s, fs in os.walk(tmp_dir):
-        for f in fs:
-            if f.endswith(".parquet"):
-                os.replace(
-                    os.path.join(r, f),
-                    os.path.join(data_dir, f"compacted-{moved:05d}-{f}"),
-                )
-                moved += 1
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-
     # sidecar: keep per-chunk plan rows for the untouched prefix, replace
-    # everything at or beyond it with the freshly planned tail
+    # everything at or beyond it with the freshly planned tail — built
+    # BEFORE any file in data/ is touched, so the journal below can carry
+    # the complete post-compaction state
     for col, info in meta["columns"].items():
         info["chunks"] = [c for c in info["chunks"] if c["chunk"] < keep_k]
     for row in sorted(
@@ -496,10 +496,30 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         "est_compressed_bytes": total_est,
         "est_compression_ratio": round(total_raw / max(total_est, 1), 4),
     }
+
+    # Crash-safe swap: write a journal (adds + removes + new sidecar) as the
+    # single atomic commit point, then apply it. A crash BEFORE the journal
+    # leaves data/ untouched (only _compact_tmp garbage, overwritten by the
+    # next run); a crash AFTER it is finished by _apply_compact_journal on
+    # the next compact() call. The old order (remove fragments, then move)
+    # had a window that silently LOST every fragment row.
+    moved = 0
+    adds: dict[str, str] = {}
+    for r, _s, fs in os.walk(tmp_dir):
+        for f in sorted(fs):
+            if f.endswith(".parquet"):
+                adds[os.path.join(r, f)] = os.path.join(
+                    data_dir, f"compacted-{moved:05d}-{f}"
+                )
+                moved += 1
     import json
 
-    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=1, default=str)
+    journal = {"adds": adds, "remove": frag, "meta": meta}
+    jpath = os.path.join(path, "_compact_journal.json")
+    with open(jpath + ".tmp", "w") as fh:
+        json.dump(journal, fh, default=str)
+    os.replace(jpath + ".tmp", jpath)  # commit point
+    _apply_compact_journal(path)
     return {
         "compacted": True,
         "files_before": len(files),
@@ -509,6 +529,39 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         "new_chunks": int(new_chunks),
         "num_rows": meta["num_rows"],
     }
+
+
+def _apply_compact_journal(path: str) -> bool:
+    """Finish (or replay) a journaled compaction swap: adopt the rewritten
+    files, drop the fragments, install the new sidecar, clear the journal.
+    Every step is idempotent (rename skipped when the source is already
+    gone, removes ignore missing), so this can resume from any crash point.
+    Readers may briefly see a compacted file alongside the fragments it
+    replaces (duplicate rows) during the adds — the window is
+    duplicates-then-converge, never loss. Returns True if a journal was
+    applied."""
+    import json
+
+    jpath = os.path.join(path, "_compact_journal.json")
+    if not os.path.exists(jpath):
+        return False
+    with open(jpath) as fh:
+        journal = json.load(fh)
+    for src, dest in journal["adds"].items():
+        if os.path.exists(src):
+            os.replace(src, dest)
+    for f in journal["remove"]:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    meta_tmp = os.path.join(path, "_btr_metadata.json.tmp")
+    with open(meta_tmp, "w") as fh:
+        json.dump(journal["meta"], fh, indent=1, default=str)
+    os.replace(meta_tmp, os.path.join(path, "_btr_metadata.json"))
+    os.remove(jpath)
+    shutil.rmtree(os.path.join(path, "_compact_tmp"), ignore_errors=True)
+    return True
 
 
 def add_column(path: str, name: str, sql_type: str, default=None) -> dict:

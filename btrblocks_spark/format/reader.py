@@ -163,10 +163,16 @@ def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSessio
     for name, info in meta["columns"].items():
         if columns is not None and name not in columns:
             continue
-        kind = info["type"]
-        if kind in ("double", "float"):
+        # route through the planner's kind map: temporal columns plan (and
+        # store min/max reprs) as epoch int64 — comparing their reprs as
+        # strings would return lexicographic min/max ('9…' > '15…', and
+        # pre-1970 '-…' sorts before digits)
+        from btrblocks_spark.format.planner import kind_of
+
+        kind = kind_of(info["type"])
+        if kind == "double":
             cast = float
-        elif kind in ("int", "bigint", "smallint", "tinyint", "integer", "long"):
+        elif kind == "int":
             cast = int
         else:
             cast = str

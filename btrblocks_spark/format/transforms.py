@@ -126,17 +126,27 @@ def frequency_encode(df: DataFrame, col: str, key: str) -> tuple[DataFrame, obje
         df.where(F.col(col).isNotNull())
         .groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).first()[0]
     )
-    exceptions = df.where(F.col(col) != F.lit(top)).select(
+    # null-safe inequality: NULL rows ARE exceptions (plain != is NULL for
+    # them, silently excluding them — they would decode to `top`)
+    exceptions = df.where(~F.col(col).eqNullSafe(F.lit(top))).select(
         F.col(key).alias("key"), F.col(col).alias("exc_value")
     )
     return exceptions, top
 
 
 def frequency_decode(df_keys: DataFrame, exceptions: DataFrame, top, key: str, col: str = "value") -> DataFrame:
+    # the exception-row marker (not exc_value itself) decides: an exception
+    # row with a NULL value must decode to NULL, not to `top`
+    exc = exceptions.withColumn("_is_exc", F.lit(True))
     return (
         df_keys.select(F.col(key).alias("key"))
-        .join(exceptions, "key", "left")
-        .select("key", F.coalesce("exc_value", F.lit(top)).alias(col))
+        .join(exc, "key", "left")
+        .select(
+            "key",
+            F.when(F.coalesce("_is_exc", F.lit(False)), F.col("exc_value"))
+            .otherwise(F.lit(top))
+            .alias(col),
+        )
     )
 
 
@@ -161,24 +171,29 @@ def fsst_encode(
         pdf = pdf.sort_values("key")
         raw = [(x or "").encode("utf-8") for x in pdf["value"]]
         table = fsst.train(raw)
+        # ONE kernel emits codes AND the group's symbol table (on the first
+        # row only) — the previous shape ran a second groupBy('part') kernel
+        # that re-shuffled and re-trained identical data just to produce the
+        # tables frame, doubling the dominant cost of the encode path
+        blob = fsst.serialize(table)
+        tables_col = [blob] + [None] * (len(raw) - 1)
         return pd.DataFrame(
             {
                 "part": pdf["part"],
                 "key": pdf["key"],
                 "codes": fsst.compress_batch(table, raw),
+                "table": tables_col,
             }
         )
 
-    def table_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("key")
-        raw = [(x or "").encode("utf-8") for x in pdf["value"]]
-        return pd.DataFrame(
-            {"part": [pdf["part"].iloc[0]], "table": [fsst.serialize(fsst.train(raw))]}
-        )
-
-    grouped = src.groupBy("part")
-    encoded = grouped.applyInPandas(encode_group, "part long, key long, codes binary")
-    tables = grouped.applyInPandas(table_group, "part long, table binary")
+    combined = src.groupBy("part").applyInPandas(
+        encode_group, "part long, key long, codes binary, table binary"
+    )
+    encoded = combined.select("part", "key", "codes")
+    tables = combined.filter(F.col("table").isNotNull()).select("part", "table")
+    # both outputs are views over the SAME single-shuffle plan; a caller
+    # materializing both in separate actions should persist `encoded`
+    # (or write it first) to avoid re-executing the kernel
     return encoded, tables
 
 

@@ -50,9 +50,14 @@ def zorder_key(col_a: Column | str, col_b: Column | str) -> Column:
     columns (a in even bit positions, b in odd). Values are masked to 16
     bits — callers with wider domains should first quantize (e.g. rank or
     divide) to 2^16 buckets; for chunk pruning only the *ordering* of the
-    key matters, not exact bit width."""
+    key matters, not exact bit width. NULL dims map to bucket 0 so the key
+    is never NULL (the chunker's order keys must be non-null); note the
+    SQL twin (zorder_key_sql) does NOT coalesce — keep oracle columns
+    null-free or wrap them yourself."""
     a = F.col(col_a).cast("long") if isinstance(col_a, str) else col_a.cast("long")
     b = F.col(col_b).cast("long") if isinstance(col_b, str) else col_b.cast("long")
+    a = F.coalesce(a, F.lit(0))
+    b = F.coalesce(b, F.lit(0))
     return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1)).alias("zkey")
 
 
@@ -76,7 +81,12 @@ def with_zorder(
     very different ranges — raw interleaving lets the wider dimension's
     high bits dominate the curve, and chunks then span the narrow
     dimension's whole range (no pruning). Bounds are a one-row broadcast
-    aggregate, so the whole thing stays one lazy narrow plan."""
+    aggregate, so the whole thing stays one lazy narrow plan.
+
+    NULL handling: a NULL in either dimension quantizes to bucket 0, so the
+    zkey is never NULL — the chunker's order keys must be non-null
+    (chunker.py boundary sampling sorts key tuples), and null rows cluster
+    at the curve's origin where min/max chunk stats still prune them."""
     if quantize_bits is None:
         return df.withColumn(out_col, zorder_key(col_a, col_b))
     scale = 1 << quantize_bits
@@ -84,12 +94,18 @@ def with_zorder(
         F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
         F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),
     )
-    qa = F.floor(
-        (F.col(col_a) - F.col("_alo")) * scale / (F.col("_ahi") - F.col("_alo") + 1)
-    ).cast("long")
-    qb = F.floor(
-        (F.col(col_b) - F.col("_blo")) * scale / (F.col("_bhi") - F.col("_blo") + 1)
-    ).cast("long")
+    qa = F.coalesce(
+        F.floor(
+            (F.col(col_a) - F.col("_alo")) * scale / (F.col("_ahi") - F.col("_alo") + 1)
+        ).cast("long"),
+        F.lit(0),
+    )
+    qb = F.coalesce(
+        F.floor(
+            (F.col(col_b) - F.col("_blo")) * scale / (F.col("_bhi") - F.col("_blo") + 1)
+        ).cast("long"),
+        F.lit(0),
+    )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out_col, _spread16(qa).bitwiseOR(F.shiftleft(_spread16(qb), 1)))

@@ -208,25 +208,49 @@ def _write_chunk_files(
     slice the task's Arrow batches into block_size chunks and write each as
     one zstd parquet file named ``{prefix}-{uuid}{suffix}``. Readers only
     list ``*.parquet``, so a non-final suffix keeps in-flight files
-    invisible until the driver-side commit renames them."""
+    invisible until the driver-side commit renames them.
+
+    Streams the iterator: at most ~block_size rows are buffered per task
+    regardless of partition size (a multi-GB input partition must not be
+    materialized whole in the Python worker)."""
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    batches = [b for b in iterator if b.num_rows > 0]
     files: list[str] = []
     total = 0
-    if batches:
+    buf: list = []
+    buf_rows = 0
+
+    def flush(batches: list, n_rows: int) -> None:
         table = pa.Table.from_batches(batches).select(list(columns))
-        total = table.num_rows
-        for off in range(0, total, block_size):
+        for off in range(0, n_rows, block_size):
             part = table.slice(off, block_size)
             fname = os.path.join(
                 path, "data", f"{prefix}-{uuid.uuid4().hex}{suffix}"
             )
             pq.write_table(part, fname, compression="zstd")
             files.append(fname)
+
+    for b in iterator:
+        if b.num_rows == 0:
+            continue
+        buf.append(b)
+        buf_rows += b.num_rows
+        total += b.num_rows
+        # flush only whole chunks; carry the remainder so chunk files stay
+        # block_size-full instead of fragmenting at batch boundaries
+        if buf_rows >= block_size:
+            whole = (buf_rows // block_size) * block_size
+            table = pa.Table.from_batches(buf).select(list(columns))
+            flush_part = table.slice(0, whole)
+            flush(flush_part.to_batches(), whole)
+            rest = table.slice(whole)
+            buf = rest.to_batches() if rest.num_rows else []
+            buf_rows = rest.num_rows
+    if buf_rows:
+        flush(buf, buf_rows)
     return files, total
 
 
@@ -236,9 +260,11 @@ class BtrBlocksWriter(DataSourceArrowWriter):
     zstd parquet files capped at block_size rows (chunk-shaped, but not
     globally _idx-aligned — appends are the streaming-sink contract,
     ``maintenance.compact`` re-aligns chunks and re-syncs the sidecar).
-    Commit messages list the files; a successful job appends an entry to
-    the ``_appends.json`` log, and ``abort`` deletes every file a failed
-    job managed to write — all-or-nothing at the job level.
+    Tasks stage ``.inflight`` files (invisible to readers — failed/retried
+    attempts leave no visible orphans); the driver-side commit renames the
+    winning attempts' files to final ``.parquet`` names under the table's
+    commit lock and appends an entry to the ``_appends.json`` log;
+    ``abort`` deletes every staged file — all-or-nothing at the job level.
 
     Append-only by design: overwrite of a chunked table must go through
     ``format.writer.write_table`` (chunk alignment + scheme planning is
@@ -258,33 +284,63 @@ class BtrBlocksWriter(DataSourceArrowWriter):
             raise ValueError(
                 f"schema mismatch: table has {declared}, write has {incoming}"
             )
+        # types too, not just names — a long appended into an int column
+        # would silently corrupt the chunk layout the sidecar declares
+        declared_types = {c["name"]: c["type"] for c in meta["schema"]}
+        bad = [
+            (f.name, f.dataType.simpleString(), declared_types[f.name])
+            for f in schema.fields
+            if f.dataType.simpleString() != declared_types[f.name]
+        ]
+        if bad:
+            raise ValueError(f"schema type mismatch (col, write, table): {bad}")
         self.columns = declared
         self.block_size = int(meta["block_size"])
 
     def write(self, iterator):
+        # stage as .inflight (invisible to readers): a failed/retried task
+        # attempt's files would otherwise be final-named orphans that every
+        # directory-listing reader counts as duplicate rows forever. The
+        # driver-side commit renames the winning attempts' files.
         files, total = _write_chunk_files(
-            iterator, self.path, self.columns, self.block_size, "append", ".parquet"
+            iterator, self.path, self.columns, self.block_size, "append", ".inflight"
         )
         return AppendCommit(tuple(files), total)
 
     def commit(self, messages) -> None:
         import json
 
+        from btrblocks_spark.format.maintenance import commit_lock
+
         log_path = os.path.join(self.path, "_appends.json")
-        log = []
-        if os.path.exists(log_path):
-            with open(log_path) as fh:
-                log = json.load(fh)
-        log.append(
-            {
-                "files": [f for m in messages if m for f in m.files],
-                "rows": sum(m.rows for m in messages if m),
-            }
-        )
-        tmp = log_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh)
-        os.replace(tmp, log_path)
+        # the log update is read-modify-write of the whole file: concurrent
+        # committers (two queries on one table) would silently drop each
+        # other's entries without the lock
+        with commit_lock(self.path):
+            # make the committed attempts' files visible (task-retry orphans
+            # keep their .inflight names and stay invisible)
+            final = []
+            for m in messages:
+                if m is None:
+                    continue
+                for f in m.files:
+                    dest = f[: -len(".inflight")] + ".parquet"
+                    os.replace(f, dest)
+                    final.append(dest)
+            log = []
+            if os.path.exists(log_path):
+                with open(log_path) as fh:
+                    log = json.load(fh)
+            log.append(
+                {
+                    "files": final,
+                    "rows": sum(m.rows for m in messages if m),
+                }
+            )
+            tmp = log_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(log, fh)
+            os.replace(tmp, log_path)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -336,6 +392,16 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 f"schema mismatch: table has {declared}, write has {incoming}"
             )
+        # types too, not just names — a long appended into an int column
+        # would silently corrupt the chunk layout the sidecar declares
+        declared_types = {c["name"]: c["type"] for c in meta["schema"]}
+        bad = [
+            (f.name, f.dataType.simpleString(), declared_types[f.name])
+            for f in schema.fields
+            if f.dataType.simpleString() != declared_types[f.name]
+        ]
+        if bad:
+            raise ValueError(f"schema type mismatch (col, write, table): {bad}")
         self.columns = declared
         self.block_size = int(meta["block_size"])
         # the fence is only sound per checkpoint lineage — two queries with
@@ -393,42 +459,50 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
         # attempt's still-on-disk inflight files (deterministic names in the
         # log — no loss), a committed entry drops the rerun (no duplicates).
         # The intent write is the single atomic decision point (os.replace).
+        # The whole sequence runs under the table's commit lock: the log
+        # update is read-modify-write, and a concurrent committer (another
+        # query on this table, or a batch append) would otherwise drop our
+        # entry — losing a pending entry means the renames never finish and
+        # the microbatch's data stays invisible forever.
+        from btrblocks_spark.format.maintenance import commit_lock
+
         inflight = [f for m in messages if m for f in m.files]
-        log = self._read_log()
-        prior = next(
-            (
-                e
-                for e in log
-                if e.get("batch") == batchId and e.get("scope") == self.scope
-            ),
-            None,
-        )
-        if prior is not None:
-            if prior.get("state") == "pending":
-                # first attempt crashed mid-rename: finish ITS renames, then
-                # mark committed — the rerun's files are the duplicates
-                self._finish_renames(prior)
-                prior["state"] = "committed"
-                self._write_log(log)
-            for f in inflight:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
-            return
-        entry = {
-            "batch": batchId,
-            "scope": self.scope,
-            "renames": {f: f[: -len(".inflight")] + ".parquet" for f in inflight},
-            "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
-            "rows": sum(m.rows for m in messages if m),
-            "state": "pending",
-        }
-        log.append(entry)
-        self._write_log(log)  # intent durable BEFORE any file becomes visible
-        self._finish_renames(entry)
-        entry["state"] = "committed"
-        self._write_log(log)
+        with commit_lock(self.path):
+            log = self._read_log()
+            prior = next(
+                (
+                    e
+                    for e in log
+                    if e.get("batch") == batchId and e.get("scope") == self.scope
+                ),
+                None,
+            )
+            if prior is not None:
+                if prior.get("state") == "pending":
+                    # first attempt crashed mid-rename: finish ITS renames,
+                    # then mark committed — the rerun's files are duplicates
+                    self._finish_renames(prior)
+                    prior["state"] = "committed"
+                    self._write_log(log)
+                for f in inflight:
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+                return
+            entry = {
+                "batch": batchId,
+                "scope": self.scope,
+                "renames": {f: f[: -len(".inflight")] + ".parquet" for f in inflight},
+                "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
+                "rows": sum(m.rows for m in messages if m),
+                "state": "pending",
+            }
+            log.append(entry)
+            self._write_log(log)  # intent durable BEFORE any file is visible
+            self._finish_renames(entry)
+            entry["state"] = "committed"
+            self._write_log(log)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         for m in messages:

@@ -4,8 +4,11 @@ Ingest (reference S1, btrfiles/Parser.cpp:21-192):
   - '|' default separator
   - non-string fields are trimmed before parse
   - empty string and the literal "null" parse as NULL for int/double
-    (Parser.cpp:99-127); for strings only the literal "null" is NULL
-    (empty string stays an empty string)
+    (Parser.cpp:99-127); for strings the literal "null" is NULL, a QUOTED
+    empty string ("") stays an empty string, and an UNQUOTED empty field
+    is NULL (Spark's CSV reader rule; the exporter below quotes empty
+    strings, so empty-vs-null round-trips exactly — external files that
+    mean "" must quote it)
   - schema is declared externally (YAML in the reference,
     btrfiles/btrfiles.hpp:8-38) — never inferred
   - unsupported declared types are SKIPped (dropped at ingest,

@@ -286,3 +286,44 @@ def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
     # scope is mandatory: no checkpointLocation and no commitScope → refuse
     with pytest.raises(ValueError, match="fence scope"):
         BtrBlocksStreamWriter({"path": dst}, nation.schema)
+
+
+def test_compact_journal_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
+    """A compaction that crashes at its commit point (journal written,
+    swap not applied) must lose nothing: the table still reads complete,
+    and the next compact() replays the journal to completion."""
+    import os
+
+    import btrblocks_spark.format.maintenance as maint
+
+    path = str(tmp_path / "crashy")
+    nation = load_table(spark, sf_dir, "nation")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.filter(F.col("n_nationkey") < 15), path, ["n_nationkey"], cfg)
+    spark.dataSource.register(BtrBlocksDataSource)
+    nation.filter(F.col("n_nationkey") >= 15).write.format("btrblocks").mode(
+        "append"
+    ).save(path)
+    n_total = nation.count()
+    assert _load(spark, path).count() == n_total
+
+    # crash simulation: journal gets written, swap never applied
+    monkeypatch.setattr(maint, "_apply_compact_journal", lambda p: False)
+    res = maint.compact(spark, path, cfg)
+    assert res["compacted"] is True
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(path, "_compact_journal.json"))
+    # nothing was swapped: fragments intact, table reads complete
+    assert _load(spark, path).count() == n_total
+
+    # next compact() replays the journal first, then finds nothing to do
+    res2 = maint.compact(spark, path, cfg)
+    assert not os.path.exists(os.path.join(path, "_compact_journal.json"))
+    got = _load(spark, path)
+    assert got.count() == n_total
+    assert got.exceptAll(nation).count() == 0 and nation.exceptAll(got).count() == 0
+    from btrblocks_spark.format.reader import read_metadata
+
+    meta = read_metadata(path)
+    assert meta["num_rows"] == n_total
+    assert res2["compacted"] is False  # already aligned after replay

@@ -1191,3 +1191,31 @@ def test_commit_lock_semantics(tmp_path):
     import shutil as _shutil
 
     _shutil.rmtree(lock)
+
+
+def test_metadata_agg_temporal_min_max(spark, tmp_path):
+    """Temporal columns store epoch-int min/max reprs; metadata_agg must
+    compare them numerically, not lexicographically ('9…' > '15…')."""
+    import datetime
+
+    import pandas as pd
+
+    from btrblocks_spark.config import BtrBlocksConfig
+    from btrblocks_spark.format.reader import metadata_agg
+    from btrblocks_spark.format.writer import write_table
+
+    ts = [
+        datetime.datetime(1999, 1, 1),   # epoch-ns repr starts with '9'
+        datetime.datetime(2020, 1, 1),   # starts with '1' — lexicographic min
+        datetime.datetime(2005, 6, 15),
+    ] * 40
+    pdf = pd.DataFrame({"k": range(120), "t": ts})
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "temporal")
+    write_table(df, path, ["k"], config=BtrBlocksConfig(block_size=64))
+    got = {r["column"]: r for r in metadata_agg(path)}
+    lo, hi = got["t"]["min"], got["t"]["max"]
+    assert isinstance(lo, int) and isinstance(hi, int)
+    assert lo < hi
+    assert lo == int(datetime.datetime(1999, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+    assert hi == int(datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 10**9

@@ -398,3 +398,68 @@ def test_jsonl_quarantine_lane(spark, tmpdir):
     assert {(r["a"], r["b"]) for r in good.collect()} == {(1, "ok"), (3, "fine")}
     bad_lines = {r["raw_line"] for r in bad.collect()}
     assert bad_lines == {'{"a": not-json}', "plain text line"}
+
+
+def test_copy_into_dedup_and_crash_recovery(spark, sf_dir, tmp_path):
+    """Duplicate paths within one copy_into call load once; a crash at the
+    journal commit point (journal written, swap unapplied) is replayed by
+    the next call without double-appending."""
+    import json
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources import copy_into as ci
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "copy_tbl")
+    write_table(
+        nation.limit(0), table, ["n_nationkey"], config=DEFAULT_CONFIG.with_(block_size=8)
+    )
+    drop = str(tmp_path / "drop1.parquet")
+    stage = str(tmp_path / "stage")
+    nation.coalesce(1).write.mode("overwrite").parquet(stage)
+    pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, pf), drop)
+
+    # same file listed twice: one load, no duplicate rows
+    res = ci.copy_into(spark, table, [drop, drop])
+    assert res["loaded_files"] == 1 and res["appended_rows"] == nation.count()
+    assert spark.read.parquet(table + "/data").count() == nation.count()
+
+    # crash simulation on a second, new file: journal written, not applied
+    drop2 = str(tmp_path / "drop2.parquet")
+    extra = nation.limit(5).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 100
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(stage)
+    pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.rename(os.path.join(stage, pf), drop2)
+
+    real_apply = ci._apply_copy_journal
+    applied_state = {"skip": False}
+
+    def fake_apply(d):
+        if applied_state["skip"]:
+            return False
+        return real_apply(d)
+
+    applied_state["skip"] = True
+    ci._apply_copy_journal = fake_apply
+    try:
+        ci.copy_into(spark, table, [drop2])
+    finally:
+        ci._apply_copy_journal = real_apply
+    assert os.path.exists(os.path.join(table, "_copy_journal.json"))
+    # not yet visible
+    assert spark.read.parquet(table + "/data").count() == nation.count()
+
+    # retry replays the journal, then skips the already-recorded file
+    res2 = ci.copy_into(spark, table, [drop2])
+    assert not os.path.exists(os.path.join(table, "_copy_journal.json"))
+    assert res2["loaded_files"] == 0 and res2["skipped_files"] == 1
+    assert spark.read.parquet(table + "/data").count() == nation.count() + 5
+    with open(os.path.join(table, "_copy_log.json")) as fh:
+        log = json.load(fh)
+    assert len(log["files"]) == 2

@@ -140,3 +140,31 @@ def test_generic_chunk_codec_distributed_round_trip(spark, sf_dir):
         got = [r["value"] for r in dec.orderBy("idx").collect()]
         exp = [r["c"] for r in base.orderBy("k").collect()]
         assert got == exp, (kind, scheme)
+
+
+def test_frequency_round_trip_with_nulls(spark):
+    """NULL values must round-trip as NULL (they are exceptions), never be
+    rewritten to the top value."""
+    rows = [(i, "A" if i % 3 else None) for i in range(30)] + [(100, "B")]
+    df = spark.createDataFrame(rows, "k long, v string")
+    exceptions, top = T.frequency_encode(df, "v", "k")
+    assert top == "A"
+    decoded = T.frequency_decode(df, exceptions, top, "k", "v")
+    got = {r["key"]: r["v"] for r in decoded.collect()}
+    want = {k: v for k, v in rows}
+    assert got == want  # nulls stay null, B stays B
+
+
+def test_zorder_null_dims_never_null_key(spark):
+    """A NULL in either dimension quantizes to bucket 0 — the zkey itself is
+    never NULL (the chunker requires non-null order keys)."""
+    from btrblocks_spark.format.zorder import with_zorder, zorder_key
+
+    rows = [(1, 10, 20), (2, None, 5), (3, 7, None), (4, None, None)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    for zdf in (
+        df.select("id", zorder_key("a", "b").alias("zkey")),
+        with_zorder(df, "a", "b", quantize_bits=4).select("id", "zkey"),
+    ):
+        vals = {r["id"]: r["zkey"] for r in zdf.collect()}
+        assert all(v is not None for v in vals.values())
