@@ -471,6 +471,16 @@ def cosine_expr(va: str, vb: str) -> F.Column:
     return F.expr(f"({dot}) / (({na}) * ({nb}))")
 
 
+def cosine_try_expr(va: str, vb: str) -> F.Column:
+    """cosine_expr with try_divide: a zero-norm vector yields NULL instead
+    of raising DIVIDE_BY_ZERO under ANSI mode — for operators that must
+    keep full row coverage over dirty embeddings (padded/failed rows)."""
+    dot = f"aggregate(zip_with({va}, {vb}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    na = f"sqrt(aggregate(zip_with({va}, {va}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    nb = f"sqrt(aggregate(zip_with({vb}, {vb}, (x, y) -> x * y), 0D, (acc, x) -> acc + x))"
+    return F.expr(f"try_divide({dot}, ({na}) * ({nb}))")
+
+
 def embedding_cosine_pairs(
     vecs: DataFrame, threshold: float = 0.4, num_planes: int = 8, dim: int = 64
 ) -> DataFrame:
@@ -787,10 +797,12 @@ def semantic_contamination(
     scored exactly against every training vector — recall 1.0 by
     construction, which is the requirement for a leak screen (an LSH
     pre-filter would trade recall for speed exactly where misses are
-    leaks). The |train|x|bench| score rows never shuffle: the max-cosine
-    aggregation is map-side partial on vec_id, so only per-vector partials
-    move. Cosine uses the fixed left-fold (cosine_expr), bit-reproducible
-    across engines."""
+    leaks). The |train|x|bench| score rows never shuffle: argmax + tie-break
+    is ONE struct-min aggregate, map-side partial on vec_id, so only
+    per-vector partials move (no second pass, no score-row join). Cosine
+    uses the fixed left-fold (cosine_expr), bit-reproducible across
+    engines. A zero-norm training vector (cosine NULL against everything,
+    0/0) still gets its row: NULL cosine/nearest id, flagged=0."""
     b = F.broadcast(
         bench_vecs.select(
             F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
@@ -802,28 +814,31 @@ def semantic_contamination(
         .select(
             "vec_id",
             F.col("_bid").alias("bench_id"),
-            F.round(cosine_expr("_tv", "_bv"), 6).alias("cosine"),
+            F.round(cosine_try_expr("_tv", "_bv"), 6).alias("cosine"),
         )
     )
-    best = scored.groupBy(F.col("vec_id").alias("_bvid")).agg(
-        F.max("cosine").alias("max_bench_cosine")
+    # struct-min: (-cosine, bench_id) — max cosine, smallest bench id among
+    # (rounded) ties; NULL cosines sort to +inf so they lose to any real
+    # score but keep the row when every score is NULL
+    inf = float("inf")
+    m = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                F.coalesce(-F.col("cosine"), F.lit(inf)).alias("nc"),
+                F.col("bench_id").alias("bid"),
+            )
+        ).alias("m")
     )
-    # deterministic argmax: smallest bench id among the (rounded) ties
-    pick = (
-        scored.join(
-            best,
-            (scored["vec_id"] == best["_bvid"])
-            & (scored["cosine"] == best["max_bench_cosine"]),
-        )
-        .select("vec_id", "max_bench_cosine", "bench_id")
-        .groupBy("vec_id", "max_bench_cosine")
-        .agg(F.min("bench_id").alias("nearest_bench_id"))
-    )
-    return pick.select(
+    has_score = F.col("m.nc") != F.lit(inf)
+    # 0.0 - nc (not -nc): keeps an exact 0.0 max from surfacing as -0.0
+    max_cos = F.when(has_score, F.lit(0.0) - F.col("m.nc"))
+    return m.select(
         "vec_id",
-        "max_bench_cosine",
-        "nearest_bench_id",
-        (F.col("max_bench_cosine") >= threshold).cast("int").alias("flagged"),
+        max_cos.alias("max_bench_cosine"),
+        F.when(has_score, F.col("m.bid")).alias("nearest_bench_id"),
+        F.coalesce(
+            (max_cos >= threshold).cast("int"), F.lit(0)
+        ).alias("flagged"),
     )
 
 

@@ -406,6 +406,28 @@ def docs_stream_source(spark: SparkSession, docs_dir: str) -> DataFrame:
     )
 
 
+def _prior_store(spark: SparkSession, store_dir: str, batch_id: int):
+    """Read a batch-partitioned parquet state store fenced to STRICTLY
+    earlier batches — the replay-safety invariant every incremental dedup
+    stream shares: on microbatch replay after a failure, the store already
+    holds this batch's own rows under ``batch=<batch_id>``; reading them
+    back would make every doc collide with itself and empty the replayed
+    output. Partition pruning turns the fence into directory skipping.
+    Returns None when the store has no batches yet."""
+    if os.path.isdir(store_dir) and any(
+        d.startswith("batch=") for d in os.listdir(store_dir)
+    ):
+        return spark.read.parquet(store_dir).filter(F.col("batch") < F.lit(batch_id))
+    return None
+
+
+def _write_batch_partition(df: DataFrame, base_dir: str, batch_id: int) -> None:
+    """``mode("overwrite")`` into a batch-id-named subdir: a replayed
+    microbatch reproduces its output in place instead of double-appending
+    — exactly-once without a transaction log."""
+    df.write.mode("overwrite").parquet(os.path.join(base_dir, f"batch={batch_id}"))
+
+
 def near_dedup_stream(
     stream_docs: DataFrame,
     store_dir: str,
@@ -445,21 +467,14 @@ def near_dedup_stream(
         ).localCheckpoint()  # evaluated twice (dup test + store append)
 
         dup_prior = None
-        if os.path.isdir(store_dir) and any(
-            d.startswith("batch=") for d in os.listdir(store_dir)
-        ):
-            # STRICTLY earlier batches only: on microbatch replay after a
-            # failure the store already holds this batch's own bands under
-            # batch=<batch_id> — reading them back would make every doc
-            # collide with itself and overwrite the output as empty.
-            prior = (
-                spark.read.parquet(store_dir)
-                .filter(F.col("batch") < F.lit(batch_id))
-                .select("band", "bucket")
-                .distinct()
-            )
+        prior = _prior_store(spark, store_dir, batch_id)
+        if prior is not None:
             dup_prior = (
-                bands_df.join(prior, ["band", "bucket"], "left_semi")
+                bands_df.join(
+                    prior.select("band", "bucket").distinct(),
+                    ["band", "bucket"],
+                    "left_semi",
+                )
                 .select("doc_id")
                 .distinct()
             )
@@ -478,12 +493,8 @@ def near_dedup_stream(
         # ALL batch buckets enter the store (dropped docs' buckets too):
         # the global rule drops any doc colliding with any EARLIER doc,
         # kept or not — this is what makes incremental == batch-global
-        bands_df.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
-        )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
+        _write_batch_partition(bands_df, store_dir, batch_id)
+        _write_batch_partition(survivors, out_dir, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -532,34 +543,30 @@ def block_dedup_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         d = split_nonempty_docs(batch_df)
-        # within-batch first occurrence; evaluated twice (store + rewrite)
+        # within-batch first occurrence per hash
         batch_winners = (
             block_hashes(d, bw)
             .groupBy("h")
             .agg(F.min(F.struct("doc_id", "blk")).alias("first"))
             .select("h", F.col("first.doc_id").alias("doc_id"), F.col("first.blk").alias("blk"))
-            .localCheckpoint()
         )
-        winners = batch_winners
-        if os.path.isdir(store_dir) and any(
-            d_.startswith("batch=") for d_ in os.listdir(store_dir)
-        ):
-            # STRICTLY earlier batches only (replay fence, see docstring)
-            prior = (
-                spark.read.parquet(store_dir)
-                .filter(F.col("batch") < F.lit(batch_id))
-                .select("h")
-            )
-            winners = batch_winners.join(prior, "h", "left_anti")
+        prior = _prior_store(spark, store_dir, batch_id)
+        winners = (
+            batch_winners
+            if prior is None
+            else batch_winners.join(prior.select("h"), "h", "left_anti")
+        )
+        # pin AFTER the store anti-join: winners is consumed twice (store
+        # write + rewrite) and the store scan grows with batch count — a
+        # checkpoint before the join would pay that O(store) scan twice
+        winners = winners.localCheckpoint()
 
         out = block_rewrite(d, winners.select("doc_id", "blk"), bw)
         # only NEW hashes enter the store — ones already present from an
         # earlier batch stay discoverable there, so the store holds each
         # hash exactly once (first-claiming batch)
-        winners.select("h").write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"batch={batch_id}")
-        )
-        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        _write_batch_partition(winners.select("h"), store_dir, batch_id)
+        _write_batch_partition(out, out_dir, batch_id)
 
     return (
         stream_docs.writeStream.foreachBatch(apply_batch)
@@ -721,24 +728,18 @@ def kmv_sketch_stream(
 
     Replay safety: the merge is idempotent (min-k ∪ same-batch = min-k),
     and the snapshot swap is atomic (write new dir, then repoint,
-    maintenance-style single-writer). One case needs an explicit fence:
-    when ``current`` ALREADY resolves to this batch's own ``v{batch_id}``
-    dir, the crash happened after the repoint — re-merging would lazily
-    read the very directory the write is about to clobber (a scan of
-    deleted files, or silent state collapse with ignoreMissingFiles). The
-    sketch on disk is already the correct merged result by idempotence,
-    so the replayed batch is a no-op."""
+    maintenance-style single-writer). The merged sketch is MATERIALIZED
+    (localCheckpoint, O(k) rows) before the write, so a replayed batch
+    whose ``v{batch_id}`` dir is the one ``current`` points at never
+    lazily scans the directory the write clobbers — and unlike a
+    skip-this-batch-id fence, a replayed batch whose COMPOSITION changed
+    (checkpoint lost, more files now packed into the same batch number)
+    still contributes its new keys."""
     from btrblocks_spark.pipeline.text import hash32
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cur_dir = os.path.join(out_dir, "current")
-        new_dir_fence = os.path.join(out_dir, f"v{batch_id}")
-        if os.path.islink(cur_dir) and os.path.realpath(cur_dir) == os.path.realpath(
-            new_dir_fence
-        ):
-            # replayed batch, snapshot already merged + repointed: done
-            return
         batch_mins = (
             batch_df.select(hash32(F.col(key_col).cast("string")).alias("h"))
             .distinct()
@@ -750,8 +751,13 @@ def kmv_sketch_stream(
         except Exception:  # noqa: BLE001 — first batch: no snapshot yet
             prior = None
         merged = (
-            batch_mins if prior is None else prior.union(batch_mins).distinct()
-        ).orderBy("h").limit(k)
+            (batch_mins if prior is None else prior.union(batch_mins).distinct())
+            .orderBy("h")
+            .limit(k)
+            # pin the O(k) result BEFORE writing: on replay, v{batch_id} can
+            # be the very dir `current` (and therefore `prior`) points at
+            .localCheckpoint()
+        )
         new_dir = os.path.join(out_dir, f"v{batch_id}")
         merged.coalesce(1).write.mode("overwrite").parquet(new_dir)
         # atomic repoint: the current pointer flips only after the new

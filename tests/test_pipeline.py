@@ -1189,3 +1189,32 @@ def test_resize_images_real(spark, sf_dir):
     for r in out:
         assert (r["fmt"], r["width"], r["height"]) == ("png", 7, 9)
         assert r["byte_mean"] == float(r["doc_id"] % 256)
+
+
+def test_semantic_contamination_zero_vector_coverage(spark):
+    """Every training vector gets exactly one output row — including a
+    zero-norm vector whose cosines are all NULL (flagged=0, NULL scores) —
+    and the argmax tie-break picks the smallest bench id."""
+    from btrblocks_spark.pipeline.dedup import semantic_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),   # zero vector: cosine NULL vs everything
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [1.0, 0.0]), (12, [0.0, 1.0])],
+        "bench_id long, v array<double>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_contamination(train, bench, 0.5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["max_bench_cosine"] == 1.0
+    assert rows[1]["nearest_bench_id"] == 10  # tie 10/11 -> smallest
+    assert rows[1]["flagged"] == 1
+    assert rows[2]["max_bench_cosine"] is None
+    assert rows[2]["nearest_bench_id"] is None
+    assert rows[2]["flagged"] == 0
+    assert rows[3]["nearest_bench_id"] == 12 and rows[3]["flagged"] == 1

@@ -620,8 +620,8 @@ def test_kmv_sketch_stream_equals_batch_sketch(spark, sf_dir, events_dir, tmpdir
     assert stored2 == want
 
     # checkpoint-loss replay of the LAST batch: 'current' already resolves
-    # to that batch's own v{id} snapshot — the fence must no-op instead of
-    # overwriting the directory the merge plan reads (state collapse)
+    # to that batch's own v{id} snapshot — the materialize-before-write
+    # must not clobber the directory the merge plan reads (state collapse)
     shutil.rmtree(ckpt)
     q3 = kmv_sketch_stream(
         stream_source(spark, events_dir), "user_id", out, ckpt, k=64
@@ -633,6 +633,37 @@ def test_kmv_sketch_stream_equals_batch_sketch(spark, sf_dir, events_dir, tmpdir
         ).collect()
     )
     assert stored3 == want
+
+    # changed-composition replay: a NEW file lands AND the checkpoint is
+    # lost, so the replayed batch 0 packs more data under the same batch
+    # id — its new keys must still enter the sketch (a skip-on-batch-id
+    # fence would silently drop them forever)
+    extra = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("event_id") < 50)
+        .withColumn("user_id", F.col("user_id") + 10_000_000)
+    )
+    extra.coalesce(1).write.mode("append").parquet(events_dir)
+    shutil.rmtree(ckpt)
+    q4 = kmv_sketch_stream(
+        stream_source(spark, events_dir), "user_id", out, ckpt, k=64
+    )
+    q4.awaitTermination(120)
+    stored4 = sorted(
+        r["h"] for r in spark.read.schema("h long").parquet(
+            os.path.join(out, "current")
+        ).collect()
+    )
+    want4 = sorted(
+        r["h"]
+        for r in spark.read.parquet(events_dir)
+        .select(hash32(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+        .collect()
+    )
+    assert stored4 == want4
 
 
 def test_block_dedup_stream_matches_batch_rewrite(spark, sf_dir, tmpdir):
