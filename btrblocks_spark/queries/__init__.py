@@ -58,6 +58,10 @@ def all_oracles() -> dict[str, str]:
 # possible, but registration itself would run minutes of jobs — the
 # opposite of the "views are lazy" contract — so the default registration
 # skips them; pass include_eager=True (or name them explicitly) to opt in.
+# This list is hand-maintained but MACHINE-ENFORCED: test_queries_oracle.py::
+# test_register_query_views_default_is_metadata_only registers every
+# non-listed query under a job group and fails if ANY Spark job ran — a new
+# eager builder that forgets to add itself breaks CI, not production.
 EAGER_BUILD = frozenset(
     {
         "agg_percentiles_disc",

@@ -150,8 +150,12 @@ def bucketed_order_profile(
 
     total_runs = Σ local_starts − Σ boundary_continuations;
     is_sorted  = every bucket locally sorted AND every boundary pair
-    ordered. Null values: a null never starts/continues a run comparison
-    (eqNullSafe), matching the single-window formulation."""
+    ordered. Null values follow the SQL three-valued single-window
+    formulation exactly (``prev IS NULL OR v <> prev``): a NULL-preceded
+    row always starts a run, so consecutive NULLs each count as their own
+    run — intentionally DIFFERENT from bucketed_runs' eqNullSafe grouping,
+    because this profile's oracle is the plain SQL LAG formulation. Use it
+    on non-null columns (or expect SQL semantics) when runs matter."""
     b = df.select(bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v"))
     wb = Window.partitionBy("_b").orderBy(*order_cols)
     key_struct = F.struct(*[F.col(c) for c in order_cols])
@@ -205,3 +209,37 @@ def bucketed_order_profile(
         F.sum("starts_adj").alias("total_runs"),
         (F.min("sorted_local") * F.min("boundary_ok")).cast("boolean").alias("is_sorted"),
     )
+
+
+def hash_positions(
+    key_col: str,
+    hashes: list[tuple[int, int, int]],
+    width: int,
+    prime: int = 2147483647,
+    pos_name: str = "pos",
+) -> Column:
+    """Deterministic multiplicative-hash bucket positions, exploded as
+    (d, <pos_name>) structs under alias ``h`` — the shared kernel of the
+    bloom-filter join (join_bloom_filtered) and the count-min sketch
+    (stats_count_min_sketch). Each query's hand-written oracle SQL mirrors
+    these exact constants; keeping the kernel in one place keeps the two
+    Spark sides and their oracles from drifting independently."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        (
+                            (F.col(key_col).cast("long") * F.lit(a) + F.lit(b))
+                            % F.lit(prime)
+                        )
+                        % F.lit(width)
+                    )
+                    .cast("long")
+                    .alias(pos_name),
+                )
+                for d, a, b in hashes
+            ]
+        )
+    ).alias("h")

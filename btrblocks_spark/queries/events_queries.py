@@ -20,6 +20,28 @@ _GAP_US = 600 * 1_000_000  # 10-minute idle gap (microseconds: DuckDB
 # TIMESTAMP is us-precision, so both engines compute on identical us values)
 
 
+
+def _gap_sessions(e, gap_us: int = None):
+    """(user_id, ts_us, ...) → + is_start, session_id: THE gap-based session
+    definition (strict ``>`` gap, per-user window). events_sessionize and
+    every KPI layered on sessions (bounce rate, …) share this derivation so
+    a threshold or null-handling change can never make them diverge."""
+    gap = _GAP_US if gap_us is None else gap_us
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = e.withColumn(
+        "is_start",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > gap)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 @register(
     "events_sessionize",
     oracle=f"""
@@ -60,18 +82,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer division: ts/1000 in double loses ULPs at 1.7e18
         "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us")
-    flagged = e.withColumn(
-        "is_start",
-        F.when(
-            (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
-            | F.lag("ts_us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id", F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sessions = _gap_sessions(e)
     return sessions.groupBy("user_id", "session_id").agg(
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
@@ -1674,19 +1685,7 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr("ts div 1000").alias("ts_us")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us")
-    flagged = e.withColumn(
-        "is_start",
-        F.when(
-            (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US)
-            | F.lag("ts_us").over(w).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sessions = _gap_sessions(e)
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events")
     )

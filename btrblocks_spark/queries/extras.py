@@ -150,8 +150,9 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.crossJoin(F.broadcast(bounds))
         .select(
-            ((F.col("cents") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo") + 1))
-            .cast("long")  # truncation == floor here: numerator >= 0
+            # integer div, exactly as documented: float '/'+cast truncation
+            # can flip a boundary bucket once magnitudes exceed ~2^53
+            F.expr("(cents - lo) * 10 div (hi - lo + 1)")
             .cast("int")
             .alias("bucket"),
             "cents",

@@ -775,7 +775,10 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 150000)
         .select(F.col("o_custkey").alias("custkey"))
     )
-    return c.exceptAll(o).distinct()
+    # subtract = EXCEPT DISTINCT. exceptAll().distinct() is NOT: with v
+    # twice on the left and once on the right, exceptAll leaves one copy
+    # and distinct keeps it, while SQL EXCEPT removes v entirely.
+    return c.subtract(o)
 
 
 # ---------------------------------------------------------------------------
@@ -1187,21 +1190,10 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     P, W = 2147483647, 1024
     hashes = [(0, 2654435761, 0), (1, 40503, 1299721)]
 
+    from btrblocks_spark.queries._distributed import hash_positions
+
     def positions(key: str):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            ((F.col(key).cast("long") * F.lit(a) + F.lit(b)) % F.lit(P))
-                            % F.lit(W)
-                        ).cast("long").alias("pos"),
-                    )
-                    for d, a, b in hashes
-                ]
-            )
-        ).alias("h")
+        return hash_positions(key, hashes, W, prime=P)
 
     bloom = (
         o.select(positions("o_custkey")).select("h.d", "h.pos").distinct()

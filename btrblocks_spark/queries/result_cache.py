@@ -45,14 +45,30 @@ def cached_result(
     """Return (result, hit). On miss, ``compute()`` runs and its output is
     materialized under the digest key; on hit the parquet result is read
     back and ``compute`` is never invoked."""
+    import uuid
+
     digest = _inputs_digest(input_paths)
     slot = os.path.join(cache_root, f"{name}__{digest}")
     marker = os.path.join(slot, "_SUCCESS_META")
+    data_dir = os.path.join(slot, "data")
     if os.path.exists(marker):
-        return spark.read.parquet(os.path.join(slot, "data")), True
+        return spark.read.parquet(data_dir), True
     df = compute()
     os.makedirs(slot, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(slot, "data"))
+    # publish atomically: two sessions sharing cache_root can miss the same
+    # slot concurrently — a direct mode("overwrite") on data/ lets one
+    # writer delete the other's just-written part files mid-flight, after
+    # which the marker would serve the torn result as a hit forever. Each
+    # writer stages privately and the FIRST rename wins (losers discard).
+    stage = os.path.join(slot, f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    try:
+        os.rename(stage, data_dir)  # atomic; fails if a rival already won
+    except OSError:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return spark.read.parquet(data_dir), True
     with open(marker, "w") as fh:
         json.dump({"name": name, "digest": digest}, fh)
-    return spark.read.parquet(os.path.join(slot, "data")), False
+    return spark.read.parquet(data_dir), False

@@ -31,7 +31,7 @@ from btrblocks_spark.tables import load_table
 _NUMERIC_PROFILE_ORACLE = """
 WITH ordered AS (
   SELECT l_quantity AS v,
-         LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber) AS prev
+         LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev
   FROM lineitem
 )
 SELECT
@@ -59,10 +59,14 @@ def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.queries._distributed import bucketed_order_profile
 
     l = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this testdata — extend
+    # the sort key by the profiled column itself so run/sortedness stats
+    # are tie-order independent across engines and partitionings (same
+    # hazard note as format_chunk_stats)
     prof = bucketed_order_profile(
         l,
         F.expr("l_orderkey div 4096"),
-        ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "l_quantity"],
         "l_quantity",
     )
     uniq = l.agg(F.count_distinct("l_quantity").alias("unique_count"))
@@ -123,7 +127,7 @@ def stats_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_PROFILE_ORACLE = """
 WITH ordered AS (
   SELECT l_extendedprice AS v,
-         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 4096) AS BIGINT)
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1) / 4096) AS BIGINT)
            AS chunk_id
   FROM lineitem
 )
@@ -146,8 +150,11 @@ def stats_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.queries._distributed import bucketed_row_number
 
     l = load_table(spark, sf_dir, "lineitem")
+    # sort key extended by the profiled column: (l_orderkey, l_linenumber)
+    # ties would otherwise split across a 4096-row chunk boundary in
+    # engine-dependent order
     indexed = bucketed_row_number(
-        l, F.expr("l_orderkey div 4096"), ["l_orderkey", "l_linenumber"]
+        l, F.expr("l_orderkey div 4096"), ["l_orderkey", "l_linenumber", "l_extendedprice"]
     )
     ordered = indexed.select(
         F.col("l_extendedprice").alias("v"),
@@ -403,6 +410,29 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _flag_cents_cumfreq(l, keep_n: bool = False):
+    """(flag, v[, n], cum_n, total_n): per-returnflag distinct-cents
+    frequency table with running/total counts — the reduced-table scaffold
+    shared by stats_percentile_profile and stats_equidepth_histogram. The
+    cumulative window runs over |distinct values| rows per flag, never
+    |rows|; both consumers' oracles mirror this exact CTE."""
+    freq = l.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("flag")
+    cols = ["flag", "v"] + (["n"] if keep_n else [])
+    return freq.select(
+        *cols,
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wt).alias("total_n"),
+    )
+
+
 @register(
     "stats_percentile_profile",
     oracle="""
@@ -441,20 +471,7 @@ def stats_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full column per group. The 5-element percentile list is a literal
     cross join (broadcast, fan-out 5 on the reduced table)."""
     l = load_table(spark, sf_dir, "lineitem")
-    freq = l.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
-    ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy("flag")
-    cum = freq.select(
-        "flag",
-        "v",
-        F.sum("n").over(w).alias("cum_n"),
-        F.sum("n").over(wt).alias("total_n"),
-    )
+    cum = _flag_cents_cumfreq(l)
     ps = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in (25, 50, 75, 90, 99)])).alias("p")
     )
@@ -502,21 +519,7 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses map-side to (flag, value, count); the cumulative window sees
     only distinct values per flag, never rows."""
     l = load_table(spark, sf_dir, "lineitem")
-    freq = l.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
-    ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy("flag")
-    cum = freq.select(
-        "flag",
-        "v",
-        "n",
-        F.sum("n").over(w).alias("cum_n"),
-        F.sum("n").over(wt).alias("total_n"),
-    )
+    cum = _flag_cents_cumfreq(l, keep_n=True)
     bucket = F.least(
         F.expr("(cum_n - 1) * 4 div total_n"), F.lit(3).cast("long")
     ).cast("int")
@@ -1045,21 +1048,10 @@ def stats_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
 
+    from btrblocks_spark.queries._distributed import hash_positions
+
     def buckets(key_col: str):
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            ((F.col(key_col).cast("long") * F.lit(a) + F.lit(b)) % F.lit(_CMS_P))
-                            % F.lit(_CMS_W)
-                        ).cast("long").alias("bucket"),
-                    )
-                    for d, a, b in _CMS_HASHES
-                ]
-            )
-        ).alias("h")
+        return hash_positions(key_col, _CMS_HASHES, _CMS_W, prime=_CMS_P, pos_name="bucket")
 
     cms = (
         l.select(buckets("l_suppkey"))

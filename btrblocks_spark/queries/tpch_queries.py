@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from btrblocks_spark.queries import register
+from btrblocks_spark.queries.tpch_more import _rev_x
 from btrblocks_spark.tables import load_table
 
 _REVENUE_X = "SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0"
@@ -47,9 +48,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
-    revenue_x = F.round(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
-    ).cast("long")
+    revenue_x = _rev_x()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -91,9 +90,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    revenue_x = F.round(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
-    ).cast("long")
+    revenue_x = _rev_x()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -201,9 +198,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev_x = F.round(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
-    ).cast("long")
+    rev_x = _rev_x()
     promo_x = F.when(F.col("p_type").like("PROMO%"), rev_x).otherwise(F.lit(0).cast("long"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
@@ -286,9 +281,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue_x = F.round(
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))) * 10000
-    ).cast("long")
+    revenue_x = _rev_x()
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)

@@ -58,6 +58,12 @@ def test_register_query_views_default_is_metadata_only(spark, sf_dir):
     'views are lazy' contract. Eager-builder queries are excluded by
     default and available by explicit name."""
     from btrblocks_spark.queries import EAGER_BUILD, all_queries, register_query_views
+    from btrblocks_spark.tables import register_temp_views
+
+    # warm the table memo first: the initial load_table per table runs one
+    # footer-schema job, which is a property of the FIRST access in a
+    # session, not of view registration
+    register_temp_views(spark, sf_dir)
 
     sc = spark.sparkContext
     group = "viewreg_lazy_check"
