@@ -28,6 +28,15 @@ def sample_bucket(stratum: Column, row_id: Column) -> Column:
     return hash32(key) % 1000
 
 
+
+def _stratum_suffix_parity(stratum_col: str):
+    """Numeric suffix parity of a 'srcN'-style stratum name via try_cast —
+    a stratum without a clean integer at position 4 ('web', 'wikipedia')
+    degrades to NULL (treated as the odd/default rate) instead of aborting
+    the job with CAST_INVALID_INPUT under ANSI mode."""
+    return F.substring(F.col(stratum_col), 4, 10).try_cast("int") % 2
+
+
 def stratified_sample(
     docs: DataFrame,
     even_rate_per_mille: int = 800,
@@ -40,7 +49,7 @@ def stratified_sample(
     odd keep ``odd_rate_per_mille``/1000 (models boosting/downsampling
     sources of different quality). Pure map-side filter — no shuffle, no
     RNG; pushes down to the scan."""
-    suffix_even = (F.substring(F.col(stratum_col), 4, 10).cast("int") % 2) == 0
+    suffix_even = _stratum_suffix_parity(stratum_col) == 0
     rate = F.when(suffix_even, F.lit(even_rate_per_mille)).otherwise(
         F.lit(odd_rate_per_mille)
     )
@@ -96,7 +105,7 @@ def upsample_strata(
     convention) are replicated ``factor_minority`` times, each copy tagged
     with a replica index (so downstream shuffles spread copies). Map-side
     only — explode of a generated sequence, no shuffle, no RNG."""
-    suffix_odd = (F.substring(F.col(stratum_col), 4, 10).cast("int") % 2) == 1
+    suffix_odd = _stratum_suffix_parity(stratum_col) == 1
     factor = F.when(suffix_odd, F.lit(factor_minority)).otherwise(F.lit(1))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -243,12 +252,9 @@ def retained_docs(
         *_lang_vote_aggs(),
     )
     pred, _best = _lang_pick()
-    quality = F.round(
-        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.col("uniq_tokens") / F.col("n_tokens")) * 0.4
-        + (F.lit(1.0) - F.least(F.col("n_punct") / F.col("n_chars") * 10, F.lit(1.0))) * 0.2,
-        6,
-    )
+    from btrblocks_spark.pipeline.text import quality_composite
+
+    quality = quality_composite()
     scored = per_doc.select(
         "doc_id", pred.alias("pred_lang"), quality.alias("quality"), "n_tokens"
     )

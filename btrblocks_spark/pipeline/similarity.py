@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from btrblocks_spark.pipeline.dedup import cosine_expr, embedding_sketch
+from btrblocks_spark.pipeline.dedup import cosine_try_expr, embedding_sketch
 
 
 def _as_double(vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -59,7 +59,7 @@ def cosine_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -98,7 +98,7 @@ def radius_search(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -138,7 +138,9 @@ def _scored_cents(vec: str, norm_col: str = "_nv") -> str:
     precomputed: ``norm_col`` for the row, c.cn for the centroid."""
     dot = f"aggregate(zip_with({vec}, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     return (
-        f"transform(_cents, c -> struct(round(({dot}) / (({norm_col}) * (c.cn)), 6) AS cos, "
+        # try_divide: a zero-norm row or centroid yields NULL cos (loses
+        # every comparison) instead of aborting under ANSI mode
+        f"transform(_cents, c -> struct(round(try_divide({dot}, ({norm_col}) * (c.cn)), 6) AS cos, "
         "-c.c_id AS ncid))"
     )
 
@@ -148,6 +150,7 @@ def ivf_cells(
     centroid_stride: int = 31,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest coarse centroid (the IVF build
     step). Centroids are the vectors with ``vec_id % centroid_stride == 0``
@@ -159,7 +162,8 @@ def ivf_cells(
     blowup, no shuffle, no window; at scale this is the ingest-time step
     whose output is written ``partitionBy("cell")``."""
     corpus = _with_norm(_as_double(vecs, vec_col, id_col))
-    cents = _centroid_array(_stride_cents(corpus, centroid_stride))
+    if cents is None:
+        cents = _centroid_array(_stride_cents(corpus, centroid_stride))
     # coalesce(-1) makes `cell` non-nullable: a downstream equi-join on it
     # would otherwise infer an isnotnull(cell) filter, and because `cell` is
     # this whole fold expression the filter would evaluate it a SECOND time
@@ -185,7 +189,9 @@ def ivf_topk(
     lives in exactly one cell, so no candidate dedup is needed."""
     corpus = _as_double(vecs, vec_col, id_col)
     cents = _centroid_array(_stride_cents(corpus, centroid_stride))
-    cells = ivf_cells(vecs, centroid_stride, vec_col, id_col)
+    # hand the centroid array down: building it is a corpus filter +
+    # collect_list aggregation, and ivf_cells would otherwise redo it
+    cells = ivf_cells(vecs, centroid_stride, vec_col, id_col, cents=cents)
     queries = _with_norm(
         corpus.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -213,7 +219,7 @@ def ivf_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -322,7 +328,7 @@ def lsh_bucketed_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -365,7 +371,7 @@ def filtered_cosine_topk(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("_lbl").alias("label"),
-            F.round(cosine_expr("qv", "v"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -459,7 +465,7 @@ def sq8_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "rv"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "rv"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -509,6 +515,10 @@ def pq_encode(
     (vs SQ8's dim bytes); encoding is a map-side fold over the broadcast
     codebook — one corpus scan, no shuffle, no join."""
     sub = dim // m
+    if dim % m != 0:
+        # a truncating dim//m leaves the reconstruction short; zip_with
+        # then null-pads and every downstream cosine silently becomes NULL
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     corpus = _as_double(vecs, vec_col, id_col)
     cents = _stride_cents(corpus, centroid_stride).select(
         F.struct(
@@ -565,7 +575,7 @@ def pq_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("qv", "rv"), 6).alias("cosine"),
+            F.round(cosine_try_expr("qv", "rv"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

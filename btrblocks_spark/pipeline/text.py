@@ -162,6 +162,25 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+
+def quality_composite() -> F.Column:
+    """THE quality composite (reward saturating length, distinct vocab, low
+    punctuation), shared by text.quality_scores and curation.retained_docs
+    so the formula cannot drift between the scorer and the funnel. Inputs
+    are the per-doc aggregate columns n_tokens / uniq_tokens / n_punct /
+    n_chars. try_divide + coalesce: an empty doc (n_chars=0) scores its
+    other terms instead of aborting under ANSI mode."""
+    return F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.col("uniq_tokens") / F.col("n_tokens")) * 0.4
+        + (F.lit(1.0) - F.least(
+            F.coalesce(F.try_divide(F.col("n_punct"), F.col("n_chars")), F.lit(0.0)) * 10,
+            F.lit(1.0),
+        )) * 0.2,
+        6,
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic document quality: token count, mean token length,
     punctuation ratio, stopword ratio, and a composite [0,1] score.
@@ -197,16 +216,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.round(F.col("chars_in_tokens") / F.col("n_tokens"), 6).alias("mean_tok_len"),
-            F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+            # try_divide: an empty doc (n_chars=0) must score, not abort
+            # the whole corpus job under ANSI mode
+            F.round(F.try_divide(F.col("n_punct"), F.col("n_chars")), 6).alias("punct_ratio"),
             F.round(F.col("stop_hits") / F.col("n_tokens"), 6).alias("stopword_ratio"),
             F.round(F.col("uniq_tokens") / F.col("n_tokens"), 6).alias("ttr"),
-            # composite: reward length (saturating), distinct vocab, low punct
-            F.round(
-                F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
-                + (F.col("uniq_tokens") / F.col("n_tokens")) * 0.4
-                + (F.lit(1.0) - F.least(F.col("n_punct") / F.col("n_chars") * 10, F.lit(1.0))) * 0.2,
-                6,
-            ).alias("quality"),
+            quality_composite().alias("quality"),
         )
     )
 
@@ -219,8 +234,14 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.size(F.split("text", " ")).alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias("bpe_tokens"),
         F.length("text").alias("n_chars"),
+        # try_divide: whitespace-only text has zero BPE tokens — NULL ratio,
+        # not an ANSI DIVIDE_BY_ZERO abort
         F.round(
-            F.length("text") / F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)), 6
+            F.try_divide(
+                F.length("text"),
+                F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)),
+            ),
+            6,
         ).alias("chars_per_bpe_token"),
     )
 
@@ -413,15 +434,28 @@ def contamination_flags(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
-    sizes = tsh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # EVERY training doc gets a row — a doc shorter than n tokens has zero
+    # shingles (n_shingles=0, frac NULL, flagged=0), it is not dropped
+    sizes = (
+        train_docs.select("doc_id")
+        .join(
+            tsh.groupBy("doc_id").agg(F.count("*").alias("n_shingles")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"))
+    )
     return (
         sizes.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
             F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles"), 6
+                ),
             ).alias("contamination_frac"),
             (F.coalesce("n_contaminated", F.lit(0)) >= min_overlap).cast("int").alias(
                 "flagged"

@@ -1196,11 +1196,17 @@ hits AS (
   SELECT doc_id, count(*) AS n_contaminated
   FROM tsh JOIN bset USING (shingle) GROUP BY 1
 ),
-sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1)
+sizes AS (
+  SELECT d.doc_id, coalesce(c.n_shingles, 0) AS n_shingles
+  FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+  LEFT JOIN (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1) c
+    USING (doc_id)
+)
 SELECT s.doc_id, s.n_shingles,
        coalesce(h.n_contaminated, 0) AS n_contaminated,
-       round(coalesce(h.n_contaminated, 0) / CAST(s.n_shingles AS DOUBLE), 6)
-         AS contamination_frac,
+       CASE WHEN s.n_shingles = 0 THEN NULL
+            ELSE round(coalesce(h.n_contaminated, 0) / CAST(s.n_shingles AS DOUBLE), 6)
+       END AS contamination_frac,
        CASE WHEN coalesce(h.n_contaminated, 0) >= 2 THEN 1 ELSE 0 END AS flagged
 FROM sizes s LEFT JOIN hits h USING (doc_id)
 """,

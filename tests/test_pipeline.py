@@ -1218,3 +1218,55 @@ def test_semantic_contamination_zero_vector_coverage(spark):
     assert rows[2]["nearest_bench_id"] is None
     assert rows[2]["flagged"] == 0
     assert rows[3]["nearest_bench_id"] == 12 and rows[3]["flagged"] == 1
+
+
+def test_dirty_input_robustness_under_ansi(spark):
+    """Degenerate rows a real corpus contains — empty text, whitespace-only
+    text, non-numeric stratum names, zero-norm embeddings — must degrade to
+    NULL/default scores, never abort the job under Spark 4 ANSI mode."""
+    from btrblocks_spark.pipeline.curation import stratified_sample, upsample_strata
+    from btrblocks_spark.pipeline.similarity import cosine_topk, ivf_cells
+    from btrblocks_spark.pipeline.text import quality_scores, token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a solid document with several words", "src1"),
+         (2, "", "web"),
+         (3, "   ", "wikipedia")],
+        "doc_id long, text string, source string",
+    )
+    q = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert 1 in q and q[1]["quality"] > 0
+    t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert t[3]["bpe_tokens"] == 0 and t[3]["chars_per_bpe_token"] is None
+    # non-'srcN' strata degrade to the odd/default rate instead of crashing
+    assert stratified_sample(docs).count() >= 0
+    assert upsample_strata(docs).count() >= 3
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top = cosine_topk(vecs, [0], k=2).collect()
+    ids = [r["neighbor_id"] for r in top]
+    assert ids[0] == 1  # real score ranks above the zero vector's NULL
+    cells = {r["vec_id"]: r["cell"] for r in ivf_cells(vecs, centroid_stride=2).collect()}
+    assert set(cells) == {0, 1, 2}  # zero vector still assigned (sentinel ok)
+
+
+def test_contamination_flags_cover_short_docs(spark):
+    """A doc shorter than the shingle width still gets a row
+    (n_shingles=0, flagged=0) — full-coverage contract."""
+    from btrblocks_spark.pipeline.text import contamination_flags
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "one two three four five")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in contamination_flags(train, bench).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_shingles"] == 0 and rows[1]["flagged"] == 0
+    assert rows[1]["contamination_frac"] is None
+    assert rows[2]["flagged"] == 1
