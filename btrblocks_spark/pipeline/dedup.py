@@ -187,9 +187,17 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-dup candidates: docs sharing any of the 4 signature bytes
-    (byte-band LSH — two signatures within Hamming distance 6 of each other
-    agree on at least one byte when differing bits spread), verified with
-    exact Hamming distance <= ``max_hamming``."""
+    (byte-band LSH), verified with exact Hamming distance <=
+    ``max_hamming``.
+
+    Recall guarantee: with 4 byte-bands the pigeonhole argument covers
+    Hamming distance <= 3 ONLY (4+ differing bits can land one per byte —
+    e.g. 0x01010101 vs 0 is distance 4 with no shared byte). Pairs at
+    distance 4..max_hamming are found iff their differing bits cluster
+    into <= 3 bytes — best-effort extra recall, not a guarantee. For
+    guaranteed distance-6 recall use 7 bands (pigeonhole d+1) at ~2x the
+    band rows; the verification filter is exact either way, so precision
+    is unaffected by banding."""
     sigs = simhash_signatures(docs)
     # single-pass banding (posexplode) — the signature subtree runs once
     # per join side. Unlike minhash (fine-grained md5 band buckets), the
@@ -227,6 +235,46 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+
+def _inverted_index_pairs(
+    docs: DataFrame, n: int, max_doc_freq: int | None
+) -> DataFrame:
+    """(doc_a, doc_b, sz_a, sz_b, inter): the shared inverted-index pair
+    chain behind ngram_jaccard_pairs and containment_pairs — one distinct
+    shingle scan, optional document-frequency cap (the structural skew fix
+    for stopword shingles: a shingle in k docs contributes k² pairs),
+    per-doc set sizes measured AFTER the cap, pair rows map-side per
+    posting (pair-count IS the intersection size). Each caller applies its
+    own similarity formula over (sz_a, sz_b, inter).
+
+    NOTE measured dead end: "map-side dedup" via array_distinct on the
+    per-doc gram array is 4x SLOWER than this distinct shuffle
+    (array_distinct is quadratic on string arrays), and the sort+adjacent
+    -filter variant is worse still. Shuffle-based distinct IS the shape."""
+    from pyspark.sql.window import Window
+
+    shd = shingles(docs, n).distinct()
+    if max_doc_freq is not None:
+        shd = (
+            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
+    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
+    return (
+        pairs.select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
+            F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
 ) -> DataFrame:
@@ -240,40 +288,8 @@ def ngram_jaccard_pairs(
     candidate pairs; capping k bounds the blowup). Sizes |A|,|B| are then
     measured on the SAME capped shingle sets so jaccard stays a true
     set similarity of the filtered representation."""
-    from pyspark.sql.window import Window
-
-    # ONE linear chain — the shingle set is computed exactly once. The df
-    # cap and the per-doc set sizes are window counts folded into the chain
-    # (a keep-list join or a separate sizes aggregate would re-evaluate the
-    # shingle subtree once per reuse); set sizes are measured AFTER the cap
-    # so jaccard stays a true similarity of the filtered representation.
-    # NOTE measured dead end: "map-side dedup" via array_distinct on the
-    # per-doc gram array is 4x SLOWER than this distinct shuffle
-    # (array_distinct is quadratic on string arrays), and the
-    # sort+adjacent-filter variant is far worse still — Catalyst inlines
-    # the outer sorted-array reference into the filter lambda and re-sorts
-    # per element. Shuffle-based distinct is linear; it IS the right shape.
-    shd = shingles(docs, n).distinct()
-    if max_doc_freq is not None:
-        shd = (
-            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
-    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-    # inverted index: postings per shingle, pairs map-side; one pair row
-    # per shared shingle, so the pair-count IS the intersection size
-    pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
-    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
     return (
-        pairs.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
-            F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
-        )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        _inverted_index_pairs(docs, n, max_doc_freq)
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -346,6 +362,15 @@ def dedup_clusters(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # loop exhausted WITHOUT hitting the fixed point: a component with
+        # diameter > max_iter would be silently reported as several
+        # clusters — wrong answers must raise, not return
+        raise RuntimeError(
+            f"dedup_clusters: min-label propagation did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter); raise "
+            "max_iter"
+        )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, F.col("doc_id") == F.col("node"), "left")
@@ -387,8 +412,9 @@ def duplicate_islands(
 ) -> DataFrame:
     """Maximal duplicated RANGES per document (the span-merge step of
     ExactSubstr dedup, Lee et al. 2022): every ``w``-token span that occurs
-    more than once corpus-wide is a duplicate position; runs of adjacent
-    duplicate positions merge into one island row [start_tok, end_tok]
+    more than once corpus-wide is a duplicate position; positions whose
+    w-token ranges overlap or adjoin (gap <= w) merge into one island row
+    [start_tok, end_tok]
     (1-based, inclusive). ``duplicate_spans`` counts duplication;
     this locates it precisely enough to CUT — the island boundaries are
     exactly what a rewrite pass needs.
@@ -414,9 +440,17 @@ def duplicate_islands(
         .filter(F.col("n_occ") > 1)
         .select("doc_id", "pos")
     )
-    grp = F.col("pos") - F.row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")
-    )
+    # interval merge, not consecutive-integer grouping: spans at positions
+    # p and q cover [p, p+w-1] / [q, q+w-1], which overlap or adjoin for
+    # every gap q-p <= w — grouping on pos - row_number() (gap exactly 1)
+    # would emit OVERLAPPING island rows for gaps 2..w, double-cutting and
+    # double-counting the shared tokens. New island iff gap > w.
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    is_new = F.when(
+        F.lag("pos").over(wd).isNull() | (F.col("pos") - F.lag("pos").over(wd) > w),
+        1,
+    ).otherwise(0)
+    grp = F.sum(is_new).over(wd.rowsBetween(Window.unboundedPreceding, 0))
     return (
         dup.withColumn("grp", grp)
         .groupBy("doc_id", "grp")
@@ -496,10 +530,13 @@ def embedding_cosine_pairs(
             F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
             # cosine is symmetric but the oracle folds (a, b) with a = the
             # smaller id — keep the operand order identical
+            # try_divide cosine: a zero-norm vector shares bucket 0 with
+            # all-negative-projection vectors; its NULL cosine fails the
+            # threshold filter instead of aborting under ANSI mode
             F.when(
                 F.col("a.vec_id") <= F.col("b.vec_id"),
-                F.round(cosine_expr("a.v", "b.v"), 6),
-            ).otherwise(F.round(cosine_expr("b.v", "a.v"), 6)).alias("cosine"),
+                F.round(cosine_try_expr("a.v", "b.v"), 6),
+            ).otherwise(F.round(cosine_try_expr("b.v", "a.v"), 6)).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -596,27 +633,8 @@ def containment_pairs(
     Same single-chain inverted-index shape as ngram_jaccard_pairs (one
     shingle scan, pairs map-side per posting, pair-count = intersection);
     only the denominator differs."""
-    from pyspark.sql.window import Window
-
-    shd = shingles(docs, n).distinct()
-    if max_doc_freq is not None:
-        shd = (
-            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
-    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
-    pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
-    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
     return (
-        pairs.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            F.when(a_first, F.col("a.sz")).otherwise(F.col("b.sz")).alias("sz_a"),
-            F.when(a_first, F.col("b.sz")).otherwise(F.col("a.sz")).alias("sz_b"),
-        )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        _inverted_index_pairs(docs, n, max_doc_freq)
         .withColumn(
             "containment",
             F.round(F.col("inter") / F.least("sz_a", "sz_b"), 6),
@@ -921,10 +939,21 @@ def tfidf_cosine_pairs(
 def jaccard_prefix_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): identical
-    output to ``ngram_jaccard_pairs`` at the same threshold, but candidate
-    pairs come only from each document's PREFIX — its (sz - ceil(t*sz) + 1)
-    rarest shingles under a global (document-frequency, hash) order.
+    """Prefix-filtered exact Jaccard join (AllPairs/PPJoin): same output
+    as ``ngram_jaccard_pairs`` at the same threshold (test-enforced on the
+    fixture corpus), but candidate pairs come only from each document's
+    PREFIX — its (sz - ceil(t*sz) + 1) rarest shingles under a global
+    (document-frequency, hash) order.
+
+    Precision caveat: Jaccard here is computed over 32-bit HASHED shingle
+    sets (hash32) while ngram_jaccard_pairs compares raw shingle strings —
+    a hash collision can nudge |A∩B| or |A| by 1, so the two operators can
+    diverge on a near-threshold pair once distinct-shingle counts approach
+    the 32-bit birthday bound (~77k distinct shingles makes one collision
+    likely somewhere in the corpus; any EFFECT further requires the
+    colliding shingles to meet inside one candidate pair). At true corpus
+    scale widen to a 64-bit shingle hash (same md5-prefix construction) —
+    the prefix-filter math is hash-width agnostic.
 
     Why lossless: J(A,B) >= t forces |A∩B| >= ceil(t/(1+t)*(|A|+|B|)), and
     any pair with that much overlap must share a token within both prefixes

@@ -44,8 +44,12 @@ def _token_weight_millis(token: str) -> int:
 
 
 def _score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    out_ids, out_n, out_logit, out_score = [], [], [], []
+    # yield PER ARROW BATCH: accumulating the whole partition into Python
+    # lists before one final yield would make executor memory scale with
+    # partition size instead of batch size (the contract the module
+    # docstring promises), OOM-killing the worker on multi-GB partitions
     for pdf in it:
+        out_ids, out_n, out_logit, out_score = [], [], [], []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             toks = (text or "").split(" ")
             n = len(toks)
@@ -58,9 +62,9 @@ def _score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out_n.append(n)
             out_logit.append(logit)
             out_score.append(score)
-    yield pd.DataFrame(
-        {"doc_id": out_ids, "n_tokens": out_n, "logit": out_logit, "score": out_score}
-    )
+        yield pd.DataFrame(
+            {"doc_id": out_ids, "n_tokens": out_n, "logit": out_logit, "score": out_score}
+        )
 
 
 def score_documents(

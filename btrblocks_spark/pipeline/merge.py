@@ -52,9 +52,13 @@ def merge_upsert(
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .withColumn("_has_target", F.max(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wp))
-        .filter(F.col("_rn") == 1)
+        .withColumn("_has_update", F.max("_src").over(wp))
+        # not-matched-by-source keys pass through WHOLE: a target key with
+        # duplicate rows and no update keeps every row (MERGE leaves them
+        # untouched); only keys an update touches collapse to one winner
+        .filter((F.col("_has_update") == 0) | (F.col("_rn") == 1))
         .withColumn("op", op)
-        .drop("_src", "_rn", "_has_target")
+        .drop("_src", "_rn", "_has_target", "_has_update")
     )
 
 
@@ -78,9 +82,22 @@ def scd2_apply(
     the key (historical rows never join), then map-side unions — at scale
     the join shuffles only keys+attrs of the update batch and the current
     slice, never the full history.
+
+    Multi-row update batches are collapsed to ONE row per key first
+    (deterministically: the lexicographically-smallest attr tuple) — a raw
+    full join would otherwise fan out, closing the same current row twice
+    and opening several is_current rows per key. Callers with a version /
+    event-time column should pre-reduce to latest-wins themselves (e.g.
+    via merge_upsert's order_by) before calling.
     """
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
+
+    updates = (
+        updates.groupBy(*keys)
+        .agg(F.min(F.struct(*attrs)).alias("_a"))
+        .select(*keys, *[F.col(f"_a.{a}").alias(a) for a in attrs])
+    )
 
     diff = None
     for a in attrs:

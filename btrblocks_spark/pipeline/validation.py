@@ -45,7 +45,15 @@ def _long(df: DataFrame, tbl: str, triples: list[tuple[str, str, str]]) -> DataF
 
 
 def _viol(cond) -> object:
-    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    """Count rows violating a constraint. NULL-extends the predicate: a row
+    where the violation test is UNKNOWN (the checked value is NULL, e.g.
+    ``~(NULL > 0)``) counts as a violation — an audit must not silently
+    pass rows it could not affirm. coalesce(…, 0) keeps an empty table's
+    count at 0 instead of a NULL that makes ``passed`` three-valued."""
+    return F.coalesce(
+        F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)).cast("long"),
+        F.lit(0).cast("long"),
+    )
 
 
 def constraint_audit(

@@ -4414,8 +4414,11 @@ c AS (SELECT h, count(*) AS n_occ FROM s GROUP BY 1),
 dup AS (SELECT doc_id, pos FROM s JOIN c USING (h) WHERE n_occ > 1),
 g AS (
   SELECT doc_id, pos,
-         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dup
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)
 )
 SELECT doc_id, min(pos)::BIGINT AS start_tok, (max(pos) + 4)::BIGINT AS end_tok,
        count(*)::BIGINT AS n_spans,

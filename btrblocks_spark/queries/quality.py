@@ -22,19 +22,19 @@ from btrblocks_spark.tables import load_table
 WITH o_agg AS (
   SELECT count(*)::BIGINT AS checked,
     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null_cust,
-    sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)::BIGINT AS v_price_pos,
-    sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END)::BIGINT
+    sum(CASE WHEN coalesce(NOT (o_totalprice > 0), TRUE) THEN 1 ELSE 0 END)::BIGINT AS v_price_pos,
+    sum(CASE WHEN coalesce(NOT (o_orderstatus IN ('O','F','P')), TRUE) THEN 1 ELSE 0 END)::BIGINT
       AS v_status_dom,
-    sum(CASE WHEN o_orderdate < DATE '1992-01-01'
-               OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END)::BIGINT
+    sum(CASE WHEN coalesce(o_orderdate < DATE '1992-01-01'
+               OR o_orderdate > DATE '1998-12-31', TRUE) THEN 1 ELSE 0 END)::BIGINT
       AS v_date_range
   FROM orders
 ),
 l_agg AS (
   SELECT count(*)::BIGINT AS checked,
-    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)::BIGINT
+    sum(CASE WHEN coalesce(NOT (l_quantity BETWEEN 1 AND 50), TRUE) THEN 1 ELSE 0 END)::BIGINT
       AS v_qty,
-    sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)::BIGINT
+    sum(CASE WHEN coalesce(NOT (l_discount BETWEEN 0.0 AND 0.1), TRUE) THEN 1 ELSE 0 END)::BIGINT
       AS v_disc,
     sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_ship
   FROM lineitem

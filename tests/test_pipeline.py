@@ -700,7 +700,9 @@ def test_block_dedup_and_islands_match_python_model(spark):
         dup = [i + 1 for i, s in enumerate(sp) if occ[s] > 1]  # 1-based
         run: list = []
         for p in dup + [None]:
-            if run and (p is None or p != run[-1] + 1):
+            # interval merge: spans p and q cover overlapping/adjoining
+            # ranges for every gap q-p <= w, so only gap > w splits islands
+            if run and (p is None or p - run[-1] > w):
                 want.add((doc_id, run[0], run[-1] + w - 1, len(run)))
                 run = []
             if p is not None:
@@ -1270,3 +1272,40 @@ def test_contamination_flags_cover_short_docs(spark):
     assert rows[1]["n_shingles"] == 0 and rows[1]["flagged"] == 0
     assert rows[1]["contamination_frac"] is None
     assert rows[2]["flagged"] == 1
+
+
+def test_merge_upsert_keeps_untouched_duplicate_keys(spark):
+    """Target rows whose key no update touches pass through whole — even
+    duplicated keys (MERGE's not-matched-by-source leaves rows untouched);
+    a key WITH an update collapses to the winning row."""
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "dup1"), (2, "dup2")], "k long, v string"
+    )
+    updates = spark.createDataFrame([(1, "a2")], "k long, v string")
+    got = sorted(
+        (r["k"], r["v"], r["op"])
+        for r in merge_upsert(target, updates, ["k"]).collect()
+    )
+    assert got == [(1, "a2", "update"), (2, "dup1", "keep"), (2, "dup2", "keep")]
+
+
+def test_scd2_apply_multi_row_batch_single_current(spark):
+    """A multi-row update batch collapses deterministically to one row per
+    key: exactly one is_current row per key afterwards, one closed row."""
+    from btrblocks_spark.pipeline.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "attr", "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to", "is_current",
+    )
+    updates = spark.createDataFrame([(1, "y"), (1, "z")], "k long, attr string")
+    out = scd2_apply(dim, updates, ["k"], ["attr"], "2021-06-01").collect()
+    current = [r for r in out if r["is_current"]]
+    closed = [r for r in out if not r["is_current"]]
+    assert len(current) == 1 and current[0]["attr"] == "y"  # min struct
+    assert len(closed) == 1 and closed[0]["attr"] == "x"
