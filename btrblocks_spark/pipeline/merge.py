@@ -41,7 +41,17 @@ def merge_upsert(
     tagged = target.withColumn("_src", F.lit(0)).unionByName(
         updates.withColumn("_src", F.lit(1))
     )
-    order = [F.desc("_src")] + list(order_by or [])
+    # final content-hash tie-break: rows tied on (_src, order_by) would
+    # otherwise be ranked in partition order — a crash-replayed batch could
+    # commit a DIFFERENT winner than the original run (CDC streaming_upsert
+    # relies on same-batch → same-merged-content). Identical full rows
+    # remain interchangeable; differing rows pick one deterministically.
+    non_keys = [c for c in target.columns if c not in keys]
+    order = (
+        [F.desc("_src")]
+        + list(order_by or [])
+        + [F.xxhash64(*non_keys).asc()]
+    )
     w = Window.partitionBy(*keys).orderBy(*order)
     wp = Window.partitionBy(*keys)
     op = (

@@ -65,7 +65,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       SUM(CAST(round(value * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 """,
@@ -87,7 +87,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(10000.0))
+        .alias("total_value"),
     )
 
 
@@ -137,7 +138,8 @@ def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_users",
     oracle="""
 WITH per_user AS (
-  SELECT user_id, event_type, count(*) AS n, round(sum(value), 4) AS total
+  SELECT user_id, event_type, count(*) AS n,
+         SUM(CAST(round(value * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS total
   FROM events GROUP BY user_id, event_type
 ),
 ranked AS (
@@ -153,7 +155,8 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type top-k window (k small: no global sort)."""
     e = load_table(spark, sf_dir, "events")
     per_user = e.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(10000.0)).alias("total")
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("total"), F.asc("user_id"))
     return (
@@ -480,7 +483,7 @@ SELECT user_id,
        min(ts_us) AS session_start_us,
        max(ts_us) + {_GAP_US} AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       SUM(CAST(round(value * 10000) AS BIGINT)) / CAST(10000 AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, sid
 """,
@@ -506,7 +509,8 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id", F.session_window("event_time", "10 minutes").alias("sw"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 10000).cast("long")) / F.lit(10000.0))
+        .alias("total_value"),
             F.min("ts_us").alias("session_start_us"),
         )
         .select(

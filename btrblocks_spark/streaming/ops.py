@@ -4,6 +4,7 @@ sink, and a custom stateful sessionizer."""
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Iterator
 from typing import Any
 
@@ -68,6 +69,92 @@ def windowed_rollup(stream: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def exactly_once_chunked_append(
+    batch_df: DataFrame, path: str, batch_id: int, block_size: int = 65536
+) -> None:
+    """Replay-safe chunk-aligned append for foreachBatch sinks. foreachBatch
+    is at-least-once: a plain ``mode("append")`` duplicates the batch's rows
+    when a crash lands between the write and the checkpoint commit. Here the
+    batch is journaled instead:
+
+      1. recovery: if this batch id is already *committed* in the table's
+         ``_stream_batches.json``, the rerun is dropped; if *pending*, the
+         FIRST attempt's staged files are adopted to completion.
+      2. stage to ``_stream_stage/batch=<id>`` (mode overwrite — a replay
+         reproduces the stage byte-for-byte),
+      3. journal a pending entry mapping stage files to final
+         ``data/stream-b<id>-<i>.parquet`` names, rename, flip committed.
+
+    Same WAL shape as the btrblocks streaming sink and compact()'s journal;
+    the log update runs under the table's commit lock."""
+    import json
+
+    from btrblocks_spark.format.maintenance import commit_lock
+
+    log_path = os.path.join(path, "_stream_batches.json")
+
+    def read_log() -> list:
+        if os.path.exists(log_path):
+            with open(log_path) as fh:
+                return json.load(fh)
+        return []
+
+    def write_log(log: list) -> None:
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(log, fh)
+        os.replace(tmp, log_path)
+
+    def finish(entry: dict) -> None:
+        for src, dest in entry["renames"].items():
+            if os.path.exists(src):
+                os.replace(src, dest)
+
+    stage = os.path.join(path, "_stream_stage", f"batch={batch_id}")
+    with commit_lock(path):
+        log = read_log()
+        prior = next((e for e in log if e.get("batch") == batch_id), None)
+        if prior is not None:
+            if prior.get("state") == "pending":
+                finish(prior)  # first attempt's files — complete, don't restage
+                prior["state"] = "committed"
+                write_log(log)
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+    (
+        batch_df.write.mode("overwrite")
+        .option("maxRecordsPerFile", block_size)
+        .option("compression", "zstd")
+        .parquet(stage)
+    )
+    staged = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(stage)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    with commit_lock(path):
+        log = read_log()
+        if any(e.get("batch") == batch_id for e in log):  # lost a race
+            shutil.rmtree(stage, ignore_errors=True)
+            return
+        entry = {
+            "batch": batch_id,
+            "renames": {
+                s: os.path.join(path, "data", f"stream-b{batch_id}-{i:05d}.parquet")
+                for i, s in enumerate(staged)
+            },
+            "state": "pending",
+        }
+        log.append(entry)
+        write_log(log)  # commit point
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        finish(entry)
+        entry["state"] = "committed"
+        write_log(log)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def chunked_append(
     stream: DataFrame,
     path: str,
@@ -77,15 +164,11 @@ def chunked_append(
 ):
     """Chunk-aligned streaming sink: each microbatch is appended as Parquet
     files capped at ``block_size`` rows (the ColumnPart sizing analog) via
-    foreachBatch. Returns the StreamingQuery."""
+    foreachBatch, exactly-once (see ``exactly_once_chunked_append``).
+    Returns the StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("append")
-            .option("maxRecordsPerFile", block_size)
-            .option("compression", "zstd")
-            .parquet(os.path.join(path, "data"))
-        )
+        exactly_once_chunked_append(batch_df, path, batch_id, block_size)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -143,8 +226,18 @@ def _session_fn(gap_seconds: int):
         n, total = 0, 0.0
         if state.exists:
             start_us, last_us, n, total = state.get
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time")
+        # concat BEFORE sorting: a group arrives as multiple Arrow-sized
+        # chunks with no cross-chunk time order — sorting each chunk
+        # independently would interleave out-of-order timestamps and emit
+        # wrong session splits for any user with >1 chunk of events.
+        # Memory is bounded by one user's events per microbatch, which the
+        # state update below must hold in aggregate form anyway.
+        chunks = [p for p in pdfs if len(p)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            pdf = batch.sort_values("event_time")
             for t, v in zip(pdf["event_time"], pdf["value"]):
                 t_us = int(t.value // 1000)
                 if last_us is not None and t_us - last_us > gap_us:
@@ -362,17 +455,13 @@ def materialized_view_stream(
     refresh is driven by the PROCESSED-FILE LIST, not the batch id, so a
     crashed refresh simply leaves new files for the next batch's refresh
     to pick up (self-healing); a replayed microbatch is fenced by the
-    streaming checkpoint exactly as in chunked_append. Returns the
-    StreamingQuery."""
+    journaled append (``exactly_once_chunked_append`` — a rerun adopts or
+    drops, never re-appends), so the file list never gains duplicate rows
+    for the refresh to double-count. Returns the StreamingQuery."""
     from btrblocks_spark.format.incremental import incremental_agg
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("append")
-            .option("maxRecordsPerFile", block_size)
-            .option("compression", "zstd")
-            .parquet(os.path.join(path, "data"))
-        )
+        exactly_once_chunked_append(batch_df, path, batch_id, block_size)
         incremental_agg(
             batch_df.sparkSession, path, state_dir, keys, sum_cols
         )
@@ -643,9 +732,7 @@ def drift_stream(
         out = js_divergence_vs_ref(batch_df, ref_counts).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={batch_id}")
-        )
+        _write_batch_partition(out, out_dir, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

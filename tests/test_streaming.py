@@ -714,3 +714,57 @@ def test_block_dedup_stream_matches_batch_rewrite(spark, sf_dir, tmpdir):
     q2.awaitTermination(180)
     q2.stop()
     assert snapshot() == want
+
+
+def test_chunked_append_exactly_once_on_replay(spark, sf_dir, events_dir, tmpdir):
+    """foreachBatch is at-least-once: re-running a batch id (checkpoint
+    loss / crash before checkpoint commit) must not duplicate table rows,
+    and a torn pending entry must be adopted to completion."""
+    import json
+
+    from btrblocks_spark.streaming.ops import (
+        chunked_append,
+        exactly_once_chunked_append,
+        stream_source,
+    )
+
+    path = os.path.join(tmpdir, "eo_table")
+    ckpt = os.path.join(tmpdir, "eo_ckpt")
+    q = chunked_append(stream_source(spark, events_dir), path, ckpt, block_size=4096)
+    q.awaitTermination(120)
+    q.stop()
+    n = spark.read.parquet(os.path.join(path, "data")).count()
+    n_src = spark.read.parquet(events_dir).count()
+    assert n == n_src
+
+    # replay batch 0 directly (same data, same id): dropped, not re-appended
+    batch0 = spark.read.parquet(events_dir)
+    exactly_once_chunked_append(batch0, path, 0, block_size=4096)
+    assert spark.read.parquet(os.path.join(path, "data")).count() == n_src
+
+    # torn pending entry: force state back to pending with staged files
+    log_path = os.path.join(path, "_stream_batches.json")
+    with open(log_path) as fh:
+        log = json.load(fh)
+    # craft a pending batch 99 whose stage holds 1 row
+    stage = os.path.join(path, "_stream_stage", "batch=99")
+    batch0.limit(1).coalesce(1).write.mode("overwrite").parquet(stage)
+    staged = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(stage)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    log.append({
+        "batch": 99,
+        "renames": {s: os.path.join(path, "data", f"stream-b99-{i:05d}.parquet")
+                    for i, s in enumerate(staged)},
+        "state": "pending",
+    })
+    with open(log_path, "w") as fh:
+        json.dump(log, fh)
+    exactly_once_chunked_append(batch0.limit(1), path, 99, block_size=4096)
+    with open(log_path) as fh:
+        log2 = json.load(fh)
+    assert [e["state"] for e in log2 if e["batch"] == 99] == ["committed"]
+    assert spark.read.parquet(os.path.join(path, "data")).count() == n_src + 1
