@@ -2065,6 +2065,29 @@ FROM r WHERE rk = 1
 """
 
 
+
+def _hourly_value_buckets(spark, sf_dir: str, agg: str = "sum(v)"):
+    """(event_type, hour, sv): per-type hourly buckets of scaled-long value
+    sums — the shared front of every hourly time-series query (CUSUM, EWMA,
+    seasonal decompose, peak detection, ACF, trend test, runs test). Epoch
+    nanos bucket via integer ``div`` (never float '/'); values scale to
+    int64 so the bucket sums are exact under any partial-agg order. One
+    map-side-combinable groupBy; output is time-span-bounded, not
+    data-volume-bounded. ``agg`` is the sv expression over the scaled v
+    ("sum(v)" or "sum(v) div 10000"), textual so each query's oracle
+    mirrors it verbatim."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr("ts div 3600000000000").alias("hour"),
+            F.round(F.col("value") * 10000).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.expr(agg).alias("sv"))
+    )
+
+
 @register("events_cusum_changepoint", _CUSUM_ORACLE)
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint scan: for each event type, the hour where the
@@ -2077,16 +2100,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by event_type over that bucket table, whose size grows
     with the time span (720 hours here), not the data volume — at 100 TB
     the windowed stage still sees only thousands of rows per type."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     wt = Window.partitionBy("event_type")
     wo = wt.orderBy("hour")
     w = b.select(
@@ -2152,16 +2166,7 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: raw events reduce map-side to |types| × |hours| buckets
     before any window; the 32-lag frame collect runs over that bucket
     table, partitioned by type — O(time span), not O(volume)."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     frame = (
         Window.partitionBy("event_type").orderBy("hour").rowsBetween(-31, 0)
     )
@@ -2231,16 +2236,7 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: raw events reduce map-side to |types|×|hours| buckets;
     all windows are partitioned by type over that bucket table; the
     seasonal join is a broadcast of |types|×24 rows."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     frame = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-11, 12)
     w = b.select(
         "event_type", "hour", "sv",
@@ -2318,16 +2314,7 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     in value units). All comparisons are on exact scaled BIGINTs; the
     lag/lead windows are partitioned by type over the map-side-reduced
     bucket table (O(time span) rows)."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("hour")
     n = b.select(
         "event_type", "hour", "sv",
@@ -2521,16 +2508,7 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bucket table is |types|×|hours| (map-side reduced); the
     lag join multiplies it by 24 — still time-span-bounded, shuffled once
     on (type, hour)."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.expr("sum(v) div 10000").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir, agg="sum(v) div 10000")
     lags = F.explode(F.sequence(F.lit(1), F.lit(24))).alias("lag")
     a = b.select("event_type", "hour", F.col("sv").alias("x"), lags)
     c = b.select(
@@ -2600,16 +2578,7 @@ def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: raw events reduce map-side first; the pair join is
     O(hours²) per type — bounded by the calendar, not the data volume."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     c = b.select(
         F.col("event_type").alias("_et"),
         F.col("hour").alias("_h"),
@@ -2695,16 +2664,7 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by type over the reduced bucket table (first row counts
     as a run start via the IS DISTINCT FROM null semantics); the z is one
     scalar from exact counts."""
-    e = load_table(spark, sf_dir, "events")
-    b = (
-        e.select(
-            "event_type",
-            F.expr("ts div 3600000000000").alias("hour"),
-            F.round(F.col("value") * 10000).cast("long").alias("v"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.sum("v").alias("sv"))
-    )
+    b = _hourly_value_buckets(spark, sf_dir)
     tot = b.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("sv").alias("ts")
     )
