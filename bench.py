@@ -174,6 +174,8 @@ HEADLINE = [
     "events_trend_test",
     "events_runs_test",
     "curation_theil_inequality",
+    "scan_jsonl_roundtrip",
+    "dedup_semantic_contamination",
 ]
 
 
