@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -463,7 +464,10 @@ def scheme_bench() -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # sf from an explicit 'sf<number>' basename only — rsplit('sf') on an
+    # arbitrary path would ship path fragments as the reported sf value
+    m = re.fullmatch(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else None
     spark = get_spark(app_name="btrblocks-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -504,7 +508,7 @@ def main() -> None:
         fmt["schemes"] = scheme_bench()
 
         total = round(sum(timings.values()), 3)
-        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        sf_val = float(sf) if sf is not None else None
 
         # full per-query + format detail goes to a committed artifact; the
         # stdout contract line must stay well under 2 KB because the driver

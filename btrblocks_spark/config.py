@@ -23,42 +23,12 @@ class SchemeSelection(str, Enum):
 # Scheme identifiers (reference: scheme/SchemeType.hpp). We keep the names,
 # not the numeric codes — our on-disk physical encoding is Parquet, and the
 # scheme is recorded in table metadata for planner lineage + decode hints.
-INTEGER_SCHEMES = (
-    "uncompressed",
-    "one_value",
-    "dict",
-    "rle",
-    "pfor",  # patched bit-packing class (delegated to Parquet physically)
-    "bp",
-    "frequency",
-    "for",
-    "delta",  # PFOR_DELTA: usable iff sorted (scheme/integer/PBP.cpp:60-65)
-    "truncation",
-)
-DOUBLE_SCHEMES = (
-    "uncompressed",
-    "one_value",
-    "dict",
-    "rle",
-    "frequency",
-    "pseudodecimal",  # signature scheme (scheme/double/Pseudodecimal.cpp)
-    "alp",  # beyond-reference (PVLDB 2023): chunk-wide (e, f) decimal digits;
-            # competes on size, wins on fixed-scale decimal columns
-    "alp_rd",  # ALP §4.3 real-double fallback: left-bits dictionary + packed
-            # rights; wins ~10-20% on clustered-exponent scientific columns
-)
-STRING_SCHEMES = (
-    "uncompressed",
-    "one_value",
-    "dict",
-    "fsst",  # real FSST symbol-table codec (format/fsst.py)
-    # legacy fixed-width dictionary slots (scheme/string/FixedDictionary.cpp,
-    # templated/VarDictionary.hpp; SchemeType DICTIONARY_8/16) — off by
-    # default in the reference; available here behind config, competing on
-    # size when enabled
-    "dict8",
-    "dict16",
-)
+# The AUTHORITATIVE per-kind implemented-scheme lists live in
+# format/codecs.py (INT_SCHEMES / DOUBLE_SCHEMES / STRING_SCHEMES); the
+# dataclass fields below are the DEFAULT-ENABLED subsets the planner may
+# pick from — intentionally narrower: double.xor is sequential-decode (slow
+# at scale), double_bp/max_exponent are legacy competitors, enable per
+# table via `with_(double_schemes=...)` when a column shape wants them.
 
 
 @dataclass(frozen=True)
@@ -80,8 +50,13 @@ class BtrBlocksConfig:
     integer_schemes: tuple[str, ...] = (
         "uncompressed", "one_value", "dict", "rle", "pfor", "bp", "delta", "dod",
     )
-    double_schemes: tuple[str, ...] = DOUBLE_SCHEMES
-    string_schemes: tuple[str, ...] = STRING_SCHEMES
+    double_schemes: tuple[str, ...] = (
+        "uncompressed", "one_value", "dict", "rle", "frequency",
+        "pseudodecimal", "alp", "alp_rd",
+    )
+    string_schemes: tuple[str, ...] = (
+        "uncompressed", "one_value", "dict", "fsst", "dict8", "dict16",
+    )
     # force a scheme for every column of the type (tests; reference
     # test/test-cases/TestHelper.hpp:15-35 EnforceScheme)
     force_integer_scheme: str | None = None

@@ -237,6 +237,10 @@ int64_t fsst_decode_batch(
                 out[o++] = buf[i + 1];
                 i += 2;
             } else {
+                /* corrupt payload guard: a code beyond the table would read
+                   past sym_lens/starts (garbage length, wild memcpy) — fail
+                   cleanly so the caller falls back to the checked path */
+                if (c >= nsym) return -1;
                 int L = sym_lens[c];
                 if (o + 8 > out_cap) return -1; /* fixed 8-byte copy below */
                 memcpy(out + o, starts[c], 8); /* padded table, L<=8 */
@@ -267,15 +271,23 @@ def _build():
     os.makedirs(cache, exist_ok=True)
     modname = f"_btr_fsst_{tag}"
 
-    import sys
+    def _load_from(path: str):
+        # explicit-path import: prepending the (user-writable) cache dir to
+        # sys.path would make it the highest-priority import location for
+        # the whole process — any file dropped there could shadow stdlib or
+        # site-packages for every later import (module-shadowing hazard)
+        import importlib.util
 
-    if cache not in sys.path:
-        sys.path.insert(0, cache)
-    try:
-        mod = __import__(modname)
+        spec = importlib.util.spec_from_file_location(modname, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
         return mod.ffi, mod.lib
-    except ImportError:
-        pass
+
+    import glob
+
+    existing = sorted(glob.glob(os.path.join(cache, f"{modname}*.so")))
+    if existing:
+        return _load_from(existing[0])
 
     f = FFI()
     f.cdef(_CDEF)
@@ -287,8 +299,7 @@ def _build():
         tmp_dest = dest + f".{os.getpid()}"
         os.replace(so, tmp_dest)
         os.replace(tmp_dest, dest)
-    mod = __import__(modname)
-    return mod.ffi, mod.lib
+    return _load_from(dest)
 
 
 try:

@@ -19,11 +19,20 @@ from btrblocks_spark.session import get_spark
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.001"
-    only = [a for a in args if not a.startswith("/")]
+    # an sf_dir must LOOK like a path (contains a separator), not merely be
+    # absolute — a relative path would otherwise be silently treated as a
+    # query-name filter that matches nothing
+    paths = [a for a in args if os.sep in a]
+    only = [a for a in args if os.sep not in a]
+    sf_dir = paths[0] if paths else "/root/testdata/sf0.001"
 
     queries = all_queries()
     oracles = all_oracles()
+    unknown = sorted(set(only) - set(queries))
+    if unknown:
+        print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+        return 2
+
     spark = get_spark(
         cpus=int(os.environ.get("ORACLE_CPUS", "8")),
         shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE", "8")),
@@ -31,9 +40,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = []
+    n_run = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -41,7 +52,9 @@ def main() -> int:
                 ok, msg = compare(df, oracles[name], sf_dir)
             else:
                 n = df.count()
-                ok, msg = True, f"rows-only: {n} rows"
+                # the driver's rows-only check requires rows > 0; an empty
+                # result is a regression, never a pass
+                ok, msg = n > 0, f"rows-only: {n} rows"
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {type(e).__name__}: {e}"
         dt = time.time() - t0
@@ -50,7 +63,8 @@ def main() -> int:
         if not ok:
             failed.append(name)
 
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed")
+    # denominator = queries actually RUN (skipped != passed)
+    print(f"\n{n_run - len(failed)}/{n_run} passed")
     if failed:
         print("failed:", ", ".join(failed))
     return 1 if failed else 0
