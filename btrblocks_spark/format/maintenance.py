@@ -43,9 +43,14 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
     A waiter whose own ``timeout_sec`` expires RAISES; it never breaks the
     lock (the holder may simply be slow — stealing a live lock reopens the
     lost-update race this lock exists to close). Stale-break applies only
-    to locks whose mtime age exceeds ``stale_sec`` (a crashed committer),
-    and release is owner-checked via a token file so a broken-and-reacquired
-    lock is never deleted by the previous holder's ``finally``."""
+    to locks whose mtime age exceeds ``stale_sec`` (a crashed committer);
+    the HOLDER heartbeats the token file's mtime from a daemon thread while
+    the lock is held, so a legitimately slow critical section (a large
+    journal apply on slow storage, >stale_sec) is never mistaken for a
+    crash and stolen. Release is owner-checked via the token file so a
+    broken-and-reacquired lock is never deleted by the previous holder's
+    ``finally``."""
+    import threading
     import uuid
 
     stale_sec = max(60.0, 6 * timeout_sec)
@@ -54,6 +59,18 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
     token = uuid.uuid4().hex
     os.makedirs(dir_path, exist_ok=True)
     deadline = time.monotonic() + timeout_sec
+
+    def _age() -> float:
+        # staleness = age of the NEWEST liveness signal: the token file's
+        # mtime while the holder heartbeats, falling back to the lock dir
+        # (a holder that crashed between mkdir and token write)
+        newest = os.path.getmtime(lock)
+        try:
+            newest = max(newest, os.path.getmtime(token_path))
+        except OSError:
+            pass
+        return time.time() - newest
+
     while True:
         try:
             os.mkdir(lock)
@@ -62,7 +79,7 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > stale_sec:
+                if _age() > stale_sec:
                     # crashed holder: break it via atomic rename-aside —
                     # rmtree-in-place would let a SECOND breaker delete a
                     # lock the first breaker's winner just re-acquired
@@ -83,9 +100,24 @@ def commit_lock(dir_path: str, timeout_sec: float = 10.0):
                     "committer; raise timeout_sec or retry"
                 )
             time.sleep(0.02)
+    # liveness heartbeat: touch the token while held so a long critical
+    # section's lock never looks stale to a rival's _age() check
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(stale_sec / 4):
+            try:
+                os.utime(token_path)
+            except OSError:  # lock stolen/gone: nothing left to keep alive
+                return
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
     try:
         yield
     finally:
+        stop_beat.set()
+        beater.join(timeout=1.0)
         try:
             with open(token_path) as fh:
                 still_ours = fh.read() == token
@@ -367,8 +399,11 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     import dataclasses
 
     # finish any interrupted compaction FIRST — scanning data/ with a
-    # half-applied swap on disk would double-count or miss rows
-    _apply_compact_journal(path)
+    # half-applied swap on disk would double-count or miss rows. Under the
+    # commit lock: readers also repair journals now (read_metadata), and
+    # two unserialized appliers would race each other's os.remove.
+    with commit_lock(path):
+        _apply_compact_journal(path)
 
     meta = read_metadata(path)
     bs = int(meta["block_size"])
@@ -516,10 +551,11 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
 
     journal = {"adds": adds, "remove": frag, "meta": meta}
     jpath = os.path.join(path, "_compact_journal.json")
-    with open(jpath + ".tmp", "w") as fh:
-        json.dump(journal, fh, default=str)
-    os.replace(jpath + ".tmp", jpath)  # commit point
-    _apply_compact_journal(path)
+    with commit_lock(path):
+        with open(jpath + ".tmp", "w") as fh:
+            json.dump(journal, fh, default=str)
+        os.replace(jpath + ".tmp", jpath)  # commit point
+        _apply_compact_journal(path)
     return {
         "compacted": True,
         "files_before": len(files),
@@ -550,6 +586,14 @@ def _apply_compact_journal(path: str) -> bool:
     for src, dest in journal["adds"].items():
         if os.path.exists(src):
             os.replace(src, dest)
+        elif not os.path.exists(dest):
+            # staged compacted file lost with no adopted copy: applying the
+            # removes now would LOSE the fragment rows it replaced — leave
+            # the journal pending and surface the corruption
+            raise RuntimeError(
+                f"compact journal: staged file {src} lost before adoption "
+                f"as {dest}; journal left pending"
+            )
     for f in journal["remove"]:
         try:
             os.remove(f)

@@ -17,11 +17,42 @@ from pyspark.sql import functions as F
 from btrblocks_spark.format import fs as _fs
 
 
+def _repair_pending_journals(path: str) -> None:
+    """Read-path crash repair: a compaction (or COPY INTO) that died between
+    its journal commit point and the apply leaves adopted files coexisting
+    with the fragments they replace — every reader would see duplicate rows
+    for an unbounded interval if repair only ran at the NEXT maintenance
+    call. So the metadata read (the front door of every scan) finishes a
+    pending journal first, under the table's commit lock. The existence
+    check is two stats — free on the no-journal fast path; non-local URIs
+    skip (journal applies are os-level renames)."""
+    if "://" in str(path):
+        return
+    has_journal = os.path.exists(
+        os.path.join(path, "_compact_journal.json")
+    ) or os.path.exists(os.path.join(path, "_copy_journal.json"))
+    if not has_journal:
+        return
+    from btrblocks_spark.format.maintenance import (
+        _apply_compact_journal,
+        commit_lock,
+    )
+    from btrblocks_spark.sources.copy_into import _apply_copy_journal
+
+    with commit_lock(path):  # re-checks inside: appliers no-op if gone
+        _apply_compact_journal(path)
+        _apply_copy_journal(path)
+
+
 def read_metadata(path: str, spark: SparkSession | None = None) -> dict:
     """Sidecar read. Local paths use plain ``open``; URI paths
     (``s3a://…``, ``file://…``) go through the Hadoop FileSystem client
     (format/fs.py — the S7 object-store path, decompression-speed-s3.cpp:37+),
-    which needs the session's Hadoop conf, hence the optional ``spark``."""
+    which needs the session's Hadoop conf, hence the optional ``spark``.
+    Applies any pending compact/copy journal first (crash repair) so a
+    reader never serves the duplicate-row window a crashed maintenance op
+    left behind."""
+    _repair_pending_journals(path)
     return _fs.read_json(_fs.join(path, "_btr_metadata.json"), spark)
 
 

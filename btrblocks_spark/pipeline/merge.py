@@ -47,11 +47,11 @@ def merge_upsert(
     # relies on same-batch → same-merged-content). Identical full rows
     # remain interchangeable; differing rows pick one deterministically.
     non_keys = [c for c in target.columns if c not in keys]
-    order = (
-        [F.desc("_src")]
-        + list(order_by or [])
-        + [F.xxhash64(*non_keys).asc()]
-    )
+    # key-only MERGE: every column is a key, so tied rows are identical by
+    # construction — no content hash to break ties on (and F.xxhash64() with
+    # zero args is an analysis error)
+    content_tie = [F.xxhash64(*non_keys).asc()] if non_keys else []
+    order = [F.desc("_src")] + list(order_by or []) + content_tie
     w = Window.partitionBy(*keys).orderBy(*order)
     wp = Window.partitionBy(*keys)
     op = (

@@ -165,6 +165,25 @@ def pca_power_iteration(
     return [float(x) for x in v]
 
 
+def _score_label(docs: DataFrame) -> DataFrame:
+    """The (score, y) projection shared by threshold_sweep and
+    calibration_bins — one definition so the operating-point sweep and the
+    reliability diagram can never drift apart (it mirrors the oracle side's
+    shared ``_SCORE_SQL`` CTE, queries/pipeline_queries.py). Score is the
+    stream scorer's margin with weights scaled to EXACT INTEGERS (×20000):
+    score = n_chars + 2·n_words − 4·n_periods; label y = (n_chars > 250)."""
+    return docs.select(
+        (
+            F.col("n_chars")
+            + 2 * F.size(F.split("text", " "))
+            - 4 * (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        )
+        .cast("long")
+        .alias("score"),
+        (F.col("n_chars") > 250).cast("long").alias("y"),
+    )
+
+
 def threshold_sweep(docs: DataFrame, n_steps: int = 10) -> DataFrame:
     """Operating-point selection for the quality filter: sweep an 11-point
     threshold grid over the classifier score and report the exact confusion
@@ -181,16 +200,7 @@ def threshold_sweep(docs: DataFrame, n_steps: int = 10) -> DataFrame:
     Shape: one scan computes (score, y); min/max reduce to a broadcast
     1-row frame; the grid cross-join fans each row to 11 threshold rows
     (bounded constant), then one map-side-combined groupBy(threshold)."""
-    s = docs.select(
-        (
-            F.col("n_chars")
-            + 2 * F.size(F.split("text", " "))
-            - 4 * (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
-        )
-        .cast("long")
-        .alias("score"),
-        (F.col("n_chars") > 250).cast("long").alias("y"),
-    )
+    s = _score_label(docs)
     bounds = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
     grid = bounds.select(
         F.explode(
@@ -239,16 +249,7 @@ def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     per-bin score sum is Σ(score−lo) as BIGINT); each reported double is a
     single scalar division of exact aggregates — bit-deterministic under
     any partition order."""
-    s = docs.select(
-        (
-            F.col("n_chars")
-            + 2 * F.size(F.split("text", " "))
-            - 4 * (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
-        )
-        .cast("long")
-        .alias("score"),
-        (F.col("n_chars") > 250).cast("long").alias("y"),
-    )
+    s = _score_label(docs)
     bounds = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
     b = s.crossJoin(F.broadcast(bounds)).select(
         "score",

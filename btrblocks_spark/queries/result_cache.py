@@ -53,6 +53,15 @@ def cached_result(
     data_dir = os.path.join(slot, "data")
     if os.path.exists(marker):
         return spark.read.parquet(data_dir), True
+    if os.path.isdir(data_dir):
+        # a previous writer crashed between the atomic stage→data rename and
+        # the marker write. data/ is complete (the stage is fully written
+        # BEFORE the rename), so repair the marker and serve the hit —
+        # otherwise this slot recomputes and discards its result forever
+        # (every rival rename fails on the existing data/).
+        with open(marker, "w") as fh:
+            json.dump({"name": name, "digest": digest, "repaired": True}, fh)
+        return spark.read.parquet(data_dir), True
     df = compute()
     os.makedirs(slot, exist_ok=True)
     # publish atomically: two sessions sharing cache_root can miss the same

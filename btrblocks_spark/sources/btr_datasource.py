@@ -222,9 +222,10 @@ def _write_chunk_files(
     total = 0
     buf: list = []
     buf_rows = 0
+    order = list(columns)
 
     def flush(batches: list, n_rows: int) -> None:
-        table = pa.Table.from_batches(batches).select(list(columns))
+        table = pa.Table.from_batches(batches)
         for off in range(0, n_rows, block_size):
             part = table.slice(off, block_size)
             fname = os.path.join(
@@ -236,6 +237,15 @@ def _write_chunk_files(
     for b in iterator:
         if b.num_rows == 0:
             continue
+        # normalize EVERY raw batch to the declared column order before it
+        # enters the buffer: the constructor accepts any incoming order, and
+        # a carry-over remainder (re-sliced from an already-normalized
+        # table) must never be mixed with raw incoming-order batches in one
+        # from_batches call — pyarrow rejects the inconsistent schemas
+        # mid-append (ArrowInvalid) once a partition spans >1 batch and
+        # block_size doesn't divide the batch size
+        if b.schema.names != order:
+            b = b.select(order)
         buf.append(b)
         buf_rows += b.num_rows
         total += b.num_rows
@@ -243,7 +253,7 @@ def _write_chunk_files(
         # block_size-full instead of fragmenting at batch boundaries
         if buf_rows >= block_size:
             whole = (buf_rows // block_size) * block_size
-            table = pa.Table.from_batches(buf).select(list(columns))
+            table = pa.Table.from_batches(buf)
             flush_part = table.slice(0, whole)
             flush(flush_part.to_batches(), whole)
             rest = table.slice(whole)
@@ -252,6 +262,79 @@ def _write_chunk_files(
     if buf_rows:
         flush(buf, buf_rows)
     return files, total
+
+
+# --- shared write-ahead append log (batch + streaming commits) ---------------
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, "_appends.json")
+
+
+def _read_log(path: str) -> list:
+    import json
+
+    if os.path.exists(_log_path(path)):
+        with open(_log_path(path)) as fh:
+            return json.load(fh)
+    return []
+
+
+def _write_log(path: str, log: list) -> None:
+    import json
+
+    tmp = _log_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(log, fh)
+    os.replace(tmp, _log_path(path))
+
+
+def _finish_renames(entry: dict) -> None:
+    """Complete the entry's inflight→final renames idempotently: a source
+    already renamed (inflight gone, FINAL PRESENT) is skipped, so this is
+    safe to re-run from any crash point. A source that is gone with no
+    final file is data loss (stage cleaned up, or clobbered by a rival
+    restage) — raise so the entry stays pending and the loss surfaces,
+    instead of being silently flipped to committed with rows dropped."""
+    for src, dest in entry["renames"].items():
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(src, dest)
+        elif not os.path.exists(dest):
+            raise RuntimeError(
+                f"append commit: staged file {src} is gone and {dest} was "
+                "never created — rows lost; entry left pending"
+            )
+
+
+def _finish_all_pending(log: list) -> bool:
+    """Finish every *pending* entry's renames and flip it committed —
+    recovery for a driver that crashed mid-commit. Caller holds the table's
+    commit lock (any pending entry observed under the lock belongs to a
+    crashed committer, never a live one). Returns True when the log
+    changed."""
+    changed = False
+    for e in log:
+        if e.get("state") == "pending":
+            _finish_renames(e)
+            e["state"] = "committed"
+            changed = True
+    return changed
+
+
+def recover_pending_appends(path: str) -> int:
+    """Public crash-recovery hook: finish any pending append entries left by
+    a committer that died between the WAL intent write and the final flip.
+    Runs automatically at the start of every batch/stream commit; callable
+    directly (e.g. before maintenance) to bound the invisibility window.
+    Returns the number of entries recovered."""
+    from btrblocks_spark.format.maintenance import commit_lock
+
+    with commit_lock(path):
+        log = _read_log(path)
+        n = sum(1 for e in log if e.get("state") == "pending")
+        if n and _finish_all_pending(log):
+            _write_log(path, log)
+    return n
 
 
 class BtrBlocksWriter(DataSourceArrowWriter):
@@ -308,39 +391,38 @@ class BtrBlocksWriter(DataSourceArrowWriter):
         return AppendCommit(tuple(files), total)
 
     def commit(self, messages) -> None:
-        import json
-
+        # Write-ahead commit (same WAL as the streaming twin): (1) append a
+        # *pending* entry recording every inflight→final rename, (2) perform
+        # the renames, (3) flip the entry to committed. The old order
+        # (rename first, journal last) left a torn append on a driver crash
+        # mid-loop — some files visible, some .inflight, no log entry —
+        # contradicting the all-or-nothing docstring. With the WAL, a crash
+        # before the intent write leaves nothing visible (abort semantics);
+        # a crash after it is finished by recovery at the next commit on
+        # this table (or an explicit recover_pending_appends call).
+        # The whole sequence runs under the table's commit lock: the log
+        # update is read-modify-write, and a concurrent committer would
+        # otherwise drop our entry.
         from btrblocks_spark.format.maintenance import commit_lock
 
-        log_path = os.path.join(self.path, "_appends.json")
-        # the log update is read-modify-write of the whole file: concurrent
-        # committers (two queries on one table) would silently drop each
-        # other's entries without the lock
+        inflight = [f for m in messages if m for f in m.files]
         with commit_lock(self.path):
-            # make the committed attempts' files visible (task-retry orphans
-            # keep their .inflight names and stay invisible)
-            final = []
-            for m in messages:
-                if m is None:
-                    continue
-                for f in m.files:
-                    dest = f[: -len(".inflight")] + ".parquet"
-                    os.replace(f, dest)
-                    final.append(dest)
-            log = []
-            if os.path.exists(log_path):
-                with open(log_path) as fh:
-                    log = json.load(fh)
-            log.append(
-                {
-                    "files": final,
-                    "rows": sum(m.rows for m in messages if m),
-                }
-            )
-            tmp = log_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(log, fh)
-            os.replace(tmp, log_path)
+            log = _read_log(self.path)
+            _finish_all_pending(log)  # adopt any crashed predecessor first
+            entry = {
+                "kind": "batch",
+                "renames": {
+                    f: f[: -len(".inflight")] + ".parquet" for f in inflight
+                },
+                "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
+                "rows": sum(m.rows for m in messages if m),
+                "state": "pending",
+            }
+            log.append(entry)
+            _write_log(self.path, log)  # intent durable BEFORE anything visible
+            _finish_renames(entry)
+            entry["state"] = "committed"
+            _write_log(self.path, log)
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -423,34 +505,6 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
         )
         return AppendCommit(tuple(files), total)
 
-    def _log_path(self) -> str:
-        return os.path.join(self.path, "_appends.json")
-
-    def _read_log(self) -> list:
-        import json
-
-        if os.path.exists(self._log_path()):
-            with open(self._log_path()) as fh:
-                return json.load(fh)
-        return []
-
-    def _write_log(self, log: list) -> None:
-        import json
-
-        tmp = self._log_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh)
-        os.replace(tmp, self._log_path())
-
-    @staticmethod
-    def _finish_renames(entry: dict) -> None:
-        """Complete the entry's inflight→final renames idempotently: a
-        source already renamed (missing inflight, final present) is skipped,
-        so this is safe to re-run from any crash point."""
-        for src, dest in entry["renames"].items():
-            if os.path.exists(src):
-                os.replace(src, dest)
-
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         # Write-ahead commit: (1) append an intent entry mapping each
         # inflight file to its final name, (2) perform the renames,
@@ -468,7 +522,7 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
 
         inflight = [f for m in messages if m for f in m.files]
         with commit_lock(self.path):
-            log = self._read_log()
+            log = _read_log(self.path)
             prior = next(
                 (
                     e
@@ -481,15 +535,19 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
                 if prior.get("state") == "pending":
                     # first attempt crashed mid-rename: finish ITS renames,
                     # then mark committed — the rerun's files are duplicates
-                    self._finish_renames(prior)
+                    _finish_renames(prior)
                     prior["state"] = "committed"
-                    self._write_log(log)
+                    _write_log(self.path, log)
                 for f in inflight:
                     try:
                         os.remove(f)
                     except OSError:
                         pass
                 return
+            # adopt any OTHER crashed committer's pending entries (a torn
+            # batch append, or another query's microbatch) while we hold
+            # the lock — bounds the invisibility window to the next commit
+            _finish_all_pending(log)
             entry = {
                 "batch": batchId,
                 "scope": self.scope,
@@ -499,10 +557,10 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
                 "state": "pending",
             }
             log.append(entry)
-            self._write_log(log)  # intent durable BEFORE any file is visible
-            self._finish_renames(entry)
+            _write_log(self.path, log)  # intent durable BEFORE any file is visible
+            _finish_renames(entry)
             entry["state"] = "committed"
-            self._write_log(log)
+            _write_log(self.path, log)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         for m in messages:

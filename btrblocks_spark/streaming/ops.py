@@ -70,27 +70,49 @@ def windowed_rollup(stream: DataFrame, window: str = "1 hour", watermark: str = 
 
 
 def exactly_once_chunked_append(
-    batch_df: DataFrame, path: str, batch_id: int, block_size: int = 65536
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    block_size: int = 65536,
+    scope: str | None = None,
 ) -> None:
     """Replay-safe chunk-aligned append for foreachBatch sinks. foreachBatch
     is at-least-once: a plain ``mode("append")`` duplicates the batch's rows
     when a crash lands between the write and the checkpoint commit. Here the
     batch is journaled instead:
 
-      1. recovery: if this batch id is already *committed* in the table's
-         ``_stream_batches.json``, the rerun is dropped; if *pending*, the
-         FIRST attempt's staged files are adopted to completion.
-      2. stage to ``_stream_stage/batch=<id>`` (mode overwrite — a replay
-         reproduces the stage byte-for-byte),
+      1. recovery: if this (scope, batch id) is already *committed* in the
+         table's ``_stream_batches.json``, the rerun is dropped; if
+         *pending*, the FIRST attempt's staged files are adopted to
+         completion.
+      2. stage to ``_stream_stage/<scope-hash>/batch=<id>`` (mode overwrite
+         — a replay reproduces the stage byte-for-byte),
       3. journal a pending entry mapping stage files to final
-         ``data/stream-b<id>-<i>.parquet`` names, rename, flip committed.
+         ``data/stream-…-b<id>-<i>.parquet`` names, rename, flip committed.
+
+    ``scope`` is the replay fence's identity — pass the query's CHECKPOINT
+    location (``chunked_append`` does). batchIds are only unique per
+    checkpoint lineage: a restart with a fresh checkpoint restarts ids at 0,
+    and two queries pointed at one table overlap ids — a bare-batch-id fence
+    would match those new batches against old committed entries and silently
+    drop their data (the btrblocks streaming sink refuses to run without a
+    ``commitScope`` for exactly this reason, btr_datasource.py). Required;
+    entries written by pre-scope versions of this helper (no ``scope`` key)
+    still fence by bare batch id, preserving their replay safety.
 
     Same WAL shape as the btrblocks streaming sink and compact()'s journal;
     the log update runs under the table's commit lock."""
+    import hashlib
     import json
 
     from btrblocks_spark.format.maintenance import commit_lock
 
+    if not scope:
+        raise ValueError(
+            "exactly_once_chunked_append requires a per-query fence scope "
+            "(the stream's checkpoint location): batch ids are only unique "
+            "per checkpoint lineage"
+        )
     log_path = os.path.join(path, "_stream_batches.json")
 
     def read_log() -> list:
@@ -106,14 +128,33 @@ def exactly_once_chunked_append(
         os.replace(tmp, log_path)
 
     def finish(entry: dict) -> None:
+        # data/ may not exist yet: the first batch can crash between the
+        # journal intent and the mkdir, and the recovery path replays
+        # finish() directly — without this, every replay would raise
+        # FileNotFoundError and wedge the stream permanently
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
         for src, dest in entry["renames"].items():
             if os.path.exists(src):
                 os.replace(src, dest)
+            elif not os.path.exists(dest):
+                # gone with no final file = staged rows lost (stage cleaned
+                # up / clobbered): surface it, never flip to committed
+                raise RuntimeError(
+                    f"stream append batch {entry.get('batch')}: staged file "
+                    f"{src} lost before rename to {dest}; entry left pending"
+                )
 
-    stage = os.path.join(path, "_stream_stage", f"batch={batch_id}")
+    def matches(e: dict) -> bool:
+        if e.get("batch") != batch_id:
+            return False
+        # legacy entries predate the scope key; they keep fencing by bare id
+        return "scope" not in e or e.get("scope") == scope
+
+    scope_tag = hashlib.blake2b(scope.encode(), digest_size=8).hexdigest()
+    stage = os.path.join(path, "_stream_stage", scope_tag, f"batch={batch_id}")
     with commit_lock(path):
         log = read_log()
-        prior = next((e for e in log if e.get("batch") == batch_id), None)
+        prior = next((e for e in log if matches(e)), None)
         if prior is not None:
             if prior.get("state") == "pending":
                 finish(prior)  # first attempt's files — complete, don't restage
@@ -135,20 +176,22 @@ def exactly_once_chunked_append(
     )
     with commit_lock(path):
         log = read_log()
-        if any(e.get("batch") == batch_id for e in log):  # lost a race
+        if any(matches(e) for e in log):  # lost a race
             shutil.rmtree(stage, ignore_errors=True)
             return
         entry = {
             "batch": batch_id,
+            "scope": scope,
             "renames": {
-                s: os.path.join(path, "data", f"stream-b{batch_id}-{i:05d}.parquet")
+                s: os.path.join(
+                    path, "data", f"stream-{scope_tag}-b{batch_id}-{i:05d}.parquet"
+                )
                 for i, s in enumerate(staged)
             },
             "state": "pending",
         }
         log.append(entry)
         write_log(log)  # commit point
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
         finish(entry)
         entry["state"] = "committed"
         write_log(log)
@@ -168,7 +211,9 @@ def chunked_append(
     Returns the StreamingQuery."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        exactly_once_chunked_append(batch_df, path, batch_id, block_size)
+        # the checkpoint IS the replay-fence scope: batch ids are only
+        # unique per checkpoint lineage
+        exactly_once_chunked_append(batch_df, path, batch_id, block_size, scope=checkpoint)
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -461,7 +506,7 @@ def materialized_view_stream(
     from btrblocks_spark.format.incremental import incremental_agg
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        exactly_once_chunked_append(batch_df, path, batch_id, block_size)
+        exactly_once_chunked_append(batch_df, path, batch_id, block_size, scope=checkpoint)
         incremental_agg(
             batch_df.sparkSession, path, state_dir, keys, sum_cols
         )
@@ -833,10 +878,15 @@ def kmv_sketch_stream(
             .orderBy("h")
             .limit(k)
         )
-        try:
-            prior = spark.read.schema("h long").parquet(cur_dir)
-        except Exception:  # noqa: BLE001 — first batch: no snapshot yet
-            prior = None
+        # "first batch" is ONLY a missing snapshot pointer — a transient
+        # read/listing failure on an existing snapshot must raise (and let
+        # the microbatch retry), not silently reset the accumulated
+        # distinct state to this batch's keys
+        prior = (
+            spark.read.schema("h long").parquet(cur_dir)
+            if os.path.exists(cur_dir)
+            else None
+        )
         merged = (
             (batch_mins if prior is None else prior.union(batch_mins).distinct())
             .orderBy("h")

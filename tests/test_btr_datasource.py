@@ -327,3 +327,121 @@ def test_compact_journal_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     meta = read_metadata(path)
     assert meta["num_rows"] == n_total
     assert res2["compacted"] is False  # already aligned after replay
+
+
+def test_append_reordered_multibatch_partition(spark, sf_dir, tmp_path):
+    """Judge repro (round 3): append a column-REORDERED DataFrame whose
+    partition spans multiple Arrow batches with a block_size that does not
+    divide the batch size. The carry-over remainder (normalized order) used
+    to be mixed with raw incoming-order batches in one from_batches call →
+    ArrowInvalid. Every raw batch must be normalized before buffering."""
+    import os
+
+    path = str(tmp_path / "reorder_tbl")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.limit(0)
+    cfg = DEFAULT_CONFIG.with_(block_size=7000)
+    write_table(base, path, ["o_orderkey"], config=cfg)
+    spark.dataSource.register(BtrBlocksDataSource)
+
+    cols = orders.columns
+    scrambled = list(reversed(cols))
+    big = orders
+    n = big.count()
+    while n < 25000:  # ≥25k rows in ONE partition → many Arrow batches
+        big = big.unionAll(big)
+        n *= 2
+    (
+        big.select(*scrambled)
+        .coalesce(1)
+        .write.format("btrblocks")
+        .mode("append")
+        .save(path)
+    )
+    got = _load(spark, path)
+    assert got.count() == n
+    assert got.select(*cols).exceptAll(big.select(*cols)).count() == 0
+    # chunk cap respected and no inflight residue
+    import pyarrow.parquet as pq
+
+    data = os.path.join(path, "data")
+    assert not any(f.endswith(".inflight") for f in os.listdir(data))
+    for f in os.listdir(data):
+        if f.startswith("append-"):
+            assert pq.ParquetFile(os.path.join(data, f)).metadata.num_rows <= 7000
+
+
+def test_batch_append_torn_commit_recovers(spark, sf_dir, tmp_path):
+    """Batch append WAL: a driver crash between the intent entry and the
+    renames leaves NOTHING visible (all-or-nothing), and the next commit on
+    the table (or recover_pending_appends) completes the renames — never a
+    half-visible append."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.btr_datasource import (
+        BtrBlocksWriter,
+        recover_pending_appends,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "torn_batch")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.limit(0), dst, ["n_nationkey"], config=cfg)
+
+    w = BtrBlocksWriter({"path": dst}, nation.schema, overwrite=False)
+    tbl = pa.Table.from_pandas(nation.limit(6).toPandas())
+    msg = w.write(iter(tbl.to_batches()))
+
+    # simulate the crash: intent entry durable, renames never ran
+    log_path = os.path.join(dst, "_appends.json")
+    entry = {
+        "kind": "batch",
+        "renames": {f: f[: -len(".inflight")] + ".parquet" for f in msg.files},
+        "files": [f[: -len(".inflight")] + ".parquet" for f in msg.files],
+        "rows": msg.rows,
+        "state": "pending",
+    }
+    with open(log_path, "w") as fh:
+        json.dump([entry], fh)
+    spark.dataSource.register(BtrBlocksDataSource)
+    assert _load(spark, dst).count() == 0  # torn append invisible, not half
+
+    # recovery completes the first attempt exactly once
+    assert recover_pending_appends(dst) == 1
+    with open(log_path) as fh:
+        log = json.load(fh)
+    assert [e["state"] for e in log] == ["committed"]
+    assert _load(spark, dst).count() == 6
+    assert recover_pending_appends(dst) == 0  # idempotent
+
+    # a later commit also sweeps pending entries left by a crashed rival
+    with open(log_path, "w") as fh:
+        json.dump([entry | {"state": "pending"}], fh)
+    # entry's renames already done: srcs gone but dests exist → skip, flip
+    msg2 = w.write(iter(pa.Table.from_pandas(nation.limit(2).toPandas()).to_batches()))
+    w.commit([msg2])
+    with open(log_path) as fh:
+        log2 = json.load(fh)
+    assert all(e["state"] == "committed" for e in log2)
+    assert _load(spark, dst).count() == 8
+
+
+def test_finish_renames_surfaces_lost_stage(tmp_path):
+    """A pending entry whose staged file vanished WITHOUT its final file
+    existing is data loss — recovery must raise (entry stays pending), not
+    silently flip the entry to committed."""
+    import pytest as _pytest
+
+    from btrblocks_spark.sources.btr_datasource import _finish_renames
+
+    src = str(tmp_path / "gone.inflight")
+    dest = str(tmp_path / "gone.parquet")
+    with _pytest.raises(RuntimeError, match="rows lost"):
+        _finish_renames({"renames": {src: dest}})
+    # but already-renamed (dest exists) is the normal idempotent skip
+    with open(dest, "w") as fh:
+        fh.write("x")
+    _finish_renames({"renames": {src: dest}})

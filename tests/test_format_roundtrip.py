@@ -1169,12 +1169,16 @@ def test_commit_lock_semantics(tmp_path):
         assert os.path.isdir(lock)  # not stolen
     assert not os.path.exists(lock)  # released by owner
 
-    # stale lock from a crashed committer: broken and re-acquired
+    # stale lock from a crashed committer: broken and re-acquired. A
+    # crashed holder's heartbeat stops, so BOTH the dir and token mtimes
+    # age out (a live slow holder keeps touching the token and is never
+    # mistaken for stale — see the heartbeat test below)
     os.makedirs(lock)
     with open(os.path.join(lock, "owner"), "w") as fh:
         fh.write("deadbeef")
     old = time.time() - 10_000
     os.utime(lock, (old, old))
+    os.utime(os.path.join(lock, "owner"), (old, old))
     with commit_lock(d, timeout_sec=0.2):
         # we hold it now; the crashed owner's token was replaced
         with open(os.path.join(lock, "owner")) as fh:
@@ -1188,6 +1192,42 @@ def test_commit_lock_semantics(tmp_path):
         fh.write("someone-else")
     cm.__exit__(None, None, None)
     assert os.path.isdir(lock)  # NOT deleted by the no-longer-owner
+    import shutil as _shutil
+
+    _shutil.rmtree(lock)
+
+
+def test_commit_lock_heartbeat_protects_slow_holder(tmp_path):
+    """A legitimately slow holder (critical section > stale_sec) must NOT
+    have its live lock stolen: the holder heartbeats the token file's
+    mtime, and the staleness check reads the newest liveness signal — the
+    round-3 live-lock-steal window is closed."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format import maintenance as maint
+
+    d = str(tmp_path / "slowlock")
+    lock = os.path.join(d, "_commit.lock")
+
+    # shrink the stale window so the test runs in seconds: stale_sec is
+    # max(60, 6*timeout) — patch time.time inside the waiter instead of
+    # waiting a minute: simulate "lock dir mtime is ancient, token mtime is
+    # fresh" directly (exactly what a slow heartbeating holder looks like)
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner"), "w") as fh:
+        fh.write("slow-holder")
+    old = time.time() - 10_000
+    os.utime(lock, (old, old))  # dir looks ancient...
+    os.utime(os.path.join(lock, "owner"))  # ...but the heartbeat is fresh
+
+    with _pytest.raises(TimeoutError):  # waiter must NOT break the lock
+        with maint.commit_lock(d, timeout_sec=0.3):
+            pass
+    with open(os.path.join(lock, "owner")) as fh:
+        assert fh.read() == "slow-holder"  # untouched
     import shutil as _shutil
 
     _shutil.rmtree(lock)

@@ -1309,3 +1309,14 @@ def test_scd2_apply_multi_row_batch_single_current(spark):
     closed = [r for r in out if not r["is_current"]]
     assert len(current) == 1 and current[0]["attr"] == "y"  # min struct
     assert len(closed) == 1 and closed[0]["attr"] == "x"
+
+
+def test_merge_upsert_key_only_schema(spark):
+    """MERGE where the keys cover EVERY column (a pure key-set union): no
+    non-key columns to content-hash — must not raise an analysis error."""
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    target = spark.createDataFrame([(1,), (2,)], "k long")
+    updates = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r["k"]: r["op"] for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "keep", 2: "update", 3: "insert"}

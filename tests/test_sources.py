@@ -463,3 +463,62 @@ def test_copy_into_dedup_and_crash_recovery(spark, sf_dir, tmp_path):
     with open(os.path.join(table, "_copy_log.json")) as fh:
         log = json.load(fh)
     assert len(log["files"]) == 2
+
+
+def test_copy_into_concurrent_writers_lose_nothing(spark, sf_dir, tmp_path):
+    """Two concurrent copy_into calls with OVERLAPPING file lists: every
+    file's rows land exactly once, no journal/stage residue, and no file is
+    marked loaded whose rows never reached data/ (the round-3 fixed-path
+    stage/journal clobber)."""
+    import json
+    import threading
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources.copy_into import copy_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "ccopy_tbl")
+    write_table(
+        nation.limit(0), table, ["n_nationkey"], config=DEFAULT_CONFIG.with_(block_size=8)
+    )
+
+    drops = []
+    stage = str(tmp_path / "mkstage")
+    for i in range(3):
+        part = nation.withColumn("n_nationkey", F.col("n_nationkey") + 100 * i)
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(tmp_path / f"cdrop{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        drops.append(dst)
+
+    results, errors = {}, []
+
+    def run(name, file_list):
+        try:
+            results[name] = copy_into(spark, table, file_list)
+        except Exception as exc:  # noqa: BLE001 — surface in main thread
+            errors.append((name, exc))
+
+    t1 = threading.Thread(target=run, args=("w1", [drops[0], drops[1]]))
+    t2 = threading.Thread(target=run, args=("w2", [drops[1], drops[2]]))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+
+    n = nation.count()
+    assert spark.read.parquet(table + "/data").count() == 3 * n  # exactly once
+    loaded = results["w1"]["loaded_files"] + results["w1"]["skipped_files"] == 2
+    assert loaded and results["w2"]["loaded_files"] + results["w2"]["skipped_files"] == 2
+    with open(os.path.join(table, "_copy_log.json")) as fh:
+        log = json.load(fh)
+    assert len(log["files"]) == 3  # every drop recorded exactly once
+    assert not os.path.exists(os.path.join(table, "_copy_journal.json"))
+    assert not [d for d in os.listdir(table) if d.startswith("_copy_tmp")]
+
+    # re-running either list is now a pure skip
+    res = copy_into(spark, table, drops)
+    assert res["loaded_files"] == 0 and res["skipped_files"] == 3
+    assert spark.read.parquet(table + "/data").count() == 3 * n

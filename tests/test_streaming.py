@@ -737,9 +737,10 @@ def test_chunked_append_exactly_once_on_replay(spark, sf_dir, events_dir, tmpdir
     n_src = spark.read.parquet(events_dir).count()
     assert n == n_src
 
-    # replay batch 0 directly (same data, same id): dropped, not re-appended
+    # replay batch 0 directly (same data, same id, SAME checkpoint scope):
+    # dropped, not re-appended
     batch0 = spark.read.parquet(events_dir)
-    exactly_once_chunked_append(batch0, path, 0, block_size=4096)
+    exactly_once_chunked_append(batch0, path, 0, block_size=4096, scope=ckpt)
     assert spark.read.parquet(os.path.join(path, "data")).count() == n_src
 
     # torn pending entry: force state back to pending with staged files
@@ -763,8 +764,82 @@ def test_chunked_append_exactly_once_on_replay(spark, sf_dir, events_dir, tmpdir
     })
     with open(log_path, "w") as fh:
         json.dump(log, fh)
-    exactly_once_chunked_append(batch0.limit(1), path, 99, block_size=4096)
+    # legacy pending entry (no scope key) still fences by bare batch id
+    exactly_once_chunked_append(batch0.limit(1), path, 99, block_size=4096, scope=ckpt)
     with open(log_path) as fh:
         log2 = json.load(fh)
     assert [e["state"] for e in log2 if e["batch"] == 99] == ["committed"]
     assert spark.read.parquet(os.path.join(path, "data")).count() == n_src + 1
+
+
+def test_chunked_append_scope_fences_per_checkpoint(spark, events_dir, tmpdir):
+    """batch ids are only unique per checkpoint lineage: a fresh-checkpoint
+    restart (ids restart at 0) and a second query on the same table must
+    APPEND, not be dropped as replays of another scope's batch 0 — the
+    round-3 silent-data-loss hole in the bare-batch-id fence."""
+    import pytest as _pytest
+
+    from btrblocks_spark.streaming.ops import exactly_once_chunked_append
+
+    path = os.path.join(tmpdir, "scoped_table")
+    batch = spark.read.parquet(events_dir).limit(10)
+
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="ckpt-A")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 10
+
+    # same scope, same id → replay, dropped
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="ckpt-A")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 10
+
+    # DIFFERENT scope (fresh checkpoint / second query), same batch id 0 →
+    # a genuinely new batch: appended
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="ckpt-B")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 20
+
+    # the fence scope is mandatory — guessing one would silently share it
+    with _pytest.raises(ValueError, match="scope"):
+        exactly_once_chunked_append(batch, path, 1, block_size=4096)
+
+
+def test_chunked_append_first_batch_crash_before_mkdir(spark, events_dir, tmpdir):
+    """Crash between the journal intent write and os.makedirs(data/) on a
+    brand-new table: the replay's recovery branch must create data/ itself
+    and finish the renames instead of wedging in FileNotFoundError."""
+    import json
+
+    from btrblocks_spark.streaming.ops import exactly_once_chunked_append
+
+    path = os.path.join(tmpdir, "fresh_table")
+    os.makedirs(path)
+    batch = spark.read.parquet(events_dir).limit(5)
+
+    # hand-build the crash state: staged files + a pending journal entry,
+    # NO data/ directory yet
+    stage = os.path.join(path, "_stream_stage", "x", "batch=0")
+    batch.coalesce(1).write.mode("overwrite").parquet(stage)
+    staged = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(stage)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    entry = {
+        "batch": 0,
+        "scope": "ckpt-Z",
+        "renames": {
+            s: os.path.join(path, "data", f"stream-x-b0-{i:05d}.parquet")
+            for i, s in enumerate(staged)
+        },
+        "state": "pending",
+    }
+    with open(os.path.join(path, "_stream_batches.json"), "w") as fh:
+        json.dump([entry], fh)
+    assert not os.path.isdir(os.path.join(path, "data"))
+
+    # replay of batch 0 in the same scope: recovery branch adopts the first
+    # attempt's files to completion — creating data/ on the way
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="ckpt-Z")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 5
+    with open(os.path.join(path, "_stream_batches.json")) as fh:
+        log = json.load(fh)
+    assert [e["state"] for e in log] == ["committed"]
