@@ -1716,13 +1716,22 @@ scored AS (
 ),
 best AS (SELECT vec_id, max(cosine) AS max_bench_cosine FROM scored GROUP BY 1),
 pick AS (
-  SELECT s.vec_id, bst.max_bench_cosine, min(s.bench_id) AS nearest_bench_id
+  -- NULL-safe argmax: a zero-norm training vector scores NULL against
+  -- EVERY benchmark vector (0/0 → NULL in both engines), and the operator
+  -- deliberately keeps its row as (vec_id, NULL, NULL, 0). A plain
+  -- equality join on max(cosine) would drop it; IS NOT DISTINCT FROM
+  -- keeps it, and the CASE blanks the nearest id to match the operator.
+  SELECT s.vec_id, bst.max_bench_cosine,
+         CASE WHEN bst.max_bench_cosine IS NULL THEN NULL
+              ELSE min(s.bench_id) END AS nearest_bench_id
   FROM scored s
-  JOIN best bst ON s.vec_id = bst.vec_id AND s.cosine = bst.max_bench_cosine
+  JOIN best bst
+    ON s.vec_id = bst.vec_id
+   AND s.cosine IS NOT DISTINCT FROM bst.max_bench_cosine
   GROUP BY 1, 2
 )
 SELECT vec_id, max_bench_cosine, nearest_bench_id,
-       CAST(max_bench_cosine >= 0.5 AS INTEGER) AS flagged
+       CAST(coalesce(max_bench_cosine >= 0.5, FALSE) AS INTEGER) AS flagged
 FROM pick
 """,
 )

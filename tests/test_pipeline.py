@@ -1320,3 +1320,54 @@ def test_merge_upsert_key_only_schema(spark):
     updates = spark.createDataFrame([(2,), (3,)], "k long")
     got = {r["k"]: r["op"] for r in merge_upsert(target, updates, ["k"]).collect()}
     assert got == {1: "keep", 2: "update", 3: "insert"}
+
+
+def test_semantic_contamination_zero_norm_oracle_parity(spark, sf_dir, tmp_path):
+    """Dirty-input parity (round-3 latent divergence): a zero-norm training
+    vector scores NULL cosine against every benchmark vector. The operator
+    keeps its row as (vec_id, NULL, NULL, flagged=0); the oracle used to
+    drop it (equality join on max(cosine) never matches all-NULL). Build a
+    fixture WITH a zero-norm vector and require bit-exact operator↔oracle
+    agreement plus the documented row shape."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from btrblocks_spark.oracle import compare
+    from btrblocks_spark.queries import all_oracles, all_queries
+
+    fixture = str(tmp_path / "sf_zero_norm")
+    os.makedirs(fixture)
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(sf_dir, f), os.path.join(fixture, f))
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    max_id = max(emb["vec_id"].to_pylist())
+    new_id = max_id + 1
+    if new_id % 41 == 0:  # must land in the TRAIN slice of the query
+        new_id += 1
+    dim = len(emb["embedding"][0].as_py())
+    extra = pa.table(
+        {
+            "vec_id": pa.array([new_id], type=pa.int64()),
+            "embedding": pa.array([[0.0] * dim], type=pa.list_(pa.float32())),
+            "label": pa.array([0], type=pa.int32()),
+        }
+    )
+    combined = pa.concat_tables(
+        [emb.select(["vec_id", "embedding", "label"]), extra]
+    )
+    pq.write_table(combined, os.path.join(fixture, "embeddings.parquet"))
+
+    name = "dedup_semantic_contamination"
+    df = all_queries()[name](spark, fixture)
+    ok, msg = compare(df, all_oracles()[name], fixture)
+    assert ok, msg
+
+    row = [r for r in df.collect() if r["vec_id"] == new_id]
+    assert len(row) == 1  # the dirty row is KEPT, not dropped
+    assert row[0]["max_bench_cosine"] is None
+    assert row[0]["nearest_bench_id"] is None
+    assert row[0]["flagged"] == 0
