@@ -280,12 +280,19 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
 
     # per-column: most-used root scheme + est ratio + single-column scan
     # speed (the reference's regression_benchmark / decompression-speed
-    # per-column metric set, BASELINE.md)
+    # per-column metric set, BASELINE.md). Chunk stats come through the
+    # vintage-independent accessor (v2 sidecars shard them as parquet).
+    from btrblocks_spark.format.reader import chunk_stats_rows
+
+    table_dir = os.path.dirname(data_dir)
+    by_col: dict[str, list[dict]] = {}
+    for r in chunk_stats_rows(table_dir, meta=meta):
+        by_col.setdefault(r["column"], []).append(r)
     per_column = {}
-    for col, info in meta["columns"].items():
+    for col, chunks in by_col.items():
         counts: dict[str, int] = {}
         col_raw = col_est = 0
-        for ch in info["chunks"]:
+        for ch in chunks:
             counts[ch["scheme"]] = counts.get(ch["scheme"], 0) + 1
             col_raw += ch["raw_size"]
             col_est += ch["est_size"]
@@ -321,7 +328,7 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
     skip = {}
     if "l_orderkey" in keys:
         lo, hi = 1, max(meta["num_rows"] // 100, 64)
-        kept = prune_chunks(meta, "l_orderkey", lo, hi)
+        kept = prune_chunks(table_path, "l_orderkey", lo, hi)
         full_sec = pruned_sec = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()

@@ -717,9 +717,11 @@ def decompress_batch(table: SymbolTable, payloads: list[bytes]) -> list[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def compress_column(table: SymbolTable, values) -> tuple[bytes, np.ndarray]:
+def compress_column(table: SymbolTable, values, arr=None) -> tuple[bytes, np.ndarray]:
     """Encode a numpy object array of strings; returns (payload,
-    code_lengths) identical to compress_batch_concat on the utf-8 bytes."""
+    code_lengths) identical to compress_batch_concat on the utf-8 bytes.
+    ``arr`` short-circuits the str→Arrow conversion when the caller already
+    holds the values as a large_utf8 array (codecs.encode_string does)."""
     from btrblocks_spark.format import fsst_native as nat
 
     try:
@@ -727,7 +729,8 @@ def compress_column(table: SymbolTable, values) -> tuple[bytes, np.ndarray]:
 
         if nat.lib is None:
             raise RuntimeError
-        arr = pa.array(values, type=pa.large_utf8())
+        if arr is None:
+            arr = pa.array(values, type=pa.large_utf8())
         if arr.null_count:
             raise RuntimeError  # codec layer fills nulls before encode
         off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]

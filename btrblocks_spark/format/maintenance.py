@@ -496,36 +496,55 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
     try:
-        planned = (
+        planned_df = (
             spark.read.parquet(tmp_dir)
             .withColumn("_chunk", F.floor(F.col("_idx") / F.lit(bs)).cast("long"))
             .drop("_idx")
             .mapInPandas(_plan_partition_fn(col_types, cfg), _PLAN_SCHEMA)
-            .collect()
+        )
+        # new sharded stats dataset = untouched prefix's rows + the freshly
+        # planned tail, written from executors (the driver never holds
+        # per-chunk rows — same contract as write_table). A v1 table's
+        # inline rows are lifted out of its (already driver-resident) JSON;
+        # every compaction emits v2.
+        if "columns" in meta:  # v1 sidecar: inline rows → small local frame
+            prefix_rows = [
+                {"column": col, "col_type": info["type"],
+                 **{k: v for k, v in ch.items()}}
+                for col, info in meta["columns"].items()
+                for ch in info["chunks"]
+                if ch["chunk"] < keep_k
+            ]
+            prefix_df = spark.createDataFrame(prefix_rows, _PLAN_SCHEMA)
+        else:
+            prefix_df = spark.read.parquet(
+                os.path.join(path, "_btr_chunk_stats")
+            ).filter(F.col("chunk") < keep_k)
+        stats_tmp = os.path.join(path, "_compact_stats_tmp")
+        (
+            prefix_df.unionByName(planned_df)
+            .sort("column", "chunk")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(stats_tmp)
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
-    # sidecar: keep per-chunk plan rows for the untouched prefix, replace
-    # everything at or beyond it with the freshly planned tail — built
-    # BEFORE any file in data/ is touched, so the journal below can carry
-    # the complete post-compaction state
-    for col, info in meta["columns"].items():
-        info["chunks"] = [c for c in info["chunks"] if c["chunk"] < keep_k]
-    for row in sorted(
-        (r.asDict() for r in planned), key=lambda x: (x["column"], x["chunk"])
-    ):
-        col = row["column"]
-        entry = meta["columns"].setdefault(
-            col, {"type": row["col_type"], "chunks": []}
+    tot = (
+        spark.read.parquet(stats_tmp)
+        .agg(
+            F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
+            F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
         )
-        entry["chunks"].append(
-            {k: v for k, v in row.items() if k not in ("column", "col_type")}
-        )
+        .collect()[0]
+    )
+    meta.pop("columns", None)
+    meta["format"] = "btrblocks-spark/v2"
+    meta["chunk_stats"] = "_btr_chunk_stats"
     meta["num_rows"] = base + int(n_frag)
     meta["num_chunks"] = keep_k + int(new_chunks)
-    total_raw = sum(c["raw_size"] for i in meta["columns"].values() for c in i["chunks"])
-    total_est = sum(c["est_size"] for i in meta["columns"].values() for c in i["chunks"])
+    total_raw, total_est = int(tot["raw"]), int(tot["est"])
     meta["totals"] = {
         "raw_bytes": total_raw,
         "est_compressed_bytes": total_est,
@@ -549,7 +568,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
                 moved += 1
     import json
 
-    journal = {"adds": adds, "remove": frag, "meta": meta}
+    journal = {"adds": adds, "remove": frag, "meta": meta, "stats_tmp": stats_tmp}
     jpath = os.path.join(path, "_compact_journal.json")
     with commit_lock(path):
         with open(jpath + ".tmp", "w") as fh:
@@ -599,6 +618,15 @@ def _apply_compact_journal(path: str) -> bool:
             os.remove(f)
         except OSError:
             pass
+    # install the new sharded chunk-stats dataset (v2 sidecars): remove the
+    # old dataset, adopt the staged one. Idempotent across replays — a
+    # missing stats_tmp with the final dir present means a prior attempt
+    # already swapped it (the journal outlives the swap until os.remove).
+    stats_tmp = journal.get("stats_tmp")
+    if stats_tmp and os.path.isdir(stats_tmp):
+        final_stats = os.path.join(path, "_btr_chunk_stats")
+        shutil.rmtree(final_stats, ignore_errors=True)
+        os.rename(stats_tmp, final_stats)
     meta_tmp = os.path.join(path, "_btr_metadata.json.tmp")
     with open(meta_tmp, "w") as fh:
         json.dump(journal["meta"], fh, indent=1, default=str)

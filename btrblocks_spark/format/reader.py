@@ -56,6 +56,90 @@ def read_metadata(path: str, spark: SparkSession | None = None) -> dict:
     return _fs.read_json(_fs.join(path, "_btr_metadata.json"), spark)
 
 
+_STATS_DIR = "_btr_chunk_stats"
+# column order of the sharded chunk-stats dataset == writer._PLAN_SCHEMA
+_STATS_COLS = [
+    "column", "col_type", "chunk", "scheme", "scheme_tree", "est_ratio",
+    "raw_size", "est_size", "n_rows", "null_count", "unique_count",
+    "min_repr", "max_repr", "avg_run_length", "is_sorted",
+]
+
+
+def _local_path(path: str) -> str | None:
+    """Local filesystem path for driver-side (pyarrow) metadata reads, or
+    None for object-store schemes (those go through Spark)."""
+    p = str(path)
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if "://" in p:
+        return None
+    return p
+
+
+def chunk_stats_rows(
+    path: str,
+    column: str | None = None,
+    meta: dict | None = None,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """Per-chunk plan/stats rows (the T1/T2 + scheme lineage), one dict per
+    chunk×column, sorted by (column, chunk) — the driver-side accessor over
+    BOTH sidecar vintages:
+
+      v2 (sharded): rows live in the ``_btr_chunk_stats/`` parquet dataset,
+         written from executors; this read is columnar and, with ``column``
+         given, row-group-pruned to that column's rows (the dataset is
+         sorted by column) — at 15M-chunk scale a one-column prune touches
+         a sliver of the stats, never the whole set.
+      v1 (legacy): rows are inline in the sidecar JSON's ``columns`` map.
+
+    Driver-side by design — chunk pruning and metadata-only aggregates are
+    O(relevant chunks) metadata work; whole-fleet consumers that want the
+    stats distributed read the parquet dataset directly (scheme_summary)."""
+    meta = meta if meta is not None else read_metadata(path, spark)
+    if "columns" in meta:  # v1 monolithic sidecar
+        out = []
+        for col in sorted(meta["columns"]):
+            if column is not None and col != column:
+                continue
+            info = meta["columns"][col]
+            for ch in info["chunks"]:
+                out.append({"column": col, "col_type": info["type"], **ch})
+        return out
+    local = _local_path(path)
+    if local is None:
+        if spark is None:
+            raise ValueError(
+                f"chunk stats for {path}: object-store URI needs a SparkSession"
+            )
+        df = spark.read.parquet(_fs.join(path, _STATS_DIR))
+        if column is not None:
+            df = df.filter(F.col("column") == column)
+        rows = [r.asDict() for r in df.collect()]
+        return sorted(rows, key=lambda r: (r["column"], r["chunk"]))
+    import pyarrow.parquet as pq
+
+    filters = [("column", "==", column)] if column is not None else None
+    tbl = pq.read_table(os.path.join(local, _STATS_DIR), filters=filters)
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: (r["column"], r["chunk"]))
+    return rows
+
+
+def column_chunks(
+    path: str,
+    column: str,
+    meta: dict | None = None,
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """One column's per-chunk stats rows, ascending chunk id (the
+    v1 ``meta['columns'][col]['chunks']`` list, vintage-independent)."""
+    rows = chunk_stats_rows(path, column=column, meta=meta, spark=spark)
+    if not rows:
+        raise KeyError(column)
+    return rows
+
+
 def read_table(spark: SparkSession, path: str, with_index: bool = False):
     """Scan the chunked table. Returns (DataFrame, metadata)."""
     meta = read_metadata(path, spark)
@@ -76,18 +160,26 @@ def read_column_chunk(spark: SparkSession, path: str, column: str, chunk: int) -
     return df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi)).select("_idx", column)
 
 
-def prune_chunks(meta: dict, column: str, lo=None, hi=None) -> list[int]:
+def prune_chunks(meta_or_path, column: str, lo=None, hi=None) -> list[int]:
     """Chunk ids whose [min, max] stats range intersects [lo, hi] — the
     driver-side half of stats-based data skipping (SURVEY §4.1: our T1 chunk
     stats feeding row-group-skipping, the reference's implied use of
-    per-chunk min/max). O(num_chunks) sidecar rows, no data read.
+    per-chunk min/max). O(this column's chunks) metadata rows, no data read
+    — on a v2 (sharded-stats) table the read is pruned to the one column.
+
+    Accepts the table PATH (works for both sidecar vintages) or a legacy
+    v1 metadata dict that carries inline ``columns``.
 
     Chunks with any nulls are kept when the bound check can't exclude them
     (a null row never matches a range predicate, but the chunk may hold
     non-null matches — min/max already exclude nulls, so no correction is
     needed beyond empty-chunk handling)."""
-    info = meta["columns"][column]
-    kind = info["type"]
+    if isinstance(meta_or_path, str):
+        chunks = column_chunks(meta_or_path, column)
+        kind = chunks[0]["col_type"]
+    else:
+        info = meta_or_path["columns"][column]
+        chunks, kind = info["chunks"], info["type"]
     if kind in ("double", "float"):
         cast = float
     elif kind == "string":
@@ -95,7 +187,7 @@ def prune_chunks(meta: dict, column: str, lo=None, hi=None) -> list[int]:
     else:
         cast = int
     keep = []
-    for ch in info["chunks"]:
+    for ch in chunks:
         if ch["n_rows"] == ch["null_count"]:  # all-null chunk: no match possible
             continue
         mn, mx = cast(ch["min_repr"]), cast(ch["max_repr"])
@@ -119,7 +211,7 @@ def read_table_skipping(
     pushdown (both filters land in PushedFilters)."""
     meta = read_metadata(path, spark)
     bs = meta["block_size"]
-    chunks = prune_chunks(meta, column, lo, hi)
+    chunks = prune_chunks(path, column, lo, hi)
     df = spark.read.parquet(_fs.join(path, "data"))
     if not chunks:
         cond = F.lit(False)
@@ -143,10 +235,24 @@ def read_table_skipping(
     return out.drop("_idx"), chunks
 
 
+_SUMMARY_SCHEMA = (
+    "column string, col_type string, chunk long, scheme string, scheme_tree string, "
+    "est_ratio double, "
+    "raw_size long, est_size long, n_rows long, null_count long, unique_count long"
+)
+
+
 def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
     """btrmeta analog: one row per column×chunk with scheme + stats + sizes
-    (tools/conversion/btrmeta.cpp:22-60, BtrReader::getSchemeDescription)."""
+    (tools/conversion/btrmeta.cpp:22-60, BtrReader::getSchemeDescription).
+
+    On a v2 table this is a DISTRIBUTED parquet scan of the sharded
+    chunk-stats dataset — at 15M chunks the summary never materializes on
+    the driver; v1 sidecars (inline JSON) build the small frame locally."""
     meta = read_metadata(path, spark)
+    cols = [c.strip().split(" ")[0] for c in _SUMMARY_SCHEMA.split(",")]
+    if "columns" not in meta:  # v2: sharded stats
+        return spark.read.parquet(_fs.join(path, _STATS_DIR)).select(*cols)
     rows = []
     for col, info in meta["columns"].items():
         for ch in info["chunks"]:
@@ -167,12 +273,7 @@ def scheme_summary(spark: SparkSession, path: str) -> DataFrame:
                     ch["unique_count"],
                 )
             )
-    return spark.createDataFrame(
-        rows,
-        "column string, col_type string, chunk long, scheme string, scheme_tree string, "
-        "est_ratio double, "
-        "raw_size long, est_size long, n_rows long, null_count long, unique_count long",
-    )
+    return spark.createDataFrame(rows, _SUMMARY_SCHEMA)
 
 
 def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSession | None = None) -> list[dict]:
@@ -189,18 +290,23 @@ def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSessio
 
     Returns one dict per column: {column, n_rows, n_nulls, min, max}
     (min/max None for skip-typed or all-null columns)."""
+    from btrblocks_spark.format.planner import kind_of
+
     meta = read_metadata(path, spark)
-    out = []
-    for name, info in meta["columns"].items():
-        if columns is not None and name not in columns:
+    by_col: dict[str, list[dict]] = {}
+    col_type: dict[str, str] = {}
+    for r in chunk_stats_rows(path, meta=meta, spark=spark):
+        if columns is not None and r["column"] not in columns:
             continue
+        by_col.setdefault(r["column"], []).append(r)
+        col_type[r["column"]] = r["col_type"]
+    out = []
+    for name, chunks in by_col.items():
         # route through the planner's kind map: temporal columns plan (and
         # store min/max reprs) as epoch int64 — comparing their reprs as
         # strings would return lexicographic min/max ('9…' > '15…', and
         # pre-1970 '-…' sorts before digits)
-        from btrblocks_spark.format.planner import kind_of
-
-        kind = kind_of(info["type"])
+        kind = kind_of(col_type[name])
         if kind == "double":
             cast = float
         elif kind == "int":
@@ -209,7 +315,7 @@ def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSessio
             cast = str
         n_rows = n_nulls = 0
         mn = mx = None
-        for ch in info["chunks"]:
+        for ch in chunks:
             n_rows += ch["n_rows"]
             n_nulls += ch["null_count"]
             if ch["scheme"] == "skip" or ch["n_rows"] == ch["null_count"]:

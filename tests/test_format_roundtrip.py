@@ -75,25 +75,32 @@ def test_round_trip(spark, written):
 
 
 def test_metadata_contents(written):
+    from btrblocks_spark.format.reader import chunk_stats_rows, column_chunks
+
     df, meta, path = written
     assert meta["num_rows"] == df.count()
     assert meta["num_chunks"] == (meta["num_rows"] + 2047) // 2048
-    assert set(meta["columns"]) == set(df.columns)
+    # v2 sidecar: the JSON stays O(schema+totals); per-chunk rows live in
+    # the sharded parquet dataset (never driver-collected at write time)
+    assert "columns" not in meta and meta["chunk_stats"] == "_btr_chunk_stats"
+    rows = chunk_stats_rows(path, meta=meta)
+    assert {r["column"] for r in rows} == set(df.columns)
     # every chunk of every column got a scheme
-    for col, info in meta["columns"].items():
-        assert len(info["chunks"]) == meta["num_chunks"]
-        for ch in info["chunks"]:
-            assert ch["scheme"] != ""
+    by_col: dict[str, int] = {}
+    for r in rows:
+        assert r["scheme"] != ""
+        by_col[r["column"]] = by_col.get(r["column"], 0) + 1
+    assert set(by_col.values()) == {meta["num_chunks"]}
     # a compressible column should be recognized: linenumber 1..7 → small range
-    ln = meta["columns"]["l_linenumber"]["chunks"][0]
+    ln = column_chunks(path, "l_linenumber", meta=meta)[0]
     assert ln["scheme"] in ("truncation", "bp", "pfor", "dict", "rle", "for")
     assert meta["totals"]["est_compression_ratio"] > 1.0
 
 
 def test_scheme_summary_df(spark, written):
-    _df, meta, path = written
+    df, meta, path = written
     s = scheme_summary(spark, path)
-    assert s.count() == meta["num_chunks"] * len(meta["columns"])
+    assert s.count() == meta["num_chunks"] * len(df.columns)
     assert s.filter(F.col("scheme") == "").count() == 0
     # recursive cascade description (BtrReader::getSchemeDescription,
     # compression/BtrReader.cpp:76-121): every root scheme with child
@@ -143,7 +150,7 @@ def test_prune_chunks_by_stats(spark, written):
     # range must prune most chunks
     keys = sorted(r["l_orderkey"] for r in df.select("l_orderkey").distinct().collect())
     lo, hi = keys[len(keys) // 2], keys[len(keys) // 2 + 2]
-    kept = prune_chunks(sidecar, "l_orderkey", lo, hi)
+    kept = prune_chunks(path, "l_orderkey", lo, hi)
     assert 0 < len(kept) < sidecar["num_chunks"]
 
     pruned, kept2 = read_table_skipping(spark, path, "l_orderkey", lo, hi)
@@ -155,7 +162,7 @@ def test_prune_chunks_by_stats(spark, written):
 def test_prune_chunks_empty_range(spark, written):
     _df, _meta, path = written
     sidecar = read_metadata(path)
-    kept = prune_chunks(sidecar, "l_orderkey", 10**12, None)
+    kept = prune_chunks(path, "l_orderkey", 10**12, None)
     assert kept == []
     pruned, _ = read_table_skipping(spark, path, "l_orderkey", 10**12, None)
     assert pruned.count() == 0
@@ -189,7 +196,9 @@ def test_forced_scheme_write_path(spark, sf_dir, tmp_table_dir):
     cfg = DEFAULT_CONFIG.with_(block_size=512, force_string_scheme="dict")
     meta = write_table(df, path, ["n_nationkey"], cfg, "nation")
     assert round_trip_verify(df, spark, path)
-    for ch in meta["columns"]["n_name"]["chunks"]:
+    from btrblocks_spark.format.reader import column_chunks
+
+    for ch in column_chunks(path, "n_name", meta=meta):
         assert ch["scheme"] == "dict"
 
 
@@ -229,7 +238,9 @@ def test_compact_table(spark, sf_dir):
         assert 0 < meta["compaction"]["output_files"] < n_small
         assert meta["num_rows"] == src.count()
         # non-final chunks exactly block_size rows (chunk-aligned layout held)
-        sizes = [c["n_rows"] for c in meta["columns"]["o_orderkey"]["chunks"]]
+        from btrblocks_spark.format.reader import column_chunks
+
+        sizes = [c["n_rows"] for c in column_chunks(dest_dir, "o_orderkey", meta=meta)]
         assert all(s == 4096 for s in sizes[:-1]) and 0 < sizes[-1] <= 4096
         got, _meta2 = read_table(spark, dest_dir)
         assert frames_equal(got.select(*src.columns), src)
@@ -261,14 +272,14 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir):
         pk_hi = df.agg(F.max("l_partkey")).first()[0]
         sk_hi = df.agg(F.max("l_suppkey")).first()[0]
         # narrow range on the NON-leading dimension (l_suppkey)
-        z_sk = prune_chunks(zmeta, "l_suppkey", 0, sk_hi // 8)
-        l_sk = prune_chunks(lmeta, "l_suppkey", 0, sk_hi // 8)
+        z_sk = prune_chunks(zdir, "l_suppkey", 0, sk_hi // 8)
+        l_sk = prune_chunks(ldir, "l_suppkey", 0, sk_hi // 8)
         # linear order can't prune on suppkey at all (every chunk spans it)
         assert len(l_sk) == n
         # z-order keeps a strict subset
         assert len(z_sk) < n
         # and still prunes on the other dimension too
-        z_pk = prune_chunks(zmeta, "l_partkey", 0, pk_hi // 8)
+        z_pk = prune_chunks(zdir, "l_partkey", 0, pk_hi // 8)
         assert len(z_pk) < n
 
         # pruned read under zorder is exact for the box predicate
@@ -449,11 +460,16 @@ def test_compact_bin_packs_fragmented_tail(spark, sf_dir, tmp_path):
     assert all(s == 2048 for s in sizes[1:]) and sizes[0] <= 2048
 
     # sidecar re-synced: chunk count and per-column plan entries agree
+    from btrblocks_spark.format.reader import chunk_stats_rows
+
     meta2 = read_metadata(path)
     assert meta2["num_rows"] == orders.count()
     assert meta2["num_chunks"] == (orders.count() + 2047) // 2048
-    for col, info in meta2["columns"].items():
-        assert [c["chunk"] for c in info["chunks"]] == list(range(meta2["num_chunks"]))
+    per_col: dict[str, list[int]] = {}
+    for r in chunk_stats_rows(path, meta=meta2):
+        per_col.setdefault(r["column"], []).append(r["chunk"])
+    for col, chunk_ids in per_col.items():
+        assert chunk_ids == list(range(meta2["num_chunks"])), col
 
     # idempotent: a second compact is a no-op
     res2 = compact(spark, path, cfg)
@@ -656,7 +672,7 @@ def test_prune_chunks_string_zone_maps(spark, tmp_path):
         spark.createDataFrame(pdf), path, ["name"], config=BtrBlocksConfig(block_size=64)
     )
     meta = read_metadata(path)
-    kept = prune_chunks(meta, "name", lo="key0100", hi="key0130")
+    kept = prune_chunks(path, "name", lo="key0100", hi="key0130")
     assert kept == [1, 2]  # chunks 0 (key0000-0063) and 3 (key0192-0255) pruned
     df, chunks = read_table_skipping(spark, path, "name", lo="key0100", hi="key0130")
     assert chunks == [1, 2]
@@ -827,8 +843,8 @@ def test_optimize_zorder_prunes_both_dims(spark, sf_dir, tmp_path):
     nc = meta["num_chunks"]
     assert nc > 4
     # both dimensions prune to a strict subset of chunks
-    ck = prune_chunks(meta, "o_custkey", lo=0, hi=50)
-    cp = prune_chunks(meta, "o_totalprice", lo=0.0, hi=20000.0)
+    ck = prune_chunks(dst, "o_custkey", lo=0, hi=50)
+    cp = prune_chunks(dst, "o_totalprice", lo=0.0, hi=20000.0)
     assert 0 < len(ck) < nc
     assert 0 < len(cp) < nc
     # rows survive exactly (zkey column travels with the table)
@@ -1137,7 +1153,9 @@ def test_int64_timestamp_column_through_writer(spark, sf_dir):
         )
         cfg = DEFAULT_CONFIG.with_(block_size=2048)
         meta = write_table(df.orderBy("ts", "event_id"), d, ["ts", "event_id"], cfg, "events")
-        ts_schemes = {c["scheme"] for c in meta["columns"]["ts"]["chunks"]}
+        from btrblocks_spark.format.reader import column_chunks
+
+        ts_schemes = {c["scheme"] for c in column_chunks(d, "ts", meta=meta)}
         assert ts_schemes & {"delta", "dod", "for", "rle"}, ts_schemes
         back, _ = read_table(spark, d)
         assert frames_equal(
@@ -1259,3 +1277,56 @@ def test_metadata_agg_temporal_min_max(spark, tmp_path):
     assert lo < hi
     assert lo == int(datetime.datetime(1999, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 10**9
     assert hi == int(datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 10**9
+
+
+def test_sidecar_vintages_agree(spark, sf_dir, tmp_path):
+    """v2 tables shard per-chunk stats as parquet; v1 sidecars inline them
+    in the JSON. Every metadata consumer (prune_chunks, metadata_agg,
+    scheme_summary, chunk_stats_rows) must answer identically on both
+    vintages of the same table."""
+    import json
+    import os
+    import shutil as _shutil
+
+    from btrblocks_spark.format.reader import (
+        chunk_stats_rows,
+        metadata_agg,
+        prune_chunks,
+        read_metadata,
+        scheme_summary,
+    )
+
+    path = str(tmp_path / "vintage")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders, path, ["o_orderkey"], DEFAULT_CONFIG.with_(block_size=512))
+
+    meta = read_metadata(path)
+    assert "columns" not in meta  # written as v2
+    rows_v2 = chunk_stats_rows(path)
+    agg_v2 = {r["column"]: r for r in metadata_agg(path)}
+    prune_v2 = prune_chunks(path, "o_orderkey", 1, 100)
+    summ_v2 = sorted(
+        tuple(r) for r in scheme_summary(spark, path).collect()
+    )
+
+    # downgrade IN PLACE to a v1 sidecar: inline the rows, drop the dataset
+    columns: dict[str, dict] = {}
+    for r in rows_v2:
+        col = r["column"]
+        columns.setdefault(col, {"type": r["col_type"], "chunks": []})
+        columns[col]["chunks"].append(
+            {k: v for k, v in r.items() if k not in ("column", "col_type")}
+        )
+    meta_v1 = {k: v for k, v in meta.items() if k != "chunk_stats"}
+    meta_v1["format"] = "btrblocks-spark/v1"
+    meta_v1["columns"] = columns
+    with open(os.path.join(path, "_btr_metadata.json"), "w") as fh:
+        json.dump(meta_v1, fh, default=str)
+    _shutil.rmtree(os.path.join(path, "_btr_chunk_stats"))
+
+    assert chunk_stats_rows(path) == rows_v2
+    assert {r["column"]: r for r in metadata_agg(path)} == agg_v2
+    assert prune_chunks(path, "o_orderkey", 1, 100) == prune_v2
+    # legacy dict-based prune still works on a v1 metadata dict
+    assert prune_chunks(read_metadata(path), "o_orderkey", 1, 100) == prune_v2
+    assert sorted(tuple(r) for r in scheme_summary(spark, path).collect()) == summ_v2
