@@ -575,6 +575,26 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
             json.dump(journal, fh, default=str)
         os.replace(jpath + ".tmp", jpath)  # commit point
         _apply_compact_journal(path)
+        # metadata catch-up extends to the append WAL: committed batch
+        # entries reference pre-compaction files (now rewritten) — stale
+        # audit weight. Stream entries keep their per-scope replay fence
+        # (a down stream may still replay its last batch); pending entries
+        # keep their crash-recovery role.
+        from btrblocks_spark.sources.btr_datasource import (
+            _read_log,
+            _write_log,
+            prune_committed_entries,
+        )
+
+        applog = _read_log(path)
+        if applog:
+            pruned = [
+                e
+                for e in prune_committed_entries(applog)
+                if not (e.get("kind") == "batch" and e.get("state") == "committed")
+            ]
+            if pruned != applog:
+                _write_log(path, pruned)
     return {
         "compacted": True,
         "files_before": len(files),

@@ -56,47 +56,81 @@ def _chunk_digests(spark: SparkSession, path: str):
     )
 
 
+_CHECKSUM_DIR = "_btr_chunk_checksums"
+
+
 def add_chunk_checksums(spark: SparkSession, path: str) -> dict:
-    """Record per-chunk content checksums in the metadata sidecar — at-rest
-    integrity the round-trip verifier can't give once the source DataFrame
-    is gone (Parquet page CRCs detect storage bit-rot; these detect
-    logical tampering/corruption at chunk granularity and travel with the
-    table). One extra scan at write/maintenance time; verification later
-    needs no source of truth besides the sidecar."""
+    """Record per-chunk content checksums — at-rest integrity the
+    round-trip verifier can't give once the source DataFrame is gone
+    (Parquet page CRCs detect storage bit-rot; these detect logical
+    tampering/corruption at chunk granularity and travel with the table).
+    One extra scan at write/maintenance time; verification later needs no
+    source of truth besides the recorded digests.
+
+    Digests land in a ``_btr_chunk_checksums/`` parquet dataset written
+    from the executors (the sharded-sidecar shape: at 15M chunks a
+    driver-held dict in the JSON sidecar is the exact bottleneck the v2
+    chunk-stats dataset removed); the sidecar JSON records only the
+    pointer. Returns {"chunks": N}."""
     import json
     import os
 
+    from pyspark.sql import functions as F
+
     from btrblocks_spark.format.reader import read_metadata
 
-    sums = {
-        str(r["chunk"]): {"n": r["n"], "sum": r["sum"], "xor": r["xor"]}
-        for r in _chunk_digests(spark, path).collect()
-    }
+    out_dir = os.path.join(path, _CHECKSUM_DIR)
+    _chunk_digests(spark, path).sort("chunk").write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).agg(F.count("*")).collect()[0][0]
     meta = read_metadata(path)
-    meta["chunk_checksums"] = sums
+    meta.pop("chunk_checksums", None)  # drop a legacy inline dict if present
+    meta["chunk_checksums"] = _CHECKSUM_DIR
     tmp = os.path.join(path, "_btr_metadata.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1, default=str)
     os.replace(tmp, os.path.join(path, "_btr_metadata.json"))
-    return sums
+    return {"chunks": int(n)}
 
 
 def verify_chunk_checksums(spark: SparkSession, path: str) -> dict:
-    """Recompute per-chunk digests and compare with the sidecar's recorded
-    checksums. Returns {"ok": bool, "bad_chunks": [chunk ids], "missing":
-    bool} — bad_chunks pinpoints corruption to a chunk, so a repair only
-    re-fetches/rewrites that chunk, not the table."""
+    """Recompute per-chunk digests and compare with the recorded checksums.
+    Returns {"ok": bool, "bad_chunks": [chunk ids], "missing": bool} —
+    bad_chunks pinpoints corruption to a chunk, so a repair only
+    re-fetches/rewrites that chunk, not the table.
+
+    The compare is a DISTRIBUTED full outer join on chunk id (recorded
+    dataset vs recomputed digests); only mismatching chunk ids reach the
+    driver. Legacy tables with the inline sidecar dict still verify."""
+    import os
+
+    from pyspark.sql import functions as F
+
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
     recorded = meta.get("chunk_checksums")
     if recorded is None:
         return {"ok": False, "bad_chunks": [], "missing": True}
-    actual = {
-        str(r["chunk"]): {"n": r["n"], "sum": r["sum"], "xor": r["xor"]}
-        for r in _chunk_digests(spark, path).collect()
-    }
+    if isinstance(recorded, dict):  # legacy inline sidecar dict
+        rec_df = spark.createDataFrame(
+            [
+                (int(c), v["n"], v["sum"], v["xor"])
+                for c, v in recorded.items()
+            ],
+            "chunk long, n long, sum long, xor long",
+        )
+    else:
+        rec_df = spark.read.parquet(os.path.join(path, str(recorded)))
+    actual = _chunk_digests(spark, path)
+    joined = rec_df.alias("r").join(
+        actual.alias("a"), on="chunk", how="full_outer"
+    )
+    mismatch = (
+        ~(F.col("r.n").eqNullSafe(F.col("a.n")))
+        | ~(F.col("r.sum").eqNullSafe(F.col("a.sum")))
+        | ~(F.col("r.xor").eqNullSafe(F.col("a.xor")))
+    )
     bad = sorted(
-        {int(c) for c in set(recorded) | set(actual) if recorded.get(c) != actual.get(c)}
+        r["chunk"] for r in joined.filter(mismatch).select("chunk").collect()
     )
     return {"ok": not bad, "bad_chunks": bad, "missing": False}

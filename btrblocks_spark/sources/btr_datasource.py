@@ -321,6 +321,36 @@ def _finish_all_pending(log: list) -> bool:
     return changed
 
 
+_FENCE_KEEP = 16  # committed stream entries retained per scope (fence window)
+
+
+def prune_committed_entries(log: list, keep: int = _FENCE_KEEP) -> list:
+    """Bound the append WAL: an unbounded stream writes one entry per
+    microbatch, and every commit rewrites the WHOLE json — at one batch per
+    10 s that is a multi-MB read-modify-write within a month, a driver-side
+    cost growing with stream lifetime, not stream rate. Structured Streaming
+    only ever replays the single in-flight batch of a checkpoint lineage,
+    so a committed stream entry older than the scope's newest ``keep``
+    batches can never be offered again; drop it. Kept unconditionally:
+    pending entries (crash recovery), batch-kind entries (audit trail —
+    ``compact`` clears those when it re-syncs metadata), and legacy entries
+    without a scope key (unknown lineage)."""
+    latest: dict = {}
+    for e in log:
+        if e.get("state") == "committed" and "scope" in e:
+            latest[e["scope"]] = max(latest.get(e["scope"], -1), e.get("batch", -1))
+    out = []
+    for e in log:
+        if (
+            e.get("state") == "committed"
+            and "scope" in e
+            and e.get("batch", -1) <= latest[e["scope"]] - keep
+        ):
+            continue
+        out.append(e)
+    return out
+
+
 def recover_pending_appends(path: str) -> int:
     """Public crash-recovery hook: finish any pending append entries left by
     a committer that died between the WAL intent write and the final flip.
@@ -560,7 +590,9 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
             _write_log(self.path, log)  # intent durable BEFORE any file is visible
             _finish_renames(entry)
             entry["state"] = "committed"
-            _write_log(self.path, log)
+            # bound the log: committed entries beyond the scope's replay
+            # window can never be offered again (see prune_committed_entries)
+            _write_log(self.path, prune_committed_entries(log))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         for m in messages:

@@ -194,7 +194,13 @@ def exactly_once_chunked_append(
         write_log(log)  # commit point
         finish(entry)
         entry["state"] = "committed"
-        write_log(log)
+        # bound the journal: a long-lived stream writes one entry per batch
+        # and every commit rewrites the whole file — committed entries past
+        # the scope's replay window are dead weight (Structured Streaming
+        # only replays the single in-flight batch of a checkpoint lineage)
+        from btrblocks_spark.sources.btr_datasource import prune_committed_entries
+
+        write_log(prune_committed_entries(log))
     shutil.rmtree(stage, ignore_errors=True)
 
 

@@ -445,3 +445,58 @@ def test_finish_renames_surfaces_lost_stage(tmp_path):
     with open(dest, "w") as fh:
         fh.write("x")
     _finish_renames({"renames": {src: dest}})
+
+
+def test_append_log_stays_bounded(spark, sf_dir, tmp_path):
+    """A long-lived stream must not grow the append WAL without bound (every
+    commit is a whole-file rewrite): committed entries older than the
+    scope's replay window are pruned, while the newest entries (the live
+    replay fence), pending entries, and legacy/batch entries survive."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.btr_datasource import (
+        BtrBlocksStreamWriter,
+        prune_committed_entries,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "bounded")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.limit(0), dst, ["n_nationkey"], config=cfg)
+
+    w = BtrBlocksStreamWriter({"path": dst, "commitScope": "q1"}, nation.schema)
+    tbl = pa.Table.from_pandas(nation.limit(1).toPandas())
+    for b in range(40):
+        msg = w.write(iter(tbl.to_batches()))
+        w.commit([msg], b)
+
+    with open(os.path.join(dst, "_appends.json")) as fh:
+        log = json.load(fh)
+    batches = [e["batch"] for e in log]
+    assert len(log) <= 17  # fence window, not 40
+    assert max(batches) == 39 and 39 - min(batches) <= 16
+    # data itself is complete — pruning drops log entries, never rows
+    spark.dataSource.register(BtrBlocksDataSource)
+    assert _load(spark, dst).count() == 40
+
+    # replay of the LATEST batch is still fenced
+    msg = w.write(iter(tbl.to_batches()))
+    w.commit([msg], 39)
+    assert _load(spark, dst).count() == 40
+
+    # unit: pending / batch-kind / legacy entries are never pruned
+    synthetic = [
+        {"kind": "batch", "state": "committed", "renames": {}},
+        {"batch": 0, "state": "pending", "scope": "s", "renames": {}},
+        {"batch": 1, "state": "committed", "renames": {}},  # legacy, no scope
+    ] + [
+        {"batch": b, "state": "committed", "scope": "s", "renames": {}}
+        for b in range(100)
+    ]
+    pruned = prune_committed_entries(synthetic)
+    assert synthetic[0] in pruned and synthetic[1] in pruned and synthetic[2] in pruned
+    kept_s = [e["batch"] for e in pruned if e.get("scope") == "s" and e["state"] == "committed"]
+    assert min(kept_s) > 99 - 17 and max(kept_s) == 99

@@ -734,17 +734,48 @@ def test_chunk_checksums_detect_tamper(spark, sf_dir, tmp_path):
 
     assert verify_chunk_checksums(spark, path)["missing"] is True
     sums = add_chunk_checksums(spark, path)
-    assert len(sums) == (df.count() + 7) // 8
+    assert sums["chunks"] == (df.count() + 7) // 8
     res = verify_chunk_checksums(spark, path)
     assert res["ok"] is True and res["bad_chunks"] == []
 
-    # tamper with one recorded digest → exactly that chunk flagged
+    # tamper with one recorded digest (in the sharded digest dataset) →
+    # exactly that chunk flagged
+    import pyarrow.parquet as pq
+
+    ck_dir = os.path.join(path, "_btr_chunk_checksums")
+    tbl = pq.read_table(ck_dir).to_pylist()
+    for row in tbl:
+        if row["chunk"] == 1:
+            row["sum"] += 1
+    import pyarrow as pa
+    import shutil as _shutil
+
+    _shutil.rmtree(ck_dir)
+    pq.write_table(
+        pa.Table.from_pylist(tbl), os.path.join(tmp_path, "ck_tampered.parquet")
+    )
+    os.makedirs(ck_dir)
+    _shutil.copy(
+        os.path.join(tmp_path, "ck_tampered.parquet"),
+        os.path.join(ck_dir, "part-0.parquet"),
+    )
+    res = verify_chunk_checksums(spark, path)
+    assert res["ok"] is False and res["bad_chunks"] == [1]
+
+    # legacy tables with the INLINE sidecar dict still verify (and the
+    # tampered entry is still pinpointed)
     mpath = os.path.join(path, "_btr_metadata.json")
     meta = json.load(open(mpath))
-    meta["chunk_checksums"]["1"]["sum"] += 1
+    meta["chunk_checksums"] = {
+        str(r["chunk"]): {"n": r["n"], "sum": r["sum"], "xor": r["xor"]}
+        for r in tbl
+    }
     json.dump(meta, open(mpath, "w"))
     res = verify_chunk_checksums(spark, path)
     assert res["ok"] is False and res["bad_chunks"] == [1]
+    meta["chunk_checksums"]["1"]["sum"] -= 1
+    json.dump(meta, open(mpath, "w"))
+    assert verify_chunk_checksums(spark, path)["ok"] is True
 
 
 def test_table_changes_cdf(spark, sf_dir, tmp_path):
