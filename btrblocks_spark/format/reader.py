@@ -57,12 +57,6 @@ def read_metadata(path: str, spark: SparkSession | None = None) -> dict:
 
 
 _STATS_DIR = "_btr_chunk_stats"
-# column order of the sharded chunk-stats dataset == writer._PLAN_SCHEMA
-_STATS_COLS = [
-    "column", "col_type", "chunk", "scheme", "scheme_tree", "est_ratio",
-    "raw_size", "est_size", "n_rows", "null_count", "unique_count",
-    "min_repr", "max_repr", "avg_run_length", "is_sorted",
-]
 
 
 def _local_path(path: str) -> str | None:
@@ -78,7 +72,7 @@ def _local_path(path: str) -> str | None:
 
 def chunk_stats_rows(
     path: str,
-    column: str | None = None,
+    column: str | list[str] | None = None,
     meta: dict | None = None,
     spark: SparkSession | None = None,
 ) -> list[dict]:
@@ -97,10 +91,17 @@ def chunk_stats_rows(
     O(relevant chunks) metadata work; whole-fleet consumers that want the
     stats distributed read the parquet dataset directly (scheme_summary)."""
     meta = meta if meta is not None else read_metadata(path, spark)
+    wanted = (
+        None
+        if column is None
+        else {column}
+        if isinstance(column, str)
+        else set(column)
+    )
     if "columns" in meta:  # v1 monolithic sidecar
         out = []
         for col in sorted(meta["columns"]):
-            if column is not None and col != column:
+            if wanted is not None and col not in wanted:
                 continue
             info = meta["columns"][col]
             for ch in info["chunks"]:
@@ -113,13 +114,13 @@ def chunk_stats_rows(
                 f"chunk stats for {path}: object-store URI needs a SparkSession"
             )
         df = spark.read.parquet(_fs.join(path, _STATS_DIR))
-        if column is not None:
-            df = df.filter(F.col("column") == column)
+        if wanted is not None:
+            df = df.filter(F.col("column").isin(*sorted(wanted)))
         rows = [r.asDict() for r in df.collect()]
         return sorted(rows, key=lambda r: (r["column"], r["chunk"]))
     import pyarrow.parquet as pq
 
-    filters = [("column", "==", column)] if column is not None else None
+    filters = [("column", "in", sorted(wanted))] if wanted is not None else None
     tbl = pq.read_table(os.path.join(local, _STATS_DIR), filters=filters)
     rows = tbl.to_pylist()
     rows.sort(key=lambda r: (r["column"], r["chunk"]))
@@ -160,22 +161,30 @@ def read_column_chunk(spark: SparkSession, path: str, column: str, chunk: int) -
     return df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi)).select("_idx", column)
 
 
-def prune_chunks(meta_or_path, column: str, lo=None, hi=None) -> list[int]:
+def prune_chunks(
+    meta_or_path,
+    column: str,
+    lo=None,
+    hi=None,
+    meta: dict | None = None,
+    spark: SparkSession | None = None,
+) -> list[int]:
     """Chunk ids whose [min, max] stats range intersects [lo, hi] — the
     driver-side half of stats-based data skipping (SURVEY §4.1: our T1 chunk
     stats feeding row-group-skipping, the reference's implied use of
     per-chunk min/max). O(this column's chunks) metadata rows, no data read
     — on a v2 (sharded-stats) table the read is pruned to the one column.
 
-    Accepts the table PATH (works for both sidecar vintages) or a legacy
-    v1 metadata dict that carries inline ``columns``.
+    Accepts the table PATH (works for both sidecar vintages; pass ``meta``
+    to reuse an already-read sidecar and ``spark`` for object-store URIs)
+    or a legacy v1 metadata dict that carries inline ``columns``.
 
     Chunks with any nulls are kept when the bound check can't exclude them
     (a null row never matches a range predicate, but the chunk may hold
     non-null matches — min/max already exclude nulls, so no correction is
     needed beyond empty-chunk handling)."""
     if isinstance(meta_or_path, str):
-        chunks = column_chunks(meta_or_path, column)
+        chunks = column_chunks(meta_or_path, column, meta=meta, spark=spark)
         kind = chunks[0]["col_type"]
     else:
         info = meta_or_path["columns"][column]
@@ -211,7 +220,10 @@ def read_table_skipping(
     pushdown (both filters land in PushedFilters)."""
     meta = read_metadata(path, spark)
     bs = meta["block_size"]
-    chunks = prune_chunks(path, column, lo, hi)
+    # reuse the read sidecar and carry the session: URI tables (S7) read
+    # their stats dataset through Spark, and a second sidecar read (plus
+    # its journal-repair stat checks) is avoided locally
+    chunks = prune_chunks(path, column, lo, hi, meta=meta, spark=spark)
     df = spark.read.parquet(_fs.join(path, "data"))
     if not chunks:
         cond = F.lit(False)
@@ -295,9 +307,10 @@ def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSessio
     meta = read_metadata(path, spark)
     by_col: dict[str, list[dict]] = {}
     col_type: dict[str, str] = {}
-    for r in chunk_stats_rows(path, meta=meta, spark=spark):
-        if columns is not None and r["column"] not in columns:
-            continue
+    # the column filter is pushed into the stats read (parquet row-group
+    # pruning on v2 tables) — a 2-column agg must not materialize all
+    # chunks × columns rows on the driver
+    for r in chunk_stats_rows(path, column=columns, meta=meta, spark=spark):
         by_col.setdefault(r["column"], []).append(r)
         col_type[r["column"]] = r["col_type"]
     out = []

@@ -321,7 +321,47 @@ def _finish_all_pending(log: list) -> bool:
     return changed
 
 
+def _rollback_aborted(path: str, files: list) -> None:
+    """Abort-side WAL rollback. A commit that wrote its pending intent and
+    then failed mid-rename leaves some files visible and some ``.inflight``;
+    a bare delete of the inflight sources (the old abort) would strand the
+    pending entry with src AND dest missing — recovery would then raise
+    "rows lost" on every future commit, wedging the table. Since the driver
+    is alive enough to call abort, roll the attempt back WHOLE instead:
+    undo any renames already performed (dest names are attempt-unique, so
+    deleting them can't touch other commits' data), drop the entry, and
+    only then clear this attempt's staged files."""
+    from btrblocks_spark.format.maintenance import commit_lock
+
+    fileset = set(files)
+    if os.path.exists(_log_path(path)):
+        with commit_lock(path):
+            log = _read_log(path)
+            kept, changed = [], False
+            for e in log:
+                if e.get("state") == "pending" and fileset & set(
+                    e.get("renames", {})
+                ):
+                    for src, dest in e["renames"].items():
+                        for p in (dest, src):
+                            try:
+                                os.remove(p)
+                            except OSError:
+                                pass
+                    changed = True
+                    continue
+                kept.append(e)
+            if changed:
+                _write_log(path, kept)
+    for f in files:  # task-attempt orphans that never reached a commit
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+
+
 _FENCE_KEEP = 16  # committed stream entries retained per scope (fence window)
+_BATCH_AUDIT_KEEP = 64  # committed batch-kind entries retained (audit trail)
 
 
 def prune_committed_entries(log: list, keep: int = _FENCE_KEEP) -> list:
@@ -333,12 +373,18 @@ def prune_committed_entries(log: list, keep: int = _FENCE_KEEP) -> list:
     so a committed stream entry older than the scope's newest ``keep``
     batches can never be offered again; drop it. Kept unconditionally:
     pending entries (crash recovery), batch-kind entries (audit trail —
-    ``compact`` clears those when it re-syncs metadata), and legacy entries
-    without a scope key (unknown lineage)."""
+    ``compact`` clears those when it re-syncs metadata — and a rolling
+    ``_BATCH_AUDIT_KEEP`` newest are always retained so frequent small
+    batch appends can't grow the log unbounded between compactions either),
+    and legacy entries without a scope key (unknown lineage)."""
     latest: dict = {}
+    n_batch = 0
     for e in log:
         if e.get("state") == "committed" and "scope" in e:
             latest[e["scope"]] = max(latest.get(e["scope"], -1), e.get("batch", -1))
+        if e.get("kind") == "batch" and e.get("state") == "committed":
+            n_batch += 1
+    drop_batch = max(0, n_batch - _BATCH_AUDIT_KEEP)  # oldest first
     out = []
     for e in log:
         if (
@@ -346,6 +392,9 @@ def prune_committed_entries(log: list, keep: int = _FENCE_KEEP) -> list:
             and "scope" in e
             and e.get("batch", -1) <= latest[e["scope"]] - keep
         ):
+            continue
+        if drop_batch and e.get("kind") == "batch" and e.get("state") == "committed":
+            drop_batch -= 1
             continue
         out.append(e)
     return out
@@ -452,17 +501,14 @@ class BtrBlocksWriter(DataSourceArrowWriter):
             _write_log(self.path, log)  # intent durable BEFORE anything visible
             _finish_renames(entry)
             entry["state"] = "committed"
-            _write_log(self.path, log)
+            _write_log(self.path, prune_committed_entries(log))
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is None:
-                continue
-            for f in m.files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+        # roll back a failed commit's pending intent whole (see
+        # _rollback_aborted) before clearing task-attempt orphans
+        _rollback_aborted(
+            self.path, [f for m in messages if m for f in m.files]
+        )
 
 
 class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
@@ -595,14 +641,12 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
             _write_log(self.path, prune_committed_entries(log))
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        for m in messages:
-            if m is None:
-                continue
-            for f in m.files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+        # roll back a failed commit's pending intent whole — Spark will
+        # replay this batch, and the replay must find a clean slate, not a
+        # half-renamed entry whose sources a bare delete would strand
+        _rollback_aborted(
+            self.path, [f for m in messages if m for f in m.files]
+        )
 
 
 class BtrBlocksDataSource(DataSource):

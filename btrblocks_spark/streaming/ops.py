@@ -127,28 +127,26 @@ def exactly_once_chunked_append(
             json.dump(log, fh)
         os.replace(tmp, log_path)
 
-    def finish(entry: dict) -> None:
-        # data/ may not exist yet: the first batch can crash between the
-        # journal intent and the mkdir, and the recovery path replays
-        # finish() directly — without this, every replay would raise
-        # FileNotFoundError and wedge the stream permanently
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
-        for src, dest in entry["renames"].items():
-            if os.path.exists(src):
-                os.replace(src, dest)
-            elif not os.path.exists(dest):
-                # gone with no final file = staged rows lost (stage cleaned
-                # up / clobbered): surface it, never flip to committed
-                raise RuntimeError(
-                    f"stream append batch {entry.get('batch')}: staged file "
-                    f"{src} lost before rename to {dest}; entry left pending"
-                )
+    # shared WAL recovery: idempotent renames, per-dest makedirs (covers a
+    # first-batch crash before data/ ever existed), raise on a lost stage
+    from btrblocks_spark.sources.btr_datasource import _finish_renames as finish
+
+    # legacy entries (pre-scope versions of this helper) have no checkpoint
+    # lineage recorded. Only the NEWEST legacy batch can be a genuine Spark
+    # replay (Structured Streaming re-offers only the single in-flight
+    # batch); fencing every legacy id against every scope would silently
+    # drop the first batches of any NEW stream on an upgraded table.
+    legacy_max = max(
+        (e.get("batch", -1) for e in read_log() if "scope" not in e),
+        default=None,
+    )
 
     def matches(e: dict) -> bool:
         if e.get("batch") != batch_id:
             return False
-        # legacy entries predate the scope key; they keep fencing by bare id
-        return "scope" not in e or e.get("scope") == scope
+        if "scope" in e:
+            return e.get("scope") == scope
+        return batch_id == legacy_max
 
     scope_tag = hashlib.blake2b(scope.encode(), digest_size=8).hexdigest()
     stage = os.path.join(path, "_stream_stage", scope_tag, f"batch={batch_id}")

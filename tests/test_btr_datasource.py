@@ -500,3 +500,56 @@ def test_append_log_stays_bounded(spark, sf_dir, tmp_path):
     assert synthetic[0] in pruned and synthetic[1] in pruned and synthetic[2] in pruned
     kept_s = [e["batch"] for e in pruned if e.get("scope") == "s" and e["state"] == "committed"]
     assert min(kept_s) > 99 - 17 and max(kept_s) == 99
+
+
+def test_abort_rolls_back_pending_intent(spark, sf_dir, tmp_path):
+    """abort() after a commit that failed mid-rename must roll the attempt
+    back WHOLE: undo the partial renames, drop the pending entry, clear the
+    staged files — a bare inflight delete would strand the entry with src
+    and dest both missing and wedge every future commit (review finding)."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksWriter
+
+    nation = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "abort_tbl")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.limit(0), dst, ["n_nationkey"], config=cfg)
+
+    w = BtrBlocksWriter({"path": dst}, nation.schema, overwrite=False)
+    tbl = pa.Table.from_pandas(nation.limit(9).toPandas())  # 2 chunk files
+    msg = w.write(iter(tbl.to_batches()))
+    assert len(msg.files) >= 2
+
+    # simulate the failed commit: pending intent durable, FIRST rename done
+    log_path = os.path.join(dst, "_appends.json")
+    renames = {f: f[: -len(".inflight")] + ".parquet" for f in msg.files}
+    entry = {
+        "kind": "batch",
+        "renames": renames,
+        "files": list(renames.values()),
+        "rows": msg.rows,
+        "state": "pending",
+    }
+    with open(log_path, "w") as fh:
+        json.dump([entry], fh)
+    first_src, first_dest = next(iter(renames.items()))
+    os.replace(first_src, first_dest)  # the partial rename
+
+    w.abort([msg])
+
+    # rolled back whole: nothing visible, nothing staged, no pending entry
+    assert not any(os.path.exists(p) for p in renames)
+    assert not any(os.path.exists(p) for p in renames.values())
+    with open(log_path) as fh:
+        assert json.load(fh) == []
+    spark.dataSource.register(BtrBlocksDataSource)
+    assert _load(spark, dst).count() == 0
+
+    # and the table is NOT wedged: a fresh append commits normally
+    msg2 = w.write(iter(tbl.to_batches()))
+    w.commit([msg2])
+    assert _load(spark, dst).count() == 9

@@ -113,3 +113,35 @@ def test_configure_s3_anonymous_provider(spark):
         spark._jsc.hadoopConfiguration().get("fs.s3a.aws.credentials.provider")
         == applied["fs.s3a.aws.credentials.provider"]
     )
+
+
+def test_chunk_pruning_via_uri(spark, sf_dir, uri_dir):
+    """read_table_skipping / prune_chunks / metadata_agg on a
+    scheme-qualified URI (S7): the sharded chunk-stats dataset resolves
+    through the URI both driver-side (file:// strips to a local read) and
+    with the meta/spark pass-through (round-4 review regression)."""
+    from btrblocks_spark.format.reader import (
+        metadata_agg,
+        prune_chunks,
+        read_table_skipping,
+    )
+
+    df = load_table(spark, sf_dir, "orders")
+    uri = "file://" + uri_dir + "/orders_tbl"
+    write_table(df, uri, ["o_orderkey"], DEFAULT_CONFIG.with_(block_size=512), "orders")
+
+    keys = sorted(r["o_orderkey"] for r in df.select("o_orderkey").distinct().collect())
+    lo, hi = keys[len(keys) // 2], keys[len(keys) // 2 + 2]
+    kept = prune_chunks(uri, "o_orderkey", lo, hi, spark=spark)
+    n_chunks = read_metadata(uri, spark)["num_chunks"]
+    assert 0 < len(kept) < n_chunks
+
+    pruned, kept2 = read_table_skipping(spark, uri, "o_orderkey", lo, hi)
+    assert kept2 == kept
+    expect = df.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+    assert pruned.count() == expect.count()
+
+    agg = {r["column"]: r for r in metadata_agg(uri, ["o_orderkey"], spark)}
+    assert list(agg) == ["o_orderkey"]
+    assert agg["o_orderkey"]["n_rows"] == df.count()
+    assert agg["o_orderkey"]["min"] == min(keys) and agg["o_orderkey"]["max"] == max(keys)

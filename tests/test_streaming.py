@@ -843,3 +843,33 @@ def test_chunked_append_first_batch_crash_before_mkdir(spark, events_dir, tmpdir
     with open(os.path.join(path, "_stream_batches.json")) as fh:
         log = json.load(fh)
     assert [e["state"] for e in log] == ["committed"]
+
+
+def test_chunked_append_legacy_fence_only_newest(spark, events_dir, tmpdir):
+    """Legacy (pre-scope) committed entries must fence ONLY the newest
+    legacy batch id — fencing every legacy id against every scope would
+    silently drop the first batches of any NEW stream on an upgraded
+    table (review finding, round 4)."""
+    import json
+
+    from btrblocks_spark.streaming.ops import exactly_once_chunked_append
+
+    path = os.path.join(tmpdir, "legacy_tbl")
+    os.makedirs(os.path.join(path, "data"))
+    batch = spark.read.parquet(events_dir).limit(4)
+
+    # an upgraded table: legacy committed entries batch 0..3, no scope key
+    legacy = [
+        {"batch": b, "renames": {}, "state": "committed"} for b in range(4)
+    ]
+    with open(os.path.join(path, "_stream_batches.json"), "w") as fh:
+        json.dump(legacy, fh)
+
+    # a NEW stream's batch 0 must append, not be swallowed by legacy batch 0
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="new-ckpt")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 4
+
+    # the newest legacy id (3) is still fenced — that is the only batch the
+    # pre-upgrade stream could genuinely replay
+    exactly_once_chunked_append(batch, path, 3, block_size=4096, scope="new-ckpt-2")
+    assert spark.read.parquet(os.path.join(path, "data")).count() == 4
