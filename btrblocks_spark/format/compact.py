@@ -25,11 +25,12 @@ from btrblocks_spark.config import DEFAULT_CONFIG, BtrBlocksConfig
 from btrblocks_spark.format.writer import write_table
 
 
-def _parquet_files(path: str) -> list[str]:
-    out = []
-    for root, _dirs, files in os.walk(path):
-        out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
-    return out
+# Spark-visible listing (underscore/hidden components excluded): the
+# input_files stat must count exactly the files the read compacts — a raw
+# os.walk would count staged-but-uncommitted batch files under
+# _stream_stage/ that the Spark read skips, overstating the stat and
+# tempting an operator to delete rows that were never rewritten.
+from btrblocks_spark.format.fs import list_parquet_files as _parquet_files
 
 
 def compact_table(

@@ -129,3 +129,22 @@ def join(base: str, *parts: str) -> str:
     for p in parts:
         out += "/" + p.strip("/")
     return out
+
+def list_parquet_files(path: str) -> list[str]:
+    """Recursive parquet listing that sees EXACTLY what a Spark read of the
+    same path sees: components starting with ``_`` or ``.`` (staging dirs
+    like ``_stream_stage``, ``_copy_tmp-*``, hidden files) are skipped, the
+    way Hadoop's default path filter skips them. Every lister feeding a
+    file-identity decision (incremental fold state, compaction stats) MUST
+    use this, or the counted set and the scanned set diverge — e.g. an
+    os.walk that counts staged-but-uncommitted batch files Spark never
+    read. Local paths only (sorted for deterministic identity)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)

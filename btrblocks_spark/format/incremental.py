@@ -26,13 +26,13 @@ from pyspark.sql import functions as F
 
 
 def _list_data_files(path: str) -> list[str]:
-    data_dir = os.path.join(path, "data")
-    return sorted(
-        os.path.join(r, f)
-        for r, _s, fs in os.walk(data_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    from btrblocks_spark.format.fs import list_parquet_files
+
+    # absolute paths: the processed-file identity must not depend on the
+    # caller's cwd — a relative invocation of the same table would see zero
+    # overlap with recorded state and silently re-fold (double-count) all
+    # rows. Spark-visible listing only (staging/hidden dirs excluded).
+    return list_parquet_files(os.path.join(os.path.abspath(path), "data"))
 
 
 def incremental_agg(
@@ -42,70 +42,101 @@ def incremental_agg(
     keys: list[str],
     sum_cols: list[str],
     count_col: str = "n_rows",
+    keep_versions: int = 3,
 ) -> tuple[DataFrame, dict]:
     """Refresh (or initialize) a grouped sum/count aggregate over the
     chunked table at ``path``, scanning only files not yet folded in.
 
+    Correctness across maintenance: if any PROCESSED file has vanished
+    (``maintenance.compact`` rewrote the append tail, a rewrite replaced
+    files), the fold state no longer describes the table — the refresh
+    falls back to a full recompute over the current files instead of
+    silently double-counting the rewritten rows. The read-state →
+    write-snapshot → swap sequence runs under the state dir's commit lock
+    (two concurrent refreshes would otherwise interleave into one ``v=N``
+    dir and drop each other's processed lists); snapshots older than
+    ``keep_versions`` are vacuumed after the swap so a per-microbatch
+    refresh doesn't accumulate history forever.
+
     Returns (result DataFrame, stats). ``stats['files_scanned']`` is the
     incremental scan size — 0 on a no-op refresh."""
+    import shutil
+
+    from btrblocks_spark.format.maintenance import commit_lock
+
     os.makedirs(state_dir, exist_ok=True)
     state_file = os.path.join(state_dir, "_state.json")
-    if os.path.exists(state_file):
-        with open(state_file) as fh:
-            state = json.load(fh)
-    else:
-        state = {"processed": [], "version": -1}
+    with commit_lock(state_dir):
+        if os.path.exists(state_file):
+            with open(state_file) as fh:
+                state = json.load(fh)
+        else:
+            state = {"processed": [], "version": -1}
 
-    files = _list_data_files(path)
-    seen = set(state["processed"])
-    new = [f for f in files if f not in seen]
-    prev = (
-        spark.read.parquet(os.path.join(state_dir, f"v={state['version']}"))
-        if state["version"] >= 0
-        else None
-    )
-    stats = {
-        "files_total": len(files),
-        "files_scanned": len(new),
-        "version": state["version"],
-    }
-    if not new and prev is not None:
-        return prev, stats
-    if not new:
-        # first refresh of an EMPTY table: spark.read.parquet(*[]) would
-        # raise an opaque analysis error — name the real cause instead
-        raise ValueError(
-            "incremental_agg: no data files to aggregate and no prior "
-            "snapshot — write data to the table before the first refresh"
-        )
+        files = _list_data_files(path)
+        seen = {os.path.abspath(p) for p in state["processed"]}
+        full_recompute = bool(seen - set(files))  # processed file vanished
+        if full_recompute:
+            new = files
+            prev = None
+        else:
+            new = [f for f in files if f not in seen]
+            prev = (
+                spark.read.parquet(os.path.join(state_dir, f"v={state['version']}"))
+                if state["version"] >= 0
+                else None
+            )
+        stats = {
+            "files_total": len(files),
+            "files_scanned": len(new),
+            "version": state["version"],
+            "full_recompute": full_recompute,
+        }
+        if not new and prev is not None:
+            return prev, stats
+        if not new:
+            # first refresh of an EMPTY table: spark.read.parquet(*[]) would
+            # raise an opaque analysis error — name the real cause instead
+            raise ValueError(
+                "incremental_agg: no data files to aggregate and no prior "
+                "snapshot — write data to the table before the first refresh"
+            )
 
-    sum_aliases = [f"sum_{c}" for c in sum_cols]
-    part = (
-        spark.read.parquet(*new)
-        .groupBy(*keys)
-        .agg(
-            *[F.sum(c).alias(a) for c, a in zip(sum_cols, sum_aliases)],
-            F.count(F.lit(1)).alias(count_col),
-        )
-    )
-    if prev is not None:
-        merged = (
-            prev.unionByName(part)
+        sum_aliases = [f"sum_{c}" for c in sum_cols]
+        part = (
+            spark.read.parquet(*new)
             .groupBy(*keys)
             .agg(
-                *[F.sum(a).alias(a) for a in sum_aliases],
-                F.sum(count_col).alias(count_col),
+                *[F.sum(c).alias(a) for c, a in zip(sum_cols, sum_aliases)],
+                F.count(F.lit(1)).alias(count_col),
             )
         )
-    else:
-        merged = part
+        if prev is not None:
+            merged = (
+                prev.unionByName(part)
+                .groupBy(*keys)
+                .agg(
+                    *[F.sum(a).alias(a) for a in sum_aliases],
+                    F.sum(count_col).alias(count_col),
+                )
+            )
+        else:
+            merged = part
 
-    next_v = state["version"] + 1
-    out_dir = os.path.join(state_dir, f"v={next_v}")
-    merged.write.mode("overwrite").parquet(out_dir)
-    tmp = state_file + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"processed": files, "version": next_v}, fh)
-    os.replace(tmp, state_file)
+        next_v = state["version"] + 1
+        out_dir = os.path.join(state_dir, f"v={next_v}")
+        merged.write.mode("overwrite").parquet(out_dir)
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"processed": files, "version": next_v}, fh)
+        os.replace(tmp, state_file)
+        # bounded history: vacuum snapshots past the retention window
+        for d in os.listdir(state_dir):
+            if (
+                d.startswith("v=")
+                and d[2:].isdigit()
+                and int(d[2:]) <= next_v - keep_versions
+            ):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
     stats["version"] = next_v
     return spark.read.parquet(out_dir), stats

@@ -409,12 +409,11 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     bs = int(meta["block_size"])
     cfg = dataclasses.replace(config or DEFAULT_CONFIG, block_size=bs)
     data_dir = os.path.join(path, "data")
-    files = sorted(
-        os.path.join(r, f)
-        for r, _s, fs in os.walk(data_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    # Spark-visible listing (shared helper): the fragment set must be
+    # exactly what a reader scans — hidden/underscore components excluded
+    from btrblocks_spark.format.fs import list_parquet_files
+
+    files = list_parquet_files(data_dir)
 
     full: dict[int, str] = {}  # chunk id -> file holding exactly that chunk
     frag: list[str] = []

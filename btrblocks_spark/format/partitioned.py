@@ -20,23 +20,34 @@ stats → parquet row groups.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_col: str, expr: Column
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    expr: Column,
+    tasks_per_partition: int = 4,
 ) -> None:
     """Write ``df`` hive-partitioned by ``partition_col = expr``.
 
-    One directory per distinct value; within a partition, files keep the
-    writer's natural task parallelism. ``maxRecordsPerFile`` caps file size
-    so a hot partition still splits into parallel scan tasks.
+    One directory per distinct value. The pre-write exchange keys on
+    (partition value, bounded salt): keying on the value alone would route
+    a hot partition — a skewed day with billions of rows — to ONE task
+    that writes it sequentially (maxRecordsPerFile splits files, not
+    work), while no exchange at all makes every task emit a file into
+    every partition dir (tasks × partitions small files — the classic
+    100 TB small-file explosion). The salt bounds both: at most
+    ``tasks_per_partition`` writers (and files-per-batch) per directory,
+    with hot partitions still spread across that many cores.
     """
+    salt = F.pmod(F.spark_partition_id(), F.lit(tasks_per_partition))
     (
         df.withColumn(partition_col, expr)
-        # co-locate each partition's rows before the write: without this,
-        # every write task emits a file into every partition dir (tasks ×
-        # partitions small files — the classic 100 TB small-file explosion)
-        .repartition(partition_col)
+        .withColumn("_write_salt", salt)
+        .repartition(partition_col, "_write_salt")
+        .drop("_write_salt")
         .write.option("maxRecordsPerFile", 1_000_000)
         .partitionBy(partition_col)
         .mode("overwrite")

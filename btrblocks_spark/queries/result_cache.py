@@ -32,6 +32,12 @@ def _inputs_digest(input_paths: list[str]) -> str:
         elif os.path.exists(p):
             st = os.stat(p)
             entries.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+        else:
+            # a missing input still participates by NAME: silently skipping
+            # it would let two different input lists (each with a different
+            # not-yet-existing path) collide on one cache key and serve
+            # each other's results
+            entries.append(f"{p}|MISSING")
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()[:24]
 
 
@@ -64,6 +70,20 @@ def cached_result(
         return spark.read.parquet(data_dir), True
     df = compute()
     os.makedirs(slot, exist_ok=True)
+    # garbage-collect stage dirs a crashed writer abandoned (they would
+    # otherwise leak a full result copy per crash, forever); an hour is far
+    # past any live writer's stage window, so a racing rival is never hit
+    import shutil
+    import time
+
+    for d in os.listdir(slot):
+        if d.startswith(".stage-"):
+            full = os.path.join(slot, d)
+            try:
+                if time.time() - os.path.getmtime(full) > 3600:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
     # publish atomically: two sessions sharing cache_root can miss the same
     # slot concurrently — a direct mode("overwrite") on data/ lets one
     # writer delete the other's just-written part files mid-flight, after

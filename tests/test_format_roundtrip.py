@@ -1361,3 +1361,78 @@ def test_sidecar_vintages_agree(spark, sf_dir, tmp_path):
     # legacy dict-based prune still works on a v1 metadata dict
     assert prune_chunks(read_metadata(path), "o_orderkey", 1, 100) == prune_v2
     assert sorted(tuple(r) for r in scheme_summary(spark, path).collect()) == summ_v2
+
+
+def test_incremental_agg_recomputes_after_compact(spark, sf_dir, tmp_path):
+    """compact() rewrites processed files — the incremental fold must detect
+    the vanished files and fall back to a full recompute instead of
+    silently double-counting the rewritten rows (review finding, round 4).
+    Also covers: snapshot retention vacuums old v=N dirs."""
+    import dataclasses
+    import os
+
+    from btrblocks_spark.format.incremental import incremental_agg
+    from btrblocks_spark.format.maintenance import compact
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=512)
+    path = str(tmp_path / "inc_compact")
+    state = str(tmp_path / "inc_state")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders.filter(F.col("o_orderkey") % 5 != 0), path, ["o_orderkey"], cfg)
+
+    res1, st1 = incremental_agg(
+        spark, path, state, ["o_orderstatus"], ["o_totalprice"]
+    )
+    base_rows = {r["o_orderstatus"]: r["n_rows"] for r in res1.collect()}
+
+    # fragmented appends, then compact — the fold's processed files vanish
+    extra = orders.filter(F.col("o_orderkey") % 5 == 0)
+    extra.write.mode("append").option("maxRecordsPerFile", 128).parquet(path + "/data")
+    assert compact(spark, path, cfg)["compacted"] is True
+
+    res2, st2 = incremental_agg(
+        spark, path, state, ["o_orderstatus"], ["o_totalprice"]
+    )
+    assert st2["full_recompute"] is True
+    got = {r["o_orderstatus"]: r["n_rows"] for r in res2.collect()}
+    want = {
+        r["o_orderstatus"]: r["c"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want  # exactly once, never doubled
+    assert sum(base_rows.values()) < sum(got.values())
+
+    # a third refresh with nothing new is a no-op, and old snapshots are
+    # vacuumed down to the retention window
+    res3, st3 = incremental_agg(
+        spark, path, state, ["o_orderstatus"], ["o_totalprice"], keep_versions=1
+    )
+    assert st3["files_scanned"] == 0
+    versions = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert len(versions) <= 2
+
+
+def test_result_cache_missing_inputs_do_not_collide(spark, sf_dir, tmp_path):
+    """Two cache lookups whose input lists differ only in a NOT-YET-EXISTING
+    path must get different cache keys (review finding: skipped missing
+    paths collided and served the wrong day's result)."""
+    import os
+
+    from btrblocks_spark.queries.result_cache import cached_result
+    from btrblocks_spark.tables import load_table as _lt
+
+    root = str(tmp_path / "cache2")
+    common = os.path.join(sf_dir, "nation.parquet")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return _lt(spark, sf_dir, "nation").groupBy("n_regionkey").count()
+
+    _r1, hit1 = cached_result(
+        spark, "day", [common, str(tmp_path / "day=2026-08-14")], compute, root
+    )
+    _r2, hit2 = cached_result(
+        spark, "day", [common, str(tmp_path / "day=2026-08-15")], compute, root
+    )
+    assert not hit1 and not hit2 and calls["n"] == 2  # distinct slots
