@@ -94,18 +94,27 @@ def with_zorder(
         F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
         F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),
     )
-    qa = F.coalesce(
-        F.floor(
-            (F.col(col_a) - F.col("_alo")) * scale / (F.col("_ahi") - F.col("_alo") + 1)
-        ).cast("long"),
-        F.lit(0),
-    )
-    qb = F.coalesce(
-        F.floor(
-            (F.col(col_b) - F.col("_blo")) * scale / (F.col("_bhi") - F.col("_blo") + 1)
-        ).cast("long"),
-        F.lit(0),
-    )
+
+    def _quantize(col: str, lo: str, hi: str) -> Column:
+        # All arithmetic in DOUBLE: multiplying (col - lo) by scale in the
+        # column's native integer type overflows int32 once the range
+        # exceeds 2^31/scale (ANSI mode — this session's default — throws;
+        # non-ANSI silently scrambles the curve), and an epoch-nanos long
+        # range × 65536 blows past 2^63 the same way. Dividing by the REAL
+        # span (not span+1, which collapses a fractional-range double
+        # column like [0, 0.001] to a handful of buckets) with a
+        # least()-clamp maps lo..hi onto exactly [0, scale-1].
+        x = F.col(col).cast("double")
+        lo_d, hi_d = F.col(lo).cast("double"), F.col(hi).cast("double")
+        span = hi_d - lo_d
+        q = F.when(
+            span > 0,
+            F.least(F.lit(scale - 1), F.floor((x - lo_d) / span * scale).cast("long")),
+        ).otherwise(F.lit(0))  # constant (or empty) dimension: one bucket
+        return F.coalesce(q, F.lit(0))
+
+    qa = _quantize(col_a, "_alo", "_ahi")
+    qb = _quantize(col_b, "_blo", "_bhi")
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out_col, _spread16(qa).bitwiseOR(F.shiftleft(_spread16(qb), 1)))

@@ -270,22 +270,34 @@ def _log_path(path: str) -> str:
     return os.path.join(path, "_appends.json")
 
 
-def _read_log(path: str) -> list:
+def read_json_log(file_path: str) -> list:
+    """Load a JSON WAL file (empty list when absent) — shared by this
+    module's append log and the foreachBatch sink's `_stream_batches.json`
+    so the two WALs' serialization behavior can never drift."""
     import json
 
-    if os.path.exists(_log_path(path)):
-        with open(_log_path(path)) as fh:
+    if os.path.exists(file_path):
+        with open(file_path) as fh:
             return json.load(fh)
     return []
 
 
-def _write_log(path: str, log: list) -> None:
+def write_json_log(file_path: str, log: list) -> None:
+    """Atomic-replace write of a JSON WAL file (shared, see read_json_log)."""
     import json
 
-    tmp = _log_path(path) + ".tmp"
+    tmp = file_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(log, fh)
-    os.replace(tmp, _log_path(path))
+    os.replace(tmp, file_path)
+
+
+def _read_log(path: str) -> list:
+    return read_json_log(_log_path(path))
+
+
+def _write_log(path: str, log: list) -> None:
+    write_json_log(_log_path(path), log)
 
 
 def _finish_renames(entry: dict) -> None:

@@ -103,7 +103,7 @@ def exactly_once_chunked_append(
     Same WAL shape as the btrblocks streaming sink and compact()'s journal;
     the log update runs under the table's commit lock."""
     import hashlib
-    import json
+    import uuid
 
     from btrblocks_spark.format.maintenance import commit_lock
 
@@ -113,53 +113,65 @@ def exactly_once_chunked_append(
             "(the stream's checkpoint location): batch ids are only unique "
             "per checkpoint lineage"
         )
-    log_path = os.path.join(path, "_stream_batches.json")
 
-    def read_log() -> list:
-        if os.path.exists(log_path):
-            with open(log_path) as fh:
-                return json.load(fh)
-        return []
-
-    def write_log(log: list) -> None:
-        tmp = log_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(log, fh)
-        os.replace(tmp, log_path)
-
-    # shared WAL recovery: idempotent renames, per-dest makedirs (covers a
-    # first-batch crash before data/ ever existed), raise on a lost stage
-    from btrblocks_spark.sources.btr_datasource import _finish_renames as finish
-
-    # legacy entries (pre-scope versions of this helper) have no checkpoint
-    # lineage recorded. Only the NEWEST legacy batch can be a genuine Spark
-    # replay (Structured Streaming re-offers only the single in-flight
-    # batch); fencing every legacy id against every scope would silently
-    # drop the first batches of any NEW stream on an upgraded table.
-    legacy_max = max(
-        (e.get("batch", -1) for e in read_log() if "scope" not in e),
-        default=None,
+    # shared WAL plumbing (same helpers as the datasource append log, so
+    # the two WALs' atomicity/serialization behavior can never drift):
+    # read/write + idempotent rename recovery with per-dest makedirs
+    # (covers a first-batch crash before data/ ever existed) and a raise
+    # on a lost stage.
+    from btrblocks_spark.sources.btr_datasource import (
+        _finish_renames as finish,
+        prune_committed_entries,
+        read_json_log,
+        write_json_log,
     )
 
-    def matches(e: dict) -> bool:
-        if e.get("batch") != batch_id:
-            return False
-        if "scope" in e:
-            return e.get("scope") == scope
-        return batch_id == legacy_max
+    log_path = os.path.join(path, "_stream_batches.json")
+
+    def find_prior(log: list):
+        # legacy entries (pre-scope versions of this helper) have no
+        # checkpoint lineage recorded. Only the NEWEST legacy batch can be
+        # a genuine Spark replay (Structured Streaming re-offers only the
+        # single in-flight batch); fencing every legacy id against every
+        # scope would silently drop the first batches of any NEW stream on
+        # an upgraded table. Computed from the SAME log snapshot the fence
+        # check reads, under the same lock.
+        legacy_max = max(
+            (e.get("batch", -1) for e in log if "scope" not in e), default=None
+        )
+        for e in log:
+            if e.get("batch") != batch_id:
+                continue
+            if ("scope" in e and e.get("scope") == scope) or (
+                "scope" not in e and batch_id == legacy_max
+            ):
+                return e
+        return None
 
     scope_tag = hashlib.blake2b(scope.encode(), digest_size=8).hexdigest()
-    stage = os.path.join(path, "_stream_stage", scope_tag, f"batch={batch_id}")
+    stage_root = os.path.join(path, "_stream_stage", scope_tag)
+
+    def clean_stages() -> None:
+        # every attempt stages into its OWN dir (a shared per-batch dir let
+        # a zombie driver's overwrite clobber the files a rival's pending
+        # entry was about to rename — the "rows lost" wedge). Once this
+        # batch is committed, every batch=<id>-* attempt dir is garbage.
+        if os.path.isdir(stage_root):
+            for d in os.listdir(stage_root):
+                if d.startswith(f"batch={batch_id}-"):
+                    shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+
     with commit_lock(path):
-        log = read_log()
-        prior = next((e for e in log if matches(e)), None)
+        log = read_json_log(log_path)
+        prior = find_prior(log)
         if prior is not None:
             if prior.get("state") == "pending":
                 finish(prior)  # first attempt's files — complete, don't restage
                 prior["state"] = "committed"
-                write_log(log)
-            shutil.rmtree(stage, ignore_errors=True)
+                write_json_log(log_path, log)
+            clean_stages()
             return
+    stage = os.path.join(stage_root, f"batch={batch_id}-{uuid.uuid4().hex}")
     (
         batch_df.write.mode("overwrite")
         .option("maxRecordsPerFile", block_size)
@@ -173,8 +185,8 @@ def exactly_once_chunked_append(
         if f.endswith(".parquet")
     )
     with commit_lock(path):
-        log = read_log()
-        if any(matches(e) for e in log):  # lost a race
+        log = read_json_log(log_path)
+        if find_prior(log) is not None:  # lost a race
             shutil.rmtree(stage, ignore_errors=True)
             return
         entry = {
@@ -189,17 +201,15 @@ def exactly_once_chunked_append(
             "state": "pending",
         }
         log.append(entry)
-        write_log(log)  # commit point
+        write_json_log(log_path, log)  # commit point
         finish(entry)
         entry["state"] = "committed"
         # bound the journal: a long-lived stream writes one entry per batch
         # and every commit rewrites the whole file — committed entries past
         # the scope's replay window are dead weight (Structured Streaming
         # only replays the single in-flight batch of a checkpoint lineage)
-        from btrblocks_spark.sources.btr_datasource import prune_committed_entries
-
-        write_log(prune_committed_entries(log))
-    shutil.rmtree(stage, ignore_errors=True)
+        write_json_log(log_path, prune_committed_entries(log))
+    clean_stages()
 
 
 def chunked_append(
@@ -286,7 +296,12 @@ def _session_fn(gap_seconds: int):
             pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
         )
         if len(batch):
-            pdf = batch.sort_values("event_time")
+            # NaT guard: a null event_time sorts last, its .value is
+            # int64-min, and storing that as last_us makes the NEXT real
+            # event close a "session" whose pd.Timestamp(start_us) is below
+            # the ns bound — OutOfBoundsDatetime, a crash-looping stream.
+            # A timeless event carries no session information: drop it.
+            pdf = batch.dropna(subset=["event_time"]).sort_values("event_time")
             for t, v in zip(pdf["event_time"], pdf["value"]):
                 t_us = int(t.value // 1000)
                 if last_us is not None and t_us - last_us > gap_us:
@@ -305,8 +320,9 @@ def _session_fn(gap_seconds: int):
                 last_us = t_us
                 n += 1
                 total += float(v) if v == v else 0.0  # NaN-safe
-        state.update((start_us, last_us, n, total))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if start_us is not None:  # all-null-time batch: nothing to track
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutDuration(gap_seconds * 1000)
         if rows:
             yield pd.DataFrame(rows)
 
@@ -320,6 +336,9 @@ def sessionize(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     flushes idle state). State is per user_id — hash-partitioned, bounded."""
     return (
         stream.select("user_id", "event_time", "value")
+        # null event times never reach the state function (see the NaT
+        # guard there); filtering JVM-side also skips the Arrow transfer
+        .filter(F.col("event_time").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_seconds),
@@ -435,32 +454,40 @@ def streaming_upsert(
     untouched, and checkpointed offsets make re-application idempotent
     (same batch -> same merged version content).
     """
+    from btrblocks_spark.format.maintenance import commit_lock
     from btrblocks_spark.pipeline.merge import merge_upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        current = read_snapshot(spark, table_dir)
-        order = [F.desc(c) for c in (order_by or [])]
-        if current is None:
-            # first commit: still dedup multi-row keys within the batch
-            empty = spark.createDataFrame([], batch_df.schema)
-            merged = merge_upsert(empty, batch_df, keys, order)
-        else:
-            merged = merge_upsert(current, batch_df, keys, order)
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(table_dir)
-            if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d))
-        ] if os.path.isdir(table_dir) else []
-        next_v = (max(versions) + 1) if versions else 0
-        out = os.path.join(table_dir, f"v={next_v}")
-        merged.drop("op").write.mode("overwrite").parquet(out)
-        tmp = os.path.join(table_dir, "_latest.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(str(next_v))
-        os.replace(tmp, os.path.join(table_dir, "_latest"))
+        # the whole read-merge-write-repoint sequence is one critical
+        # section: two concurrent writers (a second query, a batch CDC
+        # job) would otherwise both compute the same next_v, overwrite
+        # each other's in-flight snapshot files in ONE v=N dir, and the
+        # losing pointer swap would silently drop the other's merged rows
+        # — the same window catalog.commit_tables locks.
+        with commit_lock(table_dir):
+            current = read_snapshot(spark, table_dir)
+            order = [F.desc(c) for c in (order_by or [])]
+            if current is None:
+                # first commit: still dedup multi-row keys within the batch
+                empty = spark.createDataFrame([], batch_df.schema)
+                merged = merge_upsert(empty, batch_df, keys, order)
+            else:
+                merged = merge_upsert(current, batch_df, keys, order)
+            versions = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(table_dir)
+                if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d))
+            ] if os.path.isdir(table_dir) else []
+            next_v = (max(versions) + 1) if versions else 0
+            out = os.path.join(table_dir, f"v={next_v}")
+            merged.drop("op").write.mode("overwrite").parquet(out)
+            tmp = os.path.join(table_dir, "_latest.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(str(next_v))
+            os.replace(tmp, os.path.join(table_dir, "_latest"))
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -877,7 +904,11 @@ def kmv_sketch_stream(
         spark = batch_df.sparkSession
         cur_dir = os.path.join(out_dir, "current")
         batch_mins = (
-            batch_df.select(hash32(F.col(key_col).cast("string")).alias("h"))
+            # NULL keys carry no distinct-count information, and a NULL
+            # hash would sort FIRST (ASC puts nulls first), permanently
+            # occupying a min-k slot and biasing the estimator
+            batch_df.filter(F.col(key_col).isNotNull())
+            .select(hash32(F.col(key_col).cast("string")).alias("h"))
             .distinct()
             .orderBy("h")
             .limit(k)

@@ -37,7 +37,11 @@ _TABLE_MEMO: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    # id(spark) in the key: sessions from spark.newSession() share an
+    # applicationId but have SEPARATE temp-view catalogs — handing session
+    # B a DataFrame bound to session A would register its views in the
+    # wrong catalog (TABLE_OR_VIEW_NOT_FOUND on B's sql())
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
     cached = _TABLE_MEMO.get(key)
     if cached is not None:
         return cached

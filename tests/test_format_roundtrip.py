@@ -1436,3 +1436,48 @@ def test_result_cache_missing_inputs_do_not_collide(spark, sf_dir, tmp_path):
         spark, "day", [common, str(tmp_path / "day=2026-08-15")], compute, root
     )
     assert not hit1 and not hit2 and calls["n"] == 2  # distinct slots
+
+
+def test_zorder_quantize_wide_and_fractional_ranges(spark):
+    """Quantization must neither overflow wide integer ranges (ANSI mode
+    raises on int/long overflow; the old native-type multiply did) nor
+    collapse fractional double ranges to a handful of buckets (the old
+    range+1 denominator gave [0, 0.001] only ~66 of 65536 buckets)."""
+    from btrblocks_spark.format.zorder import with_zorder
+
+    # wide long range: epoch-nanos spanning ~30 days — (x-lo)*65536 would
+    # exceed 2^63 in long arithmetic
+    n = 4096
+    base = 1_700_000_000_000_000_000
+    df = spark.range(n).select(
+        (F.lit(base) + F.col("id") * F.lit(700_000_000_000)).alias("t_ns"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    z = with_zorder(df, "t_ns", "score", quantize_bits=16)
+    zk = z.agg(F.countDistinct("zkey").alias("d"), F.min("zkey"), F.max("zkey")).first()
+    assert zk["d"] > 1000  # real spread, no overflow exception
+
+    # fractional double range [0, ~0.001]: must still use the full bucket
+    # space, not floor(x*scale/1.001)'s ~66 buckets
+    df2 = spark.range(n).select(
+        (F.col("id").cast("double") / F.lit(float(n)) * 0.001).alias("rate"),
+        (F.col("id") % 97).alias("grp"),
+    )
+    z2 = with_zorder(df2, "rate", "grp", quantize_bits=16)
+    # extract the rate dimension's quantized bucket count: distinct zkeys
+    # restricted to one grp value reflect rate buckets alone
+    d_rate = z2.filter(F.col("grp") == 0).agg(F.countDistinct("zkey")).first()[0]
+    assert d_rate > 30  # ~42 rows in grp 0 → every row its own bucket
+
+
+def test_load_table_memo_is_per_session(spark, sf_dir):
+    """spark.newSession() shares an applicationId but has its OWN temp-view
+    catalog: the table memo must not hand session B a DataFrame bound to
+    session A (views would register in the wrong catalog)."""
+    from btrblocks_spark.tables import load_table, register_temp_views
+
+    s2 = spark.newSession()
+    df2 = load_table(s2, sf_dir, "nation")
+    assert df2.sparkSession is s2
+    register_temp_views(s2, sf_dir)
+    assert s2.sql("select count(*) from nation").first()[0] == df2.count()

@@ -873,3 +873,34 @@ def test_chunked_append_legacy_fence_only_newest(spark, events_dir, tmpdir):
     # pre-upgrade stream could genuinely replay
     exactly_once_chunked_append(batch, path, 3, block_size=4096, scope="new-ckpt-2")
     assert spark.read.parquet(os.path.join(path, "data")).count() == 4
+
+
+def test_sessionize_tolerates_null_event_time(spark, tmpdir):
+    """A null event timestamp must be dropped, not poison session state:
+    NaT's int64-min sentinel used to make the next real event close a
+    'session' whose start is below the pandas ns bound (OutOfBoundsDatetime
+    crash-loop — review finding, round 4)."""
+    import datetime
+
+    src = os.path.join(tmpdir, "null_ts_src")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, None, 9.0),  # the poison row
+        (1, base + datetime.timedelta(hours=2), 2.0),  # closes session 1
+        (1, base + datetime.timedelta(hours=2, minutes=5), 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_time timestamp, value double"
+    ).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_time timestamp, value double"
+    ).parquet(src)
+    q = _run_to_memory(sessionize(stream, gap_seconds=1800), "null_ts_sessions")
+    rows_out = spark.sql("select * from null_ts_sessions").collect()
+    q.stop()
+    # the closed session: exactly the first (non-null) event
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    assert r["n_events"] == 1 and r["total_value"] == 1.0
