@@ -82,9 +82,19 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# the whitespace class is spelled OUT, not \s: Java's \s includes
+# vertical tab U+000B, RE2's (DuckDB) does not — an explicit identical
+# class keeps the content hash engine-stable. (Unicode case folding is
+# the remaining cross-engine boundary: Java full case mapping lowers
+# final sigma / dotted-I differently from utf8proc — texts relying on
+# those locale-special mappings hash differently per engine; ASCII and
+# simple-case text, i.e. real corpus bulk, is exact.)
+_WS_CLASS = "[ \t\n\r\f\x0B]+"
+
+
 def normalized(col: Column) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), _WS_CLASS, " "))
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

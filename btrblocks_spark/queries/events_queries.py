@@ -371,8 +371,11 @@ _SALT_BUCKETS = 16
     "events_salted_join",
     oracle="""
 WITH dim AS (
+  -- NULLS FIRST mirrors Spark's ASC default; DuckDB defaults NULLS LAST,
+  -- which would shift every real type's rank by one if a NULL type row
+  -- ever appeared
   SELECT event_type,
-         row_number() OVER (ORDER BY event_type) AS type_rank
+         row_number() OVER (ORDER BY event_type NULLS FIRST) AS type_rank
   FROM (SELECT DISTINCT event_type FROM events)
 )
 SELECT e.event_id AS event_id, e.event_type AS event_type, d.type_rank AS type_rank
@@ -592,9 +595,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_after_view",
             "n_purchase_after_click",
-            F.round(F.col("n_click_after_view") / F.col("n_view"), 6).alias("view_to_click"),
+            # try_divide: an empty funnel stage (no views / no clicks) is a
+            # NULL rate in the oracle, not a DIVIDE_BY_ZERO abort
+            F.round(F.try_divide(F.col("n_click_after_view"), F.col("n_view")), 6).alias("view_to_click"),
             F.round(
-                F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+                F.try_divide(F.col("n_purchase_after_click"), F.col("n_click_after_view")), 6
             ).alias("click_to_purchase"),
         )
     )
@@ -694,7 +699,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
         / F.col("n_hours")
     )
-    z = (F.col("n") - F.col("mean_raw")) / F.col("std_raw")
+    # try_divide: a type active in one hour (or with constant counts) has
+    # std 0 — the oracle yields NULL zscore / is_anomaly 0; ANSI "/" aborts
+    z = F.try_divide(F.col("n") - F.col("mean_raw"), F.col("std_raw"))
     return (
         hourly.join(F.broadcast(m), "event_type")
         .withColumn("mean_raw", mean_n)
@@ -1064,7 +1071,9 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type",
         k.cast("long").alias("n_pairs"),
-        F.round(num / den, 6).alias("autocorr_lag1"),
+        # k=1 (exactly 2 active hours) makes den identically 0 → NULL, like
+        # the oracle; ANSI "/" would abort instead
+        F.round(F.try_divide(num, den), 6).alias("autocorr_lag1"),
     )
 
 
@@ -2461,7 +2470,9 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n",
         F.round(mu, 6).alias("mean_gap_min"),
-        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+        # all-zero gaps (every inter-event gap under a minute) make
+        # sigma+mu = 0 — NULL burstiness in the oracle, never an ANSI abort
+        F.round(F.try_divide(sigma - mu, sigma + mu), 6).alias("burstiness"),
     )
 
 
@@ -2533,7 +2544,9 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / n
     vy = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double") / n
     return m.select(
-        "event_type", "lag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("acf")
+        # a lag with a single pair (or a constant series) has vx*vy = 0 —
+        # NULL acf like the oracle, never an ANSI abort
+        "event_type", "lag", "n", F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("acf")
     )
 
 
@@ -2614,7 +2627,9 @@ def events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
     var = (n.cast("double") * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18
     return out.select(
-        "event_type", "n", "s", F.round(num / F.sqrt(var), 6).alias("z_score")
+        # a single-hour or fully-tied series has var = 0 — NULL z_score in
+        # the oracle (x/0 → NULL in DuckDB), never an ANSI abort here
+        "event_type", "n", "s", F.round(F.try_divide(num, F.sqrt(var)), 6).alias("z_score")
     )
 
 
@@ -2686,14 +2701,15 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r, n1, n2 = F.col("r"), F.col("n1"), F.col("n2")
     mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
-    var = (
-        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
-    )
+    var = F.try_divide(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2),
+        (n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1),
+    )  # single-hour type: denominator 0 → NULL (oracle parity)
     return m.select(
         "event_type",
         r.cast("long").alias("n_runs"),
         n1.cast("long").alias("n_above"),
         n2.cast("long").alias("n_below"),
-        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+        # constant series (n1 or n2 = 0): var 0 → NULL z, like the oracle
+        F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z_score"),
     )

@@ -112,7 +112,7 @@ def _cosine_sql(a: str, b: str) -> str:
 @register(
     "dedup_exact",
     oracle="""
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS content_hash,
        min(doc_id) AS keep_doc_id,
        count(*) AS dup_count
 FROM documents
@@ -603,7 +603,7 @@ SELECT b.doc_id, n_tokens,
          least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
          + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
          + (CAST(1.0 AS DOUBLE)
-            - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+            - least(coalesce(n_punct / CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(10 AS DOUBLE),
                     CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
        6) AS quality
 FROM base b JOIN per_doc USING (doc_id)
@@ -638,7 +638,7 @@ minsh AS (
   FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY doc_id
 )
 SELECT d.doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS content_hash,
        coalesce(m.min_shingle_hash, -1) AS min_shingle_hash
 FROM documents d LEFT JOIN minsh m USING (doc_id)
 """,
@@ -824,7 +824,12 @@ ins AS (
 ),
 u AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
 SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
-       coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+       -- ROW-wins, not value-wins: merge_upsert replaces the matched target
+       -- row wholesale, so an update row whose c_acctbal is NULL (e.g.
+       -- sum() over all-NULL prices) carries its NULL through — a value
+       -- coalesce would silently resurrect the target's old balance
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
        CASE WHEN u.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'update'
             WHEN u.c_custkey IS NOT NULL THEN 'insert'
             ELSE 'keep' END AS op
@@ -866,10 +871,15 @@ from btrblocks_spark.pipeline.curation import retained_docs, stratified_sample  
 @register(
     "curation_stratified_sample",
     oracle="""
+-- concat_ws mirror: Spark's concat_ws('#', source, id) SKIPS a NULL
+-- source (bare id string), while SQL || would NULL the whole key and
+-- silently drop the row; TRY_CAST mirrors the operator's try_cast (a
+-- non-numeric suffix degrades to the odd/default rate, never an error)
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE ('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
-      < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 300 END
+WHERE ('0x' || substr(md5(CASE WHEN source IS NULL THEN CAST(doc_id AS VARCHAR)
+                               ELSE source || '#' || CAST(doc_id AS VARCHAR) END), 1, 8))::BIGINT % 1000
+      < CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0 THEN 800 ELSE 300 END
 """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -962,7 +972,7 @@ qual AS (
            least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
            + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
            + (CAST(1.0 AS DOUBLE)
-              - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+              - least(coalesce(n_punct / CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(10 AS DOUBLE),
                       CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
          6) AS quality
   FROM base b JOIN per_doc USING (doc_id)
@@ -970,7 +980,7 @@ qual AS (
 canon AS (
   SELECT min(doc_id) AS doc_id
   FROM (SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+               md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS content_hash
         FROM documents)
   GROUP BY content_hash
 )
@@ -1012,13 +1022,17 @@ per_n AS (
   SELECT doc_id, n, max(c) AS mx, sum(c) AS tot, count(*) AS dst
   FROM counts GROUP BY 1, 2
 )
-SELECT doc_id,
+-- LEFT JOIN from documents: a NULL-text doc produces zero token rows
+-- (unnest of a NULL list), but the operator still emits its row with NULL
+-- metrics — dropping the doc would be a row-coverage divergence
+SELECT d.doc_id,
        CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_tokens,
        round(max(CASE WHEN n = 1 THEN mx / CAST(tot AS DOUBLE) END), 6) AS top_token_frac,
        round(max(CASE WHEN n = 2 THEN mx / CAST(tot AS DOUBLE) END), 6) AS top_bigram_frac,
        round(max(CASE WHEN n = 3 THEN (tot - dst) / CAST(tot AS DOUBLE) END), 6)
          AS dup_trigram_frac
-FROM per_n GROUP BY doc_id
+FROM documents d LEFT JOIN per_n p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
 """,
 )
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1073,7 +1087,10 @@ WITH r AS (
   SELECT doc_id, source AS stratum,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY ('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+           -- concat_ws mirror (see curation_stratified_sample): NULL
+           -- source hashes the bare doc_id, never a NULL key
+           ORDER BY ('0x' || substr(md5(CASE WHEN source IS NULL THEN CAST(doc_id AS VARCHAR)
+                                             ELSE source || '#' || CAST(doc_id AS VARCHAR) END), 1, 8))::BIGINT,
                     doc_id
          ) AS keep_rank
   FROM documents
@@ -1309,7 +1326,7 @@ cand AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id),
 norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS ntext
   FROM documents)
 SELECT c.doc_a, c.doc_b,
        levenshtein(na.ntext, nb.ntext) AS edit_dist,
@@ -1817,7 +1834,7 @@ scored AS (
            least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
            + (uniq_tokens / CAST(n_tokens AS DOUBLE)) * CAST(0.4 AS DOUBLE)
            + (CAST(1.0 AS DOUBLE)
-              - least(n_punct / CAST(n_chars AS DOUBLE) * CAST(10 AS DOUBLE),
+              - least(coalesce(n_punct / CAST(n_chars AS DOUBLE), CAST(0.0 AS DOUBLE)) * CAST(10 AS DOUBLE),
                       CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE),
          6) AS score
   FROM base b JOIN per_doc USING (doc_id)
@@ -3248,9 +3265,12 @@ def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "curation_padding_waste",
-    oracle=f"""
-WITH {_TOKS},
-dl AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+    oracle="""
+-- token length straight off documents (NOT via unnest): a NULL-text doc
+-- yields zero unnest rows and would vanish, while the operator's
+-- size(split(...)) keeps it (NULL n_tok → ELSE-bucket 4, NULL-ignoring
+-- sums) — len(string_split(NULL)) is NULL here, mirroring exactly
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
 b AS (
   SELECT doc_id, n_tok,
          CASE WHEN n_tok <= 64 THEN 0 WHEN n_tok <= 128 THEN 1
@@ -3454,11 +3474,12 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     num = (n * F.col("sxy") - sx * sy).cast("double")
     den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = F.try_divide(num, den)  # n=1 corpus: den 0 → NULL (oracle parity)
     return s.select(
         n.alias("n_terms"),
-        F.round(F.lit(0.0) - num / den, 6).alias("zipf_exponent"),
+        F.round(F.lit(0.0) - slope, 6).alias("zipf_exponent"),
         F.round(
-            (sy.cast("double") / n + (num / den) * (F.lit(0.0) - sx.cast("double") / n))
+            (sy.cast("double") / n + slope * (F.lit(0.0) - sx.cast("double") / n))
             / 1000000,
             6,
         ).alias("log_c_intercept"),
@@ -3576,11 +3597,12 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     num = (n * F.col("sxy") - sx * sy).cast("double")
     den = (n * F.col("sxx") - sx * sx).cast("double")
+    slope = F.try_divide(num, den)  # single source: den 0 → NULL (oracle parity)
     return s.select(
         n.alias("n_sources"),
-        F.round(num / den, 6).alias("heaps_beta"),
+        F.round(slope, 6).alias("heaps_beta"),
         F.round(
-            (sy.cast("double") / n - (num / den) * (sx.cast("double") / n)) / 1000000,
+            (sy.cast("double") / n - slope * (sx.cast("double") / n)) / 1000000,
             6,
         ).alias("log_k"),
     )

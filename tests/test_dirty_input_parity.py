@@ -1,0 +1,135 @@
+"""Dirty-input operator↔oracle parity gate.
+
+The oracle sweep proves both engines agree ON THE TESTDATA — it can never
+catch a divergence on an input shape the testdata lacks (the round-3
+zero-norm-embedding hole, and the round-4 review's NULL-text / NULL-source
+/ NULL-event-type / single-hour-series findings). This gate builds a
+fixture sf_dir that CONTAINS those degenerate rows and re-runs the exact
+registered query + oracle pairs over it, bit-exact:
+
+  documents: a NULL-text doc, an empty-text doc, a NULL-source doc
+  events:    a NULL-event_type row, an event type active in exactly one
+             hour (std=0), one with exactly two active hours (k=1 lag pair)
+
+Any operator that crashes under ANSI (unguarded x/0), any oracle that
+drops a row the operator keeps (NULL-propagating || vs concat_ws,
+unnest-vanishing docs, NULLS FIRST/LAST rank shifts), fails here before
+the real corpus ever exercises it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from btrblocks_spark.oracle import compare
+from btrblocks_spark.queries import all_oracles, all_queries
+
+DOC_QUERIES = [
+    "text_quality",
+    "text_token_stats",
+    "text_repetition_profile",
+    "text_fingerprint",
+    "dedup_exact",
+    "curation_stratified_sample",
+    "curation_cap_per_source",
+    "curation_retained_docs",
+    "curation_weighted_sample",
+    "curation_padding_waste",
+]
+
+EVENT_QUERIES = [
+    "events_salted_join",
+    "events_anomaly_zscore",
+    "events_autocorr_lag1",
+    "events_funnel",
+    "events_burstiness",
+    "events_trend_test",
+    "events_runs_test",
+    "events_acf_profile",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_sf_dir(spark, sf_dir, tmp_path_factory):
+    fixture = str(tmp_path_factory.mktemp("dirty_sf"))
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f not in ("documents.parquet", "events.parquet"):
+            os.symlink(os.path.join(sf_dir, f), os.path.join(fixture, f))
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    max_doc = max(docs["doc_id"].to_pylist())
+    dirty_docs = pa.table(
+        {
+            "doc_id": pa.array(
+                [max_doc + 1, max_doc + 2, max_doc + 3], type=pa.int64()
+            ),
+            "text": pa.array([None, "", "null source text body"], type=pa.string()),
+            "lang": pa.array(["en", "en", "en"], type=pa.string()),
+            "source": pa.array(["src1", "src2", None], type=pa.string()),
+            "n_chars": pa.array([0, 0, 21], type=pa.int64()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([docs, dirty_docs]),
+        os.path.join(fixture, "documents.parquet"),
+    )
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet")).select(
+        ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    max_ev = max(ev["event_id"].to_pylist())
+    t0 = datetime.datetime(2030, 1, 1, 0, 10, 0)
+    dirty_ev = pa.table(
+        {
+            "event_id": pa.array(
+                [max_ev + i for i in range(1, 6)], type=pa.int64()
+            ),
+            "ts": pa.array(
+                [
+                    t0,  # NULL-type row's time
+                    t0,  # rare_burst: two active hours -> k=1 lag pair
+                    t0 + datetime.timedelta(minutes=5),
+                    t0 + datetime.timedelta(hours=1),
+                    t0,  # rare_once: ONE active hour -> hourly std = 0
+                ],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([901, 902, 902, 902, 903], type=pa.int64()),
+            "event_type": pa.array(
+                [None, "rare_burst", "rare_burst", "rare_burst", "rare_once"],
+                type=pa.string(),
+            ),
+            "value": pa.array([1.0, 2.0, 2.0, 3.0, 4.0], type=pa.float64()),
+            "props": pa.array(["{}"] * 5, type=pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([ev, dirty_ev]), os.path.join(fixture, "events.parquet")
+    )
+    return fixture
+
+
+def _run(spark, fixture, names):
+    queries, oracles = all_queries(), all_oracles()
+    failed = []
+    for name in names:
+        df = queries[name](spark, fixture)
+        ok, msg = compare(df, oracles[name], fixture)
+        if not ok:
+            failed.append(f"{name}: {msg}")
+    assert not failed, "\n".join(failed)
+
+
+def test_document_queries_survive_dirty_rows(spark, dirty_sf_dir):
+    _run(spark, dirty_sf_dir, DOC_QUERIES)
+
+
+def test_event_queries_survive_dirty_rows(spark, dirty_sf_dir):
+    _run(spark, dirty_sf_dir, EVENT_QUERIES)
