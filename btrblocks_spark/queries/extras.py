@@ -27,12 +27,12 @@ from btrblocks_spark.tables import load_table
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
+       count(*) FILTER (WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
          AS n_missing_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
 FROM events
 GROUP BY event_type
 """,
@@ -51,7 +51,9 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted field as a materialized column so the JSON parse happens once
     at ingest, not per query."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast: a non-integer $.k value degrades to NULL (counted by
+    # n_missing_k) instead of aborting the job under ANSI
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.count(F.when(k.isNull(), 1)).alias("n_missing_k"),
@@ -232,7 +234,10 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
         F.countDistinct("c_mktsegment").alias("n_segments"),
-        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.when(
+            F.count("c_mktsegment") > 0,
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))),
+        ).alias("segments"),  # all-NULL group: NULL, matching string_agg
     )
 
 
@@ -369,7 +374,7 @@ def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH parsed AS (
   SELECT user_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
 SELECT k // 10 AS k_decile,
@@ -483,6 +488,11 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()
     )
+    if b["lo"] is None:  # empty orders: one NULL-month row, like the oracle
+        return spark.sql(
+            "SELECT CAST(NULL AS DATE) AS month_start, "
+            "CAST(0 AS BIGINT) AS n_orders, CAST(0 AS BIGINT) AS n_customers"
+        )
     return sql_front(
         spark,
         sf_dir,
@@ -1031,8 +1041,15 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_scaled"),
         F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
-        F.exists(v, lambda x: x > 0.25).alias("any_gt_quarter"),
-        F.forall(v, lambda x: F.abs(x) <= 2.0).alias("all_within_2"),
+        # three-valued exists/forall return NULL on arrays holding a NULL
+        # element; the oracle's len(list_filter(...)) counting is two-valued
+        # (a NULL element never matches) — coalesce to the same booleans
+        F.coalesce(F.exists(v, lambda x: x > 0.25), F.lit(False)).alias(
+            "any_gt_quarter"
+        ),
+        F.coalesce(F.forall(v, lambda x: F.abs(x) <= 2.0), F.lit(True)).alias(
+            "all_within_2"
+        ),
     ).orderBy("vec_id")
 
 
@@ -1142,11 +1159,11 @@ WITH d AS (
 ),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
 tot AS (SELECT SUM(n) AS t FROM c)
-SELECT CAST(digit AS BIGINT) AS digit, n::BIGINT AS n,
+SELECT TRY_CAST(digit AS BIGINT) AS digit, n::BIGINT AS n,
        round(n / CAST(t AS DOUBLE), 6) AS observed_frac,
-       round(ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0), 6) AS benford_frac,
+       round(ln(1.0 + 1.0 / TRY_CAST(digit AS BIGINT)) / ln(10.0), 6) AS benford_frac,
        round(abs(n / CAST(t AS DOUBLE)
-                 - ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0)), 6)
+                 - ln(1.0 + 1.0 / TRY_CAST(digit AS BIGINT)) / ln(10.0)), 6)
          AS abs_deviation
 FROM c CROSS JOIN tot
 ORDER BY digit
@@ -1172,8 +1189,10 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = d.groupBy("digit").agg(F.count("*").alias("n"))
     tot = c.agg(F.sum("n").alias("t"))
-    dig = F.col("digit").cast("long")
-    benford = F.log(F.lit(1.0) + F.lit(1.0) / dig) / F.log(F.lit(10.0))
+    # try_cast/try_divide: digit '0' (price rounds to 0 cents) or '-'
+    # (negative price) yields a NULL expectation row, never an ANSI abort
+    dig = F.col("digit").try_cast("long")
+    benford = F.log(F.lit(1.0) + F.try_divide(F.lit(1.0), dig)) / F.log(F.lit(10.0))
     return (
         c.crossJoin(F.broadcast(tot))
         .select(

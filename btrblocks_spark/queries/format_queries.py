@@ -153,13 +153,14 @@ def dict_codespace_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = cust.join(F.broadcast(dict_df), cust.c_mktsegment == dict_df.v).select(
         "c_custkey", "code"
     )
-    target = dict_df.filter(F.col("v") == "BUILDING").select("code").first()["code"]
+    row = dict_df.filter(F.col("v") == "BUILDING").select("code").first()
+    target = None if row is None else row["code"]
     dict_size = dict_df.count()
-    return encoded.filter(F.col("code") == target).agg(
+    return encoded.filter(F.col("code") == F.lit(target)).agg(
         F.count("*").alias("n_building"),
         F.lit(target).cast("long").alias("building_code"),
         F.lit(dict_size).alias("dict_size"),
-    )
+    )  # no BUILDING segment: (0, NULL, n) like the oracle's scalar subquery
 
 
 @register(
@@ -301,7 +302,7 @@ def format_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     z = with_zorder(li.select("l_partkey", "l_suppkey"), "l_partkey", "l_suppkey")
     return z.groupBy(
-        F.floor(F.col("zkey") / 16384).alias("zbucket")
+        F.expr("zkey div 16384").alias("zbucket")  # exact integer bucketing
     ).agg(
         F.count("*").alias("n"),
         F.min("l_partkey").alias("min_pk"),
@@ -393,11 +394,14 @@ def frequency_domain_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics are what this query pins down.) The exceptions join is a
     same-key equi-join; at scale it shuffles only the exception rows."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    top_v = (
+    top_row = (
         o.groupBy("o_orderstatus").count()
         .orderBy(F.desc("count"), F.asc("o_orderstatus"))
-        .first()["o_orderstatus"]
+        .first()
     )
+    # empty orders: no top value — the pipeline below degrades to an empty
+    # result, matching the oracle, instead of a driver TypeError
+    top_v = None if top_row is None else top_row["o_orderstatus"]
     exceptions = o.filter(~F.col("o_orderstatus").eqNullSafe(F.lit(top_v))).select(
         "o_orderkey", F.col("o_orderstatus").alias("exc_v")
     )
@@ -820,9 +824,13 @@ def format_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(f"nd_{det}").cast("long").alias("n_det"),
                 F.col(f"np_{det}_{dep}").cast("long").alias("n_pairs"),
                 (F.col(f"np_{det}_{dep}") == F.col(f"nd_{det}")).alias("fd_holds"),
+                # empty base table: 0 determinant values → NULL ratio
+                # (oracle x/0 parity), never an ANSI abort
                 F.round(
-                    F.col(f"np_{det}_{dep}").cast("double")
-                    / F.col(f"nd_{det}").cast("double"),
+                    F.try_divide(
+                        F.col(f"np_{det}_{dep}").cast("double"),
+                        F.col(f"nd_{det}").cast("double"),
+                    ),
                     6,
                 ).alias("deps_per_det"),
             )
@@ -889,10 +897,12 @@ def format_sort_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(c).alias("sort_col"),
                 total[c].cast("long").alias("est_total_runs"),
+                # empty table: 0 runs → NULL estimate (oracle parity)
                 F.round(
-                    F.col("n_rows").cast("double")
-                    * len(_SORT_DATA_COLS)
-                    / total[c].cast("double"),
+                    F.try_divide(
+                        F.col("n_rows").cast("double") * len(_SORT_DATA_COLS),
+                        total[c].cast("double"),
+                    ),
                     6,
                 ).alias("est_avg_run_len"),
             )

@@ -564,7 +564,11 @@ def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic formulation is the one you'd use in production anyway.)
     """
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS LAST pins Spark to DuckDB's ASC default: a NULL o_orderdate row
+    # must never win rn=1 on one engine only
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -622,7 +626,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 @register("window_lag_lead", _WINDOW_LAG_LEAD_ORACLE)
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"  # DuckDB ASC default
+    )
     lag_p = F.lag("o_totalprice").over(w)
     return o.select(
         "o_custkey",
@@ -650,7 +656,9 @@ WHERE l_suppkey <= 10
 @register("window_frame", _WINDOW_FRAME_ORACLE)
 def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.asc_nulls_last("l_shipdate"), "l_orderkey", "l_linenumber"
+    )  # NULLS LAST = DuckDB's ASC default
     return l.select(
         "l_suppkey",
         "l_orderkey",
@@ -1081,7 +1089,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (c_acctbal, c_custkey) order key is unique, so rank-derived doubles
     are identical across engines."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey"  # DuckDB ASC default
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return c.select(
         "c_custkey",

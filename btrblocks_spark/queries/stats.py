@@ -358,7 +358,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sx.cast("double") / n).alias("mean_qty"),
             (F.sqrt(var_x) / n).alias("stddev_qty"),
             (sy.cast("double") / n / F.lit(100.0)).alias("mean_disc"),
-            (cov_xy / F.sqrt(var_x * var_y)).alias("corr_qty_disc"),
+            # single-row/constant group: var 0 → NULL (oracle parity)
+            F.try_divide(cov_xy, F.sqrt(var_x * var_y)).alias("corr_qty_disc"),
         )
         .orderBy("flag")
     )
@@ -421,9 +422,9 @@ def _flag_cents_cumfreq(l, keep_n: bool = False):
         F.col("l_returnflag").alias("flag"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
     ).agg(F.count("*").alias("n"))
-    w = Window.partitionBy("flag").orderBy("v").rowsBetween(
+    w = Window.partitionBy("flag").orderBy(F.asc_nulls_last("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
-    )
+    )  # NULLS LAST = DuckDB's ASC default (NULL price rows)
     wt = Window.partitionBy("flag")
     cols = ["flag", "v"] + (["n"] if keep_n else [])
     return freq.select(
@@ -619,8 +620,9 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         exy = F.col(f"s_{x}{y}").cast("double") / n
         exx = F.col(f"s_{x}{x}").cast("double") / n
         eyy = F.col(f"s_{y}{y}").cast("double") / n
+        # constant column: zero variance → NULL (oracle parity, no abort)
         return F.round(
-            (exy - mx * my) / F.sqrt((exx - mx * mx) * (eyy - my * my)), 6
+            F.try_divide(exy - mx * my, F.sqrt((exx - mx * mx) * (eyy - my * my))), 6
         )
 
     # one row -> 6 pair rows via explode, NOT a 6-branch union: the union
@@ -801,28 +803,34 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_r").alias("cum_r"), F.sum("n_n").alias("cum_n"))
     )
     tot = b.agg(F.sum("n_r").alias("t_r"), F.sum("n_n").alias("t_n"))
+    # try_divide: a one-arm input (no 'N' rows, say) has t_n = 0 — the
+    # oracle's x/0 is NULL so every gap (and the KS stat) is NULL; a plain
+    # "/" would abort the job under ANSI instead
     gaps = cum.crossJoin(F.broadcast(tot)).select(
         F.col("hb").alias("bucket"),
         F.abs(
-            F.col("cum_r") / F.col("t_r").cast("double")
-            - F.col("cum_n") / F.col("t_n").cast("double")
+            F.try_divide(F.col("cum_r"), F.col("t_r").cast("double"))
+            - F.try_divide(F.col("cum_n"), F.col("t_n").cast("double"))
         ).alias("gap"),
-        "t_r",
-        "t_n",
     )
+    tot_row = tot.collect()[0]
     best = gaps.agg(F.max("gap").alias("ks")).collect()[0]["ks"]
-    row = gaps.filter(F.col("gap") == best).agg(
-        F.min("bucket").alias("argmax_bucket"),
-        F.first("t_r").alias("t_r"),
-        F.first("t_n").alias("t_n"),
-    ).collect()[0]
+    arg = (
+        None
+        if best is None  # degenerate input: NULL stat row, like the oracle
+        else gaps.filter(F.col("gap") == best).agg(F.min("bucket")).collect()[0][0]
+    )
+
+    def _i(x):
+        return None if x is None else int(x)
+
     return spark.createDataFrame(
         [
             (
-                int(row["t_r"]),
-                int(row["t_n"]),
-                round(float(best), 6),
-                int(row["argmax_bucket"]),
+                _i(tot_row["t_r"]),
+                _i(tot_row["t_n"]),
+                None if best is None else round(float(best), 6),
+                _i(arg),
             )
         ],
         "n_r long, n_n long, ks_stat double, argmax_bucket long",
@@ -988,11 +996,14 @@ def stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     my = F.col("sy").cast("double") / n
     return m.select(
         n.cast("long").alias("n_rows"),
+        # constant ranks (all-tied column): zero variance → NULL rho
         F.round(
-            (F.col("sxy").cast("double") / n - mx * my)
-            / F.sqrt(
-                (F.col("sxx").cast("double") / n - mx * mx)
-                * (F.col("syy").cast("double") / n - my * my)
+            F.try_divide(
+                F.col("sxy").cast("double") / n - mx * my,
+                F.sqrt(
+                    (F.col("sxx").cast("double") / n - mx * mx)
+                    * (F.col("syy").cast("double") / n - my * my)
+                ),
             ),
             6,
         ).alias("spearman_rho"),
@@ -1195,7 +1206,9 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    # constant regressor (one distinct qty in a group): denominator 0 →
+    # NULL slope/intercept like the oracle, never an ANSI abort
+    slope = F.try_divide(sxy - sx * sy / n, sxx - sx * sx / n)
     return s.select(
         "l_returnflag",
         "n",
@@ -1270,9 +1283,13 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0", "c0", "n1", "c1",
         F.round(c0 / n0, 6).alias("p0"),
         F.round(c1 / n1, 6).alias("p1"),
+        # all-converted or zero-converted input: pool*(1-pool) = 0 →
+        # NULL z like the oracle's x/0, never an ANSI abort
         F.round(
-            (c0 / n0 - c1 / n1)
-            / F.sqrt(pool * (1 - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)),
+            F.try_divide(
+                c0 / n0 - c1 / n1,
+                F.sqrt(pool * (1 - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)),
+            ),
             6,
         ).alias("z_score"),
     )
@@ -1457,12 +1474,17 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = (nr * na).cast("double") / 2
     var = ((nr * na).cast("double") / 12) * (
         (nr + na + 1).cast("double")
-        - F.col("t").cast("double") / ((nr + na).cast("double") * (nr + na - 1).cast("double"))
+        # single surviving row: (nr+na-1) = 0 → NULL tie term (oracle parity)
+        - F.try_divide(
+            F.col("t").cast("double"),
+            (nr + na).cast("double") * (nr + na - 1).cast("double"),
+        )
     )
     return out.select(
         "nr", "na",
         F.round(u, 6).alias("u_stat"),
-        F.round((u - mean) / F.sqrt(var), 6).alias("z_score"),
+        # one-arm input (nr or na = 0): var 0 → NULL z, never an ANSI abort
+        F.round(F.try_divide(u - mean, F.sqrt(var)), 6).alias("z_score"),
     )
 
 
@@ -1714,7 +1736,9 @@ def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = arr.crossJoin(F.broadcast(ps)).select(
         "p",
         "k",
-        F.element_at(
+        # try_element_at: an empty input (k=0) indexes an empty array —
+        # NULL sketch row like the oracle, never an ANSI INVALID_ARRAY_INDEX
+        F.try_element_at(
             "vs", (F.expr("(p * (k - 1)) DIV 100") + 1).cast("int")
         ).alias("sketch_cents"),
     )
@@ -1948,6 +1972,8 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "mean_value",
         "n_reps",
-        F.element_at("ms", 2).alias("ci_lo"),
-        F.element_at("ms", (F.col("n_reps") - 1).cast("int")).alias("ci_hi"),
+        # try_element_at: with < 3 surviving bootstrap replicates the CI
+        # indices run off the array — NULL bounds, not an ANSI abort
+        F.try_element_at("ms", F.lit(2)).alias("ci_lo"),
+        F.try_element_at("ms", (F.col("n_reps") - 1).cast("int")).alias("ci_hi"),
     )

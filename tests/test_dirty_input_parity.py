@@ -42,7 +42,21 @@ DOC_QUERIES = [
     "curation_padding_waste",
 ]
 
+TPCH_QUERIES = [
+    "dedup_by_key",
+    "window_lag_lead",
+    "window_frame",
+    "window_distribution",
+    "agg_listagg",
+    "orders_benford_digits",
+    "merge_upsert_customers",
+    "stats_moments",
+    "stats_percentile_profile",
+    "format_table_digest",
+]
+
 EVENT_QUERIES = [
+    "events_json_props",
     "events_salted_join",
     "events_anomaly_zscore",
     "events_autocorr_lag1",
@@ -57,9 +71,95 @@ EVENT_QUERIES = [
 @pytest.fixture(scope="module")
 def dirty_sf_dir(spark, sf_dir, tmp_path_factory):
     fixture = str(tmp_path_factory.mktemp("dirty_sf"))
+    rewritten = {
+        "documents.parquet",
+        "events.parquet",
+        "orders.parquet",
+        "customer.parquet",
+        "lineitem.parquet",
+    }
     for f in os.listdir(sf_dir):
-        if f.endswith(".parquet") and f not in ("documents.parquet", "events.parquet"):
+        if f.endswith(".parquet") and f not in rewritten:
             os.symlink(os.path.join(sf_dir, f), os.path.join(fixture, f))
+
+    # --- TPC-H side dirt: NULL window keys, zero/negative prices, an
+    # all-NULL-segment nation, a NULL update value for the MERGE batch ---
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet")).select(
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    )
+    mo = max(orders["o_orderkey"].to_pylist())
+    dirty_orders = pa.table(
+        {
+            "o_orderkey": pa.array([mo + 1, mo + 2, mo + 3, mo + 4], type=pa.int64()),
+            # 7-divisible custkey with NULL price: the MERGE update batch's
+            # sum() goes NULL → row-wins semantics exercised
+            "o_custkey": pa.array([7, 7, 11, 13], type=pa.int64()),
+            "o_orderstatus": pa.array(["O", "O", "O", "O"], type=pa.string()),
+            # NULL price (digest sentinel + NULL-sum), 0.004 (Benford digit
+            # 0), negative price (Benford digit '-')
+            "o_totalprice": pa.array([None, 0.004, -12.5, 99.0], type=pa.float64()),
+            # NULL order date: window/dedup NULLS LAST pinning
+            "o_orderdate": pa.array(
+                [None, datetime.datetime(2030, 1, 2), datetime.datetime(2030, 1, 3), None],
+                type=pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, type=pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([orders, dirty_orders]),
+        os.path.join(fixture, "orders.parquet"),
+    )
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet")).select(
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+    mc = max(cust["c_custkey"].to_pylist())
+    dirty_cust = pa.table(
+        {
+            "c_custkey": pa.array([mc + 1, mc + 2], type=pa.int64()),
+            "c_name": pa.array(["dirty#1", "dirty#2"], type=pa.string()),
+            # nation 99 exists ONLY with NULL segments → all-NULL listagg
+            # group; NULL acctbal → window_distribution NULLS LAST
+            "c_nationkey": pa.array([99, 99], type=pa.int32()),
+            "c_acctbal": pa.array([None, 10.0], type=pa.float64()),
+            "c_mktsegment": pa.array([None, None], type=pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([cust, dirty_cust]),
+        os.path.join(fixture, "customer.parquet"),
+    )
+
+    li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet")).select(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+         "l_shipdate"]
+    )
+    ml = max(li["l_orderkey"].to_pylist())
+    dirty_li = pa.table(
+        {
+            "l_orderkey": pa.array([ml + 1, ml + 2], type=pa.int64()),
+            "l_partkey": pa.array([1, 2], type=pa.int64()),
+            "l_suppkey": pa.array([3, 3], type=pa.int64()),
+            "l_linenumber": pa.array([1, 1], type=pa.int32()),
+            "l_quantity": pa.array([5.0, 7.0], type=pa.float64()),
+            "l_extendedprice": pa.array([100.0, None], type=pa.float64()),
+            "l_discount": pa.array([0.01, 0.02], type=pa.float64()),
+            "l_tax": pa.array([0.0, 0.0], type=pa.float64()),
+            # 'X': a single-row returnflag group → zero variance → NULL corr
+            "l_returnflag": pa.array(["X", "R"], type=pa.string()),
+            "l_linestatus": pa.array(["O", "O"], type=pa.string()),
+            # NULL shipdate → window_frame NULLS LAST pinning
+            "l_shipdate": pa.array(
+                [datetime.datetime(2030, 2, 1), None], type=pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([li, dirty_li]),
+        os.path.join(fixture, "lineitem.parquet"),
+    )
 
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).select(
         ["doc_id", "text", "lang", "source", "n_chars"]
@@ -89,7 +189,7 @@ def dirty_sf_dir(spark, sf_dir, tmp_path_factory):
     dirty_ev = pa.table(
         {
             "event_id": pa.array(
-                [max_ev + i for i in range(1, 6)], type=pa.int64()
+                [max_ev + i for i in range(1, 7)], type=pa.int64()
             ),
             "ts": pa.array(
                 [
@@ -98,16 +198,20 @@ def dirty_sf_dir(spark, sf_dir, tmp_path_factory):
                     t0 + datetime.timedelta(minutes=5),
                     t0 + datetime.timedelta(hours=1),
                     t0,  # rare_once: ONE active hour -> hourly std = 0
+                    t0,  # non-integer JSON props.k -> try_cast NULL
                 ],
                 type=pa.timestamp("us"),
             ),
-            "user_id": pa.array([901, 902, 902, 902, 903], type=pa.int64()),
+            "user_id": pa.array([901, 902, 902, 902, 903, 904], type=pa.int64()),
             "event_type": pa.array(
-                [None, "rare_burst", "rare_burst", "rare_burst", "rare_once"],
+                [None, "rare_burst", "rare_burst", "rare_burst", "rare_once",
+                 "rare_once"],
                 type=pa.string(),
             ),
-            "value": pa.array([1.0, 2.0, 2.0, 3.0, 4.0], type=pa.float64()),
-            "props": pa.array(["{}"] * 5, type=pa.string()),
+            "value": pa.array([1.0, 2.0, 2.0, 3.0, 4.0, 5.0], type=pa.float64()),
+            "props": pa.array(
+                ["{}"] * 5 + ['{"k": "not-a-number"}'], type=pa.string()
+            ),
         }
     )
     pq.write_table(
@@ -133,3 +237,7 @@ def test_document_queries_survive_dirty_rows(spark, dirty_sf_dir):
 
 def test_event_queries_survive_dirty_rows(spark, dirty_sf_dir):
     _run(spark, dirty_sf_dir, EVENT_QUERIES)
+
+
+def test_tpch_queries_survive_dirty_rows(spark, dirty_sf_dir):
+    _run(spark, dirty_sf_dir, TPCH_QUERIES)
