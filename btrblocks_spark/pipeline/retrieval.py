@@ -217,6 +217,9 @@ def phrase_search(docs: DataFrame, phrase: list[str]) -> DataFrame:
     """
     from btrblocks_spark.pipeline.text import tokens
 
+    if not phrase:  # empty/whitespace-stripped query: fail with the cause,
+        # not an IndexError deep in plan building
+        raise ValueError("phrase_search requires at least one term")
     t = tokens(docs).withColumn("lw", F.lower("w"))
     first = t.filter(F.col("lw") == phrase[0].lower()).select(
         "doc_id", F.col("pos").alias("p0")

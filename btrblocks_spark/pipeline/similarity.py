@@ -600,9 +600,15 @@ def binary_quantize(
 
     Returns (vec_id, lo, hi) BIGINT words. One O(dims) agg broadcast +
     one narrow encode pass."""
+    # try_cast: a dirty embedding element (NaN/Inf from a failed encode,
+    # or |x| past the scaled-long range) degrades to a NULL scaled value —
+    # its bit compares false and the row keeps encoding — instead of a
+    # CAST_INVALID_INPUT abort of the whole corpus job under ANSI
     exploded = _as_double(vecs, vec_col, id_col).select(
         "vec_id", F.posexplode("v").alias("d0", "x")
-    ).select("vec_id", "d0", F.round(F.col("x") * 1000000).cast("long").alias("xs"))
+    ).select(
+        "vec_id", "d0", F.round(F.col("x") * 1000000).try_cast("long").alias("xs")
+    )
     dim = exploded.groupBy("d0").agg(
         F.sum("xs").alias("s"), F.count("*").alias("n")
     )

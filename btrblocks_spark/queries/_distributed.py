@@ -33,8 +33,13 @@ def bucketed_row_number(
 
     ``bucket`` must be monotone non-decreasing in the ``order_cols`` order
     (a key-range expression like ``k div 4096``). Adds ``idx_col``; keeps
-    every input column; drops nothing else."""
-    b = df.withColumn("_b", bucket)
+    every input column; drops nothing else.
+
+    NULL order keys (NULL bucket expr) are coalesced to a Long.MAX
+    sentinel bucket: the plain equi-join on _b would silently DROP them
+    (NULL never equals NULL), and the sentinel orders them LAST — the
+    DuckDB single-window oracle's ASC NULLS LAST placement."""
+    b = df.withColumn("_b", F.coalesce(bucket, F.lit(9223372036854775807)))
     wb = Window.partitionBy("_b").orderBy(*order_cols)
     local = b.withColumn("_local_rn", F.row_number().over(wb))
 
@@ -77,9 +82,13 @@ def bucketed_runs(
     bucket as ``first_v IS DISTINCT FROM prev_bucket_last_v`` — the lag
     over the bucket table is NULL for the first bucket, which is exactly
     the NULL the global lag would have produced. Global run_id =
-    local_run + first_start(bucket) + Σ earlier buckets' starts."""
+    local_run + first_start(bucket) + Σ earlier buckets' starts.
+    NULL order keys ride in a Long.MAX sentinel bucket (ordered LAST,
+    DuckDB-style) instead of being dropped by the _b equi-join."""
     b = df.select(
-        bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v")
+        F.coalesce(bucket, F.lit(9223372036854775807)).alias("_b"),
+        *order_cols,
+        F.col(value_col).alias("_v"),
     )
     wb = Window.partitionBy("_b").orderBy(*order_cols)
     key_struct = F.struct(*[F.col(c) for c in order_cols])
@@ -155,8 +164,14 @@ def bucketed_order_profile(
     row always starts a run, so consecutive NULLs each count as their own
     run — intentionally DIFFERENT from bucketed_runs' eqNullSafe grouping,
     because this profile's oracle is the plain SQL LAG formulation. Use it
-    on non-null columns (or expect SQL semantics) when runs matter."""
-    b = df.select(bucket.alias("_b"), *order_cols, F.col(value_col).alias("_v"))
+    on non-null columns (or expect SQL semantics) when runs matter.
+    NULL order keys ride in a Long.MAX sentinel bucket (ordered LAST,
+    DuckDB-style) instead of being dropped by the _b equi-join."""
+    b = df.select(
+        F.coalesce(bucket, F.lit(9223372036854775807)).alias("_b"),
+        *order_cols,
+        F.col(value_col).alias("_v"),
+    )
     wb = Window.partitionBy("_b").orderBy(*order_cols)
     key_struct = F.struct(*[F.col(c) for c in order_cols])
     prev = F.lag("_v").over(wb)
@@ -231,7 +246,16 @@ def hash_positions(
                     F.lit(d).alias("d"),
                     (
                         (
-                            (F.col(key_col).cast("long") * F.lit(a) + F.lit(b))
+                            # reduce the key mod prime BEFORE multiplying:
+                            # key*a overflows BIGINT (ANSI abort) once keys
+                            # pass ~3.47e9; (key%p)*(a<p) stays under 2^62.
+                            # Identical values for key < prime — and the
+                            # oracles mirror this exact form.
+                            (
+                                (F.col(key_col).cast("long") % F.lit(prime))
+                                * F.lit(a)
+                                + F.lit(b)
+                            )
                             % F.lit(prime)
                         )
                         % F.lit(width)

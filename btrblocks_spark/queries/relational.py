@@ -1158,11 +1158,11 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_ORACLE = """
 WITH hashes(d, a, b) AS (VALUES (0, 2654435761, 0), (1, 40503, 1299721)),
 bloom AS (
-  SELECT DISTINCT d, ((o_custkey * a + b) % 2147483647) % 1024 AS pos
+  SELECT DISTINCT d, (((o_custkey % 2147483647) * a + b) % 2147483647) % 1024 AS pos
   FROM orders CROSS JOIN hashes
 ),
 probe AS (
-  SELECT c_custkey, d, ((c_custkey * a + b) % 2147483647) % 1024 AS pos
+  SELECT c_custkey, d, (((c_custkey % 2147483647) * a + b) % 2147483647) % 1024 AS pos
   FROM customer CROSS JOIN hashes
 ),
 verdicts AS (

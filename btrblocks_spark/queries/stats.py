@@ -1021,12 +1021,12 @@ _CMS_P = 2147483647
 _CMS_ORACLE = """
 WITH hashes(d, a, b) AS (VALUES (0, 2654435761, 0), (1, 40503, 1299721), (2, 69621, 104729)),
 cms AS (
-  SELECT d, ((l_suppkey * a + b) % 2147483647) % 64 AS bucket, COUNT(*) AS cnt
+  SELECT d, (((l_suppkey % 2147483647) * a + b) % 2147483647) % 64 AS bucket, COUNT(*) AS cnt
   FROM lineitem CROSS JOIN hashes
   GROUP BY d, bucket
 ),
 probes AS (
-  SELECT s_suppkey, d, ((s_suppkey * a + b) % 2147483647) % 64 AS bucket
+  SELECT s_suppkey, d, (((s_suppkey % 2147483647) * a + b) % 2147483647) % 64 AS bucket
   FROM supplier CROSS JOIN hashes WHERE s_suppkey <= 25
 ),
 est AS (

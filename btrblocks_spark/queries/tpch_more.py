@@ -43,10 +43,10 @@ def _rev_x():
     oracle="""
 SELECT partkey, sname, price FROM (
   SELECT p.p_partkey AS partkey, s.s_name AS sname,
-         l.l_extendedprice / l.l_quantity AS price,
+         l.l_extendedprice / nullif(l.l_quantity, 0) AS price,
          row_number() OVER (
              PARTITION BY p.p_partkey
-             ORDER BY l.l_extendedprice / l.l_quantity, s.s_suppkey,
+             ORDER BY l.l_extendedprice / nullif(l.l_quantity, 0) NULLS LAST, s.s_suppkey,
                       l.l_orderkey, l.l_linenumber) AS rn
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
@@ -66,7 +66,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    price = (F.col("l_extendedprice") / F.col("l_quantity")).alias("price")
+    price = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("price")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -74,7 +74,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s_suppkey", "l_orderkey", "l_linenumber")
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("partkey").orderBy(
-                "price", "s_suppkey", "l_orderkey", "l_linenumber")))
+                F.asc_nulls_last("price"), "s_suppkey", "l_orderkey", "l_linenumber")))
         .filter(F.col("rn") == 1)
         .select("partkey", "sname", "price")
         .orderBy("partkey")
@@ -138,7 +138,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
        (SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {_REV_X_SQL} ELSE 0 END) / 10000.0)
-       / (SUM({_REV_X_SQL}) / 10000.0) AS mkt_share,
+       / nullif(SUM({_REV_X_SQL}) / 10000.0, 0.0) AS mkt_share,
        count(*) AS n_rows
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -181,8 +181,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            ((F.sum(nation_rev) / F.lit(10000.0))
-             / (F.sum(rev) / F.lit(10000.0))).alias("mkt_share"),
+            F.try_divide(
+                F.sum(nation_rev) / F.lit(10000.0),
+                F.sum(rev) / F.lit(10000.0),
+            ).alias("mkt_share"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("o_year")
@@ -690,7 +692,7 @@ tot AS (
   FROM sq GROUP BY pk
 )
 SELECT pk AS partkey, n_suppliers::BIGINT AS n_suppliers, qt::BIGINT AS total_qty,
-       round(sq2 / CAST(qt * qt AS DOUBLE), 6) AS hhi
+       round(sq2 / nullif(CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE), 0.0), 6) AS hhi
 FROM tot
 WHERE n_suppliers >= 2
 ORDER BY hhi DESC, partkey
@@ -723,7 +725,11 @@ def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_suppliers").cast("long"),
             F.col("qt").cast("long").alias("total_qty"),
             F.round(
-                F.col("sq2") / (F.col("qt") * F.col("qt")).cast("double"), 6
+                F.try_divide(
+                    F.col("sq2").cast("double"),
+                    F.col("qt").cast("double") * F.col("qt").cast("double"),
+                ),
+                6,
             ).alias("hhi"),
         )
         .orderBy(F.desc("hhi"), "partkey")

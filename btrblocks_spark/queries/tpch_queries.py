@@ -182,7 +182,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 100.0 * ((SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
                  ELSE 0 END) / 10000.0)
-            / (SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0))
+            / nullif(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) / 10000.0, 0.0))
        AS promo_pct,
        count(*) AS n_rows
 FROM lineitem l
@@ -203,8 +203,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * ((F.sum(promo_x) / F.lit(10000.0))
-                             / (F.sum(rev_x) / F.lit(10000.0)))).alias("promo_pct"),
+            # all-zero window revenue: denominator 0 → NULL pct on both
+            # engines (nullif in the oracle), never an ANSI abort
+            (F.lit(100.0) * F.try_divide(
+                F.sum(promo_x) / F.lit(10000.0),
+                F.sum(rev_x) / F.lit(10000.0),
+            )).alias("promo_pct"),
             F.count("*").alias("n_rows"),
         )
     )
