@@ -328,7 +328,12 @@ def winsorize_stats(
         )
         .withColumn(
             "rn",
-            F.row_number().over(Window.partitionBy("stratum").orderBy("v", "_id")),
+            # NULLS LAST pins the percentile ranks to DuckDB's ASC default:
+            # NULL values ranked FIRST would shift every real value's rank
+            # and could even elect a NULL threshold
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(F.asc_nulls_last("v"), "_id")
+            ),
         )
         .withColumn("cnt", F.count("*").over(Window.partitionBy("stratum")))
     )

@@ -339,7 +339,10 @@ def dedup_clusters(
     # convergence witness: labels only ever decrease (min-propagation), so
     # sum(label) strictly decreases until the fixed point — one map-side
     # aggregate per round instead of a self-join diff count
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: ids may be hash-derived values near 2^63, and a
+    # BIGINT sum of even a handful of those overflows (ANSI abort). The
+    # monotone-decrease argument is unchanged.
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     def one_hop(lab):
         neighbor_min = (
@@ -357,7 +360,9 @@ def dedup_clusters(
         # was measured SLOWER (deeper un-materialized plan per round beats
         # the saved driver job on every real round count here)
         new_labels = one_hop(labels).localCheckpoint()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -821,18 +826,36 @@ def semantic_contamination(
     uses the fixed left-fold (cosine_expr), bit-reproducible across
     engines. A zero-norm training vector (cosine NULL against everything,
     0/0) still gets its row: NULL cosine/nearest id, flagged=0."""
-    b = F.broadcast(
-        bench_vecs.select(
-            F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
-        )
+    bench_sel = bench_vecs.select(
+        F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
     )
+    # sentinel NULL bench row: an EMPTY benchmark set (upstream filter
+    # mismatch) would make the cross join empty and silently drop every
+    # training vector from the screen — the contract is one row per train
+    # vector. The sentinel's NULL vector scores NULL cosine against
+    # everything, so it never beats a real bench row; alone, it yields the
+    # documented (NULL, NULL, 0) row. Lazy by construction (a local
+    # relation, no driver-side existence probe — view registration must
+    # stay job-free).
+    sentinel = bench_vecs.sparkSession.createDataFrame(
+        [(None, None)], bench_sel.schema
+    )
+    b = F.broadcast(bench_sel.unionByName(sentinel))
     scored = (
         train_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_tv"))
         .crossJoin(b)
         .select(
             "vec_id",
             F.col("_bid").alias("bench_id"),
-            F.round(cosine_try_expr("_tv", "_bv"), 6).alias("cosine"),
+            # NaN → NULL: a NaN component (failed encode) makes the cosine
+            # NaN, and NaN ranks LARGEST under max() but stays FIXED under
+            # the -cosine struct-min below — the two formulations (and the
+            # oracle) can only agree if NaN carries no score, like the
+            # zero-norm NULL
+            F.nanvl(
+                F.round(cosine_try_expr("_tv", "_bv"), 6),
+                F.lit(None).cast("double"),
+            ).alias("cosine"),
         )
     )
     # struct-min: (-cosine, bench_id) — max cosine, smallest bench id among

@@ -921,7 +921,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, source AS stratum, unnest(range(1, f + 1)) AS replica
 FROM (
   SELECT doc_id, source,
-         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 3 ELSE 1 END AS f
+         CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 1 THEN 3 ELSE 1 END AS f
   FROM documents
 )
 """,
@@ -1728,8 +1728,16 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 41 = 0),
 t AS (SELECT vec_id, v AS tv FROM e WHERE vec_id % 41 <> 0),
 scored AS (
-  SELECT t.vec_id, b.bench_id, round({_cosine_sql('t.tv', 'b.bv')}, 6) AS cosine
-  FROM t CROSS JOIN b
+  -- NaN → NULL, mirroring the operator: a NaN cosine (NaN embedding
+  -- component) ranks LARGEST under max() but can't survive the
+  -- operator's negated struct-min — neither side lets NaN carry a score
+  SELECT vec_id, bench_id,
+         CASE WHEN isnan(cosine0) THEN NULL ELSE cosine0 END AS cosine
+  FROM (
+    SELECT t.vec_id, b.bench_id,
+           round({_cosine_sql('t.tv', 'b.bv')}, 6) AS cosine0
+    FROM t CROSS JOIN b
+  ) s0
 ),
 best AS (SELECT vec_id, max(cosine) AS max_bench_cosine FROM scored GROUP BY 1),
 pick AS (
@@ -1880,8 +1888,14 @@ def q_retrieval_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_model_score",
-    oracle=f"""
-WITH {_TOKS},
+    oracle="""
+-- coalesce(text, ''): the scoring kernel treats NULL text as '' (one
+-- empty token) — a bare string_split(NULL) would produce zero rows and
+-- DROP the doc from the oracle while the operator scores it
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+  FROM documents
+),
 w AS (
   SELECT doc_id,
          (('0x' || substr(md5(w), 1, 8))::BIGINT % 2001) - 1000 AS m

@@ -31,6 +31,7 @@ from btrblocks_spark.queries import all_oracles, all_queries
 
 DOC_QUERIES = [
     "text_quality",
+    "text_model_score",
     "text_token_stats",
     "text_repetition_profile",
     "text_fingerprint",

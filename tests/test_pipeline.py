@@ -1349,11 +1349,20 @@ def test_semantic_contamination_zero_norm_oracle_parity(spark, sf_dir, tmp_path)
     if new_id % 41 == 0:  # must land in the TRAIN slice of the query
         new_id += 1
     dim = len(emb["embedding"][0].as_py())
+    nan_id = new_id + 1
+    if nan_id % 41 == 0:
+        nan_id += 1
     extra = pa.table(
         {
-            "vec_id": pa.array([new_id], type=pa.int64()),
-            "embedding": pa.array([[0.0] * dim], type=pa.list_(pa.float32())),
-            "label": pa.array([0], type=pa.int32()),
+            # zero-norm vector AND a NaN-component vector: the cosine is
+            # NULL for the first and NaN for the second — both must carry
+            # no score on either engine
+            "vec_id": pa.array([new_id, nan_id], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.0] * dim, [float("nan")] + [0.5] * (dim - 1)],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0], type=pa.int32()),
         }
     )
     combined = pa.concat_tables(
@@ -1366,8 +1375,33 @@ def test_semantic_contamination_zero_norm_oracle_parity(spark, sf_dir, tmp_path)
     ok, msg = compare(df, all_oracles()[name], fixture)
     assert ok, msg
 
-    row = [r for r in df.collect() if r["vec_id"] == new_id]
-    assert len(row) == 1  # the dirty row is KEPT, not dropped
-    assert row[0]["max_bench_cosine"] is None
-    assert row[0]["nearest_bench_id"] is None
-    assert row[0]["flagged"] == 0
+    rows = {r["vec_id"]: r for r in df.collect()}
+    for dirty_id in (new_id, nan_id):  # both dirty rows KEPT, not dropped
+        r = rows[dirty_id]
+        assert r["max_bench_cosine"] is None
+        assert r["nearest_bench_id"] is None
+        assert r["flagged"] == 0
+
+
+def test_semantic_contamination_empty_bench_keeps_rows(spark):
+    """An EMPTY benchmark set must not silently drop the whole corpus from
+    the screen: every training vector keeps its (NULL, NULL, 0) row (the
+    sentinel-bench-row mechanism — lazy, no plan-build jobs)."""
+    from btrblocks_spark.pipeline.dedup import semantic_contamination
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    bench = spark.createDataFrame([], "bench_id long, v array<double>")
+    got = {r["vec_id"]: r for r in semantic_contamination(train, bench).collect()}
+    assert set(got) == {1, 2}
+    for r in got.values():
+        assert r["max_bench_cosine"] is None
+        assert r["nearest_bench_id"] is None
+        assert r["flagged"] == 0
+
+    # and a real bench still scores normally with the sentinel riding along
+    bench2 = spark.createDataFrame([(7, [1.0, 0.0])], "bench_id long, v array<double>")
+    got2 = {r["vec_id"]: r for r in semantic_contamination(train, bench2).collect()}
+    assert got2[1]["max_bench_cosine"] == 1.0 and got2[1]["nearest_bench_id"] == 7
+    assert got2[1]["flagged"] == 1 and got2[2]["flagged"] == 0
