@@ -39,14 +39,19 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     """Synthesize a deterministic opaque binary payload + typed metadata per
     document (utf-8 bytes of the text stand in for media bytes; format and
     dimensions derive from the content hash)."""
-    h = hash32(F.col("text"))
+    # NULL text → EMPTY payload (not NULL): the decode/window/frame
+    # kernels and their oracles all treat a zero-byte payload uniformly,
+    # while a NULL payload crashed the Python kernels (len(None)) and made
+    # the metadata NULL
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    h = hash32(txt)
     return docs.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.encode(txt, "UTF-8").alias("payload"),
         F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (h % 3 + 1).cast("int")).alias("fmt"),
         (64 + h % 512).cast("int").alias("width"),
         (64 + F.shiftright(h, 4) % 512).cast("int").alias("height"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        F.octet_length(F.encode(txt, "UTF-8")).cast("long").alias("n_bytes"),
     )
 
 
@@ -74,7 +79,7 @@ def decode_batch(pdf: pd.DataFrame, real_decode: bool = False) -> pd.DataFrame:
                 "frames": pd.array([d["frames"] for d in decoded], dtype="int32"),
             }
         )
-    payloads = pdf["payload"]
+    payloads = pdf["payload"].map(lambda b: b"" if b is None else b)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
@@ -126,7 +131,7 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                payload = r["payload"]
+                payload = r["payload"] if r["payload"] is not None else b""
                 n_frames = max(1, len(payload) // 4096)
                 for f in range(0, n_frames, every_n):
                     rows.append((r["doc_id"], f, payload[f * 4096 : (f + 1) * 4096]))
@@ -152,7 +157,7 @@ def audio_windows_stub(
         for pdf in batches:
             out = {"doc_id": [], "window_idx": [], "start": [], "win_len": [], "energy": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = b"" if payload is None else bytes(payload)
                 for idx, start in enumerate(range(0, len(b), hop_bytes)):
                     w = b[start : start + window_bytes]
                     out["doc_id"].append(doc_id)

@@ -27,6 +27,10 @@ def _gap_sessions(e, gap_us: int = None):
     every KPI layered on sessions (bounce rate, …) share this derivation so
     a threshold or null-handling change can never make them diverge."""
     gap = _GAP_US if gap_us is None else gap_us
+    # NULL ts_us defines no session position (Spark would lead with it,
+    # DuckDB would trail) — drop it; every consumer's oracle mirrors the
+    # WHERE ts IS NOT NULL
+    e = e.filter(F.col("ts_us").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts_us")
     flagged = e.withColumn(
         "is_start",
@@ -46,7 +50,7 @@ def _gap_sessions(e, gap_us: int = None):
     "events_sessionize",
     oracle=f"""
 WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts_us, value,
@@ -171,6 +175,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events
+  WHERE ts IS NOT NULL
 ),
 clicks AS (SELECT * FROM e WHERE event_type = 'click'),
 errors AS (SELECT * FROM e WHERE event_type = 'error')
@@ -202,6 +207,10 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.expr("ts div 1000").alias("ts_us"), "user_id", "event_type", "value"
     )
+    # a NULL-ts row has no as-of position: Spark's running window would
+    # order it FIRST (becoming last_err for early clicks) while the
+    # oracle's >= predicate never matches it — drop on both sides
+    e = e.filter(F.col("ts_us").isNotNull())
     err = e.filter(F.col("event_type") == "error").select(
         "user_id",
         "ts_us",
@@ -467,7 +476,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_native",
     oracle=f"""
 WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts_us, value,
@@ -818,7 +827,7 @@ WITH p AS (
   SELECT event_type AS cur_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY epoch_us(ts), event_id) AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 c AS (
   SELECT cur_type, next_type, count(*) AS n
@@ -844,7 +853,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never the raw events), broadcast back for the division."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
-    )
+    ).filter(F.col("ts_us").isNotNull())  # no sequence position without a ts
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     pairs = e.select(
         F.col("event_type").alias("cur_type"),
@@ -1470,7 +1479,7 @@ WITH s AS (
   SELECT event_type AS e1,
          lead(event_type, 1) OVER w AS e2,
          lead(event_type, 2) OVER w AS e3
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
 )
 SELECT e1, e2, e3, count(*)::BIGINT AS n
@@ -1495,7 +1504,9 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (typeA,typeB,typeC) keys — at most |types|³ rows; top-k is
     TakeOrderedAndProject."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = load_table(spark, sf_dir, "events").select(
+    s = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()  # no sequence position without a ts
+    ).select(
         F.col("event_type").alias("e1"),
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
@@ -1659,7 +1670,7 @@ def events_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_bounce_rate",
     oracle=f"""
 WITH t AS (
-  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL
 ),
 flagged AS (
   SELECT user_id, ts_us,
@@ -1773,7 +1784,7 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH h AS (
   SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 th AS (
   SELECT event_type, SUM(n) AS tot, count(*) AS n_hours FROM h GROUP BY 1
@@ -1809,6 +1820,7 @@ def events_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (types x hours rows), partitioned by type; one raw shuffle total."""
     h = (
         load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # a timeless event has no hour
         .groupBy("event_type", F.expr("ts div 3600000000000").alias("hr"))
         .agg(F.count("*").alias("n"))
     )
@@ -2048,7 +2060,7 @@ _CUSUM_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
   SELECT event_type, hour, sv,
@@ -2087,7 +2099,14 @@ def _hourly_value_buckets(spark, sf_dir: str, agg: str = "sum(v)"):
     mirrors it verbatim."""
     e = load_table(spark, sf_dir, "events")
     return (
-        e.select(
+        # NULL ts would create a NULL-hour bucket (ordered FIRST by Spark
+        # windows, LAST by DuckDB — shifting every consumer's prefix sums
+        # and frames); an all-NULL-value bucket would carry a NULL sv that
+        # collect_list drops but list() keeps. A timeless or valueless
+        # event contributes nothing to an hourly value series: drop it on
+        # BOTH sides (each oracle CTE mirrors this WHERE).
+        e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
             "event_type",
             F.expr("ts div 3600000000000").alias("hour"),
             F.round(F.col("value") * 10000).cast("long").alias("v"),
@@ -2147,7 +2166,7 @@ _EWMA_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
   SELECT event_type, hour,
@@ -2201,7 +2220,7 @@ _DECOMPOSE_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
   SELECT event_type, hour, sv,
@@ -2298,7 +2317,7 @@ _PEAKS_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 w AS (
   SELECT event_type, hour, sv,
@@ -2484,7 +2503,7 @@ _ACF_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) // 10000 AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
 p AS (
@@ -2558,7 +2577,7 @@ _MK_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 pairs AS (
   SELECT a.event_type,
@@ -2641,7 +2660,7 @@ _RUNSTEST_ORACLE = """
 WITH b AS (
   SELECT event_type, CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour,
          SUM(CAST(round(value * 10000) AS BIGINT)) AS sv
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2
 ),
 tot AS (SELECT event_type, COUNT(*) AS n, SUM(sv) AS ts FROM b GROUP BY event_type),
 sgn AS (

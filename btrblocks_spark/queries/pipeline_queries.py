@@ -1620,7 +1620,9 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     oracle="""
 WITH media AS (
-  SELECT doc_id, text, greatest(length(text) // 4096, 1) AS n_frames
+  -- coalesce mirrors attach_payload's NULL-text → empty-payload contract
+  SELECT doc_id, coalesce(text, '') AS text,
+         greatest(length(coalesce(text, '')) // 4096, 1) AS n_frames
   FROM documents
 ),
 frames AS (
@@ -3247,7 +3249,11 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_windows",
     oracle="""
-WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+WITH m AS (
+  -- coalesce mirrors attach_payload's NULL-text → empty-payload contract
+  SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n
+  FROM documents
+),
 starts AS (
   SELECT doc_id, text, CAST(s AS BIGINT) AS start,
          CAST(s // 512 AS INTEGER) AS window_idx
@@ -3698,7 +3704,11 @@ def q_curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_ahash_neardup",
     oracle="""
-WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+WITH m AS (
+  -- coalesce mirrors attach_payload's NULL-text → empty-payload contract
+  SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n
+  FROM documents
+),
 slices AS (
   SELECT doc_id, CAST(i AS INTEGER) AS i,
          substr(text, CAST(i * n // 16 AS INTEGER) + 1,
