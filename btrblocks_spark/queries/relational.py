@@ -108,7 +108,7 @@ _SCAN_PROJECT_ORACLE = """
 SELECT
   l_orderkey AS order_key,
   l_linenumber,
-  CAST(l_quantity AS INTEGER) AS qty_int,
+  CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
   l_extendedprice * (1 + l_tax) AS gross_price,
   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
   l_returnflag || '/' || l_linestatus AS flag_status
@@ -123,6 +123,8 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.filter(F.col("l_linenumber") <= 2).select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber"),
+        # Spark's double→int cast TRUNCATES; the oracle wraps DuckDB's
+        # rounding cast in trunc() so a non-integral quantity can't flip
         F.col("l_quantity").cast("int").alias("qty_int"),
         (F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax"))).alias("gross_price"),
         F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
@@ -826,7 +828,7 @@ SELECT l_orderkey, l_linenumber,
        ABS(l_extendedprice - 1000.0) AS abs_diff,
        FLOOR(l_quantity / 7.0) AS qty_bucket,
        CEIL(l_extendedprice / 100.0) AS price_bucket,
-       SQRT(l_extendedprice) AS price_sqrt,
+       CASE WHEN l_extendedprice >= 0 THEN SQRT(l_extendedprice) END AS price_sqrt,
        l_orderkey % 97 AS key_mod,
        CAST(l_quantity AS BIGINT) * l_linenumber AS qty_times_line
 FROM lineitem
@@ -845,7 +847,11 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
         F.floor(F.col("l_quantity") / 7.0).alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 100.0).alias("price_bucket"),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        # DuckDB's sqrt raises on negatives where Spark yields NaN:
+        # both sides agree on NULL for out-of-domain input
+        F.when(
+            F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")
+        ).alias("price_sqrt"),
         (F.col("l_orderkey") % 97).alias("key_mod"),
         (F.col("l_quantity").cast("bigint") * F.col("l_linenumber")).alias("qty_times_line"),
     )
@@ -898,7 +904,7 @@ vals AS (
   SELECT {_hex_to_long_sql('h')} AS hv FROM hashed
 ),
 topk AS (
-  SELECT hv FROM vals ORDER BY hv LIMIT 64
+  SELECT hv FROM vals ORDER BY hv NULLS LAST LIMIT 64
 )
 SELECT 63.0 * (281474976710656.0 / CAST(MAX(hv) AS DOUBLE)) AS approx_distinct_orders,
        COUNT(*) AS k_used
