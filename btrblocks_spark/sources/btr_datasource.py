@@ -228,8 +228,12 @@ def _write_chunk_files(
         table = pa.Table.from_batches(batches)
         for off in range(0, n_rows, block_size):
             part = table.slice(off, block_size)
+            # leading dot: Spark's file listing skips dot-files, so a
+            # staged (or crashed-task-orphaned) file is invisible to the
+            # plain-parquet fast path too, not just to the datasource's
+            # *.parquet listing. The commit rename strips it (_final_name).
             fname = os.path.join(
-                path, "data", f"{prefix}-{uuid.uuid4().hex}{suffix}"
+                path, "data", f".{prefix}-{uuid.uuid4().hex}{suffix}"
             )
             pq.write_table(part, fname, compression="zstd")
             files.append(fname)
@@ -265,6 +269,18 @@ def _write_chunk_files(
 
 
 # --- shared write-ahead append log (batch + streaming commits) ---------------
+
+def _final_name(src: str) -> str:
+    """Final visible name of a staged file: strip the ``.inflight`` suffix
+    AND the leading staging dot (dot-files are invisible to Spark's file
+    listing — that is the point of the staging name; the final name must
+    not keep it)."""
+    d, b = os.path.split(src)
+    b = b[: -len(".inflight")]
+    if b.startswith("."):
+        b = b[1:]
+    return os.path.join(d, b + ".parquet")
+
 
 def _log_path(path: str) -> str:
     return os.path.join(path, "_appends.json")
@@ -503,9 +519,9 @@ class BtrBlocksWriter(DataSourceArrowWriter):
             entry = {
                 "kind": "batch",
                 "renames": {
-                    f: f[: -len(".inflight")] + ".parquet" for f in inflight
+                    f: _final_name(f) for f in inflight
                 },
-                "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
+                "files": [_final_name(f) for f in inflight],
                 "rows": sum(m.rows for m in messages if m),
                 "state": "pending",
             }
@@ -639,8 +655,8 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
             entry = {
                 "batch": batchId,
                 "scope": self.scope,
-                "renames": {f: f[: -len(".inflight")] + ".parquet" for f in inflight},
-                "files": [f[: -len(".inflight")] + ".parquet" for f in inflight],
+                "renames": {f: _final_name(f) for f in inflight},
+                "files": [_final_name(f) for f in inflight],
                 "rows": sum(m.rows for m in messages if m),
                 "state": "pending",
             }

@@ -176,7 +176,7 @@ def test_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
     import json
     import os
 
-    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter, _final_name
 
     nation = load_table(spark, sf_dir, "nation")
     src_path = str(tmp_path / "src_tbl")
@@ -245,7 +245,7 @@ def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
 
     import pyarrow as pa
 
-    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter, _final_name
 
     nation = load_table(spark, sf_dir, "nation")
     dst = str(tmp_path / "torn_tbl")
@@ -262,8 +262,8 @@ def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
     entry = {
         "batch": 0,
         "scope": "q1",
-        "renames": {f: f[: -len(".inflight")] + ".parquet" for f in msg1.files},
-        "files": [f[: -len(".inflight")] + ".parquet" for f in msg1.files],
+        "renames": {f: _final_name(f) for f in msg1.files},
+        "files": [_final_name(f) for f in msg1.files],
         "rows": msg1.rows,
         "state": "pending",
     }
@@ -383,6 +383,7 @@ def test_batch_append_torn_commit_recovers(spark, sf_dir, tmp_path):
 
     from btrblocks_spark.sources.btr_datasource import (
         BtrBlocksWriter,
+        _final_name,
         recover_pending_appends,
     )
 
@@ -399,8 +400,8 @@ def test_batch_append_torn_commit_recovers(spark, sf_dir, tmp_path):
     log_path = os.path.join(dst, "_appends.json")
     entry = {
         "kind": "batch",
-        "renames": {f: f[: -len(".inflight")] + ".parquet" for f in msg.files},
-        "files": [f[: -len(".inflight")] + ".parquet" for f in msg.files],
+        "renames": {f: _final_name(f) for f in msg.files},
+        "files": [_final_name(f) for f in msg.files],
         "rows": msg.rows,
         "state": "pending",
     }
@@ -512,7 +513,7 @@ def test_abort_rolls_back_pending_intent(spark, sf_dir, tmp_path):
 
     import pyarrow as pa
 
-    from btrblocks_spark.sources.btr_datasource import BtrBlocksWriter
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksWriter, _final_name
 
     nation = load_table(spark, sf_dir, "nation")
     dst = str(tmp_path / "abort_tbl")
@@ -526,7 +527,7 @@ def test_abort_rolls_back_pending_intent(spark, sf_dir, tmp_path):
 
     # simulate the failed commit: pending intent durable, FIRST rename done
     log_path = os.path.join(dst, "_appends.json")
-    renames = {f: f[: -len(".inflight")] + ".parquet" for f in msg.files}
+    renames = {f: _final_name(f) for f in msg.files}
     entry = {
         "kind": "batch",
         "renames": renames,
@@ -553,3 +554,40 @@ def test_abort_rolls_back_pending_intent(spark, sf_dir, tmp_path):
     msg2 = w.write(iter(tbl.to_batches()))
     w.commit([msg2])
     assert _load(spark, dst).count() == 9
+
+
+def test_staged_files_invisible_to_plain_parquet_reader(spark, sf_dir, tmp_path):
+    """Staged files must be invisible to the PLAIN parquet fast path too
+    (reader.read_table = spark.read.parquet(dir/data)): Spark's listing
+    skips only dot/underscore-prefixed files, NOT unknown extensions — a
+    bare 'append-….inflight' name was read as ordinary parquet, leaking
+    uncommitted appends and crashed-task orphans to every reader (found by
+    the crash-injection matrix). Staged names are dot-prefixed now."""
+    import os
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksWriter
+
+    nation = load_table(spark, sf_dir, "nation")
+    dst = str(tmp_path / "fastpath")
+    cfg = DEFAULT_CONFIG.with_(block_size=8)
+    write_table(nation.limit(3), dst, ["n_nationkey"], config=cfg)
+    base = spark.read.parquet(os.path.join(dst, "data")).count()
+
+    w = BtrBlocksWriter({"path": dst}, nation.schema, overwrite=False)
+    msg = w.write(iter(pa.Table.from_pandas(nation.limit(6).toPandas()).to_batches()))
+    assert all(os.path.basename(f).startswith(".") for f in msg.files)
+
+    # BEFORE commit: invisible to the fast path AND to the datasource
+    assert spark.read.parquet(os.path.join(dst, "data")).count() == base
+    spark.dataSource.register(BtrBlocksDataSource)
+    assert _load(spark, dst).count() == base
+
+    # AFTER commit: fully visible, final names carry no staging dot
+    w.commit([msg])
+    assert spark.read.parquet(os.path.join(dst, "data")).count() == base + 6
+    assert _load(spark, dst).count() == base + 6
+    for f in os.listdir(os.path.join(dst, "data")):
+        if f.endswith(".parquet"):  # Hadoop .crc sidecars are expected
+            assert not f.startswith("."), f
