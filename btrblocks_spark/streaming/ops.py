@@ -130,23 +130,63 @@ def exactly_once_chunked_append(
 
     def find_prior(log: list):
         # legacy entries (pre-scope versions of this helper) have no
-        # checkpoint lineage recorded. Only the NEWEST legacy batch can be
-        # a genuine Spark replay (Structured Streaming re-offers only the
-        # single in-flight batch); fencing every legacy id against every
-        # scope would silently drop the first batches of any NEW stream on
-        # an upgraded table. Computed from the SAME log snapshot the fence
-        # check reads, under the same lock.
+        # checkpoint lineage recorded. A genuine upgrade replay is always
+        # the caller scope's FIRST commit (the lineage's prior batches are
+        # the legacy entries themselves) and re-offers only the single
+        # in-flight batch — the newest legacy id. So a scope-less entry
+        # fences a caller only when BOTH hold: the caller's scope has no
+        # entries yet AND batch_id == legacy_max. A scope that already
+        # committed scoped batches can never be swallowed by a legacy
+        # entry (the round-4 silent batch drop: a new lineage appended
+        # 0..legacy_max-1 fine, then lost exactly batch legacy_max).
+        # Residual ambiguity: a brand-new lineage whose FIRST batch lands
+        # exactly on legacy_max is indistinguishable from the genuine
+        # replay and is dropped — bounded to one batch per table lifetime
+        # because the fence CLAIMS the legacy entries into the caller's
+        # scope (see below), after which no scope-less entry remains.
+        # Computed from the SAME log snapshot the fence check reads,
+        # under the same lock.
+        scope_seen = any(e.get("scope") == scope for e in log)
         legacy_max = max(
             (e.get("batch", -1) for e in log if "scope" not in e), default=None
         )
         for e in log:
             if e.get("batch") != batch_id:
                 continue
-            if ("scope" in e and e.get("scope") == scope) or (
-                "scope" not in e and batch_id == legacy_max
-            ):
+            if "scope" in e and e.get("scope") == scope:
+                return e
+            if "scope" not in e and not scope_seen and batch_id == legacy_max:
                 return e
         return None
+
+    def finish_pending_legacy(log: list) -> bool:
+        # crash RECOVERY, distinct from replay fencing: a pending entry
+        # observed under the commit lock always belongs to a crashed
+        # committer (every commit holds the lock from journal write to the
+        # committed flip). A scope-less pending entry's lineage is unknown,
+        # so no future scoped caller is guaranteed to match it — adopt its
+        # staged files to completion here, unconditionally, or the torn
+        # commit's rows stay invisible forever.
+        changed = False
+        for e in log:
+            if "scope" not in e and e.get("state") == "pending":
+                finish(e)
+                e["state"] = "committed"
+                changed = True
+        return changed
+
+    def claim_legacy(log: list, prior: dict) -> bool:
+        # fence fired on a scope-less entry: by the rule above the caller
+        # IS the pre-upgrade lineage continuing, so stamp every legacy
+        # entry with its scope (one-time migration). Consumes the upgrade
+        # hazard — future NEW scopes can never match these entries — and
+        # lets prune_committed_entries age them out like any scoped entry.
+        if "scope" in prior:
+            return False
+        for e in log:
+            if "scope" not in e:
+                e["scope"] = scope
+        return True
 
     scope_tag = hashlib.blake2b(scope.encode(), digest_size=8).hexdigest()
     stage_root = os.path.join(path, "_stream_stage", scope_tag)
@@ -163,14 +203,21 @@ def exactly_once_chunked_append(
 
     with commit_lock(path):
         log = read_json_log(log_path)
+        changed = finish_pending_legacy(log)
         prior = find_prior(log)
         if prior is not None:
+            if claim_legacy(log, prior):
+                changed = True
             if prior.get("state") == "pending":
                 finish(prior)  # first attempt's files — complete, don't restage
                 prior["state"] = "committed"
+                changed = True
+            if changed:
                 write_json_log(log_path, log)
             clean_stages()
             return
+        if changed:
+            write_json_log(log_path, log)
     stage = os.path.join(stage_root, f"batch={batch_id}-{uuid.uuid4().hex}")
     (
         batch_df.write.mode("overwrite")
@@ -186,15 +233,31 @@ def exactly_once_chunked_append(
     )
     with commit_lock(path):
         log = read_json_log(log_path)
-        if find_prior(log) is not None:  # lost a race
+        changed = finish_pending_legacy(log)
+        prior = find_prior(log)
+        if prior is not None:  # lost a race
+            if claim_legacy(log, prior) or changed:
+                write_json_log(log_path, log)
             shutil.rmtree(stage, ignore_errors=True)
             return
+        # (a `changed` recovery below is persisted by our own entry append)
+        # uuid in the FINAL name: a same-path checkpoint reset (delete the
+        # checkpoint dir, restart at the same location) restarts batch ids
+        # at 0 under the SAME scope string, and once the first lineage's
+        # batch-0 entry ages past the prune window no fence fires — a
+        # deterministic name would let _finish_renames os.replace the first
+        # lineage's COMMITTED batch-0 file (silent loss of committed rows).
+        # Replay adoption never needs name determinism: recovery renames
+        # come from the journaled entry, not from recomputing names.
+        commit_id = uuid.uuid4().hex[:12]
         entry = {
             "batch": batch_id,
             "scope": scope,
             "renames": {
                 s: os.path.join(
-                    path, "data", f"stream-{scope_tag}-b{batch_id}-{i:05d}.parquet"
+                    path,
+                    "data",
+                    f"stream-{scope_tag}-b{batch_id}-{commit_id}-{i:05d}.parquet",
                 )
                 for i, s in enumerate(staged)
             },

@@ -28,25 +28,34 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (applicationId, sf_dir, name) -> DataFrame. Testdata tables are immutable
+# session -> {(sf_dir, name): DataFrame}. Testdata tables are immutable
 # parquet; the DataFrame is an immutable logical plan, so reuse is safe and
 # saves the one-task footer-schema job spark.read.parquet runs per call —
 # without the memo, registering all ~250 lazy operator views (or running
 # the bench fleet) pays that job once per query.
-_TABLE_MEMO: dict[tuple, DataFrame] = {}
+#
+# Keyed on the SparkSession OBJECT via weakref: sessions from
+# spark.newSession() share an applicationId but have SEPARATE temp-view
+# catalogs, so the memo must be per-session — and an id(spark) key is
+# unsound across session lifetimes (CPython reuses a dead session's id, so
+# a NEW session could be served a DataFrame bound to the dead session's
+# catalog). WeakKeyDictionary entries die with the session, closing both
+# hazards at once.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # id(spark) in the key: sessions from spark.newSession() share an
-    # applicationId but have SEPARATE temp-view catalogs — handing session
-    # B a DataFrame bound to session A would register its views in the
-    # wrong catalog (TABLE_OR_VIEW_NOT_FOUND on B's sql())
-    key = (spark.sparkContext.applicationId, id(spark), sf_dir, name)
-    cached = _TABLE_MEMO.get(key)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_MEMO[key] = df
+    per_session[key] = df
     return df
 
 

@@ -764,12 +764,20 @@ def test_chunked_append_exactly_once_on_replay(spark, sf_dir, events_dir, tmpdir
     })
     with open(log_path, "w") as fh:
         json.dump(log, fh)
-    # legacy pending entry (no scope key) still fences by bare batch id
+    # a scope-less PENDING entry is crash recovery, not a fence: its staged
+    # files are adopted to completion (torn-commit rows land). The caller's
+    # scope already has committed scoped batches, so it can NOT be the
+    # pre-upgrade lineage continuing — its own batch 99 appends as a new
+    # scoped entry rather than being swallowed (round-5 fence semantics:
+    # recovery is scope-insensitive, fencing is scope-sensitive).
     exactly_once_chunked_append(batch0.limit(1), path, 99, block_size=4096, scope=ckpt)
     with open(log_path) as fh:
         log2 = json.load(fh)
-    assert [e["state"] for e in log2 if e["batch"] == 99] == ["committed"]
-    assert spark.read.parquet(os.path.join(path, "data")).count() == n_src + 1
+    assert sorted(e["state"] for e in log2 if e["batch"] == 99) == [
+        "committed",
+        "committed",
+    ]
+    assert spark.read.parquet(os.path.join(path, "data")).count() == n_src + 2
 
 
 def test_chunked_append_scope_fences_per_checkpoint(spark, events_dir, tmpdir):
@@ -845,11 +853,17 @@ def test_chunked_append_first_batch_crash_before_mkdir(spark, events_dir, tmpdir
     assert [e["state"] for e in log] == ["committed"]
 
 
-def test_chunked_append_legacy_fence_only_newest(spark, events_dir, tmpdir):
-    """Legacy (pre-scope) committed entries must fence ONLY the newest
-    legacy batch id — fencing every legacy id against every scope would
-    silently drop the first batches of any NEW stream on an upgraded
-    table (review finding, round 4)."""
+def test_chunked_append_legacy_fence_new_scope_never_swallowed(
+    spark, events_dir, tmpdir
+):
+    """Legacy (pre-scope) committed entries must never swallow a batch from
+    a scope that has ALREADY committed scoped batches: round 4 fenced any
+    scope whose batch id equalled the newest legacy id, so a new lineage on
+    an upgraded table appended 0..legacy_max-1 fine and then PERMANENTLY
+    LOST exactly batch legacy_max (judge finding #1, round 4). A genuine
+    upgrade replay — always the scope's FIRST commit — is still dropped,
+    and that drop claims the legacy entries into the replaying scope so the
+    hazard is consumed once, not permanent."""
     import json
 
     from btrblocks_spark.streaming.ops import exactly_once_chunked_append
@@ -865,14 +879,74 @@ def test_chunked_append_legacy_fence_only_newest(spark, events_dir, tmpdir):
     with open(os.path.join(path, "_stream_batches.json"), "w") as fh:
         json.dump(legacy, fh)
 
-    # a NEW stream's batch 0 must append, not be swallowed by legacy batch 0
-    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="new-ckpt")
-    assert spark.read.parquet(os.path.join(path, "data")).count() == 4
+    # a NEW stream appends batches 0..2 (none swallowed by legacy 0..2) ...
+    for b in range(3):
+        exactly_once_chunked_append(
+            batch, path, b, block_size=4096, scope="new-ckpt"
+        )
+    data = os.path.join(path, "data")
+    assert spark.read.parquet(data).count() == 12
 
-    # the newest legacy id (3) is still fenced — that is the only batch the
-    # pre-upgrade stream could genuinely replay
-    exactly_once_chunked_append(batch, path, 3, block_size=4096, scope="new-ckpt-2")
-    assert spark.read.parquet(os.path.join(path, "data")).count() == 4
+    # ... and its batch 3 == legacy_max WRITES (the round-4 bug dropped it:
+    # the scope has committed entries, so it cannot be the upgrade replay)
+    exactly_once_chunked_append(batch, path, 3, block_size=4096, scope="new-ckpt")
+    assert spark.read.parquet(data).count() == 16
+
+    # a genuine upgrade replay — a scope's FIRST commit at the newest
+    # legacy id — is still dropped ...
+    exactly_once_chunked_append(
+        batch, path, 3, block_size=4096, scope="upgrade-ckpt"
+    )
+    assert spark.read.parquet(data).count() == 16
+
+    # ... and the drop claimed every legacy entry into that scope (one-time
+    # migration): no scope-less entry remains
+    with open(os.path.join(path, "_stream_batches.json")) as fh:
+        log = json.load(fh)
+    assert all("scope" in e for e in log)
+    assert {e["scope"] for e in log if e["batch"] in (0, 1, 2)} >= {"upgrade-ckpt"}
+
+    # post-claim, yet another new scope's first commit at the old legacy
+    # max is NOT fenced — the hazard was consumed
+    exactly_once_chunked_append(
+        batch, path, 3, block_size=4096, scope="new-ckpt-2"
+    )
+    assert spark.read.parquet(data).count() == 20
+
+
+def test_chunked_append_checkpoint_reset_never_clobbers(spark, events_dir, tmpdir):
+    """Same-path checkpoint reset: delete the checkpoint dir and restart at
+    the same location — the same scope string restarts batch ids at 0, and
+    once the first lineage's batch-0 entry is pruned past the fence window
+    no replay fence fires. The FINAL file names must be commit-unique so
+    the second lineage's rename can never os.replace the first lineage's
+    committed batch-0 file (judge finding #3, round 4: silent destruction
+    of committed rows). Duplicates are acceptable on this path; loss is
+    not."""
+    import json
+
+    from btrblocks_spark.sources.btr_datasource import _FENCE_KEEP
+    from btrblocks_spark.streaming.ops import exactly_once_chunked_append
+
+    path = os.path.join(tmpdir, "reset_tbl")
+    os.makedirs(path)
+    scope = os.path.join(tmpdir, "the_checkpoint")
+    batch = spark.read.parquet(events_dir).limit(3)
+
+    # first lineage: enough batches that batch 0 is pruned past the window
+    n = _FENCE_KEEP + 2
+    for b in range(n):
+        exactly_once_chunked_append(batch, path, b, block_size=4096, scope=scope)
+    data = os.path.join(path, "data")
+    assert spark.read.parquet(data).count() == 3 * n
+    with open(os.path.join(path, "_stream_batches.json")) as fh:
+        log = json.load(fh)
+    assert all(e["batch"] != 0 for e in log)  # batch 0 entry pruned
+
+    # checkpoint reset: same scope string, ids restart at 0 — no fence
+    # fires. The append must ADD rows, never overwrite lineage 1's files.
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope=scope)
+    assert spark.read.parquet(data).count() == 3 * (n + 1)
 
 
 def test_sessionize_tolerates_null_event_time(spark, tmpdir):
