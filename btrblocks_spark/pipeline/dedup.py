@@ -27,6 +27,7 @@ is verified bit-exactly against the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -299,6 +300,14 @@ def ngram_jaccard_pairs(
     )
 
 
+# session -> {(docs semanticHash, id_col, max_iter): (docs, labels)}.
+# The converged CC label table is the expensive, shared half of every
+# cluster consumer (clusters, keep-best, audits); labels are
+# localCheckpointed so a memo hit replays nothing. Weak-keyed on the
+# session so entries die with it (same pattern as tables._TABLE_MEMO).
+_CC_LABEL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -323,7 +332,30 @@ def dedup_clusters(
     The driver-side loop controls ITERATION only (a few scalar counts);
     all data movement is distributed joins/aggregates — this is how
     GraphFrames/GraphX structure CC as well.
+
+    The converged label table is memoized per session, keyed on the docs
+    plan (semanticHash + sameSemantics confirm): downstream consumers —
+    ``cluster_keep_best``, cluster audits — re-run the LSH → pairs → CC
+    chain on the SAME corpus, and the labels are already localCheckpointed
+    so reuse is a lookup, not a lineage replay. Same immutable-input caveat
+    as the testdata table memo (a table mutated in place mid-session would
+    serve the pre-mutation clusters); only default-parameter calls
+    (``pairs=None``) hit the memo.
     """
+    labels = None
+    memo_key = None
+    if pairs is None:
+        per_session = _CC_LABEL_MEMO.setdefault(docs.sparkSession, {})
+        memo_key = (docs.semanticHash(), id_col, max_iter)
+        hit = per_session.get(memo_key)
+        if hit is not None and hit[0].sameSemantics(docs):
+            labels = hit[1]
+    if labels is not None:
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(labels, F.col("doc_id") == F.col("node"), "left")
+            .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+        )
     if pairs is None:
         pairs = minhash_lsh_pairs(docs)
     edges = (
@@ -376,6 +408,8 @@ def dedup_clusters(
             f"{max_iter} rounds (graph diameter exceeds max_iter); raise "
             "max_iter"
         )
+    if memo_key is not None:
+        per_session[memo_key] = (docs, labels)
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, F.col("doc_id") == F.col("node"), "left")

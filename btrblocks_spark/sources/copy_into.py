@@ -106,8 +106,10 @@ def copy_into(
     copy log, so it runs under the table's ``commit_lock`` (the same lock
     every other commit on the table takes), and the skip-check is REDONE
     under the lock — a rival call that loaded an overlapping file while we
-    were staging is detected, our stage is discarded, and the call retries
-    (the overlap now skips). Two concurrent calls can therefore never
+    were staging is detected and only the OVERLAPPING files' staged rows
+    and log entries are dropped (the stage is partitioned by source-file
+    id, so the loss is O(overlap), not O(call)); the rest of the stage
+    commits as planned. Two concurrent calls can therefore never
     double-load a file, clobber each other's stage (per-call dirs), or mark
     a file loaded whose rows never reached ``data/``."""
     import shutil
@@ -131,7 +133,13 @@ def copy_into(
     pending = sorted((f, k) for k, f in pending_by_key.items())
 
     appended = 0
+    loaded = 0
     if pending:
+        import hashlib
+        from pathlib import Path
+
+        from pyspark.sql import functions as F
+
         paths = [f for f, _k in pending]
         cols = [c["name"] for c in meta["schema"]]
         if fmt == "parquet":
@@ -142,62 +150,127 @@ def copy_into(
             df = spark.read.options(**opts).schema(schema).csv(paths)
         else:
             raise ValueError(f"unsupported format {fmt!r}")
+        # PROVENANCE staging: partition the stage by a per-source-file id so
+        # a lost race can drop ONLY the overlapping files' rows — round 4
+        # discarded the whole stage and recursively re-read all N files over
+        # one overlap (O(call), not O(overlap)). The id is a digest of the
+        # idempotence key, resolved from input_file_name(); rows whose
+        # source can't be resolved land under a sentinel partition, which
+        # falls back to the whole-stage retry (correct, just slower).
+        fid_by_key = {
+            key: hashlib.blake2b(key.encode(), digest_size=8).hexdigest()
+            for _f, key in pending
+        }
+        src_map = {}
+        for f, key in pending:
+            fid = fid_by_key[key]
+            src_map[os.path.abspath(f)] = fid
+            src_map[Path(os.path.abspath(f)).as_uri()] = fid
+        map_expr = F.create_map(*[F.lit(x) for kv in src_map.items() for x in kv])
         # per-call stage dir: concurrent calls must not overwrite each
         # other's staged rows (the fixed-path round-3 clobber bug)
         tmp_dir = os.path.join(table_dir, f"_copy_tmp-{uuid.uuid4().hex}")
         (
             df.select(*cols)
+            .withColumn(
+                # try_element_at: ANSI mode makes map[missing_key] raise;
+                # an unresolvable source must degrade to the sentinel
+                "_src",
+                F.coalesce(
+                    F.try_element_at(map_expr, F.input_file_name()),
+                    F.lit("__unknown__"),
+                ),
+            )
             .write.mode("overwrite")
+            .partitionBy("_src")
             .option("maxRecordsPerFile", meta["block_size"])
             .option("compression", "zstd")
             .parquet(tmp_dir)
         )
-        # row count from the staged footers — no second data scan
+        # row counts from the staged footers — no second data scan
         import pyarrow.parquet as pq
 
-        staged = sorted(
-            os.path.join(r, x)
-            for r, _s, fs in os.walk(tmp_dir)
-            for x in fs
-            if x.endswith(".parquet")
-        )
-        appended = sum(pq.ParquetFile(s).metadata.num_rows for s in staged)
-        adds = {
-            s: os.path.join(
-                table_dir, "data", f"copy-{uuid.uuid4().hex}-{i:05d}.parquet"
-            )
-            for i, s in enumerate(staged)
+        staged_by_fid: dict[str, list[str]] = {}
+        provenance_ok = True
+        for r, _s, fs in os.walk(tmp_dir):
+            for x in sorted(fs):
+                if not x.endswith(".parquet"):
+                    continue
+                part = os.path.basename(r)
+                if part.startswith("_src="):
+                    fid = part[len("_src="):]
+                    if fid == "__unknown__" or fid not in set(fid_by_key.values()):
+                        provenance_ok = False
+                        fid = "__unknown__"
+                else:  # unpartitioned layout (defensive): no provenance
+                    provenance_ok = False
+                    fid = "__unknown__"
+                staged_by_fid.setdefault(fid, []).append(os.path.join(r, x))
+        rows_by_fid = {
+            fid: sum(pq.ParquetFile(s).metadata.num_rows for s in sfiles)
+            for fid, sfiles in staged_by_fid.items()
         }
+
+        def build_journal(keep_keys: list[tuple[str, str]]) -> tuple[dict, int]:
+            keep_files = [
+                s
+                for _f, key in keep_keys
+                for s in staged_by_fid.get(fid_by_key[key], [])
+            ]
+            adds = {
+                s: os.path.join(
+                    table_dir, "data", f"copy-{uuid.uuid4().hex}-{i:05d}.parquet"
+                )
+                for i, s in enumerate(keep_files)
+            }
+            journal = {
+                "adds": adds,
+                "log_files": {
+                    key: {"path": os.path.abspath(f), "rows": None}
+                    for f, key in keep_keys
+                },
+                "stage_dir": tmp_dir,
+            }
+            n = sum(rows_by_fid.get(fid_by_key[key], 0) for _f, key in keep_keys)
+            return journal, n
+
         lost_race = False
         with commit_lock(table_dir):
             _apply_copy_journal(table_dir)
             log2 = _load_log(table_dir)
-            if any(key in log2["files"] for _f, key in pending):
-                # lost a race: a rival loaded an overlapping file while we
-                # staged. Discard our stage and retry OUTSIDE the lock (the
-                # lock is not re-entrant) — the overlap is now recorded in
-                # the log and skips cleanly.
+            overlap = {key for _f, key in pending if key in log2["files"]}
+            if overlap and not provenance_ok:
+                # rows not attributable to source files: discard the whole
+                # stage and retry OUTSIDE the lock (not re-entrant) — the
+                # overlap is now recorded in the log and skips cleanly.
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 lost_race = True
             else:
-                journal = {
-                    "adds": adds,
-                    "log_files": {
-                        key: {"path": os.path.abspath(f), "rows": None}
-                        for f, key in pending
-                    },
-                    "stage_dir": tmp_dir,
-                }
-                jpath = os.path.join(table_dir, "_copy_journal.json")
-                with open(jpath + ".tmp", "w") as fh:
-                    json.dump(journal, fh)
-                os.replace(jpath + ".tmp", jpath)  # commit point
-                _apply_copy_journal(table_dir)
+                # drop ONLY the overlapping files' staged rows + log
+                # entries; everything else commits in this call.
+                keep = [(f, key) for f, key in pending if key not in overlap]
+                for key in overlap:
+                    for s in staged_by_fid.get(fid_by_key[key], []):
+                        try:
+                            os.remove(s)
+                        except OSError:
+                            pass
+                loaded = len(keep)
+                skipped.extend(f for f, key in pending if key in overlap)
+                if keep:
+                    journal, appended = build_journal(keep)
+                    jpath = os.path.join(table_dir, "_copy_journal.json")
+                    with open(jpath + ".tmp", "w") as fh:
+                        json.dump(journal, fh)
+                    os.replace(jpath + ".tmp", jpath)  # commit point
+                    _apply_copy_journal(table_dir)
+                else:
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
         if lost_race:
             return copy_into(spark, table_dir, files, fmt, csv_options)
 
     return {
-        "loaded_files": len(pending),
+        "loaded_files": loaded,
         "skipped_files": len(skipped),
         "appended_rows": int(appended),
     }
