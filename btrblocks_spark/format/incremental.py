@@ -97,6 +97,16 @@ def incremental_agg(
             "full_recompute": full_recompute,
         }
         if not new and prev is not None:
+            # liveness bump: the retention floor below measures snapshot
+            # AGE ON DISK, but this handle is being served NOW — without
+            # the touch, a no-op refresh of an old snapshot hands out a
+            # DataFrame the very next (snapshot-writing) refresh may
+            # vacuum seconds later (the same FileNotFound-at-consume
+            # hazard the floor exists to prevent).
+            try:
+                os.utime(os.path.join(state_dir, f"v={state['version']}"))
+            except OSError:
+                pass
             return prev, stats
         if not new:
             # first refresh of an EMPTY table: spark.read.parquet(*[]) would

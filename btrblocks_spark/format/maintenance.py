@@ -588,24 +588,8 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     # later run); a crash AFTER it is finished by _apply_compact_journal on
     # the next compact() call. The old order (remove fragments, then move)
     # had a window that silently LOST every fragment row.
-    moved = 0
-    adds: dict[str, str] = {}
-    for r, _s, fs in os.walk(tmp_dir):
-        for f in sorted(fs):
-            if f.endswith(".parquet"):
-                adds[os.path.join(r, f)] = os.path.join(
-                    data_dir, f"compacted-{moved:05d}-{f}"
-                )
-                moved += 1
     import json
 
-    journal = {
-        "adds": adds,
-        "remove": frag,
-        "meta": meta,
-        "stats_tmp": stats_tmp,
-        "tmp_dir": tmp_dir,
-    }
     jpath = os.path.join(path, "_compact_journal.json")
     with commit_lock(path):
         # lost-race check (the staging above ran outside the lock): a rival
@@ -618,6 +602,36 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         _apply_compact_journal(path)
         if any(not os.path.exists(f) for f in frag):
             return _lost_race_result()
+        # the adds walk runs UNDER the lock: a rival's stage GC also needs
+        # the lock, so nothing can delete staged files between this listing
+        # and the journal commit below.
+        moved = 0
+        adds: dict[str, str] = {}
+        for r, _s, fs in os.walk(tmp_dir):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    adds[os.path.join(r, f)] = os.path.join(
+                        data_dir, f"compacted-{moved:05d}-{f}"
+                    )
+                    moved += 1
+        if not adds:
+            # the stage vanished while we were planning (a rival's >1h-idle
+            # GC, or manual cleanup). Committing would journal empty adds
+            # against non-empty removes — deleting every fragment with no
+            # replacement (silent total loss). Fragments are untouched, so
+            # fail loudly and let the caller re-run compact.
+            shutil.rmtree(stats_tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact: stage dir {tmp_dir} lost before commit (stage-GC "
+                "race or manual cleanup); fragments untouched — retry compact"
+            )
+        journal = {
+            "adds": adds,
+            "remove": frag,
+            "meta": meta,
+            "stats_tmp": stats_tmp,
+            "tmp_dir": tmp_dir,
+        }
         with open(jpath + ".tmp", "w") as fh:
             json.dump(journal, fh, default=str)
         os.replace(jpath + ".tmp", jpath)  # commit point
@@ -677,23 +691,37 @@ def _gc_abandoned_stages(path: str, max_age_sec: float = 3600.0) -> None:
     """Remove per-call compact stage dirs a crashed run abandoned (they
     would otherwise leak a rewritten-tail copy per crash, forever). Caller
     holds the commit lock. Dirs referenced by a pending journal are never
-    touched (the journal apply consumes them), and liveness is judged by
-    the NEWEST mtime in the tree so a slow live rival is never hit."""
+    touched (the journal apply consumes them). Liveness is judged by the
+    NEWEST mtime across BOTH stage dirs sharing a stage id — a live compact
+    that finished writing _compact_tmp-<id> an hour ago keeps bumping
+    _compact_stats_tmp-<id> while it plans, and data-file reads don't touch
+    mtimes, so per-dir age would hit a slow live rival's finished half.
+    Even when GC misfires (a compact idle past max_age between its last
+    write and its commit), compact's under-lock empty-adds guard converts
+    the outcome into a loud retryable failure, never silent loss."""
     jpath = os.path.join(path, "_compact_journal.json")
     referenced: set[str] = set()
     if os.path.exists(jpath):
         with open(jpath) as fh:
             j = json.load(fh)
         referenced = {j.get("tmp_dir", ""), j.get("stats_tmp", "")}
+    by_stage: dict[str, list[str]] = {}
     for d in os.listdir(path):
-        if not (d.startswith("_compact_tmp-") or d.startswith("_compact_stats_tmp-")):
-            continue
-        full = os.path.join(path, d)
-        if full in referenced or not os.path.isdir(full):
+        for prefix in ("_compact_tmp-", "_compact_stats_tmp-"):
+            if d.startswith(prefix):
+                by_stage.setdefault(d[len(prefix):], []).append(
+                    os.path.join(path, d)
+                )
+                break
+    now = time.time()
+    for dirs in by_stage.values():
+        dirs = [f for f in dirs if f not in referenced and os.path.isdir(f)]
+        if not dirs:
             continue
         try:
-            if time.time() - newest_mtime(full) > max_age_sec:
-                shutil.rmtree(full, ignore_errors=True)
+            if all(now - newest_mtime(f) > max_age_sec for f in dirs):
+                for f in dirs:
+                    shutil.rmtree(f, ignore_errors=True)
         except OSError:
             pass
 

@@ -27,7 +27,6 @@ is verified bit-exactly against the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
-import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,7 +139,10 @@ def minhash_band_buckets(
     )
 
 
-# session -> {(input semanticHash, builder key): (input, derived)}.
+# Per-session memo {(input semanticHash, builder key): (input, derived)},
+# stored as an attribute ON the session (tables.session_memo) — a
+# module-global WeakKeyDictionary can never evict because the memoized
+# DataFrames strongly reference the key session.
 # Expensive candidate-pair tables are shared by many consumers on the
 # same corpus (LSH pairs feed clusters/pagerank/triangles/k-core/recall
 # audits; the exact-Jaccard truth feeds both recall audits), and Spark
@@ -148,11 +150,11 @@ def minhash_band_buckets(
 # hands every same-corpus consumer the SAME persist(DISK_ONLY) DataFrame.
 # persist is LAZY: a one-shot caller pays only the cache write alongside
 # its normal evaluation (laziness/pushdown semantics preserved); the
-# second consumer reads the cache instead of re-running the chain.
-# Weak-keyed on the session so entries (and their cache pins) die with
-# it. Same immutable-input caveat as tables._TABLE_MEMO: a table
+# second consumer reads the cache instead of re-running the chain — and
+# because persist RETAINS lineage, a lost executor's cache blocks are
+# recomputed transparently (unlike a localCheckpoint).
+# Same immutable-input caveat as tables.load_table's memo: a table
 # mutated in place mid-session would serve pre-mutation pairs.
-_PAIRS_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _memoized_by_plan(docs: DataFrame, key: tuple, build) -> DataFrame:
@@ -160,7 +162,9 @@ def _memoized_by_plan(docs: DataFrame, key: tuple, build) -> DataFrame:
     (semanticHash, confirmed by sameSemantics on hit) plus builder params."""
     from pyspark.storagelevel import StorageLevel
 
-    per_session = _PAIRS_MEMO.setdefault(docs.sparkSession, {})
+    from btrblocks_spark.tables import session_memo
+
+    per_session = session_memo(docs.sparkSession, "_btrblocks_pairs_memo")
     full_key = (docs.semanticHash(),) + key
     hit = per_session.get(full_key)
     if hit is not None and hit[0].sameSemantics(docs):
@@ -182,7 +186,7 @@ def minhash_lsh_pairs(
     (fine-grained, near-zero skew); pair generation is map-side from the
     collected bucket members (see ``_bucket_pairs``). The result is
     session-memoized per (corpus plan, params) — six fleet consumers
-    share one evaluation (see ``_PAIRS_MEMO``)."""
+    share one evaluation (see ``_memoized_by_plan``)."""
 
     def build() -> DataFrame:
         banded = minhash_band_buckets(docs, num_perm, bands, n)
@@ -339,9 +343,15 @@ def ngram_jaccard_pairs(
 # session -> {(docs semanticHash, id_col, max_iter): (docs, labels)}.
 # The converged CC label table is the expensive, shared half of every
 # cluster consumer (clusters, keep-best, audits); labels are
-# localCheckpointed so a memo hit replays nothing. Weak-keyed on the
-# session so entries die with it (same pattern as tables._TABLE_MEMO).
-_CC_LABEL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# localCheckpointed so a memo hit replays nothing. Stored on the session
+# object (tables.session_memo, attr _btrblocks_cc_memo) so entries die
+# with it. Cluster caveat: localCheckpoint blocks are non-replicated and
+# lineage-truncated, so an executor lost AFTER the first call makes later
+# memo hits fail with a missing-block error instead of recomputing —
+# callers on dynamic-allocation/spot clusters should either set a reliable
+# checkpoint dir (sc.setCheckpointDir — the loop then survives executor
+# loss end-to-end) or treat that error as "re-run dedup_clusters". The
+# local[...] test/bench environment has no executor loss.
 
 
 def dedup_clusters(
@@ -378,10 +388,13 @@ def dedup_clusters(
     serve the pre-mutation clusters); only default-parameter calls
     (``pairs=None``) hit the memo.
     """
+    from btrblocks_spark.tables import session_memo
+
     labels = None
     memo_key = None
+    per_session = None
     if pairs is None:
-        per_session = _CC_LABEL_MEMO.setdefault(docs.sparkSession, {})
+        per_session = session_memo(docs.sparkSession, "_btrblocks_cc_memo")
         memo_key = (docs.semanticHash(), id_col, max_iter)
         hit = per_session.get(memo_key)
         if hit is not None and hit[0].sameSemantics(docs):
@@ -1077,7 +1090,7 @@ def jaccard_prefix_pairs(
     window shuffles (count-over-h, count+row_number-over-doc_id) for the
     same output; measured 5.0 s → ~2.9 s at sf0.1. Session-memoized per
     (corpus plan, params): both LSH recall audits consume this table as
-    their exact ground truth (see ``_PAIRS_MEMO``)."""
+    their exact ground truth (see ``_memoized_by_plan``)."""
     return _memoized_by_plan(
         docs,
         ("jaccard_prefix_pairs", n, threshold),

@@ -155,8 +155,10 @@ def copy_into(
         # discarded the whole stage and recursively re-read all N files over
         # one overlap (O(call), not O(overlap)). The id is a digest of the
         # idempotence key, resolved from input_file_name(); rows whose
-        # source can't be resolved land under a sentinel partition, which
-        # falls back to the whole-stage retry (correct, just slower).
+        # source can't be resolved land under a sentinel partition. The
+        # sentinel only degrades granularity, never drops rows: with no
+        # overlap the WHOLE stage commits (sentinel files included); with
+        # an overlap the call falls back to the whole-stage retry.
         fid_by_key = {
             key: hashlib.blake2b(key.encode(), digest_size=8).hexdigest()
             for _f, key in pending
@@ -166,21 +168,24 @@ def copy_into(
             fid = fid_by_key[key]
             src_map[os.path.abspath(f)] = fid
             src_map[Path(os.path.abspath(f)).as_uri()] = fid
-        map_expr = F.create_map(*[F.lit(x) for kv in src_map.items() for x in kv])
+        # path->fid resolution is a BROADCAST join against a tiny lookup
+        # table, not a create_map literal: at a 10k-file daily drop a map
+        # literal is a ~40k-child Catalyst expression (slow to analyze,
+        # falls out of codegen); the join plan stays O(1) in drop size.
+        # Unresolvable sources (symlinked dirs, URI-encoding mismatches)
+        # degrade to the __unknown__ sentinel via the left join's NULL.
+        lookup = spark.createDataFrame(
+            [(p, fid) for p, fid in src_map.items()], "_src_path string, _fid string"
+        )
         # per-call stage dir: concurrent calls must not overwrite each
         # other's staged rows (the fixed-path round-3 clobber bug)
         tmp_dir = os.path.join(table_dir, f"_copy_tmp-{uuid.uuid4().hex}")
         (
             df.select(*cols)
-            .withColumn(
-                # try_element_at: ANSI mode makes map[missing_key] raise;
-                # an unresolvable source must degrade to the sentinel
-                "_src",
-                F.coalesce(
-                    F.try_element_at(map_expr, F.input_file_name()),
-                    F.lit("__unknown__"),
-                ),
-            )
+            .withColumn("_src_path", F.input_file_name())
+            .join(F.broadcast(lookup), "_src_path", "left")
+            .withColumn("_src", F.coalesce("_fid", F.lit("__unknown__")))
+            .drop("_src_path", "_fid")
             .write.mode("overwrite")
             .partitionBy("_src")
             .option("maxRecordsPerFile", meta["block_size"])
@@ -191,6 +196,7 @@ def copy_into(
         import pyarrow.parquet as pq
 
         staged_by_fid: dict[str, list[str]] = {}
+        valid_fids = set(fid_by_key.values())
         provenance_ok = True
         for r, _s, fs in os.walk(tmp_dir):
             for x in sorted(fs):
@@ -199,7 +205,7 @@ def copy_into(
                 part = os.path.basename(r)
                 if part.startswith("_src="):
                     fid = part[len("_src="):]
-                    if fid == "__unknown__" or fid not in set(fid_by_key.values()):
+                    if fid == "__unknown__" or fid not in valid_fids:
                         provenance_ok = False
                         fid = "__unknown__"
                 else:  # unpartitioned layout (defensive): no provenance
@@ -211,12 +217,24 @@ def copy_into(
             for fid, sfiles in staged_by_fid.items()
         }
 
-        def build_journal(keep_keys: list[tuple[str, str]]) -> tuple[dict, int]:
-            keep_files = [
-                s
-                for _f, key in keep_keys
-                for s in staged_by_fid.get(fid_by_key[key], [])
-            ]
+        def build_journal(
+            keep_keys: list[tuple[str, str]], whole_stage: bool
+        ) -> tuple[dict, int]:
+            # whole_stage: commit EVERY staged file (including any under the
+            # __unknown__ sentinel). Required whenever keep_keys covers all
+            # pending files — a per-fid gather would silently exclude
+            # unresolved-provenance rows from adds while still marking their
+            # source files loaded (permanent data loss).
+            if whole_stage:
+                keep_files = sorted(
+                    s for sfiles in staged_by_fid.values() for s in sfiles
+                )
+            else:
+                keep_files = [
+                    s
+                    for _f, key in keep_keys
+                    for s in staged_by_fid.get(fid_by_key[key], [])
+                ]
             adds = {
                 s: os.path.join(
                     table_dir, "data", f"copy-{uuid.uuid4().hex}-{i:05d}.parquet"
@@ -231,7 +249,10 @@ def copy_into(
                 },
                 "stage_dir": tmp_dir,
             }
-            n = sum(rows_by_fid.get(fid_by_key[key], 0) for _f, key in keep_keys)
+            if whole_stage:
+                n = sum(rows_by_fid.values())
+            else:
+                n = sum(rows_by_fid.get(fid_by_key[key], 0) for _f, key in keep_keys)
             return journal, n
 
         lost_race = False
@@ -258,7 +279,9 @@ def copy_into(
                 loaded = len(keep)
                 skipped.extend(f for f, key in pending if key in overlap)
                 if keep:
-                    journal, appended = build_journal(keep)
+                    # no overlap dropped anything -> whole-stage commit, so
+                    # unresolved-provenance (__unknown__) rows are included
+                    journal, appended = build_journal(keep, not overlap)
                     jpath = os.path.join(table_dir, "_copy_journal.json")
                     with open(jpath + ".tmp", "w") as fh:
                         json.dump(journal, fh)

@@ -236,7 +236,19 @@ def exactly_once_chunked_append(
         changed = finish_pending_legacy(log)
         prior = find_prior(log)
         if prior is not None:  # lost a race
-            if claim_legacy(log, prior) or changed:
+            if claim_legacy(log, prior):
+                changed = True
+            if prior.get("state") == "pending":
+                # the rival CRASHED after its commit point (every committer
+                # holds the lock from journal write to the committed flip):
+                # adopt its staged files to completion, exactly like the
+                # first-lock branch — returning without finishing would let
+                # the checkpoint advance past a batch whose rows stay
+                # invisible forever (nothing else heals scoped pendings).
+                finish(prior)
+                prior["state"] = "committed"
+                changed = True
+            if changed:
                 write_json_log(log_path, log)
             shutil.rmtree(stage, ignore_errors=True)
             return

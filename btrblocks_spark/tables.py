@@ -34,22 +34,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # without the memo, registering all ~250 lazy operator views (or running
 # the bench fleet) pays that job once per query.
 #
-# Keyed on the SparkSession OBJECT via weakref: sessions from
+# Stored as an ATTRIBUTE on the SparkSession object: sessions from
 # spark.newSession() share an applicationId but have SEPARATE temp-view
 # catalogs, so the memo must be per-session — and an id(spark) key is
 # unsound across session lifetimes (CPython reuses a dead session's id, so
 # a NEW session could be served a DataFrame bound to the dead session's
-# catalog). WeakKeyDictionary entries die with the session, closing both
-# hazards at once.
-import weakref
+# catalog). A module-global WeakKeyDictionary is NOT the fix: its values
+# are DataFrames that strongly reference the key session
+# (DataFrame._session), so the weakref callback never fires and every
+# session leaks for the application lifetime. An attribute has no global
+# path — the memo and its plans are garbage exactly when the session is.
 
-_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+
+def session_memo(spark: SparkSession, attr: str) -> dict:
+    """Per-session memo dict stored on the session object itself, so it
+    lives exactly as long as the session (no module-global strong path)."""
+    memo = getattr(spark, attr, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, attr, memo)
+    return memo
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    per_session = _TABLE_MEMO.setdefault(spark, {})
+    per_session = session_memo(spark, "_btrblocks_table_memo")
     key = (sf_dir, name)
     cached = per_session.get(key)
     if cached is not None:

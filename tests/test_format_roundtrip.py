@@ -1626,3 +1626,142 @@ def test_load_table_memo_is_per_session(spark, sf_dir):
     assert df2.sparkSession is s2
     register_temp_views(s2, sf_dir)
     assert s2.sql("select count(*) from nation").first()[0] == df2.count()
+
+
+def test_compact_stage_lost_raises_instead_of_empty_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If the per-call stage dir vanishes between staging and the final
+    commit lock (a rival's >1h-idle stage GC, or manual cleanup), compact
+    must FAIL LOUDLY with fragments untouched — review finding: it
+    previously walked the missing dir into adds={} and committed a journal
+    whose removes deleted every fragment with no replacement (silent total
+    loss)."""
+    import dataclasses
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format import maintenance as mnt
+    from btrblocks_spark.format.reader import read_table
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2048)
+    path = str(tmp_path / "lost_stage_compact")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders.filter(F.col("o_orderkey") % 7 != 0), path,
+                ["o_orderkey"], cfg)
+    appended = orders.filter(F.col("o_orderkey") % 7 == 0)
+    for i in range(3):
+        (
+            appended.filter(F.col("o_orderkey") % 3 == i)
+            .write.mode("append")
+            .option("maxRecordsPerFile", 2048)
+            .parquet(path + "/data")
+        )
+    n_before = read_table(spark, path)[0].count()
+
+    real_lock = mnt.commit_lock
+    calls = {"n": 0}
+
+    def racy_lock(p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the FINAL commit lock: stage GC'd meanwhile
+            for d in os.listdir(path):
+                if d.startswith("_compact_tmp-"):
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        return real_lock(p)
+
+    monkeypatch.setattr(mnt, "commit_lock", racy_lock)
+    with _pytest.raises(RuntimeError, match="stage.*lost|lost.*stage"):
+        mnt.compact(spark, path, cfg)
+    monkeypatch.undo()
+
+    # fragments untouched, no pending journal, reads clean and complete
+    assert not os.path.exists(os.path.join(path, "_compact_journal.json"))
+    assert read_table(spark, path)[0].count() == n_before
+    # and a retry succeeds end-to-end
+    res = mnt.compact(spark, path, cfg)
+    assert res["compacted"]
+    assert read_table(spark, path)[0].count() == n_before
+
+
+def test_gc_abandoned_stages_pair_liveness(tmp_path):
+    """Stage GC judges liveness across BOTH dirs sharing a stage id: a live
+    compact stops touching _compact_tmp-<id> once staging ends but keeps
+    writing _compact_stats_tmp-<id> while planning — per-dir age would
+    rmtree the finished half under a live rival (review finding)."""
+    import os
+    import time as _time
+
+    from btrblocks_spark.format.maintenance import _gc_abandoned_stages
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    old = _time.time() - 7200
+
+    # pair A: tmp idle 2h, stats fresh -> BOTH kept (live compact planning)
+    for d in ("_compact_tmp-aaa", "_compact_stats_tmp-aaa"):
+        os.makedirs(os.path.join(path, d))
+        with open(os.path.join(path, d, "f.parquet"), "w") as fh:
+            fh.write("x")
+    os.utime(os.path.join(path, "_compact_tmp-aaa", "f.parquet"), (old, old))
+    os.utime(os.path.join(path, "_compact_tmp-aaa"), (old, old))
+
+    # pair B: both idle 2h -> both removed (genuinely abandoned)
+    for d in ("_compact_tmp-bbb", "_compact_stats_tmp-bbb"):
+        os.makedirs(os.path.join(path, d))
+        fp = os.path.join(path, d, "f.parquet")
+        with open(fp, "w") as fh:
+            fh.write("x")
+        os.utime(fp, (old, old))
+        os.utime(os.path.join(path, d), (old, old))
+
+    _gc_abandoned_stages(path, max_age_sec=3600.0)
+    left = sorted(d for d in os.listdir(path) if d.startswith("_compact"))
+    assert left == ["_compact_stats_tmp-aaa", "_compact_tmp-aaa"]
+
+
+def test_incremental_agg_noop_refresh_bumps_snapshot_liveness(
+    spark, sf_dir, tmp_path
+):
+    """A NO-OP refresh (no new files) serves the current snapshot — that
+    hand-out must reset the snapshot's retention clock. Review finding: the
+    wall-time floor measured file age only, so a consumer holding the
+    DataFrame a no-op refresh returned seconds ago could still lose the
+    snapshot to the very next snapshot-writing refresh (FileNotFound at
+    consume time, the exact hazard the floor was added for)."""
+    import os
+    import time as _t
+
+    from btrblocks_spark.format.incremental import incremental_agg
+    from btrblocks_spark.tables import load_table as _lt
+
+    nation = _lt(spark, sf_dir, "nation")
+    path = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    nation.limit(5).write.mode("append").parquet(os.path.join(path, "data"))
+    incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"], keep_versions=1
+    )
+    # make v=0 LOOK idle past any retention floor
+    v0 = os.path.join(state, "v=0")
+    old = _t.time() - 7200
+    os.utime(v0, (old, old))
+
+    # no-op refresh: serves v=0 and must bump its liveness
+    held, st = incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"],
+        keep_versions=1, min_retain_sec=600.0,
+    )
+    assert st["files_scanned"] == 0
+
+    # next snapshot-writing refresh vacuums by (staleness AND age): v=0 was
+    # served seconds ago, so it must survive and the held handle consume
+    nation.limit(5).write.mode("append").parquet(os.path.join(path, "data"))
+    incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"],
+        keep_versions=1, min_retain_sec=600.0,
+    )
+    assert os.path.isdir(v0)
+    assert held.count() > 0  # no FileNotFound at consume time

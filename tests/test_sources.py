@@ -580,3 +580,54 @@ def test_copy_into_lost_race_drops_only_overlap(spark, sf_dir, tmp_path, monkeyp
     assert got.agg(F.min("n_nationkey")).collect()[0][0] >= 100
     assert not os.path.exists(os.path.join(table, "_copy_journal.json"))
     assert not [d for d in os.listdir(table) if d.startswith("_copy_tmp")]
+
+
+def test_copy_into_unresolved_provenance_commits_all_rows(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """If input_file_name() returns a form the provenance lookup can't match
+    (symlinked data dir, URI-encoding mismatch), every staged row lands under
+    the __unknown__ sentinel. With NO overlap that must still be a
+    WHOLE-stage commit — the per-fid gather would exclude the sentinel files
+    from adds while marking their sources loaded (review finding: permanent
+    silent data loss, files never retried)."""
+    import pyspark.sql.functions as spark_fns
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.copy_into import copy_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "unresolved_tbl")
+    write_table(
+        nation.limit(0), table, ["n_nationkey"],
+        config=DEFAULT_CONFIG.with_(block_size=8),
+    )
+    drops = []
+    stage = str(tmp_path / "ustage")
+    for i in range(2):
+        part = nation.withColumn(
+            "n_nationkey", spark_fns.col("n_nationkey") + 100 * i
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(tmp_path / f"udrop{i}.parquet")
+        os.rename(os.path.join(stage, pf), dst)
+        drops.append(dst)
+
+    # break provenance resolution: every row's source path becomes a value
+    # the lookup table can't match -> all rows stage under _src=__unknown__
+    monkeypatch.setattr(
+        spark_fns, "input_file_name", lambda: spark_fns.lit("bogus://nowhere")
+    )
+    res = copy_into(spark, table, drops)
+    monkeypatch.undo()
+
+    n = nation.count()
+    assert res["loaded_files"] == 2 and res["skipped_files"] == 0
+    assert res["appended_rows"] == 2 * n
+    assert spark.read.parquet(table + "/data").count() == 2 * n
+    # idempotence intact: a rerun skips both files
+    res2 = copy_into(spark, table, drops)
+    assert res2["loaded_files"] == 0 and res2["skipped_files"] == 2
+    assert spark.read.parquet(table + "/data").count() == 2 * n

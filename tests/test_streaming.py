@@ -978,3 +978,70 @@ def test_sessionize_tolerates_null_event_time(spark, tmpdir):
     assert len(rows_out) == 1
     r = rows_out[0]
     assert r["n_events"] == 1 and r["total_value"] == 1.0
+
+
+def test_chunked_append_second_lock_race_adopts_pending_rival(
+    spark, events_dir, tmpdir, monkeypatch
+):
+    """A rival that journals its pending entry (commit point) and CRASHES
+    while we are staging is observed at our SECOND lock acquisition. That
+    branch must adopt the rival's staged files to completion exactly like
+    the first-lock branch — review finding: it previously just discarded our
+    stage and returned, leaving the rival's entry pending and its rows
+    invisible forever (the checkpoint advances, the batch is never
+    re-offered, and nothing else heals scoped pendings)."""
+    import json
+
+    from btrblocks_spark.sources import btr_datasource as bd
+    from btrblocks_spark.streaming.ops import exactly_once_chunked_append
+
+    path = os.path.join(tmpdir, "race2_table")
+    batch = spark.read.parquet(events_dir).limit(10)
+
+    # bootstrap the table with an unrelated committed batch so dirs exist
+    exactly_once_chunked_append(batch, path, 7, block_size=4096, scope="S")
+    n0 = spark.read.parquet(os.path.join(path, "data")).count()
+
+    # the crashed rival's staged file for (scope=S, batch=0): 3 rows
+    rival_stage = os.path.join(path, "_stream_stage", "rival", "batch=0-x")
+    batch.limit(3).coalesce(1).write.mode("overwrite").parquet(rival_stage)
+    staged = sorted(
+        os.path.join(r, f)
+        for r, _s, fs in os.walk(rival_stage)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    rival_entry = {
+        "batch": 0,
+        "scope": "S",
+        "renames": {
+            s: os.path.join(path, "data", f"stream-rival-b0-{i:05d}.parquet")
+            for i, s in enumerate(staged)
+        },
+        "state": "pending",
+    }
+
+    real_read = bd.read_json_log
+    calls = {"n": 0}
+
+    def racy_read(p):
+        log = real_read(p)
+        calls["n"] += 1
+        if calls["n"] == 2:  # the SECOND lock's snapshot sees the rival
+            log.append(dict(rival_entry))
+        return log
+
+    monkeypatch.setattr(bd, "read_json_log", racy_read)
+    exactly_once_chunked_append(batch, path, 0, block_size=4096, scope="S")
+    monkeypatch.undo()
+
+    # rival's 3 rows landed; OUR batch-0 rows were correctly dropped (the
+    # rival committed first); its entry is flipped committed in the log
+    got = spark.read.parquet(os.path.join(path, "data"))
+    assert got.count() == n0 + 3
+    with open(os.path.join(path, "_stream_batches.json")) as fh:
+        log = json.load(fh)
+    b0 = [e for e in log if e.get("batch") == 0]
+    assert len(b0) == 1 and b0[0]["state"] == "committed"
+    for final in rival_entry["renames"].values():
+        assert os.path.exists(final)
