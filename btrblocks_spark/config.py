@@ -26,9 +26,12 @@ class SchemeSelection(str, Enum):
 # The AUTHORITATIVE per-kind implemented-scheme lists live in
 # format/codecs.py (INT_SCHEMES / DOUBLE_SCHEMES / STRING_SCHEMES); the
 # dataclass fields below are the DEFAULT-ENABLED subsets the planner may
-# pick from — intentionally narrower: double.xor is sequential-decode (slow
-# at scale), double_bp/max_exponent are legacy competitors, enable per
-# table via `with_(double_schemes=...)` when a column shape wants them.
+# pick from — intentionally narrower: double.xor is a time-series
+# specialist (slowly-varying series: ~115 MB/s enc / ~520 MB/s dec after
+# the round-5 flat-gather rewrite, but only ~0.12x size on its target
+# shape and near-incompressible on general doubles), double_bp/
+# max_exponent are legacy competitors; enable per table via
+# `with_(double_schemes=...)` when a column shape wants them.
 
 
 @dataclass(frozen=True)

@@ -505,20 +505,27 @@ def _xor_encode(filled: np.ndarray):
     bits = np.ascontiguousarray(filled).view(np.uint64)
     x = bits ^ np.concatenate((np.zeros(1, dtype=np.uint64), bits[:-1]))
     n = len(x)
-    xb = x.view(np.uint8).reshape(n, 8)  # little-endian byte lanes
+    xb_flat = x.view(np.uint8)  # little-endian byte lanes, flat (8n)
+    xb = xb_flat.reshape(n, 8)
     nz = xb != 0
     any_nz = nz.any(axis=1)
     first = np.where(any_nz, np.argmax(nz, axis=1), 0).astype(np.int64)
     last = np.where(any_nz, 7 - np.argmax(nz[:, ::-1], axis=1), -1).astype(np.int64)
     sig = (last - first + 1).astype(np.uint8)  # 0 when x == 0
     ctrl = (first.astype(np.uint8) << 4) | sig
+    sig64 = sig.astype(np.int64)
     off = np.zeros(n, dtype=np.int64)
-    np.cumsum(sig[:-1], out=off[1:])
-    payload = np.zeros(int(off[-1]) + int(sig[-1]) if n else 0, dtype=np.uint8)
-    for j in range(8):
-        sel = (first <= j) & (j <= last)
-        if sel.any():
-            payload[off[sel] + (j - first[sel])] = xb[sel, j]
+    np.cumsum(sig64[:-1], out=off[1:])
+    total = int(off[-1]) + int(sig64[-1]) if n else 0
+    # ONE flat 1-D gather instead of 8 masked passes: for payload position
+    # p (belonging to row i at in-span offset p-off[i]) the source byte is
+    # xb_flat[8i + first[i] + (p - off[i])]; `start` repeats the per-row
+    # base (8i + first[i] - off[i]) so idx = start + p. Measured ~1.6x
+    # faster than the masked passes on dense spans (random walks XOR to
+    # 6-7 significant bytes, so each masked pass touched the whole array).
+    start = np.repeat(first + np.arange(n, dtype=np.int64) * 8 - off, sig64)
+    idx = start + np.arange(total, dtype=np.int64)
+    payload = xb_flat[idx]
     return ctrl, payload
 
 
@@ -528,13 +535,13 @@ def _xor_decode(ctrl: np.ndarray, payload: np.ndarray) -> np.ndarray:
     sig = (ctrl & 0x0F).astype(np.int64)
     off = np.zeros(n, dtype=np.int64)
     np.cumsum(sig[:-1], out=off[1:])
-    xb = np.zeros((n, 8), dtype=np.uint8)
-    for j in range(8):
-        sel = sig > j
-        if sel.any():
-            rows = np.flatnonzero(sel)
-            xb[rows, tz[sel] + j] = payload[off[sel] + j]
-    x = xb.reshape(-1).view(np.uint64)
+    xb_flat = np.zeros(n * 8, dtype=np.uint8)
+    # one flat 1-D scatter (mirror of the encode gather)
+    total = int(off[-1]) + int(sig[-1]) if n else 0
+    start = np.repeat(tz + np.arange(n, dtype=np.int64) * 8 - off, sig)
+    idx = start + np.arange(total, dtype=np.int64)
+    xb_flat[idx] = payload
+    x = xb_flat.view(np.uint64)
     return np.bitwise_xor.accumulate(x).view(np.float64).copy()
 
 
