@@ -405,6 +405,11 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     with commit_lock(path):
         _apply_compact_journal(path)
         _gc_abandoned_stages(path)
+        # orphaned task-attempt .inflight files (crashed before any commit
+        # message named them) — same idle-age contract as the stage GC
+        from btrblocks_spark.sources.btr_datasource import _vacuum_inflight_locked
+
+        _vacuum_inflight_locked(path)
 
     meta = read_metadata(path)
     bs = int(meta["block_size"])

@@ -197,14 +197,24 @@ def prune_chunks(
     Chunks with any nulls are kept when the bound check can't exclude them
     (a null row never matches a range predicate, but the chunk may hold
     non-null matches — min/max already exclude nulls, so no correction is
-    needed beyond empty-chunk handling)."""
+    needed beyond empty-chunk handling).
+
+    NaN soundness for FLOAT/DOUBLE columns: Spark orders NaN greater than
+    every value, so a NaN row matches any lower bound — but the sidecar
+    stats pass (pandas ``isna``) conflates NaN with null, so min/max
+    exclude NaN and ``null_count`` is the only witness of possible NaNs.
+    Therefore a floating chunk with ``null_count > 0`` can be excluded
+    ONLY by an upper bound (neither null nor NaN satisfies x <= hi); the
+    lower-bound check and the all-null skip apply just to chunks that
+    provably hold no NaN (``null_count == 0``)."""
     if isinstance(meta_or_path, str):
         chunks = column_chunks(meta_or_path, column, meta=meta, spark=spark)
         kind = chunks[0]["col_type"]
     else:
         info = meta_or_path["columns"][column]
         chunks, kind = info["chunks"], info["type"]
-    if kind in ("double", "float"):
+    floating = kind in ("double", "float")
+    if floating:
         cast = float
     elif kind == "string":
         cast = str  # lexicographic zone maps (BETWEEN/prefix predicates)
@@ -212,10 +222,18 @@ def prune_chunks(
         cast = int
     keep = []
     for ch in chunks:
-        if ch["n_rows"] == ch["null_count"]:  # all-null chunk: no match possible
+        may_hold_nan = floating and ch["null_count"] > 0
+        if ch["n_rows"] == ch["null_count"] and not may_hold_nan:
+            continue  # all-null chunk: no match possible
+        if ch["n_rows"] == ch["null_count"] and may_hold_nan:
+            # possibly all-NaN: matches any lower bound, never an upper one
+            if hi is None:
+                keep.append(ch["chunk"])
             continue
         mn, mx = cast(ch["min_repr"]), cast(ch["max_repr"])
-        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+        lo_ok = lo is None or mx >= lo or may_hold_nan
+        hi_ok = hi is None or mn <= hi
+        if lo_ok and hi_ok:
             keep.append(ch["chunk"])
     return keep
 

@@ -60,9 +60,10 @@ class ChunkFilePartition(InputPartition):
 
 
 def _footer_range(pq_meta, col_name: str):
-    """(min, max) of a column across a file's row groups from footer stats,
-    or None when stats are missing."""
+    """(min, max, is_floating) of a column across a file's row groups from
+    footer stats, or None when stats are missing."""
     lo = hi = None
+    floating = False
     for rg in range(pq_meta.num_row_groups):
         group = pq_meta.row_group(rg)
         for ci in range(group.num_columns):
@@ -72,16 +73,38 @@ def _footer_range(pq_meta, col_name: str):
             st = col.statistics
             if st is None or not st.has_min_max:
                 return None
+            floating = col.physical_type in ("FLOAT", "DOUBLE")
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
     if lo is None:
         return None
-    return lo, hi
+    # Spark's parquet writer emits NaN min/max for NaN-containing columns
+    # (observed: x=[1.0, nan, 0.5] -> min=0.5, max=nan). Python NaN
+    # comparisons are always False, so a NaN bound would silently flip
+    # "may match" into "prune" (e.g. lo <= v <= hi for EqualTo) — treat
+    # NaN-poisoned stats as no stats at all.
+    import math
+
+    if any(isinstance(v, float) and math.isnan(v) for v in (lo, hi)):
+        return None
+    return lo, hi, floating
 
 
 def _file_may_match(path: str, filters: list[Filter]) -> bool:
     """Conservative footer-stats check: False only when a pushed filter
-    provably excludes every row group of the file."""
+    provably excludes every row group of the file.
+
+    NaN semantics (the trap that turns "optimization" into wrong answers):
+    parquet footer min/max EXCLUDE NaN, but Spark orders NaN greater than
+    every value and NaN = NaN as true. So for FLOAT/DOUBLE columns a file
+    whose stats say max=1.0 may still hold NaN rows matching ``x > 5.0`` —
+    GreaterThan may never prune on floating stats. LessThan stays safe (a
+    NaN row never satisfies x < v), and EqualTo with a finite value stays
+    safe (NaN equals only NaN). A NaN *filter value* disables pruning for
+    that predicate entirely (Python's nan comparisons disagree with
+    Spark's total ordering)."""
+    import math
+
     import pyarrow.parquet as pq
 
     try:
@@ -95,11 +118,13 @@ def _file_may_match(path: str, filters: list[Filter]) -> bool:
         rng = _footer_range(meta, col)
         if rng is None:
             continue
-        lo, hi = rng
+        lo, hi, floating = rng
+        if isinstance(f.value, float) and math.isnan(f.value):
+            continue
         try:
             if isinstance(f, EqualTo) and not (lo <= f.value <= hi):
                 return False
-            if isinstance(f, GreaterThan) and not (hi > f.value):
+            if isinstance(f, GreaterThan) and not floating and not (hi > f.value):
                 return False
             if isinstance(f, LessThan) and not (lo < f.value):
                 return False
@@ -186,7 +211,20 @@ class BtrBlocksStreamReader(DataSourceStreamReader):
 
         if partition is None:
             return
-        pf = pq.ParquetFile(partition.file_path)
+        try:
+            pf = pq.ParquetFile(partition.file_path)
+        except FileNotFoundError:
+            # A file captured in a checkpointed offset can legitimately
+            # vanish before this task reads it: (a) a torn batch append's
+            # abort retracted an already-renamed dest (_rollback_aborted) —
+            # that data was never committed and the retried job re-appends
+            # it under NEW names the stream will pick up; (b) compact()
+            # rewrote the tail — the rows live on in the compacted files,
+            # which arrive as new offsets (at-least-once under concurrent
+            # maintenance). Raising here would wedge the query forever:
+            # restart replays the SAME planned offset range containing the
+            # vanished name and fails identically every time.
+            return
         yield from pf.iter_batches(columns=list(partition.columns))
 
     def commit(self, end: dict) -> None:
@@ -444,6 +482,77 @@ def recover_pending_appends(path: str) -> int:
     return n
 
 
+def _validate_append_schema(path: str, schema) -> tuple[list[str], int]:
+    """Shared append-path schema gate (batch + streaming writers): the
+    table must exist, the incoming column NAME set must match the sidecar,
+    and so must every TYPE — a long appended into an int column would
+    silently corrupt the chunk layout the sidecar declares. Returns
+    (declared column order, block_size)."""
+    meta = read_metadata(path)  # table must exist
+    declared = [c["name"] for c in meta["schema"]]
+    incoming = [f.name for f in schema.fields]
+    if sorted(incoming) != sorted(declared):
+        raise ValueError(
+            f"schema mismatch: table has {declared}, write has {incoming}"
+        )
+    declared_types = {c["name"]: c["type"] for c in meta["schema"]}
+    bad = [
+        (f.name, f.dataType.simpleString(), declared_types[f.name])
+        for f in schema.fields
+        if f.dataType.simpleString() != declared_types[f.name]
+    ]
+    if bad:
+        raise ValueError(f"schema type mismatch (col, write, table): {bad}")
+    return declared, int(meta["block_size"])
+
+
+def _vacuum_inflight_locked(path: str, max_age_sec: float = 3600.0) -> int:
+    """Remove staged ``.inflight`` files no pending WAL entry references and
+    idle past ``max_age_sec``. A task attempt that crashes (or loses a
+    speculative race) before returning its commit message is referenced by
+    NEITHER commit nor abort — without this sweep its invisible dot-files
+    leak storage forever, proportional to failure count x partition size.
+    Caller must hold the table's commit lock (a pending entry observed
+    under the lock pins its sources; everything else old enough is
+    garbage — live tasks keep their file mtimes fresh while writing)."""
+    import time
+
+    data_dir = os.path.join(path, "data")
+    if not os.path.isdir(data_dir):
+        return 0
+    log = _read_log(path)
+    referenced = {
+        src
+        for e in log
+        if e.get("state") == "pending"
+        for src in e.get("renames", {})
+    }
+    now = time.time()
+    removed = 0
+    for f in os.listdir(data_dir):
+        if not f.endswith(".inflight"):
+            continue
+        full = os.path.join(data_dir, f)
+        if full in referenced:
+            continue
+        try:
+            if now - os.path.getmtime(full) > max_age_sec:
+                os.remove(full)
+                removed += 1
+        except OSError:
+            pass
+    return removed
+
+
+def vacuum_inflight(path: str, max_age_sec: float = 3600.0) -> int:
+    """Public orphan-stage GC hook (see ``_vacuum_inflight_locked``); also
+    runs automatically at every ``maintenance.compact`` start."""
+    from btrblocks_spark.format.maintenance import commit_lock
+
+    with commit_lock(path):
+        return _vacuum_inflight_locked(path, max_age_sec)
+
+
 class BtrBlocksWriter(DataSourceArrowWriter):
     """``df.write.format("btrblocks").mode("append")`` — the fast append
     path into an existing chunked table. Each task writes its partition as
@@ -467,25 +576,7 @@ class BtrBlocksWriter(DataSourceArrowWriter):
                 "to (re)create a table"
             )
         self.path = options["path"]
-        meta = read_metadata(self.path)  # table must exist
-        declared = [c["name"] for c in meta["schema"]]
-        incoming = [f.name for f in schema.fields]
-        if sorted(incoming) != sorted(declared):
-            raise ValueError(
-                f"schema mismatch: table has {declared}, write has {incoming}"
-            )
-        # types too, not just names — a long appended into an int column
-        # would silently corrupt the chunk layout the sidecar declares
-        declared_types = {c["name"]: c["type"] for c in meta["schema"]}
-        bad = [
-            (f.name, f.dataType.simpleString(), declared_types[f.name])
-            for f in schema.fields
-            if f.dataType.simpleString() != declared_types[f.name]
-        ]
-        if bad:
-            raise ValueError(f"schema type mismatch (col, write, table): {bad}")
-        self.columns = declared
-        self.block_size = int(meta["block_size"])
+        self.columns, self.block_size = _validate_append_schema(self.path, schema)
 
     def write(self, iterator):
         # stage as .inflight (invisible to readers): a failed/retried task
@@ -569,27 +660,18 @@ class BtrBlocksStreamWriter(DataSourceStreamArrowWriter):
     in this epoch) driver-side renames — on an object store route these
     through format/fs.py's Hadoop FS handle instead of os.rename."""
 
-    def __init__(self, options: dict, schema):
-        self.path = options["path"]
-        meta = read_metadata(self.path)  # table must exist
-        declared = [c["name"] for c in meta["schema"]]
-        incoming = [f.name for f in schema.fields]
-        if sorted(incoming) != sorted(declared):
+    def __init__(self, options: dict, schema, overwrite: bool = False):
+        if overwrite:
+            # pyspark passes overwrite=True for outputMode('complete')/
+            # truncate semantics — silently appending would accumulate one
+            # full stale copy of the result per microbatch
             raise ValueError(
-                f"schema mismatch: table has {declared}, write has {incoming}"
+                "btrblocks streaming sink is append-only; outputMode "
+                "'complete'/'update' (overwrite per microbatch) is not "
+                "supported — use outputMode('append')"
             )
-        # types too, not just names — a long appended into an int column
-        # would silently corrupt the chunk layout the sidecar declares
-        declared_types = {c["name"]: c["type"] for c in meta["schema"]}
-        bad = [
-            (f.name, f.dataType.simpleString(), declared_types[f.name])
-            for f in schema.fields
-            if f.dataType.simpleString() != declared_types[f.name]
-        ]
-        if bad:
-            raise ValueError(f"schema type mismatch (col, write, table): {bad}")
-        self.columns = declared
-        self.block_size = int(meta["block_size"])
+        self.path = options["path"]
+        self.columns, self.block_size = _validate_append_schema(self.path, schema)
         # the fence is only sound per checkpoint lineage — two queries with
         # different checkpoints MUST get different scopes, or one's batchIds
         # shadow the other's and its data is silently dropped as "replays".
@@ -699,4 +781,4 @@ class BtrBlocksDataSource(DataSource):
         return BtrBlocksWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> BtrBlocksStreamWriter:  # noqa: N802
-        return BtrBlocksStreamWriter(self.options, schema)
+        return BtrBlocksStreamWriter(self.options, schema, overwrite)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -38,7 +39,14 @@ def stream_source(
 ) -> DataFrame:
     """readStream over a directory of event parquet files. New files are
     picked up per microbatch (the chunk-append read path). Converts
-    epoch-nano ts to a proper timestamp column ``event_time``."""
+    epoch-nano ts to a proper timestamp column ``event_time``.
+
+    SIDE EFFECT (deliberate, same contract as tables.load_table): sets the
+    session-global ``spark.sql.legacy.parquet.nanosAsLong`` — required to
+    read TIMESTAMP(NANOS) parquet at all, and set at session build by our
+    own ``session.get_spark``; stated here because for a FOREIGN session it
+    changes how every later parquet read in the session surfaces
+    nano-timestamp columns (LongType instead of TimestampType)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -516,6 +524,8 @@ def streaming_upsert(
     keys: list[str],
     order_by: list[str] | None = None,
     trigger_available_now: bool = True,
+    keep_versions: int = 3,
+    min_retain_sec: float = 600.0,
 ):
     """CDC-apply: MERGE each microbatch into the table (update-wins, ties
     within a batch broken by ``order_by`` descending — e.g. a sequence or
@@ -528,6 +538,14 @@ def streaming_upsert(
     and never see a half-applied batch; failed batches leave the pointer
     untouched, and checkpointed offsets make re-application idempotent
     (same batch -> same merged version content).
+
+    Version retention: every batch writes a FULL merged snapshot, so a
+    long-running stream would otherwise accumulate O(batches x table)
+    storage. Superseded ``v=N`` dirs are vacuumed once they are BOTH
+    ``keep_versions`` behind the pointer AND older than ``min_retain_sec``
+    on disk (the same staleness-AND-wall-time contract as
+    ``incremental_agg`` — a reader holding a lazily-evaluated snapshot
+    from moments ago never loses it).
     """
     from btrblocks_spark.format.maintenance import commit_lock
     from btrblocks_spark.pipeline.merge import merge_upsert
@@ -563,6 +581,18 @@ def streaming_upsert(
             with open(tmp, "w") as fh:
                 fh.write(str(next_v))
             os.replace(tmp, os.path.join(table_dir, "_latest"))
+            # bounded history (still under the lock): staleness AND
+            # wall-time age required, so a just-served snapshot survives
+            now = time.time()
+            for v in versions:
+                if v > next_v - keep_versions:
+                    continue
+                vdir = os.path.join(table_dir, f"v={v}")
+                try:
+                    if now - os.path.getmtime(vdir) > min_retain_sec:
+                        shutil.rmtree(vdir, ignore_errors=True)
+                except OSError:
+                    pass
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
@@ -947,6 +977,12 @@ def js_divergence_vs_ref(batch_df: DataFrame, ref_counts: DataFrame) -> DataFram
     )
 
 
+# wall-time floor before a superseded kmv snapshot dir may be removed —
+# protects a reader mid-scan of the previous `current`; module-level so
+# tests can shrink it
+KMV_SNAPSHOT_RETAIN_SEC = 60.0
+
+
 def kmv_sketch_stream(
     stream: DataFrame,
     key_col: str,
@@ -1014,6 +1050,25 @@ def kmv_sketch_stream(
             os.unlink(tmp)
         os.symlink(new_dir, tmp)
         os.replace(tmp, cur_dir)
+        # superseded snapshots are garbage after the repoint: the sketch is
+        # O(k) by design, but one v{id} dir per microbatch forever would
+        # accumulate hundreds of thousands of tiny dirs on a long stream.
+        # The just-written dir (and the repoint target) is always kept; a
+        # short wall-time floor protects a reader mid-scan of the old
+        # current (the merged sketch was localCheckpointed, so OUR lineage
+        # never re-reads it).
+        now = time.time()
+        for d in os.listdir(out_dir):
+            if not (d.startswith("v") and d[1:].isdigit()) or d == f"v{batch_id}":
+                continue
+            full = os.path.join(out_dir, d)
+            if os.path.realpath(full) == os.path.realpath(cur_dir):
+                continue
+            try:
+                if now - os.path.getmtime(full) > KMV_SNAPSHOT_RETAIN_SEC:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

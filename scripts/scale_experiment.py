@@ -81,8 +81,22 @@ def main() -> int:
             .agg(F.sum(F.when(F.col("fd") == F.col("doc_id"), F.col("c")).otherwise(0)))
         )
 
+    def minhash_fresh(d):
+        # the pair-table session memo (dedup._memoized_by_plan) would make
+        # every rep after the warmup a cache READ — this experiment measures
+        # the chain, so evict the memo and its cache pin before each run
+        memo = getattr(spark, "_btrblocks_pairs_memo", None)
+        if memo:
+            for _src, cached in list(memo.values()):
+                try:
+                    cached.unpersist()
+                except Exception:  # noqa: BLE001
+                    pass
+            memo.clear()
+        materialize(minhash_lsh_pairs(d))
+
     chains = {
-        "minhash_lsh": lambda d: materialize(minhash_lsh_pairs(d)),
+        "minhash_lsh": minhash_fresh,
         "quality_scores": lambda d: materialize(quality_scores(d)),
         "source_divergence": lambda d: materialize(source_divergence(d)),
         "ngram_novelty": novelty,

@@ -591,3 +591,31 @@ def test_staged_files_invisible_to_plain_parquet_reader(spark, sf_dir, tmp_path)
     for f in os.listdir(os.path.join(dst, "data")):
         if f.endswith(".parquet"):  # Hadoop .crc sidecars are expected
             assert not f.startswith("."), f
+
+
+def test_footer_pruning_never_drops_nan_rows(spark, tmp_path):
+    """Parquet footer min/max EXCLUDE NaN while Spark orders NaN greater
+    than everything — so a chunk file whose stats say max=1.0 may still
+    hold NaN rows matching x > 5.0. Review finding: GreaterThan pruned on
+    floating max and silently dropped the NaN rows; x < v and x = finite v
+    remain prunable (NaN never satisfies either)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("x", DoubleType()),
+    ])
+    rows = [(1, 1.0), (2, float("nan")), (3, 0.5)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nan_tbl")
+    write_table(df, path, ["k"], config=DEFAULT_CONFIG.with_(block_size=4))
+    spark.dataSource.register(BtrBlocksDataSource)
+    back = _load(spark, path)
+
+    got = back.filter("x > 5.0").collect()
+    assert len(got) == 1 and got[0]["k"] == 2  # the NaN row survives pruning
+    # NaN equality: x = double('nan') is TRUE for the NaN row in Spark
+    got = back.filter(F.col("x") == float("nan")).collect()
+    assert len(got) == 1 and got[0]["k"] == 2
+    # still prunable shapes stay correct
+    assert back.filter("x < 0.9").count() == 1
+    assert back.filter("x = 1.0").count() == 1

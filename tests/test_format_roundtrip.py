@@ -1765,3 +1765,37 @@ def test_incremental_agg_noop_refresh_bumps_snapshot_liveness(
     )
     assert os.path.isdir(v0)
     assert held.count() > 0  # no FileNotFound at consume time
+
+
+def test_chunk_skipping_never_drops_nan_rows(spark, tmp_path):
+    """Sidecar stats conflate NaN with null (pandas isna) and min/max
+    exclude NaN, but Spark orders NaN greater than everything — so a
+    lower-bound scan must not skip a floating chunk whose only witnesses
+    of possible NaN is null_count > 0 (review finding: the lo check and
+    the all-null skip dropped NaN rows)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from btrblocks_spark.format.reader import read_table_skipping
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("x", DoubleType()),
+    ])
+    # chunk 0 (k 0..3): small finite values + one NaN; chunk 1: finite 100s
+    rows = [(0, 1.0), (1, float("nan")), (2, 0.5), (3, 0.25)] + [
+        (4 + i, 100.0 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nan_skip_tbl")
+    write_table(df, path, ["k"], config=DEFAULT_CONFIG.with_(block_size=4))
+
+    # lower bound above chunk 0's finite max: the NaN row must survive
+    got, kept = read_table_skipping(spark, path, "x", lo=50.0)
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == [1, 4, 5, 6, 7]  # NaN row k=1 + the 100s
+    assert 0 in kept  # chunk 0 kept because it may hold NaN
+
+    # upper-bound-only scans still prune chunk 1 and never return NaN
+    got, kept = read_table_skipping(spark, path, "x", hi=2.0)
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == [0, 2, 3]
+    assert kept == [0]

@@ -1045,3 +1045,142 @@ def test_chunked_append_second_lock_race_adopts_pending_rival(
     assert len(b0) == 1 and b0[0]["state"] == "committed"
     for final in rival_entry["renames"].values():
         assert os.path.exists(final)
+
+
+def test_streaming_upsert_vacuums_superseded_versions(spark, tmpdir):
+    """Every microbatch writes a FULL merged snapshot; a long-running CDC
+    stream must not keep one per batch forever (review finding: unbounded
+    O(batches x table) storage). With the floor disabled, only versions
+    within keep_versions of the pointer survive."""
+    import os
+
+    from btrblocks_spark.streaming.ops import read_snapshot, streaming_upsert
+
+    src = os.path.join(tmpdir, "vac_updates")
+    table = os.path.join(tmpdir, "vac_table")
+    ckpt = os.path.join(tmpdir, "vac_ckpt")
+    os.makedirs(src)
+    schema = "k long, val string, seq long"
+    for i in range(4):
+        spark.createDataFrame([(i, f"v{i}", i)], schema).coalesce(1).write.parquet(
+            src + f"/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/f*")
+    )
+    q = streaming_upsert(
+        stream, table, ckpt, keys=["k"], order_by=["seq"],
+        keep_versions=1, min_retain_sec=0.0,
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert len(versions) == 1  # superseded snapshots vacuumed
+    snap = {r.k for r in read_snapshot(spark, table).collect()}
+    assert snap == {0, 1, 2, 3}  # merged state complete
+
+
+def test_kmv_stream_gc_superseded_snapshot_dirs(spark, events_dir, tmpdir, monkeypatch):
+    """kmv_sketch_stream leaves one v{batch} dir per microbatch; after the
+    atomic repoint the superseded dirs are garbage (review finding) — with
+    the retention floor shrunk they must be removed, and the estimate stays
+    served from `current`."""
+    import os
+
+    from btrblocks_spark.streaming import ops
+
+    monkeypatch.setattr(ops, "KMV_SNAPSHOT_RETAIN_SEC", 0.0)
+    out = os.path.join(tmpdir, "kmv_gc_out")
+    ckpt = os.path.join(tmpdir, "kmv_gc_ckpt")
+    os.makedirs(out)
+    stream = stream_source(spark, events_dir, max_files_per_trigger=1)
+    q = ops.kmv_sketch_stream(stream.select("user_id"), "user_id", out, ckpt)
+    q.awaitTermination(120)
+    monkeypatch.undo()
+
+    vdirs = [d for d in os.listdir(out) if d.startswith("v") and d[1:].isdigit()]
+    cur = os.path.realpath(os.path.join(out, "current"))
+    # every surviving v-dir is the live one (the repoint target)
+    assert all(os.path.realpath(os.path.join(out, d)) == cur for d in vdirs)
+    assert len(vdirs) == 1
+    est = ops.kmv_estimate(spark, out).collect()[0]
+    assert est["n"] > 0
+
+
+def test_stream_reader_tolerates_vanished_offset_file(spark, tmpdir):
+    """A file captured in a checkpointed offset that a rolled-back commit
+    retracted (or compact rewrote) must not wedge the stream in a permanent
+    FileNotFoundError crash-loop (review finding): read() yields nothing
+    for the vanished file."""
+    import os
+
+    from btrblocks_spark.sources.btr_datasource import (
+        BtrBlocksStreamReader,
+        ChunkFilePartition,
+    )
+
+    table = os.path.join(tmpdir, "van_tbl")
+    os.makedirs(os.path.join(table, "data"))
+    r = BtrBlocksStreamReader({"path": table}, ["k"])
+    part = ChunkFilePartition(os.path.join(table, "data", "gone.parquet"), ("k",))
+    assert list(r.read(part)) == []
+
+
+def test_stream_writer_rejects_overwrite_mode(spark, events_dir, tmpdir):
+    """pyspark passes overwrite=True for outputMode('complete') truncate
+    semantics; silently appending would accumulate one full stale copy of
+    the aggregate per microbatch (review finding) — the sink must refuse."""
+    import os
+
+    import pytest as _pytest
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksStreamWriter
+
+    table = os.path.join(tmpdir, "ow_tbl")
+    df = spark.read.parquet(events_dir).limit(4)
+    write_table(df, table, ["event_id"], config=DEFAULT_CONFIG.with_(block_size=4096))
+    with _pytest.raises(ValueError, match="append-only"):
+        BtrBlocksStreamWriter({"path": table}, df.schema, overwrite=True)
+
+
+def test_vacuum_inflight_removes_only_orphans(spark, events_dir, tmpdir):
+    """Crashed task attempts leave .inflight files referenced by neither
+    commit nor abort (review finding: unbounded invisible leak). The sweep
+    removes idle orphans but never a pending WAL entry's sources or a
+    fresh (possibly live) file."""
+    import json
+    import os
+    import time as _t
+
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.btr_datasource import vacuum_inflight
+
+    table = os.path.join(tmpdir, "vi_tbl")
+    df = spark.read.parquet(events_dir).limit(4)
+    write_table(df, table, ["event_id"], config=DEFAULT_CONFIG.with_(block_size=4096))
+    data = os.path.join(table, "data")
+    old = _t.time() - 7200
+    names = {}
+    for tag in ("orphan", "pending_src", "fresh"):
+        p = os.path.join(data, f".append-{tag}.inflight")
+        with open(p, "w") as fh:
+            fh.write("x")
+        names[tag] = p
+    os.utime(names["orphan"], (old, old))
+    os.utime(names["pending_src"], (old, old))
+    # a pending WAL entry pins pending_src
+    with open(os.path.join(table, "_appends.json"), "w") as fh:
+        json.dump([{
+            "kind": "batch", "state": "pending",
+            "renames": {names["pending_src"]: names["pending_src"][:-9]},
+            "files": [], "rows": 0,
+        }], fh)
+
+    removed = vacuum_inflight(table)
+    assert removed == 1
+    assert not os.path.exists(names["orphan"])
+    assert os.path.exists(names["pending_src"])  # pinned by pending entry
+    assert os.path.exists(names["fresh"])  # too young to judge
