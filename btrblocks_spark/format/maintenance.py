@@ -28,7 +28,6 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from btrblocks_spark.streaming.ops import read_snapshot
 
 
 @contextlib.contextmanager
@@ -185,13 +184,27 @@ def _check_constraints(df: DataFrame, table_dir: str) -> None:
         return
     with open(path) as fh:
         cons = json.load(fh)
-    for name, pred in sorted(cons.items()):
-        # violation = predicate false OR null (a CHECK must evaluate true)
-        n_bad = df.filter(~F.coalesce(F.expr(pred), F.lit(False))).count()
+    if not cons:
+        return
+    # ONE aggregation pass over the candidate rows for ALL constraints —
+    # a count() per constraint would re-scan the (possibly table-sized)
+    # DataFrame once per CHECK on every commit. Violation = predicate
+    # false OR null (a CHECK must evaluate true).
+    names = sorted(cons)
+    counts = df.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(cons[n]), F.lit(False)), 1).otherwise(0)
+            ).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    for i, name in enumerate(names):
+        n_bad = counts[i] or 0
         if n_bad:
             raise ConstraintViolationError(
-                f"constraint {name!r} ({pred}) violated by {n_bad} rows; "
-                "commit rejected"
+                f"constraint {name!r} ({cons[name]}) violated by {n_bad} "
+                "rows; commit rejected"
             )
 
 
@@ -236,7 +249,12 @@ def _claim_and_commit(
                 fh.write(str(next_v))
             os.replace(tmp, os.path.join(table_dir, "_latest"))
         return next_v
-    except CommitConflictError:
+    except BaseException:
+        # ANY failure before the pointer swap must tear the claimed dir
+        # down, not just a commit conflict: a failed write_fn (executor
+        # OOM, disk full) would otherwise leave a partial v=N on disk that
+        # time travel serves as committed data and vacuum() counts against
+        # genuine versions' retention.
         shutil.rmtree(vdir, ignore_errors=True)
         raise
 
@@ -297,13 +315,22 @@ def delete_where(spark: SparkSession, table_dir: str, predicate: str) -> dict:
     is NULL are kept, matching SQL DELETE semantics), swap the pointer.
 
     Readers keep snapshot isolation — a concurrent reader on the old
-    pointer sees the old version until it re-resolves ``_latest``."""
-    current = read_snapshot(spark, table_dir)
-    if current is None:
-        raise ValueError(f"no committed table at {table_dir}")
+    pointer sees the old version until it re-resolves ``_latest``.
+
+    OCC ordering: ``base_v`` is read FIRST and the snapshot is bound to
+    exactly that version — reading the pointer after binding the snapshot
+    opens a window where a rival's commit lands in between, the base check
+    passes against the rival's version, and the rival's rows are silently
+    clobbered by a rewrite computed from the stale snapshot (lost
+    update)."""
     base_v = _latest_version(table_dir)
-    keep = current.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-    deleted = current.count() - keep.count()
+    if base_v is None:
+        raise ValueError(f"no committed table at {table_dir}")
+    current = read_version(spark, table_dir, base_v)
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    keep = current.filter(~hit)
+    # one filtered count (pushdown-friendly), not two full-table counts
+    deleted = current.filter(hit).count()
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: keep.write.mode("overwrite").parquet(vdir),
@@ -323,10 +350,12 @@ def update_where(
 
     One narrow projection over the snapshot — no shuffle, no join; at
     100 TB the rewrite is scan + write with full pushdown, exactly like
-    delete_where. Snapshot isolation via the atomic ``_latest`` swap."""
-    current = read_snapshot(spark, table_dir)
-    if current is None:
+    delete_where. Snapshot isolation via the atomic ``_latest`` swap.
+    Base-version-first OCC ordering (see ``delete_where``)."""
+    base_v = _latest_version(table_dir)
+    if base_v is None:
         raise ValueError(f"no committed table at {table_dir}")
+    current = read_version(spark, table_dir, base_v)
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     updated = current.select(
         *[
@@ -338,7 +367,6 @@ def update_where(
     )
     n_updated = current.filter(hit).count()
     _check_constraints(updated, table_dir)
-    base_v = _latest_version(table_dir)
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: updated.write.mode("overwrite").parquet(vdir),
@@ -410,6 +438,19 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         from btrblocks_spark.sources.btr_datasource import _vacuum_inflight_locked
 
         _vacuum_inflight_locked(path)
+
+    # A live deletion vector records GLOBAL _idx positions; compaction
+    # re-sorts and re-indexes the fragment tail, so the vector's positions
+    # would point at DIFFERENT rows afterwards — read_table_mor would
+    # resurrect deleted rows and drop live ones. Refuse rather than
+    # silently corrupt; materialize_deletes folds the vector into a fresh
+    # copy-on-write table first.
+    if _dv_latest(path) is not None:
+        raise ValueError(
+            "compact: table has a live deletion vector (_deletes); "
+            "re-indexing would invalidate its _idx positions — run "
+            "materialize_deletes first"
+        )
 
     meta = read_metadata(path)
     bs = int(meta["block_size"])
@@ -888,12 +929,13 @@ def read_table_evolved(spark: SparkSession, path: str):
          c.get("generated_as"))
         for c in meta["schema"]
     ]
-    files = sorted(
-        os.path.join(r, f)
-        for r, _s, fs in os.walk(data_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    # Spark-visible listing ONLY: a raw os.walk would pick up _temporary/
+    # task-attempt files and .inflight staging a concurrent writer has on
+    # disk (half-written footers raise; adopted+speculative copies double
+    # rows). Same file-identity contract as every other lister.
+    from btrblocks_spark.format.fs import list_parquet_files
+
+    files = list_parquet_files(data_dir)
     by_cols: dict[frozenset, list[str]] = {}
     for f in files:
         names = frozenset(pq.ParquetFile(f).schema_arrow.names)
@@ -972,23 +1014,30 @@ def delete_where_dv(spark: SparkSession, path: str, predicate: str) -> dict:
 
     Each DELETE commits a new immutable ``dv=N`` snapshot = prior vector ∪
     new matches (idempotent; re-deleting is a no-op), then atomically swaps
-    the ``_latest`` pointer — readers keep snapshot isolation."""
-    data = spark.read.parquet(os.path.join(path, "data"))
-    matches = data.filter(
-        F.coalesce(F.expr(predicate), F.lit(False))
-    ).select("_idx")
-    prior = read_deletion_vector(spark, path)
-    if prior is not None:
-        matches = matches.union(prior)
-    new = matches.distinct()
-    next_v = (_dv_versions(path) or [-1])[-1] + 1
-    dest = os.path.join(_dv_dir(path), f"dv={next_v}")
-    new.repartition(1).write.mode("overwrite").parquet(dest)
-    n_deleted = spark.read.parquet(dest).count()
-    tmp = os.path.join(_dv_dir(path), "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(next_v))
-    os.replace(tmp, os.path.join(_dv_dir(path), "_latest"))
+    the ``_latest`` pointer — readers keep snapshot isolation. The whole
+    read-union-write-swap runs under the table's ``commit_lock``: two
+    unserialized DELETEs would both read the same prior, both claim dv=N,
+    and the overwrite+swap would silently drop one caller's matches (the
+    vector write is O(matches) longs, so holding the lock is cheap; the
+    predicate scan happens inside it only because the union must see the
+    prior the swap supersedes)."""
+    with commit_lock(path):
+        data = spark.read.parquet(os.path.join(path, "data"))
+        matches = data.filter(
+            F.coalesce(F.expr(predicate), F.lit(False))
+        ).select("_idx")
+        prior = read_deletion_vector(spark, path)
+        if prior is not None:
+            matches = matches.union(prior)
+        new = matches.distinct()
+        next_v = (_dv_versions(path) or [-1])[-1] + 1
+        dest = os.path.join(_dv_dir(path), f"dv={next_v}")
+        new.repartition(1).write.mode("overwrite").parquet(dest)
+        n_deleted = spark.read.parquet(dest).count()
+        tmp = os.path.join(_dv_dir(path), "_latest.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(next_v))
+        os.replace(tmp, os.path.join(_dv_dir(path), "_latest"))
     return {"dv_version": next_v, "deleted_rows": int(n_deleted)}
 
 
@@ -1084,14 +1133,14 @@ def insert_rows(spark: SparkSession, table_dir: str, rows: DataFrame) -> dict:
     the high-throughput append path is the chunked streaming sink +
     compact() (O(new bytes)); this verb exists for transactional batch
     inserts that must be atomic with the version history (TPC-H RF1
-    shape)."""
-    current = read_snapshot(spark, table_dir)
-    if current is None:
+    shape). Base-version-first OCC ordering (see ``delete_where``)."""
+    base_v = _latest_version(table_dir)
+    if base_v is None:
         raise ValueError(f"no committed table at {table_dir}")
+    current = read_version(spark, table_dir, base_v)
     n_new = rows.count()
     merged = current.unionByName(rows)
     _check_constraints(rows, table_dir)  # existing rows were already checked
-    base_v = _latest_version(table_dir)
     next_v = _claim_and_commit(
         table_dir, base_v,
         lambda vdir: merged.write.mode("overwrite").parquet(vdir),

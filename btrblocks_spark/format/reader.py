@@ -230,6 +230,13 @@ def prune_chunks(
             if hi is None:
                 keep.append(ch["chunk"])
             continue
+        if ch.get("scheme") == "skip" or ch["min_repr"] == "":
+            # skip-typed columns (decimal/boolean/nested — kind_of routes
+            # them past the stats pass) carry empty reprs: no stats means
+            # no exclusion, keep the chunk (metadata_agg has the same
+            # guard; cast('') would otherwise raise ValueError)
+            keep.append(ch["chunk"])
+            continue
         mn, mx = cast(ch["min_repr"]), cast(ch["max_repr"])
         lo_ok = lo is None or mx >= lo or may_hold_nan
         hi_ok = hi is None or mn <= hi
@@ -361,14 +368,26 @@ def metadata_agg(path: str, columns: list[str] | None = None, spark: SparkSessio
             cast = str
         n_rows = n_nulls = 0
         mn = mx = None
+        poisoned = False
         for ch in chunks:
             n_rows += ch["n_rows"]
             n_nulls += ch["null_count"]
             if ch["scheme"] == "skip" or ch["n_rows"] == ch["null_count"]:
                 continue
+            if ch["min_repr"] == "":
+                # a non-all-null chunk WITHOUT stats (e.g. nullable int64
+                # whose >2^53 values were float-rounded at the pandas
+                # boundary — the writer refuses to store inexact bounds):
+                # the metadata CANNOT answer MIN/MAX for this column.
+                # Serving the other chunks' extrema would be silently
+                # wrong; None tells the caller to scan.
+                poisoned = True
+                continue
             cmn, cmx = cast(ch["min_repr"]), cast(ch["max_repr"])
             mn = cmn if mn is None else min(mn, cmn)
             mx = cmx if mx is None else max(mx, cmx)
+        if poisoned:
+            mn = mx = None
         out.append(
             {"column": name, "n_rows": n_rows, "n_nulls": n_nulls, "min": mn, "max": mx}
         )

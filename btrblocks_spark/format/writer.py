@@ -100,7 +100,10 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     mask = ~null_mask
 
     set_vals = values[mask]
-    if len(set_vals) > 1 and kind != "string":
+    if len(set_vals) > 1:
+        # object (string) arrays support the same vectorized comparisons —
+        # a fixed is_sorted=True/giant-run answer for strings would
+        # describe an arbitrary column as fully sorted in the sidecar
         runs = 1 + int((set_vals[1:] != set_vals[:-1]).sum())
         avg_run = len(set_vals) / runs
         is_sorted = bool(np.all(set_vals[1:] >= set_vals[:-1]))
@@ -114,6 +117,19 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
         else:
             uu = np.unique(set_vals)
             uniq, mn, mx = len(uu), uu[0], uu[-1]
+        if (
+            kind == "int"
+            and null_count
+            and series.dtype.kind == "f"
+            and np.abs(set_vals).max() >= (1 << 53)
+        ):
+            # int64 with nulls arrives as float64 (Arrow->pandas), and
+            # values past 2^53 were ROUNDED by that trip — min/max would
+            # be wrong by up to an ulp, and a zone map built on them can
+            # exclude a chunk that holds the queried key. No exact stats
+            # are recoverable here: store empty reprs (= no stats; pruning
+            # keeps the chunk, metadata-only MIN/MAX reports None).
+            mn, mx = "", ""
     else:
         uniq, mn, mx = 0, "", ""
 

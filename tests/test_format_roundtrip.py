@@ -1799,3 +1799,126 @@ def test_chunk_skipping_never_drops_nan_rows(spark, tmp_path):
     ks = sorted(r["k"] for r in got.collect())
     assert ks == [0, 2, 3]
     assert kept == [0]
+
+
+def test_compact_refuses_on_live_deletion_vector(spark, sf_dir, tmp_path):
+    """compact() re-indexes the fragment tail; a live deletion vector
+    records GLOBAL _idx positions, so compacting would repoint deletes at
+    different rows (resurrect deleted, drop live — review finding). It must
+    refuse with a clear error; materialize_deletes is the escape hatch."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.maintenance import compact, delete_where_dv
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, block_size=2048)
+    path = str(tmp_path / "dv_compact")
+    orders = load_table(spark, sf_dir, "orders")
+    write_table(orders, path, ["o_orderkey"], cfg)
+    delete_where_dv(spark, path, "o_orderkey % 10 = 0")
+    with _pytest.raises(ValueError, match="deletion vector"):
+        compact(spark, path, cfg)
+
+
+def test_claim_and_commit_tears_down_on_any_failure(spark, sf_dir, tmp_path):
+    """A failed write_fn (executor OOM, disk full) must tear the claimed
+    v=N dir down — review finding: only CommitConflictError cleaned up, so
+    partial version dirs leaked into time travel and vacuum retention."""
+    import os
+
+    import pytest as _pytest
+
+    from btrblocks_spark.format.maintenance import _claim_and_commit
+
+    table = str(tmp_path / "claim_tbl")
+    os.makedirs(table)
+    nation = load_table(spark, sf_dir, "nation")
+    # bootstrap v=0
+    v0 = os.path.join(table, "v=0")
+    nation.write.parquet(v0)
+    with open(os.path.join(table, "_latest"), "w") as fh:
+        fh.write("0")
+
+    def boom(vdir):
+        raise RuntimeError("simulated write failure")
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        _claim_and_commit(table, 0, boom)
+    dirs = sorted(d for d in os.listdir(table) if d.startswith("v="))
+    assert dirs == ["v=0"]  # no leaked partial version
+
+
+def test_prune_chunks_keeps_statless_typed_chunks(spark, tmp_path):
+    """Decimal/boolean columns are skip-typed: their chunk rows carry empty
+    min/max reprs. prune_chunks must keep those chunks (no stats = no
+    exclusion) instead of crashing on int('') — review finding."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from btrblocks_spark.format.reader import prune_chunks, read_table_skipping
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("price", DecimalType(12, 2)),
+        StructField("flag", BooleanType()),
+    ])
+    from decimal import Decimal
+
+    rows = [(i, Decimal(f"{i}.25"), i % 2 == 0) for i in range(8)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "dec_tbl")
+    write_table(df, path, ["k"], config=DEFAULT_CONFIG.with_(block_size=4))
+    kept = prune_chunks(path, "price", lo=0)
+    assert kept == [0, 1]  # all chunks kept, no crash
+    got, _ = read_table_skipping(spark, path, "price", lo=Decimal("4.00"))
+    assert got.count() == 4
+
+
+def test_writer_stats_honest_for_strings_and_big_nullable_ints(spark, tmp_path):
+    """(a) String chunk stats must reflect actual order — a fixed
+    is_sorted=True described arbitrary string columns as fully sorted.
+    (b) int64-with-nulls arrives float-rounded past 2^53: the writer must
+    store NO stats for such chunks, pruning keeps them, metadata-only
+    MIN/MAX honestly reports None — review findings."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from btrblocks_spark.format.reader import (
+        chunk_stats_rows,
+        metadata_agg,
+        prune_chunks,
+    )
+
+    big = (1 << 53) + 17
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("s", StringType()),
+        StructField("bigid", LongType()),
+    ])
+    rows = [
+        (0, "banana", big), (1, "apple", None),
+        (2, "cherry", big + 2), (3, "apricot", 7),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "honest_tbl")
+    write_table(df, path, ["k"], config=DEFAULT_CONFIG.with_(block_size=4))
+
+    by_col = {}
+    for r in chunk_stats_rows(path):
+        by_col.setdefault(r["column"], []).append(r)
+    s_stats = by_col["s"][0]
+    assert not s_stats["is_sorted"]  # banana, apple, cherry, apricot
+    assert s_stats["avg_run_length"] == 1.0
+    big_stats = by_col["bigid"][0]
+    assert big_stats["min_repr"] == "" and big_stats["max_repr"] == ""
+
+    # pruning keeps the stat-less chunk; metadata MIN/MAX refuses to guess
+    assert prune_chunks(path, "bigid", lo=big + 10**6) == [0]
+    agg = {r["column"]: r for r in metadata_agg(path, ["bigid", "k"])}
+    assert agg["bigid"]["min"] is None and agg["bigid"]["max"] is None
+    assert agg["k"]["min"] == 0 and agg["k"]["max"] == 3
