@@ -81,8 +81,21 @@ def read_table_at_snapshot(
     """Read a table at the version the catalog snapshot pins. Pass the same
     ``snapshot`` (from read_catalog) for every table a job touches and the
     job sees ONE consistent cross-table state regardless of concurrent
-    commits."""
+    commits.
+
+    Retention interplay: catalog pins are NOT registered with the
+    per-table ``vacuum`` — a vacuum whose ``keep_versions`` window is
+    shorter than the longest-running snapshot job can remove a pinned
+    version mid-job, and this read then raises ValueError('version N not
+    present'). Operate vacuums with keep_versions sized to the job-length
+    SLA (the same contract Delta's VACUUM retention has with long
+    readers); the failure is loud, never a wrong answer."""
     snap = snapshot or read_catalog(catalog_dir)
     if name not in snap["tables"]:
         raise ValueError(f"table {name!r} not in catalog snapshot")
+    if name not in table_dirs:
+        raise ValueError(
+            f"table {name!r} is pinned by the snapshot but missing from "
+            f"table_dirs (got {sorted(table_dirs)})"
+        )
     return read_version(spark, table_dirs[name], snap["tables"][name])

@@ -108,7 +108,8 @@ def incremental_agg(
             except OSError:
                 pass
             return prev, stats
-        if not new:
+        truncated = full_recompute and not files and state["version"] >= 0
+        if not new and not truncated:
             # first refresh of an EMPTY table: spark.read.parquet(*[]) would
             # raise an opaque analysis error — name the real cause instead
             raise ValueError(
@@ -117,25 +118,36 @@ def incremental_agg(
             )
 
         sum_aliases = [f"sum_{c}" for c in sum_cols]
-        part = (
-            spark.read.parquet(*new)
-            .groupBy(*keys)
-            .agg(
-                *[F.sum(c).alias(a) for c, a in zip(sum_cols, sum_aliases)],
-                F.count(F.lit(1)).alias(count_col),
-            )
-        )
-        if prev is not None:
-            merged = (
-                prev.unionByName(part)
+        if truncated:
+            # every processed file vanished AND none remain (delete-all /
+            # manual truncate): the correct aggregate is EMPTY. The old
+            # code raised 'no prior snapshot' here forever (state never
+            # advanced) even though v=N existed — commit an empty snapshot
+            # with the prior schema so the state heals and later appends
+            # fold normally.
+            merged = spark.read.parquet(
+                os.path.join(state_dir, f"v={state['version']}")
+            ).limit(0)
+        else:
+            part = (
+                spark.read.parquet(*new)
                 .groupBy(*keys)
                 .agg(
-                    *[F.sum(a).alias(a) for a in sum_aliases],
-                    F.sum(count_col).alias(count_col),
+                    *[F.sum(c).alias(a) for c, a in zip(sum_cols, sum_aliases)],
+                    F.count(F.lit(1)).alias(count_col),
                 )
             )
-        else:
-            merged = part
+            if prev is not None:
+                merged = (
+                    prev.unionByName(part)
+                    .groupBy(*keys)
+                    .agg(
+                        *[F.sum(a).alias(a) for a in sum_aliases],
+                        F.sum(count_col).alias(count_col),
+                    )
+                )
+            else:
+                merged = part
 
         next_v = state["version"] + 1
         out_dir = os.path.join(state_dir, f"v={next_v}")

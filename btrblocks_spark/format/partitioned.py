@@ -41,8 +41,18 @@ def write_partitioned(
     100 TB small-file explosion). The salt bounds both: at most
     ``tasks_per_partition`` writers (and files-per-batch) per directory,
     with hot partitions still spread across that many cores.
+
+    The salt is ROW-CONTENT derived (xxhash64 over all columns), not
+    ``spark_partition_id()``: a hot value arriving in fewer input
+    partitions than ``tasks_per_partition`` (an upstream coalesce/
+    repartition(1)) would yield fewer distinct ids than tasks and the hot
+    directory would still be written near-sequentially. Content hashing
+    spreads it regardless of input partitioning and stays deterministic
+    across task retries. (Corpora that are mostly IDENTICAL duplicate
+    rows collapse to fewer salts — dedup first, which such data needs
+    anyway.)
     """
-    salt = F.pmod(F.spark_partition_id(), F.lit(tasks_per_partition))
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(tasks_per_partition))
     (
         df.withColumn(partition_col, expr)
         .withColumn("_write_salt", salt)

@@ -21,17 +21,50 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _inputs_digest(input_paths: list[str]) -> str:
+    """Digest of the inputs' SPARK-VISIBLE file state. Two properties the
+    naive os.walk version violated (review finding): (a) transient files a
+    live commit touches (`_commit.lock/owner` heartbeats, `_copy_tmp-*` /
+    `_compact_tmp-*` stages, `_temporary/` task attempts) must not enter
+    the digest — they made any digest computed during an in-flight rival
+    commit unrepeatable, so the cache could never hit; (b) a file deleted
+    between the walk and its stat (a rival's rmtree) must degrade to a
+    MISSING entry, not kill the query. Visible parquet files plus sidecar
+    JSON/state files define the identity; both are statted race-tolerantly.
+    """
     entries = []
+
+    def stat_entry(fp: str) -> None:
+        try:
+            st = os.stat(fp)
+        except OSError:
+            entries.append(f"{fp}|MISSING")
+            return
+        entries.append(f"{fp}|{st.st_size}|{st.st_mtime_ns}")
+
     for p in sorted(input_paths):
         if os.path.isdir(p):
-            for r, _d, fs in sorted(os.walk(p)):
+            for r, dirs, fs in sorted(os.walk(p)):
+                # prune hidden/underscore components (locks, stages,
+                # _temporary) — mirror of fs.list_parquet_files' identity
+                # rule, applied to the walk itself
+                dirs[:] = sorted(
+                    d for d in dirs if not d.startswith((".", "_"))
+                    # result-affecting sidecar datasets ARE identity:
+                    or d in ("_btr_chunk_stats", "_deletes")
+                    or d.startswith(("v=", "dv="))
+                )
                 for f in sorted(fs):
-                    fp = os.path.join(r, f)
-                    st = os.stat(fp)
-                    entries.append(f"{fp}|{st.st_size}|{st.st_mtime_ns}")
+                    if f.startswith(".") or f.endswith((".tmp", ".inflight")):
+                        continue
+                    if (
+                        f.startswith("_")
+                        and not f.endswith(".json")
+                        and f != "_latest"
+                    ):
+                        continue
+                    stat_entry(os.path.join(r, f))
         elif os.path.exists(p):
-            st = os.stat(p)
-            entries.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+            stat_entry(p)
         else:
             # a missing input still participates by NAME: silently skipping
             # it would let two different input lists (each with a different
@@ -105,4 +138,40 @@ def cached_result(
         return spark.read.parquet(data_dir), True
     with open(marker, "w") as fh:
         json.dump({"name": name, "digest": digest}, fh)
+    # retention: superseded slots of the SAME query (older digests) are
+    # dead weight — each input change would otherwise leak one full
+    # materialized result forever. An idle-age floor keeps a reader that
+    # resolved the old slot moments ago safe; the CURRENT slot never goes.
+    _vacuum_stale_slots(cache_root, name, keep=slot)
     return spark.read.parquet(data_dir), False
+
+
+def _vacuum_stale_slots(
+    cache_root: str, name: str, keep: str, max_age_sec: float = 3600.0
+) -> None:
+    import shutil
+    import time
+
+    from btrblocks_spark.format.maintenance import newest_mtime
+
+    prefix = f"{name}__"
+    now = time.time()
+    for d in os.listdir(cache_root):
+        full = os.path.join(cache_root, d)
+        if not d.startswith(prefix) or full == keep or not os.path.isdir(full):
+            continue
+        # "__" may appear inside another query's NAME ("a__b" slots start
+        # with "a__" too): trust only a marker whose recorded name matches;
+        # a slot with a readable marker naming a different query is theirs.
+        mpath = os.path.join(full, "_SUCCESS_META")
+        try:
+            with open(mpath) as fh:
+                if json.load(fh).get("name") != name:
+                    continue
+        except (OSError, ValueError):
+            pass  # no/torn marker: crashed partial slot, idle-age decides
+        try:
+            if now - newest_mtime(full) > max_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass

@@ -83,6 +83,38 @@ def _apply_copy_journal(table_dir: str) -> bool:
     return True
 
 
+def _gc_abandoned_copy_stages(table_dir: str, max_age_sec: float = 3600.0) -> None:
+    """Reclaim per-call ``_copy_tmp-*`` stage dirs a hard-crashed copy_into
+    abandoned (the in-process failure path removes its own stage; a killed
+    process leaks a batch-sized dir per attempt, forever). Caller holds the
+    commit lock. The pending journal's stage dir is never touched (recovery
+    consumes it), and liveness is judged by the newest mtime in the tree —
+    the same contract as maintenance._gc_abandoned_stages."""
+    import shutil
+
+    from btrblocks_spark.format.maintenance import newest_mtime
+
+    jpath = os.path.join(table_dir, "_copy_journal.json")
+    referenced = ""
+    if os.path.exists(jpath):
+        with open(jpath) as fh:
+            referenced = json.load(fh).get("stage_dir", "")
+    import time
+
+    now = time.time()
+    for d in os.listdir(table_dir):
+        if not d.startswith("_copy_tmp"):
+            continue
+        full = os.path.join(table_dir, d)
+        if full == referenced or not os.path.isdir(full):
+            continue
+        try:
+            if now - newest_mtime(full) > max_age_sec:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def copy_into(
     spark: SparkSession,
     table_dir: str,
@@ -119,16 +151,19 @@ def copy_into(
 
     with commit_lock(table_dir):
         _apply_copy_journal(table_dir)  # finish a crashed predecessor first
+        _gc_abandoned_copy_stages(table_dir)
         log = _load_log(table_dir)
     meta = read_metadata(table_dir)
     pending_by_key: dict[str, str] = {}
     skipped = []
-    for f in sorted(files):
+    # dedupe the LISTING first so loaded+skipped always accounts for each
+    # unique file exactly once (a duplicate listing previously vanished
+    # from both counters when new but double-counted when already loaded)
+    for f in dict.fromkeys(sorted(files)):
         key = _file_key(f)
         if key in log["files"]:
             skipped.append(f)
         else:
-            # dedupe within the call: the same file listed twice is one load
             pending_by_key.setdefault(key, f)
     pending = sorted((f, k) for k, f in pending_by_key.items())
 
@@ -143,7 +178,18 @@ def copy_into(
         paths = [f for f, _k in pending]
         cols = [c["name"] for c in meta["schema"]]
         if fmt == "parquet":
-            df = spark.read.parquet(*paths)
+            # cast to the TABLE schema before staging (the csv branch
+            # already enforces it via .schema): committing a source file's
+            # own types (e.g. int32 into a double column) poisons data/ —
+            # every later scan fails on the odd file while the copy log
+            # marks it loaded forever. An incompatible type fails HERE
+            # (analysis/ANSI cast error), before anything is committed.
+            df = spark.read.parquet(*paths).select(
+                *[
+                    F.col(c["name"]).cast(c["type"]).alias(c["name"])
+                    for c in meta["schema"]
+                ]
+            )
         elif fmt == "csv":
             opts = {"header": "true", **(csv_options or {})}
             schema = ", ".join(f"{c['name']} {c['type']}" for c in meta["schema"])
@@ -178,117 +224,131 @@ def copy_into(
             [(p, fid) for p, fid in src_map.items()], "_src_path string, _fid string"
         )
         # per-call stage dir: concurrent calls must not overwrite each
-        # other's staged rows (the fixed-path round-3 clobber bug)
+        # other's staged rows (the fixed-path round-3 clobber bug). The
+        # whole stage->commit region is guarded: any failure BEFORE the
+        # journal commit point (bad footer, lock timeout against a busy
+        # table, a rival's lost-stage raise) removes the stage instead of
+        # leaking a batch-sized dir per failed attempt; after the commit
+        # point the pending journal owns the stage and recovery consumes
+        # it. Stages orphaned by a hard CRASH (no exception path runs) are
+        # reclaimed by _gc_abandoned_copy_stages at the next call.
         tmp_dir = os.path.join(table_dir, f"_copy_tmp-{uuid.uuid4().hex}")
-        (
-            df.select(*cols)
-            .withColumn("_src_path", F.input_file_name())
-            .join(F.broadcast(lookup), "_src_path", "left")
-            .withColumn("_src", F.coalesce("_fid", F.lit("__unknown__")))
-            .drop("_src_path", "_fid")
-            .write.mode("overwrite")
-            .partitionBy("_src")
-            .option("maxRecordsPerFile", meta["block_size"])
-            .option("compression", "zstd")
-            .parquet(tmp_dir)
-        )
-        # row counts from the staged footers — no second data scan
-        import pyarrow.parquet as pq
+        journal_committed = False
+        try:
+            (
+                df.select(*cols)
+                .withColumn("_src_path", F.input_file_name())
+                .join(F.broadcast(lookup), "_src_path", "left")
+                .withColumn("_src", F.coalesce("_fid", F.lit("__unknown__")))
+                .drop("_src_path", "_fid")
+                .write.mode("overwrite")
+                .partitionBy("_src")
+                .option("maxRecordsPerFile", meta["block_size"])
+                .option("compression", "zstd")
+                .parquet(tmp_dir)
+            )
+            # row counts from the staged footers — no second data scan
+            import pyarrow.parquet as pq
 
-        staged_by_fid: dict[str, list[str]] = {}
-        valid_fids = set(fid_by_key.values())
-        provenance_ok = True
-        for r, _s, fs in os.walk(tmp_dir):
-            for x in sorted(fs):
-                if not x.endswith(".parquet"):
-                    continue
-                part = os.path.basename(r)
-                if part.startswith("_src="):
-                    fid = part[len("_src="):]
-                    if fid == "__unknown__" or fid not in valid_fids:
+            staged_by_fid: dict[str, list[str]] = {}
+            valid_fids = set(fid_by_key.values())
+            provenance_ok = True
+            for r, _s, fs in os.walk(tmp_dir):
+                for x in sorted(fs):
+                    if not x.endswith(".parquet"):
+                        continue
+                    part = os.path.basename(r)
+                    if part.startswith("_src="):
+                        fid = part[len("_src="):]
+                        if fid == "__unknown__" or fid not in valid_fids:
+                            provenance_ok = False
+                            fid = "__unknown__"
+                    else:  # unpartitioned layout (defensive): no provenance
                         provenance_ok = False
                         fid = "__unknown__"
-                else:  # unpartitioned layout (defensive): no provenance
-                    provenance_ok = False
-                    fid = "__unknown__"
-                staged_by_fid.setdefault(fid, []).append(os.path.join(r, x))
-        rows_by_fid = {
-            fid: sum(pq.ParquetFile(s).metadata.num_rows for s in sfiles)
-            for fid, sfiles in staged_by_fid.items()
-        }
-
-        def build_journal(
-            keep_keys: list[tuple[str, str]], whole_stage: bool
-        ) -> tuple[dict, int]:
-            # whole_stage: commit EVERY staged file (including any under the
-            # __unknown__ sentinel). Required whenever keep_keys covers all
-            # pending files — a per-fid gather would silently exclude
-            # unresolved-provenance rows from adds while still marking their
-            # source files loaded (permanent data loss).
-            if whole_stage:
-                keep_files = sorted(
-                    s for sfiles in staged_by_fid.values() for s in sfiles
-                )
-            else:
-                keep_files = [
-                    s
-                    for _f, key in keep_keys
-                    for s in staged_by_fid.get(fid_by_key[key], [])
-                ]
-            adds = {
-                s: os.path.join(
-                    table_dir, "data", f"copy-{uuid.uuid4().hex}-{i:05d}.parquet"
-                )
-                for i, s in enumerate(keep_files)
+                    staged_by_fid.setdefault(fid, []).append(os.path.join(r, x))
+            rows_by_fid = {
+                fid: sum(pq.ParquetFile(s).metadata.num_rows for s in sfiles)
+                for fid, sfiles in staged_by_fid.items()
             }
-            journal = {
-                "adds": adds,
-                "log_files": {
-                    key: {"path": os.path.abspath(f), "rows": None}
-                    for f, key in keep_keys
-                },
-                "stage_dir": tmp_dir,
-            }
-            if whole_stage:
-                n = sum(rows_by_fid.values())
-            else:
-                n = sum(rows_by_fid.get(fid_by_key[key], 0) for _f, key in keep_keys)
-            return journal, n
 
-        lost_race = False
-        with commit_lock(table_dir):
-            _apply_copy_journal(table_dir)
-            log2 = _load_log(table_dir)
-            overlap = {key for _f, key in pending if key in log2["files"]}
-            if overlap and not provenance_ok:
-                # rows not attributable to source files: discard the whole
-                # stage and retry OUTSIDE the lock (not re-entrant) — the
-                # overlap is now recorded in the log and skips cleanly.
-                shutil.rmtree(tmp_dir, ignore_errors=True)
-                lost_race = True
-            else:
-                # drop ONLY the overlapping files' staged rows + log
-                # entries; everything else commits in this call.
-                keep = [(f, key) for f, key in pending if key not in overlap]
-                for key in overlap:
-                    for s in staged_by_fid.get(fid_by_key[key], []):
-                        try:
-                            os.remove(s)
-                        except OSError:
-                            pass
-                loaded = len(keep)
-                skipped.extend(f for f, key in pending if key in overlap)
-                if keep:
-                    # no overlap dropped anything -> whole-stage commit, so
-                    # unresolved-provenance (__unknown__) rows are included
-                    journal, appended = build_journal(keep, not overlap)
-                    jpath = os.path.join(table_dir, "_copy_journal.json")
-                    with open(jpath + ".tmp", "w") as fh:
-                        json.dump(journal, fh)
-                    os.replace(jpath + ".tmp", jpath)  # commit point
-                    _apply_copy_journal(table_dir)
+            def build_journal(
+                keep_keys: list[tuple[str, str]], whole_stage: bool
+            ) -> tuple[dict, int]:
+                # whole_stage: commit EVERY staged file (including any under the
+                # __unknown__ sentinel). Required whenever keep_keys covers all
+                # pending files — a per-fid gather would silently exclude
+                # unresolved-provenance rows from adds while still marking their
+                # source files loaded (permanent data loss).
+                if whole_stage:
+                    keep_files = sorted(
+                        s for sfiles in staged_by_fid.values() for s in sfiles
+                    )
                 else:
+                    keep_files = [
+                        s
+                        for _f, key in keep_keys
+                        for s in staged_by_fid.get(fid_by_key[key], [])
+                    ]
+                adds = {
+                    s: os.path.join(
+                        table_dir, "data", f"copy-{uuid.uuid4().hex}-{i:05d}.parquet"
+                    )
+                    for i, s in enumerate(keep_files)
+                }
+                journal = {
+                    "adds": adds,
+                    "log_files": {
+                        key: {"path": os.path.abspath(f), "rows": None}
+                        for f, key in keep_keys
+                    },
+                    "stage_dir": tmp_dir,
+                }
+                if whole_stage:
+                    n = sum(rows_by_fid.values())
+                else:
+                    n = sum(rows_by_fid.get(fid_by_key[key], 0) for _f, key in keep_keys)
+                return journal, n
+
+            lost_race = False
+            with commit_lock(table_dir):
+                _apply_copy_journal(table_dir)
+                log2 = _load_log(table_dir)
+                overlap = {key for _f, key in pending if key in log2["files"]}
+                if overlap and not provenance_ok:
+                    # rows not attributable to source files: discard the whole
+                    # stage and retry OUTSIDE the lock (not re-entrant) — the
+                    # overlap is now recorded in the log and skips cleanly.
                     shutil.rmtree(tmp_dir, ignore_errors=True)
+                    lost_race = True
+                else:
+                    # drop ONLY the overlapping files' staged rows + log
+                    # entries; everything else commits in this call.
+                    keep = [(f, key) for f, key in pending if key not in overlap]
+                    for key in overlap:
+                        for s in staged_by_fid.get(fid_by_key[key], []):
+                            try:
+                                os.remove(s)
+                            except OSError:
+                                pass
+                    loaded = len(keep)
+                    skipped.extend(f for f, key in pending if key in overlap)
+                    if keep:
+                        # no overlap dropped anything -> whole-stage commit, so
+                        # unresolved-provenance (__unknown__) rows are included
+                        journal, appended = build_journal(keep, not overlap)
+                        jpath = os.path.join(table_dir, "_copy_journal.json")
+                        with open(jpath + ".tmp", "w") as fh:
+                            json.dump(journal, fh)
+                        os.replace(jpath + ".tmp", jpath)  # commit point
+                        journal_committed = True
+                        _apply_copy_journal(table_dir)
+                    else:
+                        shutil.rmtree(tmp_dir, ignore_errors=True)
+        except BaseException:
+            if not journal_committed:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
         if lost_race:
             return copy_into(spark, table_dir, files, fmt, csv_options)
 

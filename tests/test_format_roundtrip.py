@@ -1922,3 +1922,85 @@ def test_writer_stats_honest_for_strings_and_big_nullable_ints(spark, tmp_path):
     agg = {r["column"]: r for r in metadata_agg(path, ["bigid", "k"])}
     assert agg["bigid"]["min"] is None and agg["bigid"]["max"] is None
     assert agg["k"]["min"] == 0 and agg["k"]["max"] == 3
+
+
+def test_incremental_agg_heals_after_truncate(spark, sf_dir, tmp_path):
+    """All processed files vanished AND none remain (delete-all/truncate):
+    the refresh must commit an EMPTY aggregate and heal — review finding:
+    it raised 'no prior snapshot' forever while v=N existed, wedging the
+    state until manual deletion."""
+    import os
+    import shutil
+
+    from btrblocks_spark.format.incremental import incremental_agg
+    from btrblocks_spark.tables import load_table as _lt
+
+    nation = _lt(spark, sf_dir, "nation")
+    path = str(tmp_path / "trunc_tbl")
+    state = str(tmp_path / "trunc_state")
+    nation.limit(10).write.mode("append").parquet(os.path.join(path, "data"))
+    res, st = incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"]
+    )
+    assert res.count() > 0
+
+    shutil.rmtree(os.path.join(path, "data"))  # truncate the table
+    os.makedirs(os.path.join(path, "data"))
+    res2, st2 = incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"]
+    )
+    assert st2["full_recompute"] and res2.count() == 0
+
+    # and the state healed: later appends fold normally
+    nation.limit(5).write.mode("append").parquet(os.path.join(path, "data"))
+    res3, st3 = incremental_agg(
+        spark, path, state, ["n_regionkey"], ["n_nationkey"]
+    )
+    assert st3["files_scanned"] == 1
+    assert res3.agg(F.sum("n_rows")).collect()[0][0] == 5
+
+
+def test_result_cache_vacuums_superseded_slots(spark, sf_dir, tmp_path):
+    """Each input change mints a new name__digest slot; superseded slots of
+    the same query must be vacuumed once idle (review finding: one full
+    materialized result leaked per input state, forever). Other queries'
+    slots — including names where '__' makes the prefix ambiguous — are
+    never touched."""
+    import os
+    import time as _t
+
+    from btrblocks_spark.queries.result_cache import cached_result
+
+    croot = str(tmp_path / "cache")
+    os.makedirs(croot)
+    inp = str(tmp_path / "inp")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.limit(3).write.mode("overwrite").parquet(inp)
+
+    _df, hit = cached_result(
+        spark, "q", [inp], lambda: spark.read.parquet(inp), croot
+    )
+    assert not hit
+    old_slots = [d for d in os.listdir(croot) if d.startswith("q__")]
+    assert len(old_slots) == 1
+    # a DIFFERENT query whose name shares the prefix via '__'
+    _df2, _ = cached_result(
+        spark, "q__other", [inp], lambda: spark.read.parquet(inp), croot
+    )
+
+    # input changes; old slot goes idle past the floor
+    nation.limit(5).write.mode("overwrite").parquet(inp)
+    old_full = os.path.join(croot, old_slots[0])
+    old_t = _t.time() - 7200
+    for r, _d, fs in os.walk(old_full):
+        os.utime(r, (old_t, old_t))
+        for f in fs:
+            os.utime(os.path.join(r, f), (old_t, old_t))
+    _df3, hit3 = cached_result(
+        spark, "q", [inp], lambda: spark.read.parquet(inp), croot
+    )
+    assert not hit3
+    slots = sorted(d for d in os.listdir(croot))
+    assert old_slots[0] not in slots  # superseded slot vacuumed
+    assert any(d.startswith("q__other__") for d in slots)  # rival intact
+    assert sum(1 for d in slots if d.startswith("q__") and not d.startswith("q__other__")) == 1

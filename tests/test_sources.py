@@ -631,3 +631,61 @@ def test_copy_into_unresolved_provenance_commits_all_rows(
     res2 = copy_into(spark, table, drops)
     assert res2["loaded_files"] == 0 and res2["skipped_files"] == 2
     assert spark.read.parquet(table + "/data").count() == 2 * n
+
+
+def test_copy_into_casts_parquet_to_table_schema(spark, sf_dir, tmp_path):
+    """A dropped parquet file whose column types differ from the table
+    (int32 into a double column) must be CAST before staging — committing
+    the source's own types poisons data/ so every later scan fails while
+    the copy log marks the file loaded forever (review finding)."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.copy_into import copy_into
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "cast_tbl")
+    base = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k long, amount double")
+    write_table(base, table, ["k"], config=DEFAULT_CONFIG.with_(block_size=8))
+
+    # drop file stores amount as INT (different physical type)
+    drop_dir = str(tmp_path / "cast_stage")
+    spark.createDataFrame([(3, 7), (4, 9)], "k long, amount int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(drop_dir)
+    pf = next(f for f in os.listdir(drop_dir) if f.endswith(".parquet"))
+    drop = str(tmp_path / "castdrop.parquet")
+    os.rename(os.path.join(drop_dir, pf), drop)
+
+    res = copy_into(spark, table, [drop])
+    assert res["loaded_files"] == 1 and res["appended_rows"] == 2
+    got = spark.read.parquet(table + "/data")  # no mixed-type poison
+    assert dict(got.dtypes)["amount"] == "double"
+    assert got.count() == 4
+    assert got.agg(F.sum("amount")).collect()[0][0] == 20.0
+
+
+def test_copy_into_duplicate_listing_counts_once(spark, sf_dir, tmp_path):
+    """loaded+skipped must account for each UNIQUE file exactly once —
+    review finding: a duplicate listing of a new file vanished from both
+    counters, while a duplicate of a loaded file double-counted."""
+    from btrblocks_spark.config import DEFAULT_CONFIG
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.sources.copy_into import copy_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = str(tmp_path / "dupcnt_tbl")
+    write_table(
+        nation.limit(0), table, ["n_nationkey"],
+        config=DEFAULT_CONFIG.with_(block_size=8),
+    )
+    stage = str(tmp_path / "dupstage")
+    nation.coalesce(1).write.mode("overwrite").parquet(stage)
+    pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    drop = str(tmp_path / "dup.parquet")
+    os.rename(os.path.join(stage, pf), drop)
+
+    res = copy_into(spark, table, [drop, drop])
+    assert res["loaded_files"] == 1 and res["skipped_files"] == 0
+    res2 = copy_into(spark, table, [drop, drop])
+    assert res2["loaded_files"] == 0 and res2["skipped_files"] == 1
+    assert spark.read.parquet(table + "/data").count() == nation.count()
