@@ -322,7 +322,11 @@ def encode_double(scheme: str, values: np.ndarray, mask: np.ndarray | None = Non
         e.size_bytes = n * 8 + msize
 
     elif scheme == "one_value":
-        if mask.any() and len(np.unique(set_vals)) != 1:
+        # uniqueness on the int64 BIT view (see dict): float np.unique
+        # collapses -0.0/0.0 (and NaN payloads), so a [-0.0, 0.0] chunk
+        # would pass the check and decode +0.0 everywhere — losing the
+        # sign of zero. The stored value keeps the exact bit pattern too.
+        if mask.any() and len(np.unique(set_vals.view(np.int64))) != 1:
             raise ValueError("one_value requires a single distinct set value")
         e.streams = {"value": float(set_vals[0])}
         e.size_bytes = 16 + msize

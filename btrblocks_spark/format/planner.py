@@ -70,7 +70,10 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
 
     if kind in ("int", "double"):
         arr = set_vals
-        uniq = np.unique(arr)
+        # uniqueness on the BIT view for doubles: float np.unique collapses
+        # -0.0/0.0 (and NaN payloads), which would route a [-0.0, 0.0]
+        # chunk to one_value and lose the sign of zero on decode
+        uniq = np.unique(arr.view(np.int64) if kind == "double" else arr)
         if len(uniq) == 1:
             return ["one_value"]
         runs = 1 + int((arr[1:] != arr[:-1]).sum()) if n > 1 else 1
@@ -101,19 +104,30 @@ def candidate_schemes(kind: str, values, mask, config: BtrBlocksConfig) -> list[
             if "pfor" in enabled:
                 cands.append("pfor")
         else:
-            if "pseudodecimal" in enabled:
-                sig, exp, exc = codecs._pseudodecimal_split(
-                    np.asarray(arr, dtype=np.float64), np.ones(n, dtype=bool)
+            # gate the decimal-family candidates on a RUN SAMPLE, not the
+            # full chunk: the gate's split result is discarded (the size
+            # estimate re-encodes the sample anyway), so a full-chunk
+            # 23-pass exponent search + ALP encode per 65k-row chunk was
+            # pure thrown-away work — the dominant planner cost for double
+            # columns. The exception-rate estimate off ~640 sampled values
+            # gates the same way encode()'s own >50% bail does.
+            if "pseudodecimal" in enabled or "alp" in enabled:
+                gate_arr, _gm = run_sample(
+                    np.asarray(arr, dtype=np.float64),
+                    np.ones(n, dtype=bool),
+                    config.sample_count,
+                    config.sample_size,
                 )
+                gmask = np.ones(len(gate_arr), dtype=bool)
+            if "pseudodecimal" in enabled:
+                sig, exp, exc = codecs._pseudodecimal_split(gate_arr, gmask)
                 if exc.mean() <= 0.5:
                     cands.append("pseudodecimal")
             if "alp" in enabled:
                 # one chunk-wide (e, f) vs pseudodecimal's per-value search;
                 # encode() itself bails >50% exceptions, so a cheap gate on
                 # the same sampled stats suffices
-                _, _, _, aexc = codecs._alp_split(
-                    np.asarray(arr, dtype=np.float64), np.ones(n, dtype=bool)
-                )
+                _, _, _, aexc = codecs._alp_split(gate_arr, gmask)
                 if aexc.mean() <= 0.5:
                     cands.append("alp")
             if "alp_rd" in enabled:
@@ -185,11 +199,16 @@ def choose_scheme(
             "scheme_tree": codecs.describe_tree(kind, enc, config.max_cascade_depth),
         }
 
-    # step 1: trivial cases
+    # step 1: trivial cases (bit-view uniqueness for doubles — see
+    # candidate_schemes: float unique would collapse -0.0/0.0)
     set_vals = values[mask]
-    if len(set_vals) == 0 or (
-        len(np.unique(set_vals)) == 1 if kind != "string" else len(set(set_vals.tolist())) == 1
-    ):
+    if kind == "double":
+        _uniq_one = len(np.unique(set_vals.view(np.int64))) == 1
+    elif kind == "string":
+        _uniq_one = len(set(set_vals.tolist())) == 1
+    else:
+        _uniq_one = len(np.unique(set_vals)) == 1
+    if len(set_vals) == 0 or _uniq_one:
         enc = codecs.encode(kind, "one_value", values, mask)
         return {
             "scheme": "one_value",

@@ -68,6 +68,11 @@ def rle_encode(df: DataFrame, col: str, order: str, part_col: str | None = None)
     flagged = df.select(
         part.alias("part"),
         F.col(order).alias("_o"),
+        # DENSE per-part position: raw order values may have gaps (sparse
+        # keys), and decode reconstructs positions as start + offset — a
+        # gapped position space would emit positions that map to no
+        # original row while skipping real ones
+        (F.row_number().over(w) - 1).alias("_pos"),
         F.col(col).alias("value"),
         F.when(
             F.lag(col).over(w).isNull() | (F.lag(col).over(w) != F.col(col)), 1
@@ -80,16 +85,20 @@ def rle_encode(df: DataFrame, col: str, order: str, part_col: str | None = None)
         ),
     )
     return runs.groupBy("part", "run_no", "value").agg(
-        F.count("*").alias("run_length"), F.min("_o").alias("start_order")
+        F.count("*").alias("run_length"),
+        F.min("_o").alias("start_order"),
+        F.min("_pos").alias("start_pos"),
     )
 
 
 def rle_decode(runs: DataFrame) -> DataFrame:
-    """Explode runs back to one row per original position (part, pos, value)."""
+    """Explode runs back to one row per original DENSE position
+    (part, pos, value): pos = start_pos + offset-within-run, contiguous per
+    part by construction regardless of gaps in the original order keys."""
     return runs.select(
-        "part", "value", "start_order",
+        "part", "value", "start_pos",
         F.posexplode(F.sequence(F.lit(1), F.col("run_length"))).alias("off", "_one"),
-    ).select("part", "value", (F.col("start_order") + F.col("off")).alias("pos"))
+    ).select("part", "value", (F.col("start_pos") + F.col("off")).alias("pos"))
 
 
 # --- FOR / delta ------------------------------------------------------------
@@ -107,25 +116,42 @@ def for_decode(encoded: DataFrame, bias: int, col: str = "value") -> DataFrame:
 
 
 def delta_encode(df: DataFrame, col: str, order: str) -> DataFrame:
-    w = Window.orderBy(order)
+    """NULL-safe delta: each non-null value's delta is against the LAST
+    NON-NULL predecessor (plain lag would reset the base to 0 after a null
+    and the running-sum decode — which skips null deltas — would shift
+    every later row); null rows carry a NULL delta and decode to NULL."""
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    prev = F.last(col, ignorenulls=True).over(w)
     return df.select(
         F.col(order).alias("key"),
-        (F.col(col) - F.coalesce(F.lag(col).over(w), F.lit(0))).alias("delta"),
+        F.when(
+            F.col(col).isNotNull(),
+            F.col(col) - F.coalesce(prev, F.lit(0)),
+        ).alias("delta"),
     )
 
 
 def delta_decode(encoded: DataFrame, col: str = "value") -> DataFrame:
     w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
-    return encoded.select("key", F.sum("delta").over(w).alias(col))
+    # sum() skips NULL deltas, so the running sum over non-null deltas
+    # reconstructs each non-null value; null-delta rows decode to NULL
+    return encoded.select(
+        "key",
+        F.when(F.col("delta").isNotNull(), F.sum("delta").over(w)).alias(col),
+    )
 
 
 # --- frequency --------------------------------------------------------------
 
 def frequency_encode(df: DataFrame, col: str, key: str) -> tuple[DataFrame, object]:
-    top = (
+    top_row = (
         df.where(F.col(col).isNotNull())
-        .groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).first()[0]
+        .groupBy(col).count().orderBy(F.desc("count"), F.asc(col)).first()
     )
+    # all-NULL (or empty) column: no top value exists — every row is an
+    # exception and decodes from its stored exc_value (NULL), instead of
+    # crashing on None[0]
+    top = top_row[0] if top_row is not None else None
     # null-safe inequality: NULL rows ARE exceptions (plain != is NULL for
     # them, silently excluding them — they would decode to `top`)
     exceptions = df.where(~F.col(col).eqNullSafe(F.lit(top))).select(
@@ -169,19 +195,27 @@ def fsst_encode(
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("key")
-        raw = [(x or "").encode("utf-8") for x in pdf["value"]]
-        table = fsst.train(raw)
+        # NULLs must round-trip as NULLs (the frequency transform's rule):
+        # the codes column is NULL for a null input, never the encoding of
+        # "". The table trains on non-null payloads only.
+        is_null = pdf["value"].isna().to_numpy()
+        raw = [
+            b"" if n else x.encode("utf-8")
+            for n, x in zip(is_null, pdf["value"])
+        ]
+        table = fsst.train([r for n, r in zip(is_null, raw) if not n] or [b""])
         # ONE kernel emits codes AND the group's symbol table (on the first
         # row only) — the previous shape ran a second groupBy('part') kernel
         # that re-shuffled and re-trained identical data just to produce the
         # tables frame, doubling the dominant cost of the encode path
         blob = fsst.serialize(table)
         tables_col = [blob] + [None] * (len(raw) - 1)
+        codes = fsst.compress_batch(table, raw)
         return pd.DataFrame(
             {
                 "part": pdf["part"],
                 "key": pdf["key"],
-                "codes": fsst.compress_batch(table, raw),
+                "codes": [None if n else c for n, c in zip(is_null, codes)],
                 "table": tables_col,
             }
         )
@@ -212,6 +246,8 @@ def fsst_decode(encoded: DataFrame, tables: DataFrame, col: str = "value") -> Da
         out = [None] * len(codes)
         by_blob: dict[bytes, list[int]] = {}
         for i, b in enumerate(blobs):
+            if codes[i] is None:  # NULL input row: stays NULL, never ""
+                continue
             by_blob.setdefault(bytes(b), []).append(i)
         for blob, idxs in by_blob.items():
             t = fsst.deserialize(blob)
@@ -276,7 +312,13 @@ def codec_encode_chunks(
     where the planner/microbench run the same kernels driver-side.
 
     Scale: one chunk-id shuffle; each chunk encodes independently; the
-    output is O(chunks) rows of compressed payloads."""
+    output is O(chunks) rows of compressed payloads.
+
+    The kernel runs over ARROW groups (applyInArrow), not pandas: the
+    Arrow→pandas conversion destroys exactly what the codecs guarantee —
+    int64-with-nulls upcasts to float64 (values past 2^53 lose low bits)
+    and both NULL and genuine NaN collapse to pandas NaN (the kernels
+    keep NaN bit-exact and distinct from NULL via the set-mask)."""
     import pickle
 
     from btrblocks_spark.format.chunker import with_chunk_id
@@ -285,34 +327,41 @@ def codec_encode_chunks(
         "_chunk", "_idx", F.col(col).alias("v")
     )
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_group(t):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         from btrblocks_spark.format import codecs
 
-        pdf = pdf.sort_values("_idx")
-        chunk = int(pdf["_chunk"].iloc[0])
-        vals = pdf["v"].to_numpy()
-        mask = pd.notna(pdf["v"]).to_numpy()
+        t = t.sort_by("_idx")
+        chunk = int(t.column("_chunk")[0].as_py())
+        v = t.column("v").combine_chunks()
+        # validity = NULL only; a float NaN is a VALUE and stays in-band
+        mask = ~v.is_null().to_numpy(zero_copy_only=False)
         if kind == "int":
-            vals = pdf["v"].fillna(0).to_numpy(dtype=np.int64)
+            vals = pc.fill_null(v, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         elif kind == "double":
-            vals = pdf["v"].fillna(0.0).to_numpy(dtype=np.float64)
+            vals = (
+                pc.fill_null(v, 0.0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
         else:
-            vals = pdf["v"].to_numpy(dtype=object)
+            vals = np.array(v.to_pylist(), dtype=object)
         enc = codecs.encode(kind, scheme, vals, mask)
         blob = pickle.dumps((enc.streams, enc.mask), protocol=4)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "chunk": [chunk],
-                "scheme": [scheme],
-                "n": [enc.n],
-                "size_bytes": [enc.size_bytes],
-                "blob": [blob],
+                "chunk": pa.array([chunk], type=pa.int64()),
+                "scheme": pa.array([scheme]),
+                "n": pa.array([enc.n], type=pa.int64()),
+                "size_bytes": pa.array([int(enc.size_bytes)], type=pa.int64()),
+                "blob": pa.array([blob], type=pa.binary()),
             }
         )
 
-    return chunked.groupBy("_chunk").applyInPandas(
+    return chunked.groupBy("_chunk").applyInArrow(
         encode_group, "chunk long, scheme string, n long, size_bytes long, blob binary"
     )
 
@@ -323,30 +372,49 @@ def codec_decode_chunks(
     """Inverse of codec_encode_chunks: decode every chunk's payload back to
     (idx, value) rows — the distributed btr scan path for the kernel-only
     schemes. Null positions are restored from the stored set-mask (the
-    reference's null-masked equality contract, storage/Chunk.cpp:48-96)."""
+    reference's null-masked equality contract, storage/Chunk.cpp:48-96).
+
+    Arrow in/out (applyInArrow): building the output as a pandas Series
+    would upcast int64 to float64 on the null assignment (corrupting
+    values past 2^53) and fold genuine NaN doubles into NULL — the Arrow
+    array carries validity separately, so both survive bit-exact."""
     import pickle
 
-    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def decode_group(t):
+        import numpy as np
+        import pyarrow as pa
+
         from btrblocks_spark.format import codecs
 
-        out = []
-        for _i, r in pdf.iterrows():
+        idx_parts: list = []
+        val_parts: list = []
+        for r in t.to_pylist():
             streams, mask = pickle.loads(r["blob"])
             e = codecs.Encoded(
                 scheme=r["scheme"], n=int(r["n"]), streams=streams, mask=mask
             )
             vals = codecs.decode(kind, e)
             base = int(r["chunk"]) * block_size
-            s = pd.Series(list(vals) if kind == "string" else vals)
-            s[~pd.Series(mask)] = None
-            out.append(
-                pd.DataFrame(
-                    {"idx": range(base, base + int(r["n"])), "value": s}
+            nulls = ~np.asarray(mask, dtype=bool)
+            if kind == "string":
+                arr = pa.array(
+                    [None if nulls[i] else vals[i] for i in range(int(r["n"]))],
+                    type=pa.string(),
                 )
+            else:
+                arr = pa.array(vals, mask=nulls)
+            idx_parts.append(
+                pa.array(np.arange(base, base + int(r["n"]), dtype=np.int64))
             )
-        return pd.concat(out, ignore_index=True)
+            val_parts.append(arr)
+        return pa.table(
+            {
+                "idx": pa.concat_arrays(idx_parts),
+                "value": pa.concat_arrays(val_parts),
+            }
+        )
 
     vtype = {"int": "long", "double": "double", "string": "string"}[kind]
-    return encoded.groupBy("chunk").applyInPandas(
+    return encoded.groupBy("chunk").applyInArrow(
         decode_group, f"idx long, value {vtype}"
     )

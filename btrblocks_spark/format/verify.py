@@ -14,7 +14,15 @@ from btrblocks_spark.format.reader import read_table
 
 
 def frames_equal(a: DataFrame, b: DataFrame) -> bool:
-    if [f.dataType for f in a.schema.fields] != [f.dataType for f in b.schema.fields]:
+    # column ORDER must not matter, and a differing column SET is unequal
+    # (not an AnalysisException from the select below). Types compare per
+    # NAME — a positional check against differently-ordered schemas would
+    # report equal frames unequal.
+    if set(a.columns) != set(b.columns):
+        return False
+    a_types = {f.name: f.dataType for f in a.schema.fields}
+    b_types = {f.name: f.dataType for f in b.schema.fields}
+    if a_types != b_types:
         return False
     cols = sorted(a.columns)
     a, b = a.select(cols), b.select(cols)

@@ -90,9 +90,17 @@ def with_zorder(
     if quantize_bits is None:
         return df.withColumn(out_col, zorder_key(col_a, col_b))
     scale = 1 << quantize_bits
+
+    def _nan_free(col: str) -> Column:
+        # a single NaN row would poison BOTH bounds (Spark orders NaN above
+        # everything, so max() returns NaN), making span NaN and the whole
+        # dimension's quantization degenerate (ANSI: floor(NaN) cast error)
+        c = F.col(col).cast("double")
+        return F.when(~F.isnan(c), c)
+
     bounds = df.agg(
-        F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
-        F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),
+        F.min(_nan_free(col_a)).alias("_alo"), F.max(_nan_free(col_a)).alias("_ahi"),
+        F.min(_nan_free(col_b)).alias("_blo"), F.max(_nan_free(col_b)).alias("_bhi"),
     )
 
     def _quantize(col: str, lo: str, hi: str) -> Column:
@@ -108,9 +116,14 @@ def with_zorder(
         lo_d, hi_d = F.col(lo).cast("double"), F.col(hi).cast("double")
         span = hi_d - lo_d
         q = F.when(
+            # NaN rows quantize to the TOP bucket (Spark sorts NaN greatest,
+            # so they cluster at the curve's high corner where chunk stats
+            # still prune finite ranges away from them)
+            F.isnan(x), F.lit(scale - 1)
+        ).when(
             span > 0,
             F.least(F.lit(scale - 1), F.floor((x - lo_d) / span * scale).cast("long")),
-        ).otherwise(F.lit(0))  # constant (or empty) dimension: one bucket
+        ).otherwise(F.lit(0))  # constant (or empty/all-NaN) dim: one bucket
         return F.coalesce(q, F.lit(0))
 
     qa = _quantize(col_a, "_alo", "_ahi")

@@ -247,3 +247,35 @@ def test_dod_round_trip_and_compresses_regular_series():
     enc = codecs.encode_int("dod", ts)
     np.testing.assert_array_equal(codecs.decode_int(enc), ts)
     assert enc.size_bytes < len(ts) * 4 * 0.1  # >10x vs int32 model
+
+
+def test_one_value_rejects_mixed_zero_signs():
+    """one_value uniqueness on the BIT view: [-0.0, 0.0] must be rejected
+    (float np.unique collapses the signs; storing one pattern loses the
+    sign of zero — 1/x flips). Review finding, codecs + both planner
+    gates."""
+    import numpy as np
+    import pytest as _pytest
+
+    from btrblocks_spark.format import codecs
+    from btrblocks_spark.format.planner import candidate_schemes, choose_scheme
+    from btrblocks_spark.config import DEFAULT_CONFIG
+
+    vals = np.array([0.0, -0.0, 0.0, -0.0])
+    mask = np.ones(4, dtype=bool)
+    with _pytest.raises(ValueError, match="one_value"):
+        codecs.encode("double", "one_value", vals, mask)
+    assert "one_value" not in candidate_schemes("double", vals, mask, DEFAULT_CONFIG)
+    plan = choose_scheme("double", vals, mask)
+    assert plan["scheme"] != "one_value"
+    # and the winning scheme round-trips the signs bit-exactly
+    enc = codecs.encode("double", plan["scheme"], vals, mask)
+    out = codecs.decode("double", enc)
+    assert [np.copysign(1.0, x) for x in out] == [1.0, -1.0, 1.0, -1.0]
+
+    # a genuinely constant chunk still routes to one_value
+    const = np.full(4, -0.0)
+    assert choose_scheme("double", const, mask)["scheme"] == "one_value"
+    enc2 = codecs.encode("double", "one_value", const, mask)
+    out2 = codecs.decode("double", enc2)
+    assert all(np.copysign(1.0, x) == -1.0 for x in out2)

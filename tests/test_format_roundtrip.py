@@ -2004,3 +2004,43 @@ def test_result_cache_vacuums_superseded_slots(spark, sf_dir, tmp_path):
     assert old_slots[0] not in slots  # superseded slot vacuumed
     assert any(d.startswith("q__other__") for d in slots)  # rival intact
     assert sum(1 for d in slots if d.startswith("q__") and not d.startswith("q__other__")) == 1
+
+
+def test_zorder_quantization_survives_nan_dimension(spark, tmp_path):
+    """A single NaN in a double dimension poisoned both bounds (Spark max
+    returns NaN), degenerating the whole dimension's quantization (review
+    finding). Bounds are now NaN-free and NaN rows quantize to the top
+    bucket."""
+    from btrblocks_spark.format.zorder import with_zorder
+
+    rows = [(i, float(i), float(i % 10)) for i in range(50)] + [
+        (50, float("nan"), 3.0)
+    ]
+    df = spark.createDataFrame(rows, "k long, a double, b double")
+    z = with_zorder(df, "a", "b", quantize_bits=4)
+    got = z.select("k", "zkey").collect()
+    keys = {r["k"]: r["zkey"] for r in got}
+    assert len(set(keys.values())) > 10  # finite rows spread, not constant
+
+    def dim_a_bucket(zkey: int) -> int:  # compact the even (dim-a) bits
+        return sum(((zkey >> (2 * i)) & 1) << i for i in range(16))
+
+    assert dim_a_bucket(keys[50]) == 15  # NaN row: top bucket of dim a
+    assert dim_a_bucket(keys[0]) == 0 and dim_a_bucket(keys[49]) == 15
+
+
+def test_frames_equal_ignores_column_order(spark, sf_dir):
+    """frames_equal must treat column order as irrelevant and a differing
+    column SET as unequal (not an AnalysisException) — review finding: the
+    positional dtype check reported reordered identical frames unequal."""
+    from btrblocks_spark.format.verify import frames_equal
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    flipped = nation.select("n_name", "n_nationkey")
+    assert frames_equal(nation, flipped)
+    assert not frames_equal(nation, nation.drop("n_name"))
+    assert not frames_equal(
+        nation, nation.withColumn("n_nationkey", F.col("n_nationkey").cast("string"))
+    )

@@ -168,3 +168,83 @@ def test_zorder_null_dims_never_null_key(spark):
     ):
         vals = {r["id"]: r["zkey"] for r in zdf.collect()}
         assert all(v is not None for v in vals.values())
+
+
+def test_codec_chunks_preserve_nullable_int64_past_2_53(spark):
+    """applyInArrow keeps int64-with-nulls exact: the pandas path upcast to
+    float64 and corrupted values past 2^53 on BOTH encode and decode
+    (review finding). Epoch-nanos magnitudes with NULLs must round-trip
+    bit-exact."""
+    big = (1 << 53) + 17
+    rows = [(i, big + i) for i in range(6)] + [(6, None), (7, big + 99)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    enc = T.codec_encode_chunks(df, "v", "int", "bp", "k", block_size=4)
+    dec = T.codec_decode_chunks(enc, "int", block_size=4)
+    got = {r["idx"]: r["value"] for r in dec.collect()}
+    assert got[0] == big and got[5] == big + 5 and got[7] == big + 99
+    assert got[6] is None
+
+
+def test_codec_chunks_keep_nan_distinct_from_null(spark):
+    """The codec kernels preserve NaN bit-exactly and distinct from NULL;
+    the pandas wrapper folded genuine NaN into NULL (review finding). A
+    double chunk with both must round-trip both."""
+    import math
+
+    rows = [(0, 1.5), (1, None), (2, float("nan")), (3, -0.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    enc = T.codec_encode_chunks(df, "v", "double", "dict", "k", block_size=8)
+    dec = T.codec_decode_chunks(enc, "double", block_size=8)
+    got = {r["idx"]: r["value"] for r in dec.collect()}
+    assert got[0] == 1.5
+    assert got[1] is None  # NULL stays NULL
+    assert got[2] is not None and math.isnan(got[2])  # NaN stays a VALUE
+    assert math.copysign(1.0, got[3]) == -1.0  # -0.0 sign survives
+
+
+def test_delta_transform_null_safe(spark):
+    """delta over a column with NULLs: deltas base on the last NON-NULL
+    predecessor and null rows decode to NULL — review finding: lag+coalesce
+    reset the base to 0 after a null and shifted every later row."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20), (4, 25)], "k long, v long"
+    )
+    dec = T.delta_decode(T.delta_encode(df, "v", "k"), "v")
+    got = {r["key"]: r["v"] for r in dec.collect()}
+    assert got == {1: 10, 2: None, 3: 20, 4: 25}
+
+
+def test_fsst_transform_null_safe(spark):
+    """NULL strings round-trip as NULL through the fsst transform, never as
+    '' (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "hello again")],
+        "k long, v string",
+    )
+    enc, tables = T.fsst_encode(df, "v", "k")
+    dec = T.fsst_decode(enc, tables, "v")
+    got = {r["key"]: r["v"] for r in dec.collect()}
+    assert got == {1: "hello world", 2: None, 3: "", 4: "hello again"}
+
+
+def test_frequency_transform_all_null_column(spark):
+    """An all-NULL column must encode (no top value; every row an
+    exception decoding to NULL) instead of crashing on None[0]."""
+    df = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    exc, top = T.frequency_encode(df, "v", "k")
+    assert top is None
+    dec = T.frequency_decode(df, exc, top, "k", "v")
+    assert [r["v"] for r in dec.collect()] == [None, None]
+
+
+def test_rle_positions_dense_for_sparse_orders(spark):
+    """Run positions are DENSE per part regardless of gaps in the order
+    keys — review finding: pos = min(order) + offset emitted positions
+    mapping to no original row for sparse keys."""
+    df = spark.createDataFrame(
+        [(1, "A"), (5, "A"), (7, "B"), (11, "B"), (13, "B")], "o long, v string"
+    )
+    runs = T.rle_encode(df, "v", "o")
+    dec = T.rle_decode(runs)
+    got = sorted((r["pos"], r["value"]) for r in dec.collect())
+    assert got == [(0, "A"), (1, "A"), (2, "B"), (3, "B"), (4, "B")]
