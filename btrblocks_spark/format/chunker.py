@@ -45,18 +45,36 @@ def _pid_column(df: DataFrame, order_keys: list[str], bounds: list[tuple]):
     """Range-id column: number of boundary tuples lexicographically below
     the row's key tuple. Pure JVM expression (Spark structs compare
     lexicographically), so it codegens inside the scan stage — no Python
-    worker, no Arrow transfer, deterministic across jobs."""
+    worker, no Arrow transfer, deterministic across jobs.
+
+    Shape: a BALANCED binary-search WHEN tree, not a chain of P adds — the
+    chain evaluated all P comparisons per row (and at cluster-scale
+    partition counts its O(P)-deep tree risks a Catalyst stack overflow);
+    the balanced tree evaluates log2(P) struct comparisons per row and its
+    depth is log P, so it survives a 4000-partition boundary list whether
+    codegen'd or interpreted."""
     if not bounds:
         return F.lit(0).cast("long")
     key_types = {f.name: f.dataType for f in df.schema.fields}
     key_struct = F.struct(*[F.col(k) for k in order_keys])
-    pid = F.lit(0).cast("long")
-    for b in bounds:
-        bound_struct = F.struct(
+
+    def bound_struct(b: tuple):
+        return F.struct(
             *[F.lit(v).cast(key_types[k]) for k, v in zip(order_keys, b)]
         )
-        pid = pid + (key_struct > bound_struct).cast("long")
-    return pid
+
+    def search(lo: int, hi: int):
+        # rows with exactly `pid` bounds below them get pid; invariant:
+        # bounds[lo-1] < key (when lo > 0) and key <= bounds[hi] (when
+        # hi < len(bounds)) — converges to pid in [lo, hi]
+        if lo == hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi) // 2
+        return F.when(
+            key_struct > bound_struct(bounds[mid]), search(mid + 1, hi)
+        ).otherwise(search(lo, mid))
+
+    return search(0, len(bounds))
 
 
 def _sample_boundaries(
@@ -143,6 +161,15 @@ def with_global_index(
         # (last column); a pre-existing _pid would be silently overwritten
         # and mis-indexed
         raise ValueError("input already has a '_pid' column; rename it first")
+    if index_col in df.columns:
+        # the kernel appends index_col to the schema; a pre-existing one
+        # would yield DUPLICATE column names and ambiguous-reference
+        # errors far downstream (e.g. re-indexing a read-back table that
+        # still carries _idx — drop it first)
+        raise ValueError(
+            f"input already has a {index_col!r} column; drop or rename it "
+            "before re-indexing"
+        )
 
     total = df.count() if total_rows is None else int(total_rows)
     bounds = _sample_boundaries(df, order_keys, num_partitions, total)

@@ -89,25 +89,43 @@ def list_file_sizes(path: str, suffix: str = ".parquet", spark=None) -> list[int
     """Sizes of all files under ``path`` matching ``suffix`` (recursive).
     Used by write_table to size ``maxPartitionBytes`` to the largest chunk
     file — an O(num_files) metadata listing, never a data read (on S3 this
-    is LIST, not GET)."""
+    is LIST, not GET). Applies the same Spark-visibility filter as
+    ``list_parquet_files`` (skip ``_``/``.`` components): a crashed rival's
+    ``_temporary`` task attempt or a staged ``.inflight`` file must never
+    size a read Spark will not perform."""
+
+    def _visible(name: str) -> bool:
+        return not name.startswith(("_", "."))
+
     if not is_uri(path):
-        return [
-            os.path.getsize(os.path.join(r, f))
-            for r, _s, fs_ in os.walk(path)
-            for f in fs_
-            if f.endswith(suffix)
-        ]
+        out_local: list[int] = []
+        for r, dirs, fs_ in os.walk(path):
+            dirs[:] = [d for d in dirs if _visible(d)]
+            out_local.extend(
+                os.path.getsize(os.path.join(r, f))
+                for f in fs_
+                if f.endswith(suffix) and _visible(f)
+            )
+        return out_local
     if spark is None:
         raise ValueError(
             f"listing {path!r} needs an active SparkSession (Hadoop FileSystem client)"
         )
     fs, jpath = _jvm_fs(spark, path)
+    base = str(jpath.toString()).rstrip("/")
     out: list[int] = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         status = it.next()
-        if status.getPath().getName().endswith(suffix):
-            out.append(int(status.getLen()))
+        p = status.getPath()
+        name = p.getName()
+        if not name.endswith(suffix) or not _visible(name):
+            continue
+        # every path component below the listing root must be visible too
+        rel = str(p.toString())[len(base):].lstrip("/")
+        if any(not _visible(c) for c in rel.split("/")[:-1]):
+            continue
+        out.append(int(status.getLen()))
     return out
 
 

@@ -32,6 +32,12 @@ def _normalize_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # canonicalize -0.0: rows are SORTED by repr but COMPARED with
+            # == — repr(-0.0) != repr(0.0) while -0.0 == 0.0, so a
+            # sign-of-zero difference between engines would zip-misalign
+            # the sorted rows and report equal multisets as a mismatch
+            return 0.0
         return v
     if isinstance(v, bytes):
         return v.hex()
@@ -58,10 +64,12 @@ def compare(
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     con = duck_connect(sf_dir)
-    res = con.execute(oracle_sql)
-    d_cols = [d[0] for d in res.description]
-    d_rows = [tuple(r) for r in res.fetchall()]
-    con.close()
+    try:
+        res = con.execute(oracle_sql)
+        d_cols = [d[0] for d in res.description]
+        d_rows = [tuple(r) for r in res.fetchall()]
+    finally:
+        con.close()  # a raising oracle must not leak the connection
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"

@@ -47,10 +47,18 @@ def merge_upsert(
     # relies on same-batch → same-merged-content). Identical full rows
     # remain interchangeable; differing rows pick one deterministically.
     non_keys = [c for c in target.columns if c not in keys]
+    # xxhash64 rejects MapType inputs outright (AnalysisException): hash
+    # map columns via their canonical JSON instead, so CDC tables with a
+    # properties map still get the deterministic tie-break
+    ntypes = {f.name: f.dataType.typeName() for f in target.schema.fields}
+    hashable = [
+        F.to_json(F.col(c)) if ntypes.get(c) == "map" else F.col(c)
+        for c in non_keys
+    ]
     # key-only MERGE: every column is a key, so tied rows are identical by
     # construction — no content hash to break ties on (and F.xxhash64() with
     # zero args is an analysis error)
-    content_tie = [F.xxhash64(*non_keys).asc()] if non_keys else []
+    content_tie = [F.xxhash64(*hashable).asc()] if non_keys else []
     order = [F.desc("_src")] + list(order_by or []) + content_tie
     w = Window.partitionBy(*keys).orderBy(*order)
     wp = Window.partitionBy(*keys)
@@ -100,8 +108,13 @@ def scd2_apply(
     event-time column should pre-reduce to latest-wins themselves (e.g.
     via merge_upsert's order_by) before calling.
     """
-    cur = dim.filter(F.col("is_current"))
-    hist = dim.filter(~F.col("is_current"))
+    # NULL-total partition: filter(col) and filter(~col) BOTH exclude a
+    # NULL is_current under three-valued logic — such a row would vanish
+    # from the returned dimension entirely (silent data loss). Treat NULL
+    # as not-current (history) so every input row lands somewhere.
+    is_cur = F.coalesce(F.col("is_current"), F.lit(False))
+    cur = dim.filter(is_cur)
+    hist = dim.filter(~is_cur)
 
     updates = (
         updates.groupBy(*keys)

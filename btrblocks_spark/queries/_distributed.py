@@ -14,6 +14,15 @@ chunker uses for its global index (format/chunker.py):
 
 Results are bit-identical to the single-window formulation for any unique
 (possibly sparse) order key, at any partition count.
+
+NULL order-column contract: within buckets these helpers follow Spark's
+default ASC NULLS FIRST, and the phase-2 fix-ups (struct min/max over the
+key tuple) use the same nulls-smallest field ordering — the two phases are
+internally consistent, but DuckDB's default is ASC NULLS LAST. An oracle
+over NULLABLE order columns must therefore spell ``ORDER BY k NULLS
+FIRST`` (every current oracle either has non-null order keys or does);
+the Long.MAX sentinel below covers only a NULL *bucket expression*, not
+NULLs in non-leading order columns.
 """
 
 from __future__ import annotations

@@ -2044,3 +2044,63 @@ def test_frames_equal_ignores_column_order(spark, sf_dir):
     assert not frames_equal(
         nation, nation.withColumn("n_nationkey", F.col("n_nationkey").cast("string"))
     )
+
+
+def test_global_index_binary_search_many_partitions(spark, sf_dir):
+    """with_global_index at a high partition count: the _pid expression is
+    a balanced log-P binary-search tree (the old O(P) comparison chain
+    evaluated every boundary per row and risked Catalyst stack overflow at
+    cluster-scale P — review finding). Result must equal the single-window
+    row_number."""
+    from btrblocks_spark.format.chunker import with_global_index
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    idxd = with_global_index(orders, ["o_orderkey"], num_partitions=64)
+    got = idxd.orderBy("_idx").select("o_orderkey").collect()
+    want = orders.orderBy("o_orderkey").select("o_orderkey").collect()
+    assert [r[0] for r in got] == [r[0] for r in want]
+
+
+def test_global_index_rejects_existing_index_col(spark, sf_dir):
+    """Re-indexing a frame that already carries _idx must raise (the kernel
+    appends the column; a duplicate name surfaces as AMBIGUOUS_REFERENCE
+    far downstream — review finding)."""
+    import pytest as _pytest
+
+    from btrblocks_spark.format.chunker import with_global_index
+
+    nation = load_table(spark, sf_dir, "nation").withColumn("_idx", F.lit(0))
+    with _pytest.raises(ValueError, match="_idx"):
+        with_global_index(nation, ["n_nationkey"])
+
+
+def test_oracle_compare_aligns_signed_zero(spark, sf_dir):
+    """rows_key sorts by repr but compares with ==: repr(-0.0) != repr(0.0)
+    while -0.0 == 0.0, so a sign-of-zero difference zip-misaligned sorted
+    rows and reported equal multisets as a mismatch (review finding)."""
+    from btrblocks_spark.oracle import rows_key
+
+    spark_rows = [(0.0,), (-1.0,)]
+    duck_rows = [(-0.0,), (-1.0,)]
+    sk = rows_key(["v"], spark_rows)
+    dk = rows_key(["v"], duck_rows)
+    assert sk == dk  # aligned and equal after canonicalization
+
+
+def test_list_file_sizes_skips_hidden_components(tmp_path):
+    """list_file_sizes must apply the Spark-visibility filter: a crashed
+    writer's _temporary attempt or a .inflight staging file must never size
+    maxPartitionBytes (review finding)."""
+    import os
+
+    from btrblocks_spark.format.fs import list_file_sizes
+
+    d = tmp_path / "data"
+    os.makedirs(d / "_temporary" / "attempt0")
+    with open(d / "good.parquet", "wb") as fh:
+        fh.write(b"x" * 10)
+    with open(d / "_temporary" / "attempt0" / "part.parquet", "wb") as fh:
+        fh.write(b"x" * 999)
+    with open(d / ".stage.parquet", "wb") as fh:
+        fh.write(b"x" * 500)
+    assert list_file_sizes(str(d)) == [10]

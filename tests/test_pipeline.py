@@ -1456,3 +1456,46 @@ def test_pair_builders_memoized_per_plan(spark, sf_dir):
     # values: memoized LSH pairs == fresh banding on the filtered corpus
     n_pairs = p4.count()
     assert n_pairs == p4.count()  # stable under re-evaluation
+
+
+def test_scd2_keeps_null_is_current_rows(spark):
+    """A NULL is_current row must not vanish (filter(col)/filter(~col) both
+    exclude NULL — review finding): it is treated as history and passes
+    through."""
+    from btrblocks_spark.pipeline.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", None, True),
+            (2, "b", "2019-01-01", "2020-01-01", None),  # NULL is_current
+        ],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "attr", "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to", "is_current",
+    )
+    upd = spark.createDataFrame([(1, "a2")], "k long, attr string")
+    out = scd2_apply(dim, upd, ["k"], ["attr"], "2021-06-01")
+    rows = {(r["k"], r["attr"], r["is_current"]) for r in out.collect()}
+    assert (2, "b", None) in rows  # the NULL row survived as history
+    assert (1, "a2", True) in rows and (1, "a", False) in rows
+
+
+def test_merge_upsert_handles_map_columns(spark):
+    """The content tie-break must not crash on MapType non-key columns
+    (xxhash64 rejects maps — review finding): maps hash via their JSON."""
+    from btrblocks_spark.pipeline.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, {"a": "1"}), (2, {"b": "2"})], "k long, props map<string,string>"
+    )
+    updates = spark.createDataFrame(
+        [(2, {"b": "9"}), (3, {"c": "3"})], "k long, props map<string,string>"
+    )
+    out = merge_upsert(target, updates, ["k"])
+    got = {r["k"]: (dict(r["props"]), r["op"]) for r in out.collect()}
+    assert got == {
+        1: ({"a": "1"}, "keep"),
+        2: ({"b": "9"}, "update"),
+        3: ({"c": "3"}, "insert"),
+    }
