@@ -732,11 +732,28 @@ def compress_column(table: SymbolTable, values, arr=None) -> tuple[bytes, np.nda
         if arr is None:
             arr = pa.array(values, type=pa.large_utf8())
         if arr.null_count:
-            raise RuntimeError  # codec layer fills nulls before encode
+            # contract violation, NOT a fallback condition: the slow path
+            # would encode str(None) == "None" into null cells — silent
+            # irreversible corruption. The codec layer fills nulls before
+            # encode; anything else must fail loudly.
+            raise ValueError(
+                "compress_column requires a null-free array (the codec "
+                "layer fills nulls before encode)"
+            )
+        if arr.type != pa.large_utf8() or arr.offset != 0:
+            # the buffer math below assumes int64 offsets starting at the
+            # array's element 0: a plain utf8 array has int32 offsets
+            # (misread as int64 = garbage offsets into the C kernel) and a
+            # SLICED array's buffers still cover the parent (we would
+            # encode the parent's first len(arr) strings — wrong data, no
+            # error). Normalize instead of guessing.
+            arr = pa.array(arr.to_pylist(), type=pa.large_utf8())
         off_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
         str_off = np.frombuffer(off_buf, dtype=np.int64)[: len(arr) + 1]
         n = int(str_off[-1])
         buf = np.frombuffer(data_buf, dtype=np.uint8)[:n] if data_buf else np.zeros(0, np.uint8)
+    except ValueError:
+        raise
     except Exception:  # noqa: BLE001
         return compress_batch_concat(table, [str(x).encode("utf-8") for x in values])
 

@@ -53,6 +53,13 @@ NULL_LITERAL = "null"
 DEFAULT_SEP = "|"
 
 
+def _c(name: str):
+    """Column reference by LITERAL name: a bare F.col parses dots as
+    nested-field paths, so a declared column named 'user.id' would resolve
+    as field `id` of column `user` (UNRESOLVED_COLUMN). Backtick-quote."""
+    return F.col(f"`{name}`")
+
+
 def schema_from_decl(columns: list[dict]) -> tuple[StructType, list[str]]:
     """Build a StructType from a [{name, type}] declaration (the YAML schema
     analog). Unsupported types are SKIPped: returned separately and dropped
@@ -67,31 +74,25 @@ def schema_from_decl(columns: list[dict]) -> tuple[StructType, list[str]]:
     return StructType(fields), skipped
 
 
-def read_csv(
-    spark: SparkSession,
-    path: str,
-    columns: list[dict],
-    sep: str = DEFAULT_SEP,
-    header: bool = False,
+def _raw_read(
+    spark: SparkSession, path: str, columns: list[dict], sep: str, header: bool
 ) -> DataFrame:
-    """Typed CSV scan with the reference's parse semantics. Reads every
-    declared column as a string first, then applies trim + null rules and
-    casts — so "  42 " parses as 42 and "null"/"" parse as NULL exactly like
-    the reference parser (Parser.cpp:88-127)."""
-    schema, skipped = schema_from_decl(columns)
-    # the raw read must keep every DECLARED column (including skip-typed
-    # ones) so field positions line up with the file; skipped columns are
-    # dropped only in the typed projection below (btrfiles.hpp:20-22)
+    """Shared raw scan: every DECLARED column as a string (including
+    skip-typed ones, so field positions line up with the file; skipped
+    columns are dropped only in the typed projection).
+
+    Null handling: the CSV reader (univocity) maps *unquoted* empty fields
+    to NULL unconditionally; *quoted* empty strings ("") survive via
+    emptyValue. That matches the exporter (it quotes empty strings), so
+    empty-vs-null round-trips exactly. nullValue is pinned to a U+0000
+    sentinel so the literal-"null" rule is applied by our expressions, not
+    the reader — KNOWN LIMIT: a field whose real value is exactly one NUL
+    character reads as NULL (pick data without lone-NUL fields, or a
+    different sentinel)."""
     raw_schema = StructType(
         [StructField(col["name"], StringType(), True) for col in columns]
     )
-    # Null handling: the CSV reader (univocity) maps *unquoted* empty fields
-    # to NULL unconditionally; *quoted* empty strings ("") survive via
-    # emptyValue. That matches the writer below (it quotes empty strings),
-    # so empty-vs-null round-trips exactly. nullValue is pinned to a
-    # sentinel so the literal-"null" rule is applied by our expressions,
-    # not the reader.
-    raw = spark.read.csv(
+    return spark.read.csv(
         path,
         schema=raw_schema,
         sep=sep,
@@ -100,9 +101,15 @@ def read_csv(
         emptyValue="",
     )
 
+
+def _typed_exprs(schema: StructType) -> list:
+    """The reference's trim/null/cast semantics as one shared projection —
+    read_csv and read_csv_quarantine MUST agree on these rules, so they are
+    defined once (a prior copy-paste risked the two ingest paths' semantics
+    silently forking)."""
     exprs = []
     for f in schema.fields:
-        c = F.col(f.name)
+        c = _c(f.name)
         if isinstance(f.dataType, StringType):
             # strings: only the literal "null" is NULL; no trim
             e = F.when(c == NULL_LITERAL, F.lit(None)).otherwise(c)
@@ -118,7 +125,23 @@ def read_csv(
                 .try_cast(f.dataType)
             )
         exprs.append(e.alias(f.name))
-    return raw.select(*exprs)
+    return exprs
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict],
+    sep: str = DEFAULT_SEP,
+    header: bool = False,
+) -> DataFrame:
+    """Typed CSV scan with the reference's parse semantics. Reads every
+    declared column as a string first, then applies trim + null rules and
+    casts — so "  42 " parses as 42 and "null"/"" parse as NULL exactly like
+    the reference parser (Parser.cpp:88-127)."""
+    schema, _skipped = schema_from_decl(columns)
+    raw = _raw_read(spark, path, columns, sep, header)
+    return raw.select(*_typed_exprs(schema))
 
 
 def export_csv(df: DataFrame, path: str, sep: str = DEFAULT_SEP, header: bool = False) -> None:
@@ -132,12 +155,10 @@ def export_csv(df: DataFrame, path: str, sep: str = DEFAULT_SEP, header: bool = 
     )
 
 
-def schema_from_yaml(path: str) -> tuple[StructType, list[str]]:
-    """Parse the reference's YAML schema file format (btrfiles.hpp:8-38:
-    a ``columns:`` list of ``{name, type}`` entries, with ``type: skip``
-    for unsupported columns) into a Spark schema + skip list. Gated on
-    PyYAML being importable; the dict-based ``schema_from_decl`` is the
-    dependency-free path."""
+def _load_yaml_columns(path: str) -> list[dict]:
+    """Load + validate the reference's YAML schema file (btrfiles.hpp:8-38:
+    a ``columns:`` list of ``{name, type}`` entries). Shared by the schema
+    builder and the ingest entry point."""
     try:
         import yaml
     except ImportError as exc:  # pragma: no cover - yaml ships with pyspark
@@ -148,7 +169,13 @@ def schema_from_yaml(path: str) -> tuple[StructType, list[str]]:
         doc = yaml.safe_load(fh)
     if not isinstance(doc, dict) or "columns" not in doc:
         raise ValueError(f"{path}: expected a YAML mapping with a 'columns' list")
-    return schema_from_decl(doc["columns"])
+    return doc["columns"]
+
+
+def schema_from_yaml(path: str) -> tuple[StructType, list[str]]:
+    """Parse the reference's YAML schema file format into a Spark schema +
+    skip list."""
+    return schema_from_decl(_load_yaml_columns(path))
 
 
 def read_csv_with_yaml_schema(
@@ -157,15 +184,7 @@ def read_csv_with_yaml_schema(
     """convertCSV parity entry point (btrfiles/Parser.cpp:21): CSV + YAML
     schema file → typed DataFrame with the reference's trim/null semantics
     and skip-typed columns dropped."""
-    try:
-        import yaml
-    except ImportError as exc:  # pragma: no cover - yaml ships with pyspark
-        raise RuntimeError("PyYAML not available") from exc
-    with open(yaml_path) as fh:
-        doc = yaml.safe_load(fh)
-    if not isinstance(doc, dict) or "columns" not in doc:
-        raise ValueError(f"{yaml_path}: expected a YAML mapping with a 'columns' list")
-    return read_csv(spark, csv_path, doc["columns"], sep=sep)
+    return read_csv(spark, csv_path, _load_yaml_columns(yaml_path), sep=sep)
 
 
 def read_csv_quarantine(
@@ -184,23 +203,18 @@ def read_csv_quarantine(
 
     A field is malformed iff the trimmed raw text is non-empty, not the
     null literal, and fails the cast. Rows where every field parses (or is
-    legitimately null) go to ``good`` with full reference semantics.
+    legitimately null) go to ``good`` with full reference semantics (the
+    SAME shared projection read_csv uses).
 
     Scale: ONE scan; both outputs are narrow projections of the same raw
     read (two cheap passes over the same file split set, no shuffle)."""
-    schema, skipped = schema_from_decl(columns)
-    raw_schema = StructType(
-        [StructField(col["name"], StringType(), True) for col in columns]
-    )
-    raw = spark.read.csv(
-        path, schema=raw_schema, sep=sep, header=header,
-        nullValue="\u0000", emptyValue="",
-    )
+    schema, _skipped = schema_from_decl(columns)
+    raw = _raw_read(spark, path, columns, sep, header)
     bad_flags = []
     for f in schema.fields:
         if isinstance(f.dataType, StringType):
             continue
-        t = F.trim(F.col(f.name))
+        t = F.trim(_c(f.name))
         # coalesce: a NULL raw field (reader-level null) is NOT malformed —
         # without it the NULL flag would drop the row from BOTH lanes
         bad_flags.append(
@@ -214,18 +228,4 @@ def read_csv_quarantine(
         is_bad = is_bad | b
     bad = raw.filter(is_bad)
     good_raw = raw.filter(~is_bad)
-
-    exprs = []
-    for f in schema.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, StringType):
-            e = F.when(c == NULL_LITERAL, F.lit(None)).otherwise(c)
-        else:
-            trimmed = F.trim(c)
-            e = (
-                F.when((trimmed == "") | (trimmed == NULL_LITERAL), F.lit(None))
-                .otherwise(trimmed)
-                .try_cast(f.dataType)
-            )
-        exprs.append(e.alias(f.name))
-    return good_raw.select(*exprs), bad
+    return good_raw.select(*_typed_exprs(schema)), bad

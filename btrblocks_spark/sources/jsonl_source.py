@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from btrblocks_spark.sources.csv_source import schema_from_decl
+from btrblocks_spark.sources.csv_source import _c, schema_from_decl
 
 _CORRUPT = "_corrupt_record"
 
@@ -47,7 +47,9 @@ def read_jsonl(
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .json(path)
-        .select(*[F.col(f.name) for f in schema.fields])
+        # backtick-quoted: JSON keys legally contain dots, and a bare
+        # F.col would parse them as nested-field paths (csv_source._c)
+        .select(*[_c(f.name) for f in schema.fields])
     )
 
 
@@ -80,9 +82,14 @@ def read_jsonl_quarantine(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
         ).alias("j"),
     )
-    is_bad = F.col("j").isNull() | F.col(f"j.{_CORRUPT}").isNotNull()
+    # blank/whitespace-only lines are SEPARATORS, not data: spark.read.json
+    # silently skips them, so the quarantine lane must too — otherwise the
+    # two ingest paths disagree on the same file and a bad.count()==0 gate
+    # fails spuriously on hand-concatenated shards
+    parsed = parsed.filter(F.trim("raw_line") != "")
+    is_bad = F.col("j").isNull() | F.col("j").getField(_CORRUPT).isNotNull()
     good = parsed.filter(~is_bad).select(
-        *[F.col(f"j.{f.name}").alias(f.name) for f in schema.fields]
+        *[F.col("j").getField(f.name).alias(f.name) for f in schema.fields]
     )
     bad = parsed.filter(is_bad).select("raw_line")
     return good, bad

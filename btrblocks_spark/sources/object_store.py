@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from btrblocks_spark.format import fs as _fs
 
 
 def configure_s3(

@@ -40,6 +40,11 @@ def cmd_csvtobtr(args, spark=None) -> int:
 
     spark = _get_spark(spark)
     df = read_csv_with_yaml_schema(spark, args.csv, args.yaml)
+    if not df.columns:
+        raise SystemExit(
+            "csvtobtr: the YAML schema declares no usable (non-skip) "
+            "columns — nothing to write"
+        )
     keys = [k for k in (args.order_keys or "").split(",") if k] or [df.columns[0]]
     cfg = DEFAULT_CONFIG if args.block_size is None else DEFAULT_CONFIG.with_(
         block_size=args.block_size

@@ -139,3 +139,37 @@ def test_decode_string_arrow_matches_object_decode():
             arr = arr.cast(pa.large_utf8())
         got = arr.to_pylist()
         assert got == list(obj), scheme
+
+
+def test_compress_column_rejects_nulls_and_normalizes_slices():
+    """(a) A null-containing array must raise, not fall back to encoding
+    str(None)=='None' into null cells (review finding: the guard was
+    swallowed by the fallback except). (b) A sliced or plain-utf8 array is
+    normalized before the buffer math (a slice's buffers cover the PARENT,
+    so the kernel would encode the wrong strings)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from btrblocks_spark.format import fsst
+
+    vals = [f"string number {i} with shared prefix" for i in range(64)]
+    table = fsst.train([v.encode() for v in vals])
+
+    with _pytest.raises(ValueError, match="null"):
+        fsst.compress_column(
+            table, None, arr=pa.array(["a", None, "b"], type=pa.large_utf8())
+        )
+
+    full = pa.array(vals, type=pa.large_utf8())
+    sliced = full.slice(32)
+    ref_payload, ref_lens = fsst.compress_column(
+        table, np.array(vals[32:], dtype=object)
+    )
+    got_payload, got_lens = fsst.compress_column(table, None, arr=sliced)
+    assert got_payload == ref_payload and list(got_lens) == list(ref_lens)
+
+    # plain (int32-offset) utf8 array: normalized, not misread
+    plain = pa.array(vals[32:], type=pa.utf8())
+    got2_payload, got2_lens = fsst.compress_column(table, None, arr=plain)
+    assert got2_payload == ref_payload and list(got2_lens) == list(ref_lens)

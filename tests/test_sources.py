@@ -689,3 +689,44 @@ def test_copy_into_duplicate_listing_counts_once(spark, sf_dir, tmp_path):
     res2 = copy_into(spark, table, [drop, drop])
     assert res2["loaded_files"] == 0 and res2["skipped_files"] == 1
     assert spark.read.parquet(table + "/data").count() == nation.count()
+
+
+def test_dotted_column_names_ingest(spark, tmp_path):
+    """Declared column names containing dots must resolve as LITERAL names
+    (review finding: bare F.col parsed 'user.id' as a nested-field path and
+    every ingest projection threw UNRESOLVED_COLUMN)."""
+    from btrblocks_spark.sources.jsonl_source import read_jsonl, read_jsonl_quarantine
+
+    decl = [
+        {"name": "user.id", "type": "bigint"},
+        {"name": "text", "type": "string"},
+    ]
+    p = tmp_path / "dotted.jsonl"
+    p.write_text('{"user.id": 7, "text": "a"}\n{"user.id": 8, "text": "b"}\n')
+    df = read_jsonl(spark, str(p), decl)
+    assert sorted(r["user.id"] for r in df.collect()) == [7, 8]
+    good, bad = read_jsonl_quarantine(spark, str(p), decl)
+    assert good.count() == 2 and bad.count() == 0
+
+    # csv too
+    c = tmp_path / "dotted.csv"
+    c.write_text("7|a\n8|b\n")
+    got = read_csv(spark, str(c), decl)
+    assert sorted(r["user.id"] for r in got.collect()) == [7, 8]
+
+
+def test_jsonl_quarantine_skips_blank_lines(spark, tmp_path):
+    """Blank/whitespace-only lines are separators: spark.read.json skips
+    them, so the quarantine lane must too — review finding: each blank line
+    produced a bad row, failing bad.count()==0 gates on concatenated
+    shards."""
+    from btrblocks_spark.sources.jsonl_source import read_jsonl, read_jsonl_quarantine
+
+    decl = [{"name": "k", "type": "bigint"}]
+    p = tmp_path / "blanks.jsonl"
+    p.write_text('{"k": 1}\n\n   \n{"k": 2}\n{bad json\n')
+    plain = read_jsonl(spark, str(p), decl)
+    good, bad = read_jsonl_quarantine(spark, str(p), decl)
+    assert good.count() == 2
+    assert bad.count() == 1  # only the genuinely malformed line
+    assert "{bad json" in bad.collect()[0]["raw_line"]
