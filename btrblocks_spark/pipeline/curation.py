@@ -326,13 +326,17 @@ def winsorize_stats(
             F.col(stratum_col).alias("stratum"),
             F.col(value_col).alias("v"),
         )
+        # winsorized statistics are over the stratum's NON-NULL values:
+        # with NULLs in the rank base, cnt inflates the percentile ranks
+        # (a >= (1-p_hi) null share elects a NULL hi = upper clipping
+        # silently OFF), and the clip pass would impute each NULL as lo
+        # (Spark greatest/least skip NULLs) — phantom lo values summed
+        # into winsor_mean. Filter once; every downstream stat agrees.
+        .filter(F.col("v").isNotNull())
         .withColumn(
             "rn",
-            # NULLS LAST pins the percentile ranks to DuckDB's ASC default:
-            # NULL values ranked FIRST would shift every real value's rank
-            # and could even elect a NULL threshold
             F.row_number().over(
-                Window.partitionBy("stratum").orderBy(F.asc_nulls_last("v"), "_id")
+                Window.partitionBy("stratum").orderBy(F.asc("v"), "_id")
             ),
         )
         .withColumn("cnt", F.count("*").over(Window.partitionBy("stratum")))
@@ -349,7 +353,7 @@ def winsorize_stats(
     )
     vals = docs.select(
         F.col(stratum_col).alias("stratum"), F.col(value_col).alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
     clipped = vals.join(F.broadcast(thr), "stratum").withColumn(
         "cv", F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     )

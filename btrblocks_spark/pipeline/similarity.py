@@ -392,9 +392,15 @@ def filtered_cosine_topk(
 
 # reconstructed value for dim i (0-based Spark lambda index; element_at is
 # 1-based). Textually mirrors the DuckDB oracle so the float ops run in the
-# same order.
+# same order. A NULL element must stay NULL through quantization — Spark's
+# least() SKIPS nulls, so least(255D, NULL) = 255 would silently encode a
+# dirty element as the MAXIMUM code and reconstruct it as ~max (a
+# fabricated extreme inflating that vector's dot products); the leading
+# `x IS NULL` arm keeps the module's degrade-to-NULL convention
+# (try_divide/try_cast elsewhere) so the row loses comparisons instead.
 _SQ8_RECON = (
-    "transform(v, (x, i) -> CASE WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
+    "transform(v, (x, i) -> CASE WHEN x IS NULL THEN NULL "
+    "WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
     "THEN element_at(_mns, i + 1) "
     "ELSE element_at(_mns, i + 1) + "
     "(least(255D, floor((x - element_at(_mns, i + 1)) / "
@@ -403,7 +409,8 @@ _SQ8_RECON = (
 )
 
 _SQ8_CODES = (
-    "transform(v, (x, i) -> CASE WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
+    "transform(v, (x, i) -> CASE WHEN x IS NULL THEN NULL "
+    "WHEN element_at(_mxs, i + 1) = element_at(_mns, i + 1) "
     "THEN 0 ELSE cast(least(255D, floor((x - element_at(_mns, i + 1)) / "
     "(element_at(_mxs, i + 1) - element_at(_mns, i + 1)) * 256D)) as int) END)"
 )
@@ -489,8 +496,14 @@ def _pq_min_struct(j: int) -> str:
         f"round(aggregate(zip_with(_v{j}, c.sv{j}, "
         "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6)"
     )
+    # coalesce to +inf: struct ordering puts NULL fields FIRST, so a NULL
+    # distance (one dirty donor vector nulling a centroid's sub-vector)
+    # would WIN the array_min for EVERY row and collapse the whole
+    # corpus's codes onto that centroid — NULL must lose, matching the
+    # ivf _scored_cents convention and DuckDB's ORDER BY (NULLS LAST)
     return (
-        f"array_min(transform(_cents, c -> struct({d} AS d, c.c_id AS cid, "
+        f"array_min(transform(_cents, c -> struct("
+        f"coalesce({d}, cast('Infinity' as double)) AS d, c.c_id AS cid, "
         f"c.sv{j} AS sv)))"
     )
 
@@ -612,6 +625,17 @@ def binary_quantize(
     dim = exploded.groupBy("d0").agg(
         F.sum("xs").alias("s"), F.count("*").alias("n")
     )
+    # two 32-bit words hold exactly 64 dims: d0 % 32 would WRAP past that
+    # (dim 64 and dim 96 collide with dim 32's bit, the SUM carries into
+    # higher bits, and the packed words stop being bit-sets at all — wrong
+    # Hamming neighbors with no error). Fail fast like pq_encode's
+    # dim-divisibility raise; wider embeddings need more words or PQ.
+    n_dims = dim.count()
+    if n_dims > 64:
+        raise ValueError(
+            f"binary_quantize packs at most 64 dims into (lo, hi); got "
+            f"{n_dims} — use pq_encode/sq8 for wider embeddings"
+        )
     bits = exploded.join(F.broadcast(dim), "d0").select(
         "vec_id",
         "d0",

@@ -544,10 +544,11 @@ def scrub_text(
         counts.append(F.regexp_count(F.col(text_col), F.lit(regex)).alias(f"n_{name}"))
     for _, regex, repl in patterns:
         scrubbed = F.regexp_replace(scrubbed, regex, repl)
-    total = None
+    # lit(0) base: an EMPTY patterns tuple (redaction disabled by config)
+    # must return zero-redaction rows, not crash on None.cast
+    total = F.lit(0)
     for name, _, _ in patterns:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
+        total = total + F.col(f"n_{name}")
     return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed_text")).withColumn(
         "total_redactions", total.cast("long")
     )
@@ -633,7 +634,18 @@ def hash_features(docs: DataFrame, dims: int = 64) -> DataFrame:
 
     Shape: ``dims`` conditional sums in ONE aggregation over the token
     stream (the simhash shape) — map-side combinable, single shuffle keyed
-    on doc_id, no per-dimension explode."""
+    on doc_id, no per-dimension explode.
+
+    ``dims`` is capped at 256: the sign bit is (h >> 8) & 1, and once the
+    dimension index h % dims includes bit 8 the sign is CONSTANT within a
+    dimension — collisions add instead of cancelling and the signed
+    construction silently degenerates to unsigned counting."""
+    if dims > 256:
+        raise ValueError(
+            "hash_features: dims > 256 breaks sign/dimension independence "
+            "(the sign bit (h >> 8) & 1 enters h % dims); use <= 256 dims "
+            "or a wider hash"
+        )
     th = tokens(docs).withColumn("h", hash32(F.col("w")))
     sign = F.when(F.expr("(h >> 8) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
     aggs = [

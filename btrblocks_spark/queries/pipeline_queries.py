@@ -1970,7 +1970,7 @@ WITH ranked AS (
   SELECT source AS stratum, n_chars AS v, doc_id,
          row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
          count(*) OVER (PARTITION BY source) AS cnt
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 ),
 thr AS (
   SELECT stratum,
@@ -1989,6 +1989,7 @@ SELECT d.source AS stratum,
        CAST(sum(CASE WHEN d.n_chars > t.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
        round(sum(least(greatest(d.n_chars, t.lo), t.hi)) / count(*), 6) AS winsor_mean
 FROM documents d JOIN thr t ON t.stratum = d.source
+WHERE d.n_chars IS NOT NULL
 GROUP BY 1
 """,
 )
