@@ -1137,7 +1137,7 @@ _HOUR_US = 3600 * 1_000_000
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t, event_id,
          CAST(round(value * 10000) AS BIGINT) AS vs, 0 AS is_grid
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 bounds AS (
   SELECT user_id, MIN(t) AS mn, MAX(t) AS mx FROM e GROUP BY user_id
@@ -1194,7 +1194,11 @@ def events_interpolate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort); grid generation is sequence+explode off the tiny
     per-user bounds aggregate."""
     H = _HOUR_US
-    e = load_table(spark, sf_dir, "events").select(
+    # NULL-ts events carry no position on the time axis: Spark's forward
+    # LOCF window orders them FIRST (ASC NULLS FIRST) so a timeless value
+    # would poison vp for every early grid point, while DuckDB orders them
+    # LAST — drop them on BOTH sides (the events_asof_join convention)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         F.expr("ts div 1000").alias("t"),
         "event_id",

@@ -31,7 +31,7 @@ from btrblocks_spark.tables import load_table
 _NUMERIC_PROFILE_ORACLE = """
 WITH ordered AS (
   SELECT l_quantity AS v,
-         LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS prev
+         LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber, l_quantity NULLS FIRST) AS prev
   FROM lineitem
 )
 SELECT
@@ -127,7 +127,7 @@ def stats_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_PROFILE_ORACLE = """
 WITH ordered AS (
   SELECT l_extendedprice AS v,
-         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1) / 4096) AS BIGINT)
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice NULLS FIRST) - 1) / 4096) AS BIGINT)
            AS chunk_id
   FROM lineitem
 )
@@ -1661,7 +1661,7 @@ WITH keyed AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
          md5(l_orderkey || '-' || l_linenumber || '-'
              || CAST(round(l_extendedprice * 100) AS BIGINT)) AS h
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 samp AS (SELECT v FROM keyed ORDER BY h LIMIT 1024),
 arr AS (SELECT list_sort(list(v)) AS vs, count(*) AS k FROM samp),
@@ -1713,7 +1713,12 @@ def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), so the window runs over the reduced domain only. Everything
     reported is exact integer cents — no FP anywhere."""
     l = load_table(spark, sf_dir, "lineitem")
-    keyed = l.select(
+    # NULL prices are out of the quantile domain on BOTH sides: Spark's
+    # concat_ws SKIPS a NULL component (real hash, row sampled) while
+    # DuckDB's || propagates NULL (row excluded), and a NULL v would ride
+    # a NULL bucket that Spark's meta window orders FIRST — inflating
+    # every non-null bucket's cum_n by the null count vs DuckDB
+    keyed = l.filter(F.col("l_extendedprice").isNotNull()).select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.md5(
             F.concat_ws(
@@ -1845,8 +1850,13 @@ def stats_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 2).alias("est_distinct"),
         "exact_distinct",
         F.round(
-            F.abs(est - F.col("exact_distinct").cast("double"))
-            / F.col("exact_distinct").cast("double"),
+            # try_divide: on an EMPTY events table exact_distinct = 0 and
+            # plain / yields IEEE NaN while DuckDB's / yields NULL — the
+            # file's standing convention (see stats_ks_drift)
+            F.try_divide(
+                F.abs(est - F.col("exact_distinct").cast("double")),
+                F.col("exact_distinct").cast("double"),
+            ),
             6,
         ).alias("rel_err"),
     )
