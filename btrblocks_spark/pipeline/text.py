@@ -474,6 +474,86 @@ def contamination_flags(
     )
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score each
+    candidate document by its log importance weight
+    ``log p_target(x) − log p_raw(x)`` under hashed unigram bag-of-words
+    models. Features are hash buckets of lowercased whitespace tokens
+    (``hash32 % buckets``); both distributions are Laplace-smoothed
+    ``(n_b + 1) / (N + buckets)``. The target model is fit on the
+    ``target_source`` slice (the curated/benchmark distribution), the raw
+    model on the whole corpus; candidates are every non-target doc.
+    High-weight docs look like the target and are kept/upsampled by the
+    resampling step (``curation.weighted_sample`` composes downstream).
+
+    Determinism: the per-bucket log-ratio is ONE ln of an exact-integer
+    ratio (multiplied in double — fewer rounding boundaries than a
+    difference of two lns), rounded to 6 decimals; each doc's sum runs in
+    DECIMAL(18,6) (order-independent) then rounds — the unigram_surprisal
+    convention, bit-exact vs the DuckDB oracle.
+
+    Shape (100 TB): one narrow map to (doc, bucket) rows, one groupBy
+    over at most ``buckets`` groups (map-side combinable), a broadcast
+    join of the tiny per-bucket weight table back onto the token stream,
+    one groupBy(doc_id). The corpus is scanned once; no all-pairs, no
+    window, no driver-side state beyond the ``buckets``-row model."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (hash32(F.lower(F.col("w"))) % buckets).alias("b"),
+    )
+    bc = t.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(
+            F.when(F.col("source") == target_source, 1).otherwise(0)
+        ).alias("n_tgt"),
+    )
+    tot = bc.agg(F.sum("n_raw").alias("nr"), F.sum("n_tgt").alias("nt"))
+    num = (F.col("n_tgt") + 1).cast("double") * (F.col("nr") + buckets).cast(
+        "double"
+    )
+    den = (F.col("n_raw") + 1).cast("double") * (F.col("nt") + buckets).cast(
+        "double"
+    )
+    lam = (
+        bc.crossJoin(F.broadcast(tot))
+        .select("b", F.round(F.log(num / den), 6).alias("l"))
+    )
+    scored = (
+        t.filter(F.col("source") != target_source)
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("l").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("dsir_logweight"),
+        )
+    )
+    # every candidate appears, even NULL-text docs whose token stream is
+    # empty (n_tokens 0, weight NULL — the degrade-to-NULL convention)
+    base = docs.filter(F.col(source_col) != target_source).select(
+        F.col(id_col).alias("doc_id")
+    )
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "dsir_logweight",
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """Unigram language-model surprisal per document: build token
     probabilities from the corpus itself (p = count/total over lowercased

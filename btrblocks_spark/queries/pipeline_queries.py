@@ -1266,6 +1266,50 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_dsir_weights",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(lower(w)), 1, 8))::BIGINT % 64 AS b
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+),
+bc AS (
+  SELECT b, count(*) AS n_raw,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_tgt
+  FROM t GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS nr, sum(n_tgt) AS nt FROM bc),
+lam AS (
+  SELECT b, round(ln(
+    (CAST(n_tgt + 1 AS DOUBLE) * CAST(nr + 64 AS DOUBLE)) /
+    (CAST(n_raw + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE))), 6) AS l
+  FROM bc CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(CAST(sum(CAST(l AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
+  FROM t JOIN lam USING (b)
+  WHERE source != 'src0'
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.w AS dsir_logweight
+FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+LEFT JOIN scored s USING (doc_id)
+""",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (hashed unigram LM ratio) with
+    the src0 slice as the target distribution — the data-selection
+    counterpart of text_decontaminate's contamination screen."""
+    from btrblocks_spark.pipeline.text import dsir_logweights
+
+    return dsir_logweights(load_table(spark, sf_dir, "documents"))
+
+
 _L2NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))"
 
 
@@ -3068,6 +3112,75 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_nodes), int(n_edges), int(n_nodes_core), int(n_edges_core))],
         "n_nodes long, n_edges long, n_nodes_2core long, n_edges_2core long",
+    )
+
+
+@register(
+    "dedup_cross_source_leakage",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+lab AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM prs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT CASE WHEN sa <= sb THEN sa ELSE sb END AS src_lo,
+       CASE WHEN sa <= sb THEN sb ELSE sa END AS src_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CASE WHEN (CASE WHEN sa <= sb THEN sa ELSE sb END) IS DISTINCT FROM
+                 (CASE WHEN sa <= sb THEN sb ELSE sa END)
+            THEN 1 ELSE 0 END AS cross_source
+FROM lab
+GROUP BY 1, 2, 4
+""",
+)
+def q_dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage report across corpus sources: count LSH
+    candidate pairs per (unordered) source pair. Cross-source rows are the
+    train/test-leakage signal — documents near-duplicated ACROSS slices
+    survive per-slice dedup and leak between a pipeline's splits; the
+    same-source rows baseline how duplicated each slice is internally.
+
+    Scale: reuses the session-memoized minhash_lsh_pairs table (banded
+    buckets, never all-pairs), joins the tiny (doc_id, source) projection
+    twice — both sides shuffle on doc_id, the group-by output is bounded
+    by sources² rows. Pair normalization is an explicit CASE (not
+    least/greatest) so NULL sources order the same way in both engines."""
+    from btrblocks_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    lab = (
+        prs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+    )
+    lo = F.when(F.col("sa") <= F.col("sb"), F.col("sa")).otherwise(F.col("sb"))
+    hi = F.when(F.col("sa") <= F.col("sb"), F.col("sb")).otherwise(F.col("sa"))
+    return (
+        lab.select(lo.alias("src_lo"), hi.alias("src_hi"))
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .select(
+            "src_lo",
+            "src_hi",
+            "n_pairs",
+            F.when(
+                F.col("src_lo").eqNullSafe(F.col("src_hi")), F.lit(0)
+            ).otherwise(F.lit(1)).alias("cross_source"),
+        )
     )
 
 

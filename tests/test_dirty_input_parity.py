@@ -41,6 +41,10 @@ DOC_QUERIES = [
     "curation_retained_docs",
     "curation_weighted_sample",
     "curation_padding_waste",
+    # NULL-text doc → n_tokens 0 / weight NULL; NULL-source doc → dropped
+    # from candidates ('!=' NULL semantics) but pairs under a NULL label
+    "text_dsir_weights",
+    "dedup_cross_source_leakage",
 ]
 
 TPCH_QUERIES = [
