@@ -77,6 +77,8 @@ HEADLINE = [
     "curation_cap_per_source",
     "events_funnel",
     "text_unigram_surprisal",
+    "text_dsir_weights",
+    "dedup_cross_source_leakage",
     "events_json_props",
     "events_gap_fill",
     "stats_histogram",
