@@ -531,14 +531,26 @@ def dsir_logweights(
         bc.crossJoin(F.broadcast(tot))
         .select("b", F.round(F.log(num / den), 6).alias("l"))
     )
-    scored = (
+    # score against per-(doc, bucket) COUNTS, not the raw token stream:
+    # the model join + final agg see at most docs × buckets rows instead of
+    # every token (the first groupBy is map-side combinable over the token
+    # stream). cnt × round(l, 6) in DECIMAL is exact — identical to cnt
+    # repeated decimal additions of the per-token value.
+    db = (
         t.filter(F.col("source") != target_source)
-        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = (
+        db.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
             F.round(
-                F.sum(F.col("l").cast("decimal(18,6)")).cast("double"), 6
+                F.sum(
+                    F.col("cnt") * F.col("l").cast("decimal(18,6)")
+                ).cast("double"),
+                6,
             ).alias("dsir_logweight"),
         )
     )

@@ -1287,11 +1287,14 @@ lam AS (
     (CAST(n_raw + 1 AS DOUBLE) * CAST(nt + 64 AS DOUBLE))), 6) AS l
   FROM bc CROSS JOIN tot
 ),
+db AS (
+  SELECT doc_id, b, count(*) AS cnt FROM t
+  WHERE source != 'src0' GROUP BY doc_id, b
+),
 scored AS (
-  SELECT doc_id, count(*) AS n_tokens,
-         round(CAST(sum(CAST(l AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
-  FROM t JOIN lam USING (b)
-  WHERE source != 'src0'
+  SELECT doc_id, sum(cnt) AS n_tokens,
+         round(CAST(sum(cnt * CAST(l AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
+  FROM db JOIN lam USING (b)
   GROUP BY doc_id
 )
 SELECT d.doc_id,
