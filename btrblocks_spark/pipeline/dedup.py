@@ -157,9 +157,18 @@ def minhash_band_buckets(
 # mutated in place mid-session would serve pre-mutation pairs.
 
 
+_PAIRS_MEMO_CAP = 16
+
+
 def _memoized_by_plan(docs: DataFrame, key: tuple, build) -> DataFrame:
     """Session memo for a derived table, keyed on the input plan
-    (semanticHash, confirmed by sameSemantics on hit) plus builder params."""
+    (semanticHash, confirmed by sameSemantics on hit) plus builder params.
+
+    Bounded: past ``_PAIRS_MEMO_CAP`` entries the OLDEST insertion is
+    evicted and unpersisted — a long-lived session sweeping many corpora
+    must not accumulate DISK_ONLY blocks forever. Eviction is safe for any
+    consumer still holding the evicted DataFrame: persist retains lineage,
+    so it transparently recomputes instead of reading dropped blocks."""
     from pyspark.storagelevel import StorageLevel
 
     from btrblocks_spark.tables import session_memo
@@ -167,10 +176,22 @@ def _memoized_by_plan(docs: DataFrame, key: tuple, build) -> DataFrame:
     per_session = session_memo(docs.sparkSession, "_btrblocks_pairs_memo")
     full_key = (docs.semanticHash(),) + key
     hit = per_session.get(full_key)
-    if hit is not None and hit[0].sameSemantics(docs):
-        return hit[1]
+    if hit is not None:
+        if hit[0].sameSemantics(docs):
+            return hit[1]
+        try:  # hash-collision replacement: drop the stale entry's blocks
+            hit[1].unpersist()
+        except Exception:
+            pass
     out = build().persist(StorageLevel.DISK_ONLY)
     per_session[full_key] = (docs, out)
+    while len(per_session) > _PAIRS_MEMO_CAP:
+        _oldest, (_docs, stale) = next(iter(per_session.items()))
+        del per_session[_oldest]
+        try:
+            stale.unpersist()
+        except Exception:  # session teardown mid-call: eviction is best-effort
+            pass
     return out
 
 

@@ -1458,6 +1458,28 @@ def test_pair_builders_memoized_per_plan(spark, sf_dir):
     assert n_pairs == p4.count()  # stable under re-evaluation
 
 
+def test_pair_memo_evicts_past_cap(spark):
+    """A long-lived session sweeping many corpora must not accumulate
+    DISK_ONLY blocks forever: past _PAIRS_MEMO_CAP insertions the oldest
+    entry is evicted and unpersisted; an evicted DataFrame still computes
+    (persist retains lineage, so it recomputes instead of reading dropped
+    blocks)."""
+    from btrblocks_spark.pipeline.dedup import _PAIRS_MEMO_CAP, _memoized_by_plan
+    from btrblocks_spark.tables import session_memo
+
+    memo = session_memo(spark, "_btrblocks_pairs_memo")
+    memo.clear()
+    outs = []
+    for i in range(_PAIRS_MEMO_CAP + 3):
+        src = spark.range(i + 1).withColumnRenamed("id", "k")
+        outs.append(_memoized_by_plan(src, ("evict-test", i), lambda s=src: s))
+    assert len(memo) == _PAIRS_MEMO_CAP
+    assert not outs[0].storageLevel.useDisk  # evicted: unpersisted
+    assert outs[-1].storageLevel.useDisk  # newest: still cached
+    assert outs[0].count() == 1  # evicted DataFrame still computes
+    memo.clear()
+
+
 def test_scd2_keeps_null_is_current_rows(spark):
     """A NULL is_current row must not vanish (filter(col)/filter(~col) both
     exclude NULL — review finding): it is treated as history and passes
