@@ -78,6 +78,7 @@ HEADLINE = [
     "events_funnel",
     "text_unigram_surprisal",
     "text_dsir_weights",
+    "curation_dsir_topk",
     "dedup_cross_source_leakage",
     "events_json_props",
     "events_gap_fill",

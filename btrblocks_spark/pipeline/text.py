@@ -566,6 +566,36 @@ def dsir_logweights(
     )
 
 
+def dsir_topk(docs: DataFrame, k: int = 5, **kwargs) -> DataFrame:
+    """The SELECTION step over ``dsir_logweights``: keep the ``k`` most
+    target-like candidates per source slice (the deterministic top-k
+    variant of DSIR's resampling — the paper's heldout-selection baseline).
+    Ordering is (weight DESC NULLS LAST, doc_id) so weightless docs (empty
+    token stream) lose and ties break reproducibly.
+
+    Shape: the weight table is doc-level (tiny vs the corpus); the window
+    partitions by source — per-slice state, never a global window."""
+    from pyspark.sql import Window
+
+    w = dsir_logweights(docs, **kwargs)
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    win = Window.partitionBy("source").orderBy(
+        F.col("dsir_logweight").desc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        w.join(src, "doc_id")
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            "dsir_logweight",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """Unigram language-model surprisal per document: build token
     probabilities from the corpus itself (p = count/total over lowercased

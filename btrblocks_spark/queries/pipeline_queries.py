@@ -1266,10 +1266,11 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_surprisal(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_dsir_weights",
-    oracle="""
-WITH t AS (
+# DSIR weight model as a reusable CTE chain (shared by the weights query
+# and the top-k selection query below): hashed unigram buckets, Laplace-
+# smoothed target-vs-raw log ratio per bucket, decimal-summed per doc.
+_DSIR_CTES = """
+t AS (
   SELECT doc_id, source,
          ('0x' || substr(md5(lower(w)), 1, 8))::BIGINT % 64 AS b
   FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
@@ -1296,12 +1297,21 @@ scored AS (
          round(CAST(sum(cnt * CAST(l AS DECIMAL(18,6))) AS DOUBLE), 6) AS w
   FROM db JOIN lam USING (b)
   GROUP BY doc_id
-)
-SELECT d.doc_id,
-       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
-       s.w AS dsir_logweight
-FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
-LEFT JOIN scored s USING (doc_id)
+),
+weights AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         s.w AS dsir_logweight
+  FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+  LEFT JOIN scored s USING (doc_id)
+)"""
+
+
+@register(
+    "text_dsir_weights",
+    oracle=f"""
+WITH {_DSIR_CTES}
+SELECT doc_id, n_tokens, dsir_logweight FROM weights
 """,
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,6 +1321,28 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.text import dsir_logweights
 
     return dsir_logweights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_dsir_topk",
+    oracle=f"""
+WITH {_DSIR_CTES}
+SELECT d.source, w.doc_id, w.n_tokens, w.dsir_logweight,
+       CAST(row_number() OVER (
+         PARTITION BY d.source
+         ORDER BY w.dsir_logweight DESC NULLS LAST, w.doc_id
+       ) AS BIGINT) AS rank
+FROM weights w JOIN documents d USING (doc_id)
+QUALIFY rank <= 5
+""",
+)
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's selection step: the 5 most target-like candidates per source
+    slice (deterministic top-k over the importance weights — weightless
+    docs lose via NULLS LAST, ties break on doc_id)."""
+    from btrblocks_spark.pipeline.text import dsir_topk
+
+    return dsir_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
 _L2NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))"

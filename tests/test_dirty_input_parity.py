@@ -44,6 +44,7 @@ DOC_QUERIES = [
     # NULL-text doc → n_tokens 0 / weight NULL; NULL-source doc → dropped
     # from candidates ('!=' NULL semantics) but pairs under a NULL label
     "text_dsir_weights",
+    "curation_dsir_topk",
     "dedup_cross_source_leakage",
 ]
 
