@@ -1204,10 +1204,14 @@ def pagerank_pairs(pairs: DataFrame, iterations: int = 3, damping_pct: int = 85)
     centrality rather than min-id).
 
     Fixed ``iterations`` rounds of r' = (1-d)/N + d * Σ r(nbr)/deg(nbr).
-    Cross-engine exactness: every per-edge contribution is rounded to 6 dp
-    and summed as DECIMAL — the same round-then-decimal-sum contract as
-    the rest of the pipeline — so the result is bit-identical to the SQL
-    oracle's chained-CTE formulation.
+    Cross-engine exactness: the DAMPING IS FOLDED INTO the per-edge term
+    before its 6-dp rounding (c = round(d·r/deg, 6)), the per-node update
+    is pure DECIMAL arithmetic (rounded base + exact decimal sum, cast to
+    double, NO final round). A final round(base + d·S, 6) is structurally
+    unsafe: S sits on the 1e-6 grid, so d·S lands on an exact .5e-6
+    rounding boundary for ~1/20 of grid values — where Spark (HALF_UP on
+    the decimal repr) and DuckDB (nearest on the binary value) disagree by
+    1e-6. Caught by the sf0.1 sweep; sf0.01 never hit the boundary.
 
     Scale: per iteration one join of ranks onto edges + one aggregation on
     dst — both keyed on node id; the edge list never changes, so at scale
@@ -1240,7 +1244,7 @@ def pagerank_pairs(pairs: DataFrame, iterations: int = 3, damping_pct: int = 85)
             .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("r") / F.col("deg"), 6)
+                F.round(F.lit(d) * F.col("r") / F.col("deg"), 6)
                 .cast("decimal(18,6)")
                 .alias("c"),
             )
@@ -1253,11 +1257,12 @@ def pagerank_pairs(pairs: DataFrame, iterations: int = 3, damping_pct: int = 85)
             .crossJoin(F.broadcast(ncount))
             .select(
                 "node",
-                F.round(
-                    base
-                    + F.lit(d) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
-                    6,
-                ).alias("r"),
+                (
+                    F.round(base, 6).cast("decimal(18,6)")
+                    + F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,6)"))
+                )
+                .cast("double")
+                .alias("r"),
             )
         )
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank"))

@@ -934,8 +934,13 @@ def source_divergence(docs: DataFrame) -> DataFrame:
 
     Determinism: per-word terms are scalar IEEE expressions on exact
     integer counts, rounded to 6 decimals, then summed as DECIMAL(18,6)
-    (order-independent); the final combination is scalar math on
-    aggregates — bit-identical on Spark and DuckDB.
+    (order-independent). The JS factor 1/2 is FOLDED INTO each term (and
+    into the absent-word correction) before its rounding, and the final
+    value is a pure decimal sum with NO final round: round(0.5·S, 6) with
+    S on the 1e-6 grid lands on an exact .5e-6 boundary whenever S's last
+    digit is odd — where Spark (HALF_UP on the decimal repr) and DuckDB
+    (nearest on the binary value) structurally disagree. Caught by the
+    sf0.1 sweep on a full-coverage source (cov=1 made js exactly 0.5·S).
 
     Shape (100 TB): one groupBy(source, w) with map-side combine is the
     only corpus-sized shuffle; the per-word join keys on w against the
@@ -959,8 +964,11 @@ def source_divergence(docs: DataFrame) -> DataFrame:
             "cw",
             F.round(ps * F.log(ps / pc), 6).alias("term_kl"),
             F.round(
-                ps * F.log(F.lit(2.0) * ps / (ps + pc))
-                + pc * F.log(F.lit(2.0) * pc / (ps + pc)),
+                F.lit(0.5)
+                * (
+                    ps * F.log(F.lit(2.0) * ps / (ps + pc))
+                    + pc * F.log(F.lit(2.0) * pc / (ps + pc))
+                ),
                 6,
             ).alias("term_js"),
         )
@@ -973,14 +981,14 @@ def source_divergence(docs: DataFrame) -> DataFrame:
         F.round(
             F.sum(F.col("term_kl").cast("decimal(18,6)")).cast("double"), 6
         ).alias("kl_vs_corpus"),
-        F.round(
-            F.lit(0.5)
-            * (
-                F.sum(F.col("term_js").cast("decimal(18,6)")).cast("double")
-                + F.log(F.lit(2.0)) * (F.lit(1.0) - cov)
-            ),
-            6,
-        ).alias("js_vs_corpus"),
+        (
+            F.sum(F.col("term_js").cast("decimal(18,6)"))
+            + F.round(
+                F.lit(0.5) * F.log(F.lit(2.0)) * (F.lit(1.0) - cov), 6
+            ).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("js_vs_corpus"),
     )
 
 

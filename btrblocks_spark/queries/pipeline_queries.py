@@ -2837,16 +2837,20 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pr_iter(prev: str, out: str) -> str:
+    # damping folded into the per-edge pre-round term; the node update is
+    # pure decimal arithmetic with NO final round — round(base + 0.85*S, 6)
+    # put 0.85*(1e-6-grid S) on exact .5e-6 boundaries where the engines'
+    # rounding modes structurally disagree (see dedup.pagerank_pairs)
     return f""",
 c_{out} AS (
   SELECT e.dst AS node,
-         CAST(round(r.r / dg.deg, 6) AS DECIMAL(18,6)) AS c
+         CAST(round(0.85 * r.r / dg.deg, 6) AS DECIMAL(18,6)) AS c
   FROM edges e JOIN {prev} r ON r.node = e.src JOIN deg dg ON dg.src = e.src
 ),
 {out} AS (
   SELECT n.node,
-         round(0.15 / (SELECT _n FROM ncount)
-               + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 6) AS r
+         CAST(CAST(round(0.15 / (SELECT _n FROM ncount), 6) AS DECIMAL(18,6))
+              + coalesce(s.s, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS r
   FROM (SELECT node FROM nodes) n
   LEFT JOIN (SELECT node, sum(c) AS s FROM c_{out} GROUP BY node) s USING (node)
 )"""
@@ -4305,14 +4309,14 @@ g AS (
          round(CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
                * ln((CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE))
                     / (CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))), 6) AS term_kl,
-         round(CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
+         round(0.5 * (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
                * ln(2.0 * (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE))
                     / (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
                        + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE)))
                + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE)
                * ln(2.0 * (CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))
                     / (CAST(counts.c AS DOUBLE) / CAST(stot.ns AS DOUBLE)
-                       + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE))), 6) AS term_js
+                       + CAST(wtot.cw AS DOUBLE) / CAST(ntot.n AS DOUBLE)))), 6) AS term_js
   FROM counts JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN ntot
 )
 SELECT source,
@@ -4320,9 +4324,10 @@ SELECT source,
        CAST(count(*) AS BIGINT) AS vocab,
        round(CAST(sum(cw) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS coverage,
        round(CAST(sum(CAST(term_kl AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_vs_corpus,
-       round(0.5 * (CAST(sum(CAST(term_js AS DECIMAL(18,6))) AS DOUBLE)
-             + ln(2.0) * (1.0 - CAST(sum(cw) AS DOUBLE) / CAST(max(n) AS DOUBLE))), 6)
-         AS js_vs_corpus
+       CAST(sum(CAST(term_js AS DECIMAL(18,6)))
+            + CAST(round(0.5 * ln(2.0)
+                         * (1.0 - CAST(sum(cw) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 6)
+                   AS DECIMAL(18,6)) AS DOUBLE) AS js_vs_corpus
 FROM g GROUP BY source
 """,
 )
