@@ -9,6 +9,17 @@ Shared cross-engine primitives:
               DuckDB ('0x' || substr(md5(x),1,8))::BIGINT
   shingles:   lead() windows over whitespace token positions
   dot(a,b):   left-fold aggregate/list_reduce over elementwise products
+
+Rounding-boundary rule (sf0.1 sweep finding): NEVER apply a final
+round(…, 6) to a SHORT-DECIMAL CONSTANT times a value that already sits
+on the 1e-6 grid (a DECIMAL(18,6) sum). c·S for c in {0.5, 0.85, 0.25, …}
+lands EXACTLY on .5e-6 rounding boundaries for a large fraction of grid
+values, and the engines structurally disagree there: Spark rounds the
+shortest decimal repr HALF_UP, DuckDB rounds the binary value to nearest.
+Fold the constant into the per-term expression BEFORE its rounding and
+finish with pure decimal arithmetic (see pagerank's update and
+source_divergence's JS). Generic quotients/products (full-precision
+reprs) are safe — ties need an exactly-representable half value.
 """
 
 from __future__ import annotations
