@@ -373,6 +373,16 @@ def ngram_jaccard_pairs(
 # checkpoint dir (sc.setCheckpointDir — the loop then survives executor
 # loss end-to-end) or treat that error as "re-run dedup_clusters". The
 # local[...] test/bench environment has no executor loss.
+#
+# Bounded like _PAIRS_MEMO_CAP: past _CC_MEMO_CAP entries the OLDEST
+# insertion is dropped. Unlike the persist-based pairs memo, eviction here
+# cannot unpersist-and-recompute (localCheckpoint truncates lineage), so
+# evict = delete the dict entry and let the NEXT dedup_clusters call on
+# that corpus rebuild from scratch; the checkpoint blocks themselves are
+# released by the ContextCleaner once the evicted DataFrame is GC'd. A
+# caller still holding the evicted labels DataFrame keeps working — its
+# blocks live until that reference dies.
+_CC_MEMO_CAP = 16
 
 
 def dedup_clusters(
@@ -480,6 +490,8 @@ def dedup_clusters(
         )
     if memo_key is not None:
         per_session[memo_key] = (docs, labels)
+        while len(per_session) > _CC_MEMO_CAP:
+            del per_session[next(iter(per_session))]
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, F.col("doc_id") == F.col("node"), "left")

@@ -566,19 +566,32 @@ def dsir_logweights(
     )
 
 
-def dsir_topk(docs: DataFrame, k: int = 5, **kwargs) -> DataFrame:
+def dsir_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    **kwargs,
+) -> DataFrame:
     """The SELECTION step over ``dsir_logweights``: keep the ``k`` most
     target-like candidates per source slice (the deterministic top-k
     variant of DSIR's resampling — the paper's heldout-selection baseline).
     Ordering is (weight DESC NULLS LAST, doc_id) so weightless docs (empty
     token stream) lose and ties break reproducibly.
 
+    ``id_col``/``source_col`` rename BOTH the weight computation and the
+    local source projection — they are explicit (not buried in ``**kwargs``)
+    so a caller with renamed columns can't end up with the weights keyed on
+    one pair of names and the join/window on another.
+
     Shape: the weight table is doc-level (tiny vs the corpus); the window
     partitions by source — per-slice state, never a global window."""
     from pyspark.sql import Window
 
-    w = dsir_logweights(docs, **kwargs)
-    src = docs.select(F.col("doc_id"), F.col("source"))
+    w = dsir_logweights(docs, id_col=id_col, source_col=source_col, **kwargs)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
     win = Window.partitionBy("source").orderBy(
         F.col("dsir_logweight").desc_nulls_last(), F.col("doc_id")
     )
