@@ -347,3 +347,68 @@ def suggest_order_keys(df, max_keys: int = 3, sample_rows: int = 8192) -> list[s
         return total
 
     return min(candidates, key=est_total)
+
+
+def sort_key_advisor(
+    df,
+    candidates: list[str],
+    data_cols: list[str],
+    exact: bool = False,
+    rsd: float = 0.05,
+):
+    """Rank candidate sort keys by the RLE-run lower bound their ordering
+    implies: for sort column C, ``est_total_runs = Σ_d n_distinct(C, d)``
+    over the data columns d (each distinct (C, d) combination contributes
+    at least one run of d once the table is range-sorted by C) — fewer
+    runs = better RLE/dict-RLE cascades downstream. This drives the
+    layout choice the writer's repartitionByRange key makes (the reference
+    leaves ordering to ingest order, storage/Relation.cpp getRanges
+    SEQUENTIAL; a cluster-scale writer gets to CHOOSE).
+
+    Default is the SKETCHED estimator: one ``approx_count_distinct``
+    (HyperLogLog++, relative error ``rsd``) per (C, d) pair, all computed
+    in a single pass with NO Expand — the shuffle carries one fixed-size
+    HLL register set per pair per partition (KBs) instead of the exploded
+    distinct-value stream (the exact plan's Expand duplicates every row
+    |pairs|-fold and shuffles the deduped pairs; fleet-biggest shuffle
+    line in SHUFFLE_AUDIT.md before this existed). The advisor is a
+    heuristic RANKING, so ±5% per-term error is acceptable — candidates
+    whose run totals are within sketch error of each other are equally
+    good layout choices. ``exact=True`` is the escape hatch that restores
+    bit-exact countDistinct (and is what the oracle-checked
+    ``format_sort_advisor`` query uses).
+
+    Returns rows (sort_col, est_total_runs, est_avg_run_len), one per
+    candidate, computed from a single aggregate row."""
+    from pyspark.sql import functions as F
+
+    def nd(c: str, d: str):
+        if exact:
+            return F.countDistinct(c, d).alias(f"np_{c}_{d}")
+        return F.approx_count_distinct(F.struct(c, d), rsd).alias(f"np_{c}_{d}")
+
+    m = df.agg(
+        F.count("*").alias("n_rows"),
+        *[nd(c, d) for c in candidates for d in data_cols],
+    )
+    total = {
+        c: sum((F.col(f"np_{c}_{d}") for d in data_cols), F.lit(0))
+        for c in candidates
+    }
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("sort_col"),
+                total[c].cast("long").alias("est_total_runs"),
+                F.round(
+                    F.try_divide(
+                        F.col("n_rows").cast("double") * len(data_cols),
+                        total[c].cast("double"),
+                    ),
+                    6,
+                ).alias("est_avg_run_len"),
+            )
+            for c in candidates
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")

@@ -877,36 +877,30 @@ def format_sort_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-scale writer gets to CHOOSE).
 
     Scale: identical shape to format_fd_profile — one expanded scan of
-    exact pair-distinct aggregates; swap in approx_count_distinct at
-    production scale."""
+    exact pair-distinct aggregates (exact so the oracle compare is
+    bit-tight; empty table → NULL estimate, oracle x/0 parity). The
+    production path is ``format_sort_advisor_approx`` below — same
+    ranking from HLL sketches with no Expand and a KB-scale shuffle."""
+    from btrblocks_spark.format.planner import sort_key_advisor
+
     li = load_table(spark, sf_dir, "lineitem")
-    m = li.agg(
-        F.count("*").alias("n_rows"),
-        *[
-            F.countDistinct(c, d).alias(f"np_{c}_{d}")
-            for c in _SORT_CANDIDATES
-            for d in _SORT_DATA_COLS
-        ],
-    )
-    total = {
-        c: sum((F.col(f"np_{c}_{d}") for d in _SORT_DATA_COLS), F.lit(0))
-        for c in _SORT_CANDIDATES
-    }
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("sort_col"),
-                total[c].cast("long").alias("est_total_runs"),
-                # empty table: 0 runs → NULL estimate (oracle parity)
-                F.round(
-                    F.try_divide(
-                        F.col("n_rows").cast("double") * len(_SORT_DATA_COLS),
-                        total[c].cast("double"),
-                    ),
-                    6,
-                ).alias("est_avg_run_len"),
-            )
-            for c in _SORT_CANDIDATES
-        ]
-    )
-    return m.select(F.explode(rows).alias("r")).select("r.*")
+    return sort_key_advisor(li, _SORT_CANDIDATES, _SORT_DATA_COLS, exact=True)
+
+
+@register("format_sort_advisor_approx")
+def format_sort_advisor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the sort-key advisor: the same run-count
+    ranking computed from ``approx_count_distinct`` (HLL++, rsd 0.05)
+    sketches — one pass, NO Expand, shuffle = one fixed-size register set
+    per (candidate, data-col) pair per partition instead of the exploded
+    distinct-pair stream (43.9 MB → KBs on the sf0.1 audit; the advisor
+    is a heuristic ranking, so ±5% per-term error cannot change which
+    keys are worth sorting by unless they were already ties). Registered
+    rows-only: HLL estimates are engine-specific, so there is no
+    bit-exact cross-engine oracle — the exact variant above carries the
+    value-parity check, and test_plans pins that both variants choose the
+    SAME best key on testdata while this plan stays Expand-free."""
+    from btrblocks_spark.format.planner import sort_key_advisor
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return sort_key_advisor(li, _SORT_CANDIDATES, _SORT_DATA_COLS, exact=False)

@@ -606,3 +606,22 @@ def test_result_cache_repairs_missing_marker(spark, sf_dir, tmp_path):
 
     r3, hit3 = cached_result(spark, "repair_probe", [inp], compute, root)
     assert hit3 and calls["n"] == 1
+
+
+def test_sort_advisor_approx_expand_free_same_choice(spark, sf_dir):
+    """The production sort-key advisor (HLL sketches) must plan WITHOUT the
+    Expand node that makes the exact variant the fleet's biggest shuffle
+    line (43.9 MB at sf0.1), and must still pick the SAME best sort key as
+    the exact countDistinct ranking on testdata."""
+    exact_plan = plan_of(QUERIES["format_sort_advisor"](spark, sf_dir))
+    approx_plan = plan_of(QUERIES["format_sort_advisor_approx"](spark, sf_dir))
+    assert "Expand" in exact_plan  # the cost being avoided is real
+    assert "Expand" not in approx_plan
+
+    def best(name):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        return min(rows, key=lambda r: (r["est_total_runs"], r["sort_col"]))[
+            "sort_col"
+        ]
+
+    assert best("format_sort_advisor_approx") == best("format_sort_advisor")
