@@ -79,6 +79,7 @@ HEADLINE = [
     "text_unigram_surprisal",
     "text_dsir_weights",
     "curation_dsir_topk",
+    "curation_dsir_resample",
     "dedup_cross_source_leakage",
     "events_json_props",
     "events_gap_fill",

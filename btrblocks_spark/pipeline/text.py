@@ -609,6 +609,63 @@ def dsir_topk(
     )
 
 
+def dsir_resample(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "dsir#",
+    **kwargs,
+) -> DataFrame:
+    """The ACTUAL importance-resampling draw of DSIR (Xie et al. 2023
+    §2.2): sample ``k`` candidates per source slice with probability
+    proportional to ``exp(dsir_logweight)``, via the Gumbel-top-k trick —
+    ``argtop_k(logweight_i + G_i)`` over independent standard Gumbels
+    ``G_i = −ln(−ln(U_i))`` is an exact without-replacement sample from
+    the softmax of the logweights. ``dsir_topk`` is the deterministic
+    greedy baseline this replaces when diversity matters (pure top-k
+    saturates on near-duplicates of the target slice).
+
+    Determinism (the hash-inverse-CDF convention of
+    ``curation_weighted_sample`` / ``stats_bootstrap_ci``): the uniform is
+    a per-doc hash draw ``U = (hash32(salt‖doc_id) % 1e6 + 1) / (1e6+1)``
+    — strictly inside (0,1), reproducible on any engine or partitioning,
+    unlike ``rand()``. The Gumbel is rounded to 6 decimals, then the sort
+    key is ONE exact DECIMAL(18,6) add of two 6-dp values (no rounding
+    boundary — memory's rule about constants×sums doesn't arise); docs
+    with NULL logweight (empty token stream: zero sampling mass) carry a
+    NULL key and lose via NULLS LAST, ties break on doc_id.
+
+    Shape (100 TB): identical to ``dsir_topk`` — the weight table is
+    doc-level, the draw is a narrow map over it, and the window
+    partitions by source. Never a global window, no extra shuffle beyond
+    the per-slice rank."""
+    from pyspark.sql import Window
+
+    w = dsir_logweights(docs, id_col=id_col, source_col=source_col, **kwargs)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    u = (
+        hash32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1000000
+        + 1
+    ) / F.lit(1000001.0)
+    g = F.round(-F.log(-F.log(u)), 6)
+    key = (
+        g.cast("decimal(18,6)") + F.col("dsir_logweight").cast("decimal(18,6)")
+    ).cast("double")
+    win = Window.partitionBy("source").orderBy(
+        F.col("gumbel_key").desc_nulls_last(), F.col("doc_id")
+    )
+    return (
+        w.join(src, "doc_id")
+        .withColumn("gumbel_key", key)
+        .withColumn("draw_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("draw_rank") <= k)
+        .select("source", "doc_id", "dsir_logweight", "gumbel_key", "draw_rank")
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """Unigram language-model surprisal per document: build token
     probabilities from the corpus itself (p = count/total over lowercased

@@ -1356,6 +1356,41 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_topk(load_table(spark, sf_dir, "documents"), k=5)
 
 
+@register(
+    "curation_dsir_resample",
+    oracle=f"""
+WITH {_DSIR_CTES},
+keyed AS (
+  SELECT d.source, w.doc_id, w.dsir_logweight,
+         CAST(
+           CAST(round(-ln(-ln(
+             ((('0x' || substr(md5('dsir#' || doc_id), 1, 8))::BIGINT % 1000000)
+              + 1) / 1000001.0)), 6) AS DECIMAL(18,6))
+           + CAST(w.dsir_logweight AS DECIMAL(18,6))
+         AS DOUBLE) AS gumbel_key
+  FROM weights w JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, dsir_logweight, gumbel_key,
+       CAST(row_number() OVER (
+         PARTITION BY source
+         ORDER BY gumbel_key DESC NULLS LAST, doc_id
+       ) AS BIGINT) AS draw_rank
+FROM keyed
+QUALIFY draw_rank <= 5
+""",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's importance-resampling draw proper: a deterministic
+    Gumbel-top-k sample of 5 candidates per source, drawn ∝
+    exp(dsir_logweight) (the paper's resampling step; curation_dsir_topk
+    is its greedy baseline). The Gumbel uses the hash-inverse-CDF trick of
+    curation_weighted_sample so the draw replays identically on any
+    engine or partitioning."""
+    from btrblocks_spark.pipeline.text import dsir_resample
+
+    return dsir_resample(load_table(spark, sf_dir, "documents"), k=5)
+
+
 _L2NORM = "sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))"
 
 

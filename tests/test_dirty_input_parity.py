@@ -45,6 +45,7 @@ DOC_QUERIES = [
     # from candidates ('!=' NULL semantics) but pairs under a NULL label
     "text_dsir_weights",
     "curation_dsir_topk",
+    "curation_dsir_resample",
     "dedup_cross_source_leakage",
 ]
 
