@@ -3,7 +3,10 @@ null/trim semantics, CSV export, schema handling (YAML-style declared
 schemas → StructType), and the `btrblocks` Python DataSource
 (spark.read.format("btrblocks") over written chunked tables)."""
 
-from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
+from btrblocks_spark.sources.btr_datasource import (
+    BtrBlocksDataSource,
+    load_btr_table,
+)
 from btrblocks_spark.sources.csv_source import (
     export_csv,
     read_csv,
@@ -20,6 +23,7 @@ __all__ = [
     "export_csv",
     "schema_from_decl",
     "BtrBlocksDataSource",
+    "load_btr_table",
     "read_jsonl",
     "export_jsonl",
     "read_jsonl_quarantine",

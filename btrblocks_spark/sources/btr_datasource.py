@@ -782,3 +782,54 @@ class BtrBlocksDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> BtrBlocksStreamWriter:  # noqa: N802
         return BtrBlocksStreamWriter(self.options, schema, overwrite)
+
+
+def load_btr_table(spark, table_dir: str):
+    """Identity-stable load of a btrblocks table — the entry point memo-aware
+    consumers should use instead of a raw ``spark.read.format("btrblocks")``.
+
+    Two raw ``.load()`` calls on the SAME table do NOT unify under Spark's
+    plan canonicalization: each load pickles a fresh Python DataSource
+    instance, so ``sameSemantics`` is False and ``semanticHash`` differs —
+    which means every plan-keyed session memo (``dedup._memoized_by_plan``
+    pair tables, the CC label memo) sees the second read of an unchanged
+    table as a brand-new corpus and rebuilds from scratch. This helper
+    restores the memo contract by keying on the SIDECAR's table identity
+    instead of the plan: (realpath, md5 of the ``_btr_metadata.json``
+    content, sorted data-file listing — appends/compacts/commits all move
+    at least one of those) and returning the SAME DataFrame object for an
+    unchanged table, which then unifies everywhere downstream for free.
+    Object-store URIs (no local listing) skip the memo and always load
+    fresh — correct, just unmemoized. Same immutable-input caveat as every
+    session memo here: an in-place mutation that somehow leaves sidecar
+    bytes AND file names identical would serve the pre-mutation plan."""
+    import hashlib
+    import json as _json
+
+    from btrblocks_spark.format.reader import _local_path
+    from btrblocks_spark.tables import session_memo
+
+    def _load():
+        return spark.read.format("btrblocks").option("path", table_dir).load()
+
+    local = _local_path(table_dir)
+    if local is None:
+        return _load()
+    meta = read_metadata(table_dir, spark)
+    sidecar = hashlib.md5(
+        _json.dumps(meta, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    data_dir = os.path.join(local, "data")
+    listing = tuple(sorted(os.listdir(data_dir))) if os.path.isdir(data_dir) else ()
+    key = (os.path.realpath(local), sidecar, listing)
+    memo = session_memo(spark, "_btrblocks_btr_read_memo")
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    # one live entry per table path: a changed table must not pin its
+    # predecessor's DataFrame (or grow one entry per historical version)
+    for k in [k for k in memo if k[0] == key[0]]:
+        del memo[k]
+    df = _load()
+    memo[key] = df
+    return df

@@ -619,3 +619,52 @@ def test_footer_pruning_never_drops_nan_rows(spark, tmp_path):
     # still prunable shapes stay correct
     assert back.filter("x < 0.9").count() == 1
     assert back.filter("x = 1.0").count() == 1
+
+
+def test_load_btr_table_unifies_repeat_reads(spark, sf_dir, tmp_path):
+    """Two raw .load()s of the same table do NOT unify under plan
+    canonicalization (each pickles a fresh DataSource instance), so
+    plan-keyed session memos treat the second read as a new corpus.
+    load_btr_table restores the memo contract: same sidecar identity →
+    the SAME DataFrame object; a table change → a fresh one."""
+    from btrblocks_spark.pipeline.dedup import _memoized_by_plan
+    from btrblocks_spark.sources.btr_datasource import load_btr_table
+    from btrblocks_spark.tables import session_memo
+
+    out = str(tmp_path / "docs")
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    write_table(docs, out, ["doc_id"], table_name="documents")
+    spark.dataSource.register(BtrBlocksDataSource)
+
+    raw_a = _load(spark, out)
+    raw_b = _load(spark, out)
+    assert not raw_a.sameSemantics(raw_b)  # the problem being solved is real
+
+    a = load_btr_table(spark, out)
+    b = load_btr_table(spark, out)
+    assert a is b and a.sameSemantics(b)
+    assert a.count() == 40
+
+    # a _memoized_by_plan consumer now hits on the second read
+    memo = session_memo(spark, "_btrblocks_pairs_memo")
+    before = dict(memo)
+    try:
+        p1 = _memoized_by_plan(a, ("btr-read-test",), lambda: a.select("doc_id"))
+        p2 = _memoized_by_plan(b, ("btr-read-test",), lambda: b.select("doc_id"))
+        assert p1 is p2
+    finally:
+        for k in set(memo) - set(before):
+            memo.pop(k)[1].unpersist()
+
+    # table change (append through the datasource write path) → new identity
+    docs.limit(3).write.format("btrblocks").mode("append").option(
+        "path", out
+    ).save()
+    c = load_btr_table(spark, out)
+    assert c is not a
+    assert c.count() == 43
+    # and the read memo holds ONE entry for this path, not one per version
+    read_memo = session_memo(spark, "_btrblocks_btr_read_memo")
+    import os as _os
+
+    assert sum(1 for k in read_memo if k[0] == _os.path.realpath(out)) == 1
