@@ -181,6 +181,10 @@ HEADLINE = [
     "curation_theil_inequality",
     "scan_jsonl_roundtrip",
     "dedup_semantic_contamination",
+    "text_kneser_ney_bigram",
+    "retrieval_hard_negatives",
+    "dedup_local_clustering",
+    "stats_welch_ttest",
 ]
 
 

@@ -4687,3 +4687,280 @@ def q_dedup_duplicate_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.dedup import duplicate_islands
 
     return duplicate_islands(load_table(spark, sf_dir, "documents"), w=5)
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH {_TOKS},
+bg AS (
+  SELECT doc_id, lower(w) AS w1, lower(lead(w, 1) OVER win) AS w2
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 1) OVER win IS NOT NULL
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, sum(c) AS n1, count(*) AS nu FROM bc GROUP BY 1),
+cont AS (SELECT w2, count(*) AS nc FROM bc GROUP BY 1),
+bt AS (SELECT count(*) AS b FROM bc),
+ranked AS (
+  SELECT bc.w1, bc.w2, c, n1,
+         round((greatest(c - 0.75, 0.0) / n1)
+               + ((0.75 * nu) / n1) * (nc / CAST(b AS DOUBLE)), 6) AS p_kn,
+         row_number() OVER (PARTITION BY bc.w1 ORDER BY c DESC, bc.w2) AS rn
+  FROM bc
+  JOIN uc ON bc.w1 = uc.w1
+  JOIN cont ON bc.w2 = cont.w2
+  CROSS JOIN bt
+)
+SELECT w1, w2, c::BIGINT AS c, n1::BIGINT AS n1, p_kn
+FROM ranked WHERE rn <= 3 AND n1 >= 50
+""",
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.26, absolute discount D=0.75): P(w2|w1) =
+    max(c−D,0)/n1 + (D·N1+(w1,·)/n1)·P_cont(w2), where the continuation
+    probability P_cont(w2) = N1+(·,w2)/|bigram types| replaces the raw
+    unigram — the smoothing KenLM/SRILM ship as default, and the quality
+    upgrade over text_bigram_lm's unsmoothed MLE for LM-based filtering.
+    Same output surface as text_bigram_lm (top-3 continuations of frequent
+    contexts) so the two estimates diff directly.
+
+    Determinism: every count is an exact integer; the probability is ONE
+    scalar IEEE expression over them with identical association in both
+    engines, rounded once at the end (the stats_* convention).
+
+    Scale: bigrams are a per-doc lag (parallel window), then three
+    map-side-combinable aggregations over the REDUCED (w1,w2) count table;
+    the rank window partitions by w1. No corpus-sized shuffle after the
+    first bigram count."""
+    from pyspark.sql.window import Window
+
+    from btrblocks_spark.pipeline.text import tokens
+
+    t = tokens(load_table(spark, sf_dir, "documents"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = t.select(
+        F.lower("w").alias("w1"),
+        F.lower(F.lead("w", 1).over(win)).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uc = bc.groupBy("w1").agg(F.sum("c").alias("n1"), F.count("*").alias("nu"))
+    cont = bc.groupBy("w2").agg(F.count("*").alias("nc"))
+    bt = bc.agg(F.count("*").alias("b"))
+    p_kn = F.round(
+        (F.greatest(F.col("c") - 0.75, F.lit(0.0)) / F.col("n1"))
+        + ((F.lit(0.75) * F.col("nu")) / F.col("n1"))
+        * (F.col("nc") / F.col("b").cast("double")),
+        6,
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("w1").orderBy(F.col("c").desc(), "w2")
+    )
+    return (
+        bc.join(uc, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .withColumn("p_kn", p_kn)
+        .withColumn("rn", rn)
+        .filter((F.col("rn") <= 3) & (F.col("n1") >= 50))
+        .select(
+            "w1", "w2", F.col("c").cast("long").alias("c"),
+            F.col("n1").cast("long").alias("n1"), "p_kn",
+        )
+    )
+
+
+@register(
+    "retrieval_hard_negatives",
+    oracle=f"""
+WITH ttoks AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM ttoks GROUP BY 1, 2),
+n AS (SELECT count(*) AS nd FROM documents),
+dfc AS (
+  SELECT doc_id, t, tf, count(*) OVER (PARTITION BY t) AS df FROM tf
+),
+wtd AS (
+  SELECT doc_id, t,
+         CAST(round(tf * round(ln(CAST(nd AS DOUBLE) / df), 6) * 100) AS BIGINT) AS ws
+  FROM dfc, n
+  WHERE df <= 50
+),
+normed AS (
+  SELECT doc_id, t, ws,
+         sum(ws * ws) OVER (PARTITION BY doc_id) AS norm2
+  FROM wtd WHERE ws > 0
+),
+cand AS (
+  SELECT doc_a, doc_b,
+         round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.norm2 AS na, b.norm2 AS nb, sum(a.ws * b.ws) AS dot
+    FROM normed a JOIN normed b ON a.t = b.t AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  )
+  WHERE round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) >= 0.2
+),
+{_SHINGLES.replace("WITH ", "")},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+dup AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+),
+hard AS (
+  SELECT c.doc_a, c.doc_b, c.cosine FROM cand c
+  ANTI JOIN dup d ON d.doc_a = c.doc_a AND d.doc_b = c.doc_b
+),
+sym AS (
+  SELECT doc_a AS anchor_id, doc_b AS negative_id, cosine FROM hard
+  UNION ALL
+  SELECT doc_b AS anchor_id, doc_a AS negative_id, cosine FROM hard
+)
+SELECT anchor_id, negative_id, cosine,
+       CAST(row_number() OVER (
+         PARTITION BY anchor_id ORDER BY cosine DESC, negative_id
+       ) AS BIGINT) AS rank
+FROM sym
+QUALIFY rank <= 2
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per anchor
+    document, the top-2 most lexically similar docs (TF-IDF cosine >= 0.2)
+    that are NOT near-duplicates (n-gram Jaccard >= 0.5 excluded) — the
+    informative-but-wrong candidates DPR/Contriever-style training mines
+    (Karpukhin et al. 2020 use BM25 retrieved-not-gold; this is the
+    corpus-internal analog). A true duplicate used as a negative poisons
+    the loss (it IS the positive), which is why the dedup screen composes
+    in front.
+
+    Composes two registered inverted-index chains verbatim (TF-IDF cosine
+    at a lower band threshold, exact shingle Jaccard at the dedup
+    threshold), so the oracle is their oracles composed plus one anti-join
+    and a per-anchor rank.
+
+    Scale: both pair miners are the single-chain inverted-index shape with
+    df caps (no all-pairs); the anti-join and the rank window run on the
+    REDUCED pair tables keyed by anchor. At corpus scale the Jaccard leg
+    swaps for the LSH-banded near-dup set (same join contract)."""
+    from pyspark.sql.window import Window
+
+    from btrblocks_spark.pipeline.dedup import ngram_jaccard_pairs, tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = tfidf_cosine_pairs(docs, threshold=0.2, max_doc_freq=50)
+    dup = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    hard = cand.join(dup, ["doc_a", "doc_b"], "left_anti")
+    sym = hard.select(
+        F.col("doc_a").alias("anchor_id"),
+        F.col("doc_b").alias("negative_id"),
+        "cosine",
+    ).unionAll(
+        hard.select(
+            F.col("doc_b").alias("anchor_id"),
+            F.col("doc_a").alias("negative_id"),
+            "cosine",
+        )
+    )
+    win = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), "negative_id"
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )
+
+
+@register(
+    "dedup_local_clustering",
+    oracle=f"""
+WITH {_SIGS}{_BANDS},
+prs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT doc_a AS node FROM prs UNION ALL SELECT doc_b AS node FROM prs
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM prs e1
+  JOIN prs e2 ON e2.doc_a = e1.doc_b
+  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tv AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b AS node FROM tri UNION ALL
+    SELECT c AS node FROM tri
+  ) GROUP BY node
+)
+SELECT deg.node, d::BIGINT AS degree,
+       coalesce(tv.n_tri, 0)::BIGINT AS n_triangles,
+       round((2.0 * coalesce(tv.n_tri, 0)) / (d * (d - 1)), 6) AS local_cc
+FROM deg LEFT JOIN tv USING (node)
+WHERE d >= 2
+""",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the near-dup candidate
+    graph: cc(v) = 2·tri(v)/(d(v)·(d(v)−1)) for d(v) ≥ 2 — the node-level
+    refinement of dedup_graph_triangles' global coefficient (Watts &
+    Strogatz 1998). Dedup reading: a node with high degree but cc≈0 is a
+    hub stitching UNRELATED documents together (boilerplate shingles, a
+    banding false-positive bridge) and is exactly where min-label
+    canonicalization over-merges; high-cc nodes sit inside genuine dup
+    communities that collapse safely.
+
+    Scale: the oriented two-join triangle enumeration keyed on node ids
+    (never cartesian) over the memoized LSH pair table; each triangle
+    explodes to its 3 member nodes, then ONE map-side-combinable count per
+    node and a broadcast-sized join against the degree table."""
+    from btrblocks_spark.pipeline.dedup import minhash_lsh_pairs
+
+    prs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    deg = (
+        prs.select(F.col("doc_a").alias("node"))
+        .unionAll(prs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = prs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(tv, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                (F.lit(2.0) * F.coalesce("n_tri", F.lit(0)))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("local_cc"),
+        )
+    )

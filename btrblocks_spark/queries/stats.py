@@ -1987,3 +1987,98 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("ms", F.lit(2)).alias("ci_lo"),
         F.try_element_at("ms", (F.col("n_reps") - 1).cast("int")).alias("ci_hi"),
     )
+
+
+@register(
+    "stats_welch_ttest",
+    """
+WITH v AS (
+  SELECT l_returnflag AS arm, CAST(l_quantity AS BIGINT) AS x
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+),
+m AS (
+  SELECT arm, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+  FROM v GROUP BY arm
+),
+w AS (
+  SELECT
+    (SELECT n FROM m WHERE arm = 'R') AS n1,
+    (SELECT n FROM m WHERE arm = 'A') AS n2,
+    (SELECT CAST(s AS DOUBLE) / n FROM m WHERE arm = 'R') AS m1,
+    (SELECT CAST(s AS DOUBLE) / n FROM m WHERE arm = 'A') AS m2,
+    (SELECT (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+            / (n - 1) FROM m WHERE arm = 'R') AS v1,
+    (SELECT (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
+            / (n - 1) FROM m WHERE arm = 'A') AS v2
+)
+SELECT n1::BIGINT AS n_r, n2::BIGINT AS n_a,
+       round(m1, 6) AS mean_r, round(m2, 6) AS mean_a,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
+                + ((v2 / n2) * (v2 / n2)) / (n2 - 1)), 6) AS df_welch
+FROM w
+""",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (quantity, returnflag R vs A) with
+    the Welch-Satterthwaite degrees of freedom — the parametric
+    counterpart of stats_mann_whitney_u on the same two arms, so the two
+    tests cross-check each other on one dataset.
+
+    Determinism: n, Σx, Σx² are exact integer aggregates (quantity is a
+    small integer; Σx² fits int64 far past 100 TB row counts at these
+    magnitudes); mean, variance, t, and df are ONE scalar IEEE expression
+    over those integers with identical association in both engines,
+    rounded once (the stats_* convention).
+
+    Scale: one map-side-combinable groupBy over 2 arms; every row after
+    the first aggregation is a scalar."""
+    v = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.col("l_returnflag").alias("arm"),
+            F.col("l_quantity").cast("long").alias("x"),
+        )
+    )
+    m = v.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    # 2-row arm table -> one wide scalar row via a pivot-free conditional
+    # aggregation (never a window, never a collect)
+    g = m.agg(
+        *[
+            F.first(F.when(F.col("arm") == a, F.col(c)), ignorenulls=True).alias(
+                f"{c}_{a}"
+            )
+            for a in ("R", "A")
+            for c in ("n", "s", "q")
+        ]
+    )
+    n1, n2 = F.col("n_R"), F.col("n_A")
+    m1 = F.col("s_R").cast("double") / n1
+    m2 = F.col("s_A").cast("double") / n2
+    v1 = (
+        F.col("q_R").cast("double")
+        - (F.col("s_R").cast("double") * F.col("s_R").cast("double")) / n1
+    ) / (n1 - 1)
+    v2 = (
+        F.col("q_A").cast("double")
+        - (F.col("s_A").cast("double") * F.col("s_A").cast("double")) / n2
+    ) / (n2 - 1)
+    se2_1, se2_2 = v1 / n1, v2 / n2
+    return g.select(
+        n1.cast("long").alias("n_r"),
+        n2.cast("long").alias("n_a"),
+        F.round(m1, 6).alias("mean_r"),
+        F.round(m2, 6).alias("mean_a"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+        F.round(
+            ((se2_1 + se2_2) * (se2_1 + se2_2))
+            / ((se2_1 * se2_1) / (n1 - 1) + (se2_2 * se2_2) / (n2 - 1)),
+            6,
+        ).alias("df_welch"),
+    )
