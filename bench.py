@@ -185,6 +185,7 @@ HEADLINE = [
     "retrieval_hard_negatives",
     "dedup_local_clustering",
     "stats_welch_ttest",
+    "retrieval_mmr_rerank",
 ]
 
 

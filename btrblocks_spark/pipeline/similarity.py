@@ -692,3 +692,121 @@ def binary_topk(
         .select("q_id", F.col("rnk").cast("long"), "neighbor_id", "hamming")
         .orderBy("q_id", "rnk")
     )
+
+
+def mmr_rerank(
+    vecs: DataFrame,
+    query_ids: list[int],
+    k_candidates: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998),
+    λ=0.7: from each query's top-``k_candidates`` cosine neighbors, pick 3
+    results greedily maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected}
+    sim(c, s)`` — relevance tempered by redundancy, the standard
+    diversity re-rank between ANN retrieval and a result page (or between
+    retrieval and a RAG context window, where near-duplicate passages
+    waste the token budget the way they waste a corpus).
+
+    The greedy loop is UNROLLED into three argmax stages (selection state
+    is one id column per stage), so the whole operator is joins +
+    aggregates — no iteration, no UDF, and an exactly-matching SQL oracle.
+    Determinism: relevance and pairwise similarities are 6-dp cosines
+    lifted to exact integers (×1e6), the MMR score is the exact integer
+    ``7·r6 − 3·s6`` (λ folded into integer numerators — no
+    constant-times-rounded-sum boundary), and every argmax breaks ties on
+    the smaller id; ``mmr_score`` is that integer over 1e7.
+
+    Scale: candidates are k per query (broadcast-sized); the pairwise sim
+    table is |queries|·k² rows built from two id-keyed joins against the
+    corpus; every later stage operates on those reduced tables keyed by
+    q_id. The corpus is scanned once for the top-k and twice for
+    candidate vectors — never pairwise against itself."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
+                       id_col=id_col).select(
+        "q_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1000000).cast("long").alias("r6"),
+    )
+    pairs = (
+        cand.select("q_id", F.col("neighbor_id").alias("na"))
+        .join(cand.select("q_id", F.col("neighbor_id").alias("nb")), "q_id")
+        .filter(F.col("na") != F.col("nb"))
+    )
+    va = corpus.select(F.col("vec_id").alias("na"), F.col("v").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("nb"), F.col("v").alias("vb"))
+    sims = (
+        pairs.join(va, "na")
+        .join(vb, "nb")
+        .select(
+            "q_id", "na", "nb",
+            F.round(F.round(cosine_try_expr("va", "vb"), 6) * 1000000)
+            .cast("long").alias("s6"),
+        )
+    )
+
+    def argmax(df, score, keep):
+        b = df.groupBy(*keep).agg(
+            F.max(
+                F.struct(score.alias("sc"), (-F.col("neighbor_id")).alias("ni"))
+            ).alias("b")
+        )
+        return b.select(
+            *keep, (-F.col("b.ni")).alias("pick"), F.col("b.sc").alias("score")
+        )
+
+    s1 = argmax(cand, F.lit(7) * F.col("r6"), ["q_id"]).select(
+        "q_id", F.col("pick").alias("s1"), F.col("score").alias("sc1")
+    )
+
+    lk1 = sims.select(
+        "q_id", F.col("na").alias("neighbor_id"), F.col("nb").alias("s1"),
+        F.col("s6").alias("p1"),
+    )
+    c2 = (
+        cand.join(s1, "q_id")
+        .filter(F.col("neighbor_id") != F.col("s1"))
+        .join(lk1, ["q_id", "neighbor_id", "s1"])
+    )
+    s2 = argmax(
+        c2, F.lit(7) * F.col("r6") - F.lit(3) * F.col("p1"), ["q_id", "s1", "sc1"]
+    ).select(
+        "q_id", "s1", "sc1", F.col("pick").alias("s2"), F.col("score").alias("sc2")
+    )
+
+    lk2 = sims.select(
+        "q_id", F.col("na").alias("neighbor_id"), F.col("nb").alias("s2"),
+        F.col("s6").alias("p2"),
+    )
+    c3 = (
+        cand.join(s2, "q_id")
+        .filter((F.col("neighbor_id") != F.col("s1")) & (F.col("neighbor_id") != F.col("s2")))
+        .join(lk1, ["q_id", "neighbor_id", "s1"])
+        .join(lk2, ["q_id", "neighbor_id", "s2"])
+    )
+    s3 = argmax(
+        c3,
+        F.lit(7) * F.col("r6") - F.lit(3) * F.greatest("p1", "p2"),
+        ["q_id", "s1", "sc1", "s2", "sc2"],
+    ).select(
+        "q_id", "s1", "sc1", "s2", "sc2",
+        F.col("pick").alias("s3"), F.col("score").alias("sc3"),
+    )
+
+    out = None
+    for rk, (pick, sc) in enumerate(
+        [("s1", "sc1"), ("s2", "sc2"), ("s3", "sc3")], start=1
+    ):
+        part = s3.select(
+            "q_id",
+            F.lit(rk).cast("long").alias("sel_rank"),
+            F.col(pick).alias("vec_id"),
+            F.col(sc).cast("long").alias("mmr_num"),
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.select(
+        "q_id", "sel_rank", "vec_id", "mmr_num",
+        (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
+    )

@@ -4964,3 +4964,76 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("local_cc"),
         )
     )
+
+
+@register(
+    "retrieval_mmr_rerank",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4,5,6,7)),
+scored AS (
+  SELECT q_id, vec_id AS neighbor_id,
+         round({_cosine_sql('qv', 'v')}, 6) AS cosine
+  FROM q CROSS JOIN e WHERE vec_id != q_id
+),
+cand AS (
+  SELECT q_id, neighbor_id,
+         CAST(round(cosine * 1000000) AS BIGINT) AS r6
+  FROM (
+    SELECT q_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 8
+),
+sims AS (
+  SELECT a.q_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+         CAST(round(round({_cosine_sql('ea.v', 'eb.v')}, 6) * 1000000) AS BIGINT) AS s6
+  FROM cand a
+  JOIN cand b ON a.q_id = b.q_id AND a.neighbor_id != b.neighbor_id
+  JOIN e ea ON ea.vec_id = a.neighbor_id
+  JOIN e eb ON eb.vec_id = b.neighbor_id
+),
+s1 AS (
+  SELECT q_id, neighbor_id AS s1, 7 * r6 AS sc1 FROM cand
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY 7 * r6 DESC, neighbor_id) = 1
+),
+c2 AS (
+  SELECT c.q_id, c.neighbor_id, s1.s1, s1.sc1, 7 * c.r6 - 3 * sims.s6 AS sc
+  FROM cand c
+  JOIN s1 ON s1.q_id = c.q_id AND c.neighbor_id != s1.s1
+  JOIN sims ON sims.q_id = c.q_id AND sims.na = c.neighbor_id AND sims.nb = s1.s1
+),
+s2 AS (
+  SELECT q_id, s1, sc1, neighbor_id AS s2, sc AS sc2 FROM c2
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, neighbor_id) = 1
+),
+c3 AS (
+  SELECT c.q_id, c.neighbor_id, s2.s1, s2.sc1, s2.s2, s2.sc2,
+         7 * c.r6 - 3 * greatest(pa.s6, pb.s6) AS sc
+  FROM cand c
+  JOIN s2 ON s2.q_id = c.q_id AND c.neighbor_id != s2.s1 AND c.neighbor_id != s2.s2
+  JOIN sims pa ON pa.q_id = c.q_id AND pa.na = c.neighbor_id AND pa.nb = s2.s1
+  JOIN sims pb ON pb.q_id = c.q_id AND pb.na = c.neighbor_id AND pb.nb = s2.s2
+),
+s3 AS (
+  SELECT q_id, s1, sc1, s2, sc2, neighbor_id AS s3, sc AS sc3 FROM c3
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, neighbor_id) = 1
+),
+sel AS (
+  SELECT q_id, 1 AS sel_rank, s1 AS vec_id, sc1 AS mmr_num FROM s3
+  UNION ALL SELECT q_id, 2, s2, sc2 FROM s3
+  UNION ALL SELECT q_id, 3, s3, sc3 FROM s3
+)
+SELECT q_id, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+       mmr_num::BIGINT AS mmr_num,
+       CAST(mmr_num AS DOUBLE) / 10000000.0 AS mmr_score
+FROM sel
+""",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (λ=0.7) of each probe's top-8 cosine
+    candidates down to 3 — the unrolled-greedy argmax chain over exact
+    integer scores (similarity.mmr_rerank)."""
+    from btrblocks_spark.pipeline.similarity import mmr_rerank
+
+    return mmr_rerank(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS)
