@@ -186,6 +186,8 @@ HEADLINE = [
     "dedup_local_clustering",
     "stats_welch_ttest",
     "retrieval_mmr_rerank",
+    "events_attribution",
+    "curation_priority_sample",
 ]
 
 

@@ -2736,3 +2736,106 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # constant series (n1 or n2 = 0): var 0 → NULL z, like the oracle
         F.round(F.try_divide(r - mu, F.sqrt(var)), 6).alias("z_score"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+  FROM events WHERE ts IS NOT NULL
+),
+w AS (
+  SELECT user_id, event_id, event_type, t,
+         max(CASE WHEN event_type != 'purchase' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_t,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ty
+  FROM e
+),
+p AS (
+  SELECT CASE WHEN touch_t IS NOT NULL AND t - touch_t <= 604800000000
+              THEN touch_ty ELSE 'unattributed' END AS channel,
+         CASE WHEN touch_t IS NOT NULL AND t - touch_t <= 604800000000
+              THEN t - touch_t END AS gap
+  FROM w WHERE event_type = 'purchase'
+),
+tot AS (SELECT count(*) AS n_total FROM p)
+SELECT channel, count(*)::BIGINT AS n_purchases,
+       round(count(*) / CAST(n_total AS DOUBLE), 6) AS share,
+       round(SUM(gap) / CAST(count(gap) AS DOUBLE) / 1000000.0, 6)
+         AS avg_gap_sec
+FROM p CROSS JOIN tot
+GROUP BY channel, n_total
+""",
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    SAME user's most recent preceding non-purchase event within a 7-day
+    lookback (else 'unattributed'), rolled up to per-channel purchase
+    counts, share, and mean touch→purchase gap — the standard attribution
+    report over a clickstream (events_conversion_window is the
+    click-centric forward twin; this is purchase-centric and backward).
+
+    The last-touch lookup is a conditional MAX (timestamp) plus
+    last_value IGNORE NULLS (channel) over the per-user backward ROWS
+    frame in (t, event_id) unique order — the two stay consistent because
+    they share one frame. All gaps are exact integer microseconds; the
+    two divisions run once per output group.
+
+    Scale: ONE shuffle keyed on user_id for the window, then a
+    combinable groupBy over ~|event types| channels and a broadcast
+    1-row total. No self-join, no global window."""
+    from pyspark.sql.window import Window as W
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id", "event_id", "event_type",
+            F.expr("ts div 1000").alias("t"),
+        )
+    )
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("t"))
+    touch_ty = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = e.select(
+        "event_type", "t",
+        F.max(touch).over(frame).alias("touch_t"),
+        F.last(touch_ty, ignorenulls=True).over(frame).alias("touch_ty"),
+    )
+    attributed = F.col("touch_t").isNotNull() & (
+        F.col("t") - F.col("touch_t") <= 604800000000
+    )
+    p = w.filter(F.col("event_type") == "purchase").select(
+        F.when(attributed, F.col("touch_ty")).otherwise("unattributed").alias(
+            "channel"
+        ),
+        F.when(attributed, F.col("t") - F.col("touch_t")).alias("gap"),
+    )
+    tot = p.agg(F.count("*").alias("n_total"))
+    return (
+        p.groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("gap").alias("sg"),
+            F.count("gap").alias("cg"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_purchases",
+            F.round(F.col("n_purchases") / F.col("n_total").cast("double"), 6)
+            .alias("share"),
+            F.round(
+                F.col("sg") / F.col("cg").cast("double") / F.lit(1000000.0), 6
+            ).alias("avg_gap_sec"),
+        )
+    )

@@ -5037,3 +5037,49 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.similarity import mmr_rerank
 
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS)
+
+
+@register(
+    "curation_priority_sample",
+    oracle=f"""
+WITH q AS ({_ORACLE_REG["text_quality"]}),
+pri AS (
+  SELECT doc_id, quality,
+         round(quality / ((('0x' || substr(md5('psamp#' || doc_id), 1, 8))::BIGINT
+                           % 1000000 + 1) / 1000001.0), 6) AS priority
+  FROM q
+)
+SELECT doc_id, quality, priority FROM pri
+ORDER BY priority DESC, doc_id LIMIT 100
+""",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007): keep the
+    k=100 docs with the largest priority = weight / U, U uniform per doc —
+    the weight-proportional without-replacement scheme whose
+    threshold-based estimator is variance-optimal. Complements
+    curation_weighted_sample (Bernoulli, unbounded sample size) and
+    curation_dsir_resample (softmax over logweights) with the
+    FIXED-BUDGET weighted sample a corpus cap actually needs: exactly k
+    survivors, inclusion probability ∝ weight.
+
+    The uniform is the deterministic hash-inverse-CDF draw (engine- and
+    partition-stable); priority is one double division rounded once.
+
+    Scale: the draw is a narrow map over the quality table; top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k), not a
+    global sort or window."""
+    from btrblocks_spark.pipeline.text import hash32, quality_scores
+
+    q = quality_scores(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    u = (
+        hash32(F.concat(F.lit("psamp#"), F.col("doc_id").cast("string"))) % 1000000
+        + 1
+    ) / F.lit(1000001.0)
+    return (
+        q.select("doc_id", "quality", F.round(F.col("quality") / u, 6).alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(100)
+    )

@@ -40,6 +40,7 @@ DOC_QUERIES = [
     "curation_cap_per_source",
     "curation_retained_docs",
     "curation_weighted_sample",
+    "curation_priority_sample",
     "curation_padding_waste",
     # NULL-text doc → n_tokens 0 / weight NULL; NULL-source doc → dropped
     # from candidates ('!=' NULL semantics) but pairs under a NULL label
@@ -79,6 +80,9 @@ EVENT_QUERIES = [
     "events_acf_profile",
     # NULL-ts / NULL-value rows: sessions, sequences, and hourly series
     # must drop timeless/valueless events identically on both engines
+    # (attribution also sees NULL event_type: neither a touch nor a
+    # conversion — the != / = NULL three-value logic must agree)
+    "events_attribution",
     "events_sessionize",
     "events_bounce_rate",
     "events_session_window_native",
