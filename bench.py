@@ -180,6 +180,7 @@ HEADLINE = [
     "events_runs_test",
     "curation_theil_inequality",
     "scan_jsonl_roundtrip",
+    "scan_csv_roundtrip",
     "dedup_semantic_contamination",
     "text_kneser_ney_bigram",
     "retrieval_hard_negatives",

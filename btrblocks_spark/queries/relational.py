@@ -1237,3 +1237,63 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("false_positives"),
         )
     )
+
+
+_SCAN_CSV_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(DISTINCT o_orderpriority) AS n_priorities
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("scan_csv_roundtrip", _SCAN_CSV_ORACLE)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink loop (S1+S6, the reference's btrtocsv/convertCSV
+    pair, tools/conversion/csvtobtr.cpp + btrtocsv.cpp): export orders as
+    '|'-separated CSV with the reference's null literal, re-ingest it with
+    a DECLARED schema through the reference-semantics parser (trim,
+    ""/"null"→NULL, csv_source._typed_exprs), and aggregate; the result
+    must match the same aggregate over the raw parquet (DuckDB oracle),
+    proving the loop is lossless for keys, categorical strings, and
+    2-decimal prices (summed as exact integer cents — CSV round-trips the
+    decimal TEXT, so cents, not a double sum, is the order-independent
+    exact form).
+
+    Scale: export and re-scan are splittable distributed passes; the
+    declared schema means the parser materializes only requested columns."""
+    import shutil
+    import tempfile
+
+    from btrblocks_spark.sources.csv_source import export_csv, read_csv
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    out = tempfile.mkdtemp(prefix="btr_csv_query_")
+    export_csv(load_table(spark, sf_dir, "orders").select(*cols), out)
+    decl = [
+        {"name": "o_orderkey", "type": "bigint"},
+        {"name": "o_custkey", "type": "bigint"},
+        {"name": "o_orderstatus", "type": "string"},
+        {"name": "o_totalprice", "type": "double"},
+        {"name": "o_orderpriority", "type": "string"},
+    ]
+    back = read_csv(spark, out, decl)
+    result = back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("total_cents"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+    # pin rows before the temp dir vanishes (driver may collect lazily)
+    result = result.localCheckpoint()
+    shutil.rmtree(out, ignore_errors=True)
+    return result
