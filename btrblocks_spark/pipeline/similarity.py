@@ -724,12 +724,16 @@ def mmr_rerank(
     q_id. The corpus is scanned once for the top-k and twice for
     candidate vectors — never pairwise against itself."""
     corpus = _as_double(vecs, vec_col, id_col)
+    # cand (|queries|·k rows) and sims (·k² rows) feed every unrolled
+    # stage; pinned eagerly so the top-k scan and the pairwise-sim joins
+    # run ONCE instead of once per stage reference (without the pin the
+    # plan re-derives the whole candidate chain ~20×)
     cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
                        id_col=id_col).select(
         "q_id",
         "neighbor_id",
         F.round(F.col("cosine") * 1000000).cast("long").alias("r6"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = (
         cand.select("q_id", F.col("neighbor_id").alias("na"))
         .join(cand.select("q_id", F.col("neighbor_id").alias("nb")), "q_id")
@@ -745,6 +749,7 @@ def mmr_rerank(
             F.round(F.round(cosine_try_expr("va", "vb"), 6) * 1000000)
             .cast("long").alias("s6"),
         )
+        .localCheckpoint(eager=True)
     )
 
     def argmax(df, score, keep):
@@ -793,7 +798,7 @@ def mmr_rerank(
     ).select(
         "q_id", "s1", "sc1", "s2", "sc2",
         F.col("pick").alias("s3"), F.col("score").alias("sc3"),
-    )
+    ).localCheckpoint(eager=True)  # one row per query; unioned 3 ways below
 
     out = None
     for rk, (pick, sc) in enumerate(

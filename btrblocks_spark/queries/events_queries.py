@@ -2820,14 +2820,21 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(attributed, F.col("t") - F.col("touch_t")).alias("gap"),
     )
-    tot = p.agg(F.count("*").alias("n_total"))
-    return (
+    # total purchases = sum over the reduced channel table, NOT a second
+    # aggregate over p (which would re-run the scan+window chain); pinned
+    # because the rollup + total reference it twice (≤ |channels| rows)
+    counts = (
         p.groupBy("channel")
         .agg(
             F.count("*").cast("long").alias("n_purchases"),
             F.sum("gap").alias("sg"),
             F.count("gap").alias("cg"),
         )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("n_purchases").alias("n_total"))
+    return (
+        counts
         .crossJoin(F.broadcast(tot))
         .select(
             "channel",

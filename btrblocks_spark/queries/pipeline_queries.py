@@ -4860,7 +4860,11 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = tfidf_cosine_pairs(docs, threshold=0.2, max_doc_freq=50)
     dup = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    hard = cand.join(dup, ["doc_a", "doc_b"], "left_anti")
+    # the symmetrize-union below references this twice; pinned so both
+    # inverted-index chains evaluate once (reduced pair rows only)
+    hard = cand.join(dup, ["doc_a", "doc_b"], "left_anti").localCheckpoint(
+        eager=True
+    )
     sym = hard.select(
         F.col("doc_a").alias("anchor_id"),
         F.col("doc_b").alias("negative_id"),
