@@ -75,6 +75,7 @@ EAGER_BUILD = frozenset(
         "dedup_graph_triangles",
         "dedup_jaccard_prefix",
         "dedup_kcore",
+        "dedup_local_clustering",
         "dedup_lsh_recall",
         "dedup_lsh_tuned_recall",
         "dedup_pagerank",
@@ -82,6 +83,7 @@ EAGER_BUILD = frozenset(
         "dict_codespace_filter",
         "embedding_pca_topk",
         "embedding_second_moment",
+        "events_attribution",
         "events_mad_anomaly",
         "format_chunk_stats",
         "format_datasource_roundtrip",
@@ -91,6 +93,9 @@ EAGER_BUILD = frozenset(
         "format_metadata_only_agg",
         "format_partition_pruned_scan",
         "frequency_domain_roundtrip",
+        "retrieval_hard_negatives",
+        "retrieval_mmr_rerank",
+        "scan_csv_roundtrip",
         "scan_jsonl_roundtrip",
         "scan_predicate_bitmap",
         "sql_recursive_month_spine",
