@@ -89,6 +89,26 @@ SHOWCASE = {
         "|sources| (not documents), and the output is the driver-scale "
         "pair matrix with exact-integer Jaccard."
     ),
+    "format_sort_advisor_approx": (
+        "Sketched layout advisor: every approx_count_distinct pair runs as "
+        "a partial+final HashAggregate over HLL sketch buffers in ONE pass — no Expand "
+        "node, so the exchange carries fixed-size register sets per "
+        "partition (0.01 MB at sf0.1) instead of the exact variant's "
+        "exploded 43.9 MB distinct-pair stream."
+    ),
+    "events_attribution": (
+        "Attribution: ONE user_id exchange feeds the shared backward "
+        "window (conditional MAX + last_value IGNORE NULLS in the same "
+        "frame); everything after operates on the checkpoint-pinned "
+        "per-channel rollup, so the scan+window chain executes exactly "
+        "once."
+    ),
+    "retrieval_mmr_rerank": (
+        "Unrolled greedy: the three argmax stages and the 3-way output "
+        "union all read the eagerly-pinned candidate/sim tables "
+        "(broadcast-sized), so the final plan is scan-free join+agg tails "
+        "— without the pins it re-derived the ANN chain ~20×."
+    ),
 }
 
 
