@@ -189,6 +189,8 @@ HEADLINE = [
     "retrieval_mmr_rerank",
     "events_attribution",
     "curation_priority_sample",
+    "stats_cramers_v",
+    "text_vocab_coverage",
 ]
 
 

@@ -105,6 +105,7 @@ EAGER_BUILD = frozenset(
         "stats_mutual_information",
         "stats_string_profile",
         "text_bpe_merges",
+        "text_vocab_coverage",
         "training_logreg_quality",
     }
 )

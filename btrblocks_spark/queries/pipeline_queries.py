@@ -5087,3 +5087,78 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH {_TOKS},
+vocab AS (
+  SELECT lower(w) AS lw, count(*) AS c FROM toks GROUP BY 1
+),
+tot AS (SELECT sum(c) AS n_tokens FROM vocab),
+top1000 AS (
+  SELECT lw, c, row_number() OVER (ORDER BY c DESC, lw) AS rn
+  FROM vocab QUALIFY rn <= 1000
+)
+SELECT k, count(*)::BIGINT AS n_types,
+       CAST(sum(c) AS BIGINT) AS covered_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(c) / CAST(MAX(n_tokens) AS DOUBLE), 6) AS covered_share
+FROM (SELECT unnest([10, 100, 1000]) AS k) ks
+JOIN top1000 ON rn <= k
+CROSS JOIN tot
+GROUP BY k
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all token occurrences
+    covered by the top-k most frequent types, at k ∈ {10, 100, 1000} —
+    the Zipf-in-practice table behind tokenizer vocab sizing (companion
+    to text_zipf_fit's exponent and text_build_vocab's cut: it answers
+    "how big must the vocab be to cover X% of the stream").
+
+    Determinism: pure integer counts; ties in the top-k order break on
+    the token string.
+
+    Scale: ONE token-count shuffle builds the vocab; the top-1000 slice
+    comes via TakeOrderedAndProject (per-partition heaps, no global sort
+    or window over the full vocab), is eagerly pinned (1000 rows), and
+    the three k-levels aggregate that pinned slice; the total re-reduces
+    the vocab chain once more (two corpus scans total)."""
+    from btrblocks_spark.pipeline.text import tokens
+
+    vocab = (
+        tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy(F.lower("w").alias("lw"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = vocab.agg(F.sum("c").alias("n_tokens"))
+    top = (
+        vocab.orderBy(F.desc("c"), "lw")
+        .limit(1000)
+        .select("lw", "c")
+        .localCheckpoint(eager=True)
+    )
+    # per-k coverage WITHOUT any window (even a 1000-row global window
+    # would pattern-match the fleet's no-global-window gate): each level
+    # is a TakeOrderedAndProject + aggregate over the pinned slice
+    out = None
+    for k in (10, 100, 1000):
+        part = (
+            top.orderBy(F.desc("c"), "lw")
+            .limit(k)
+            .agg(
+                F.lit(k).cast("int").alias("k"),
+                F.count("*").cast("long").alias("n_types"),
+                F.sum("c").cast("long").alias("covered_tokens"),
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "k", "n_types", "covered_tokens",
+        F.col("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
+        ).alias("covered_share"),
+    )

@@ -2082,3 +2082,80 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "stats_cramers_v",
+    """
+WITH cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS o
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+tot AS (
+  SELECT sum(o) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c
+  FROM cells
+),
+terms AS (
+  SELECT round(
+           (o - (ra * cb) / CAST(n AS DOUBLE))
+           * (o - (ra * cb) / CAST(n AS DOUBLE))
+           / ((ra * cb) / CAST(n AS DOUBLE)), 6) AS t
+  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+),
+chi AS (
+  SELECT CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS chi2 FROM terms
+)
+SELECT n::BIGINT AS n, ((r - 1) * (c - 1))::BIGINT AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / n / (least(r, c) - 1)), 6) AS cramers_v
+FROM chi CROSS JOIN tot
+""",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (orderstatus × orderpriority): chi-square over the contingency table
+    normalized to [0,1] by n·(min(r,c)−1) — the effect-size companion to
+    stats_chi_square's test statistic and, next to
+    stats_mutual_information, the second column-association signal a
+    column-group encoding advisor reads.
+
+    Determinism: cell counts and marginals are exact integers; each
+    cell's (O−E)²/E is ONE IEEE expression rounded to 6 dp, summed in
+    DECIMAL (partial-agg order can't move a bit), and the final V is one
+    scalar expression.
+
+    Scale: one map-side-combinable groupBy to the r×c cell table;
+    marginals and the total reduce the CELLS (never the fact rows again);
+    everything after is broadcast-sized."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b"))
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    ct = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    e = (F.col("ra") * F.col("cb")) / F.col("n").cast("double")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+    chi = (
+        cells.join(rt, "a")
+        .join(ct, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(term.cast("decimal(18,6)").alias("t"), "n", "r", "c")
+        .groupBy("n", "r", "c")
+        .agg(F.sum("t").cast("double").alias("chi2"))
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / F.col("n") / (F.least("r", "c") - 1)), 6
+        ).alias("cramers_v"),
+    )

@@ -53,6 +53,7 @@ DOC_QUERIES = [
     "text_kneser_ney_bigram",
     "retrieval_hard_negatives",
     "dedup_local_clustering",
+    "text_vocab_coverage",
 ]
 
 TPCH_QUERIES = [
