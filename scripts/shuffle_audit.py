@@ -121,7 +121,13 @@ def main() -> int:
                 "recall audit) legitimately exchange exploded posting lists — "
                 "that amplification is exactly why the registry also carries "
                 "the prefix-filtered variant (`dedup_jaccard_prefix`) and the "
-                "LSH-banded candidate path for corpus-scale runs.\n\n"
+                "LSH-banded candidate path for corpus-scale runs. Queries in "
+                "`queries.EAGER_BUILD` execute their heavy chains at "
+                "CONSTRUCTION time (eager checkpoint pins / memo warm-up), so "
+                "their rows here measure only the final assembly over pinned "
+                "intermediates — their build-time shuffle is attributed to "
+                "whichever earlier query warmed the shared memo (or to "
+                "construction, outside the per-query window).\n\n"
                 f"**Fleet total across {len(rows)} queries: {total_sw:.0f} MB "
                 f"shuffled against a {dataset_mb:.0f} MB dataset — mean "
                 f"{total_sw / max(len(rows), 1):.1f} MB/query; most queries "
