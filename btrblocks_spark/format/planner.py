@@ -385,7 +385,14 @@ def sort_key_advisor(
     def nd(c: str, d: str):
         if exact:
             return F.countDistinct(c, d).alias(f"np_{c}_{d}")
-        return F.approx_count_distinct(F.struct(c, d), rsd).alias(f"np_{c}_{d}")
+        # NULL out tuples with a NULL member so the sketch counts the SAME
+        # domain countDistinct does (a struct is never NULL, so a bare
+        # struct(c, d) would add NULL-bearing tuples the exact path drops
+        # — a real ranking skew on NULL-heavy columns, not sketch error)
+        tup = F.when(
+            F.col(c).isNotNull() & F.col(d).isNotNull(), F.struct(c, d)
+        )
+        return F.approx_count_distinct(tup, rsd).alias(f"np_{c}_{d}")
 
     m = df.agg(
         F.count("*").alias("n_rows"),

@@ -800,11 +800,14 @@ def mmr_rerank(
         F.col("pick").alias("s3"), F.col("score").alias("sc3"),
     ).localCheckpoint(eager=True)  # one row per query; unioned 3 ways below
 
+    # each rank projects from ITS OWN stage frame: a query with fewer than
+    # 3 candidates (tiny or heavily filtered corpus) still returns the 1-2
+    # picks MMR could make, instead of vanishing because stage 3 was empty
     out = None
-    for rk, (pick, sc) in enumerate(
-        [("s1", "sc1"), ("s2", "sc2"), ("s3", "sc3")], start=1
+    for rk, (frame, pick, sc) in enumerate(
+        [(s1, "s1", "sc1"), (s2, "s2", "sc2"), (s3, "s3", "sc3")], start=1
     ):
-        part = s3.select(
+        part = frame.select(
             "q_id",
             F.lit(rk).cast("long").alias("sel_rank"),
             F.col(pick).alias("vec_id"),

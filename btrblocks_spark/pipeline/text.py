@@ -566,6 +566,20 @@ def dsir_logweights(
     )
 
 
+def _dsir_scored_src(
+    docs: DataFrame, id_col: str, source_col: str, **kwargs
+) -> DataFrame:
+    """Shared plumbing of the two DSIR selection steps: importance weights
+    joined back onto (doc_id, source) under CANONICAL names. One place owns
+    the rename contract — the round-5 dsir_topk bug was exactly this logic
+    hand-duplicated with the renames applied to only one copy."""
+    w = dsir_logweights(docs, id_col=id_col, source_col=source_col, **kwargs)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    return w.join(src, "doc_id")
+
+
 def dsir_topk(
     docs: DataFrame,
     k: int = 5,
@@ -588,15 +602,11 @@ def dsir_topk(
     partitions by source — per-slice state, never a global window."""
     from pyspark.sql import Window
 
-    w = dsir_logweights(docs, id_col=id_col, source_col=source_col, **kwargs)
-    src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
-    )
     win = Window.partitionBy("source").orderBy(
         F.col("dsir_logweight").desc_nulls_last(), F.col("doc_id")
     )
     return (
-        w.join(src, "doc_id")
+        _dsir_scored_src(docs, id_col, source_col, **kwargs)
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(
@@ -642,10 +652,6 @@ def dsir_resample(
     the per-slice rank."""
     from pyspark.sql import Window
 
-    w = dsir_logweights(docs, id_col=id_col, source_col=source_col, **kwargs)
-    src = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
-    )
     u = (
         hash32(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1000000
         + 1
@@ -658,7 +664,7 @@ def dsir_resample(
         F.col("gumbel_key").desc_nulls_last(), F.col("doc_id")
     )
     return (
-        w.join(src, "doc_id")
+        _dsir_scored_src(docs, id_col, source_col, **kwargs)
         .withColumn("gumbel_key", key)
         .withColumn("draw_rank", F.row_number().over(win).cast("long"))
         .filter(F.col("draw_rank") <= k)

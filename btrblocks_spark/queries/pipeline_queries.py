@@ -5024,8 +5024,8 @@ s3 AS (
   QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, neighbor_id) = 1
 ),
 sel AS (
-  SELECT q_id, 1 AS sel_rank, s1 AS vec_id, sc1 AS mmr_num FROM s3
-  UNION ALL SELECT q_id, 2, s2, sc2 FROM s3
+  SELECT q_id, 1 AS sel_rank, s1 AS vec_id, sc1 AS mmr_num FROM s1
+  UNION ALL SELECT q_id, 2, s2, sc2 FROM s2
   UNION ALL SELECT q_id, 3, s3, sc3 FROM s3
 )
 SELECT q_id, CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
@@ -5155,10 +5155,16 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = part if out is None else out.unionAll(part)
-    return out.crossJoin(F.broadcast(tot)).select(
-        "k", "n_types", "covered_tokens",
-        F.col("n_tokens").cast("long").alias("total_tokens"),
-        F.round(
-            F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
-        ).alias("covered_share"),
+    return (
+        out.crossJoin(F.broadcast(tot))
+        # empty token stream: the oracle's JOIN against an empty top1000
+        # emits zero rows, so the k-level skeleton must vanish too
+        .filter(F.col("n_types") > 0)
+        .select(
+            "k", "n_types", "covered_tokens",
+            F.col("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
+            ).alias("covered_share"),
+        )
     )

@@ -2143,15 +2143,17 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = (F.col("ra") * F.col("cb")) / F.col("n").cast("double")
     term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+    # global aggregate (never groupBy): like stats_chi_square, the result
+    # must be ONE row even over an empty table — the oracle's scalar chi
+    # CTE emits one NULL row there, and groupBy would emit zero
     chi = (
         cells.join(rt, "a")
         .join(ct, "b")
         .crossJoin(F.broadcast(tot))
-        .select(term.cast("decimal(18,6)").alias("t"), "n", "r", "c")
-        .groupBy("n", "r", "c")
+        .select(term.cast("decimal(18,6)").alias("t"))
         .agg(F.sum("t").cast("double").alias("chi2"))
     )
-    return chi.select(
+    return chi.crossJoin(F.broadcast(tot)).select(
         F.col("n").cast("long").alias("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         F.round("chi2", 6).alias("chi2"),

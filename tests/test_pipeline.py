@@ -1589,3 +1589,49 @@ def test_dsir_topk_renamed_columns(spark):
         ).collect()
     )
     assert got == want and len(want) == 2  # one winner per non-target source
+
+
+def test_dsir_resample_renamed_columns(spark):
+    """The resampling draw shares dsir_topk's rename contract through
+    _dsir_scored_src — renamed inputs must reproduce default-name draws."""
+    from btrblocks_spark.pipeline.text import dsir_resample
+
+    rows = [
+        (1, "src0", "alpha beta alpha"),
+        (2, "src1", "alpha beta gamma"),
+        (3, "src1", "delta epsilon zeta"),
+        (4, "src2", "alpha alpha alpha"),
+    ]
+    default = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    renamed = spark.createDataFrame(rows, "uid long, origin string, body string")
+    want = sorted(
+        (r["source"], r["doc_id"], r["draw_rank"], r["gumbel_key"])
+        for r in dsir_resample(default, k=1).collect()
+    )
+    got = sorted(
+        (r["source"], r["doc_id"], r["draw_rank"], r["gumbel_key"])
+        for r in dsir_resample(
+            renamed, k=1, id_col="uid", source_col="origin", text_col="body"
+        ).collect()
+    )
+    assert got == want and len(want) == 2
+
+
+def test_mmr_rerank_fewer_than_three_candidates(spark):
+    """A query whose corpus has only 2 other vectors must still return its
+    rank-1 and rank-2 picks (review finding: all ranks used to project
+    from the stage-3 frame, so such queries vanished entirely)."""
+    from btrblocks_spark.pipeline.similarity import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(vecs, [0], k_candidates=8)
+    rows = {(r["sel_rank"], r["vec_id"]) for r in out.collect()}
+    assert {r for r, _v in rows} == {1, 2}  # two picks, never zero
+    assert (1, 1) in rows  # most-relevant first
