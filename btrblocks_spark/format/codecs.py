@@ -578,7 +578,9 @@ def _alp_choose_ef(sample: np.ndarray) -> tuple[int, int]:
     exception; smallest wins. 190 combos, each fully vectorized."""
     best, best_score = (0, 0), None
     for e in range(_ALP_MAX_E + 1):
-        scaled = sample * _EXP10[e]
+        # overflow to inf is the intended reject path (isfinite filters it)
+        with np.errstate(over="ignore"):
+            scaled = sample * _EXP10[e]
         for f in range(e + 1):
             digits = np.round(scaled / _EXP10[f])
             with np.errstate(invalid="ignore"):
@@ -638,8 +640,13 @@ def _pseudodecimal_split(filled: np.ndarray, mask: np.ndarray):
         todo = ~resolved & ~bad & mask
         if not todo.any():
             break
-        cand = np.round(filled[todo] * _EXP10[e])
-        ok = (np.abs(cand) <= _INT32_MAX) & (cand / _EXP10[e] == filled[todo])
+        # large magnitudes * 10^e overflow to inf by design: |inf| fails
+        # the int32 bound so those values stay unresolved and become
+        # patches — silence the expected RuntimeWarning so real numeric
+        # regressions elsewhere aren't masked by routine noise
+        with np.errstate(over="ignore", invalid="ignore"):
+            cand = np.round(filled[todo] * _EXP10[e])
+            ok = (np.abs(cand) <= _INT32_MAX) & (cand / _EXP10[e] == filled[todo])
         idx = np.flatnonzero(todo)[ok]
         sig[idx] = cand[ok].astype(np.int64)
         exp[idx] = e

@@ -178,11 +178,16 @@ def _memoized_by_plan(docs: DataFrame, key: tuple, build) -> DataFrame:
     hit = per_session.get(full_key)
     if hit is not None:
         if hit[0].sameSemantics(docs):
+            # refresh dict position (FIFO → LRU-ish): hot pair tables stay
+            # resident ahead of stale one-shot entries
+            del per_session[full_key]
+            per_session[full_key] = hit
             return hit[1]
         try:  # hash-collision replacement: drop the stale entry's blocks
             hit[1].unpersist()
         except Exception:
             pass
+        del per_session[full_key]  # re-insert below moves it to the back
     out = build().persist(StorageLevel.DISK_ONLY)
     per_session[full_key] = (docs, out)
     while len(per_session) > _PAIRS_MEMO_CAP:
@@ -430,6 +435,10 @@ def dedup_clusters(
         hit = per_session.get(memo_key)
         if hit is not None and hit[0].sameSemantics(docs):
             labels = hit[1]
+            # refresh dict position (FIFO → LRU-ish): a hot, repeatedly
+            # reused corpus must not be evicted ahead of stale one-shots
+            del per_session[memo_key]
+            per_session[memo_key] = hit
     if labels is not None:
         return (
             docs.select(F.col(id_col).alias("doc_id"))
@@ -489,6 +498,9 @@ def dedup_clusters(
             "max_iter"
         )
     if memo_key is not None:
+        # delete-then-insert so a re-memoized key moves to the back of the
+        # eviction order instead of keeping its original FIFO slot
+        per_session.pop(memo_key, None)
         per_session[memo_key] = (docs, labels)
         while len(per_session) > _CC_MEMO_CAP:
             del per_session[next(iter(per_session))]

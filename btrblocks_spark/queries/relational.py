@@ -1275,25 +1275,28 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
     out = tempfile.mkdtemp(prefix="btr_csv_query_")
-    export_csv(load_table(spark, sf_dir, "orders").select(*cols), out)
-    decl = [
-        {"name": "o_orderkey", "type": "bigint"},
-        {"name": "o_custkey", "type": "bigint"},
-        {"name": "o_orderstatus", "type": "string"},
-        {"name": "o_totalprice", "type": "double"},
-        {"name": "o_orderpriority", "type": "string"},
-    ]
-    back = read_csv(spark, out, decl)
-    result = back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_orders"),
-        F.min("o_orderkey").alias("min_key"),
-        F.max("o_orderkey").alias("max_key"),
-        F.sum("o_custkey").cast("long").alias("sum_cust"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long").alias("total_cents"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-    )
-    # pin rows before the temp dir vanishes (driver may collect lazily)
-    result = result.localCheckpoint()
-    shutil.rmtree(out, ignore_errors=True)
-    return result
+    try:
+        export_csv(load_table(spark, sf_dir, "orders").select(*cols), out)
+        decl = [
+            {"name": "o_orderkey", "type": "bigint"},
+            {"name": "o_custkey", "type": "bigint"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderpriority", "type": "string"},
+        ]
+        back = read_csv(spark, out, decl)
+        result = back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("total_cents"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        # pin rows before the temp dir vanishes (driver may collect lazily)
+        return result.localCheckpoint()
+    finally:
+        # runs on success AND on export/read/checkpoint failure — bench
+        # reps must not accumulate orphaned temp dirs
+        shutil.rmtree(out, ignore_errors=True)

@@ -2006,17 +2006,21 @@ w AS (
     (SELECT n FROM m WHERE arm = 'A') AS n2,
     (SELECT CAST(s AS DOUBLE) / n FROM m WHERE arm = 'R') AS m1,
     (SELECT CAST(s AS DOUBLE) / n FROM m WHERE arm = 'A') AS m2,
+    -- nullif guards: an n=1 arm zeroes (n-1); DuckDB's IEEE division
+    -- would emit inf/NaN where Spark's non-ANSI mode emits NULL, so both
+    -- engines are pinned to NULL on degenerate arms (fleet convention)
     (SELECT (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
-            / (n - 1) FROM m WHERE arm = 'R') AS v1,
+            / nullif(n - 1, 0) FROM m WHERE arm = 'R') AS v1,
     (SELECT (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n)
-            / (n - 1) FROM m WHERE arm = 'A') AS v2
+            / nullif(n - 1, 0) FROM m WHERE arm = 'A') AS v2
 )
 SELECT n1::BIGINT AS n_r, n2::BIGINT AS n_a,
        round(m1, 6) AS mean_r, round(m2, 6) AS mean_a,
-       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round((m1 - m2) / nullif(sqrt(v1 / n1 + v2 / n2), 0), 6) AS t_stat,
        round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
-             / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
-                + ((v2 / n2) * (v2 / n2)) / (n2 - 1)), 6) AS df_welch
+             / nullif(((v1 / n1) * (v1 / n1)) / nullif(n1 - 1, 0)
+                + ((v2 / n2) * (v2 / n2)) / nullif(n2 - 1, 0), 0), 6)
+         AS df_welch
 FROM w
 """,
 )
@@ -2061,24 +2065,34 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1, n2 = F.col("n_R"), F.col("n_A")
     m1 = F.col("s_R").cast("double") / n1
     m2 = F.col("s_A").cast("double") / n2
-    v1 = (
+    # try_divide on every (n-1)-class denominator: an n=1 arm must yield
+    # NULL (not inf/NaN) in BOTH engines — the oracle pins the same with
+    # nullif, keeping degenerate-arm parity under ANSI and non-ANSI modes
+    v1 = F.try_divide(
         F.col("q_R").cast("double")
-        - (F.col("s_R").cast("double") * F.col("s_R").cast("double")) / n1
-    ) / (n1 - 1)
-    v2 = (
+        - (F.col("s_R").cast("double") * F.col("s_R").cast("double")) / n1,
+        n1 - 1,
+    )
+    v2 = F.try_divide(
         F.col("q_A").cast("double")
-        - (F.col("s_A").cast("double") * F.col("s_A").cast("double")) / n2
-    ) / (n2 - 1)
+        - (F.col("s_A").cast("double") * F.col("s_A").cast("double")) / n2,
+        n2 - 1,
+    )
     se2_1, se2_2 = v1 / n1, v2 / n2
     return g.select(
         n1.cast("long").alias("n_r"),
         n2.cast("long").alias("n_a"),
         F.round(m1, 6).alias("mean_r"),
         F.round(m2, 6).alias("mean_a"),
-        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
         F.round(
-            ((se2_1 + se2_2) * (se2_1 + se2_2))
-            / ((se2_1 * se2_1) / (n1 - 1) + (se2_2 * se2_2) / (n2 - 1)),
+            F.try_divide(m1 - m2, F.nullif(F.sqrt(se2_1 + se2_2), F.lit(0.0))), 6
+        ).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                (se2_1 + se2_2) * (se2_1 + se2_2),
+                F.try_divide(se2_1 * se2_1, n1 - 1)
+                + F.try_divide(se2_2 * se2_2, n2 - 1),
+            ),
             6,
         ).alias("df_welch"),
     )
@@ -2109,7 +2123,10 @@ chi AS (
 )
 SELECT n::BIGINT AS n, ((r - 1) * (c - 1))::BIGINT AS dof,
        round(chi2, 6) AS chi2,
-       round(sqrt(chi2 / n / (least(r, c) - 1)), 6) AS cramers_v
+       -- nullif: a single-valued column makes least(r,c)-1 = 0; both
+       -- engines must degrade to NULL, not DuckDB-IEEE inf
+       round(sqrt(chi2 / nullif(n, 0) / nullif(least(r, c) - 1, 0)), 6)
+         AS cramers_v
 FROM chi CROSS JOIN tot
 """,
 )
@@ -2157,7 +2174,15 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         F.round("chi2", 6).alias("chi2"),
+        # chained try_divide mirrors the oracle's nullif guards: a
+        # single-valued column (least(r,c)=1) degrades to NULL, not inf
         F.round(
-            F.sqrt(F.col("chi2") / F.col("n") / (F.least("r", "c") - 1)), 6
+            F.sqrt(
+                F.try_divide(
+                    F.try_divide(F.col("chi2"), F.col("n")),
+                    F.least("r", "c") - 1,
+                )
+            ),
+            6,
         ).alias("cramers_v"),
     )

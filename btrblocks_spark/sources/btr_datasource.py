@@ -784,6 +784,12 @@ class BtrBlocksDataSource(DataSource):
         return BtrBlocksStreamWriter(self.options, schema, overwrite)
 
 
+# session-memo cap convention (_PAIRS_MEMO_CAP / _CC_MEMO_CAP are also 16):
+# entries here are unpersisted DataFrames (cheap), but each key pins the full
+# file listing — a session sweeping thousands of tables must stay bounded
+_BTR_READ_MEMO_CAP = 16
+
+
 def load_btr_table(spark, table_dir: str):
     """Identity-stable load of a btrblocks table — the entry point memo-aware
     consumers should use instead of a raw ``spark.read.format("btrblocks")``.
@@ -800,9 +806,11 @@ def load_btr_table(spark, table_dir: str):
     at least one of those) and returning the SAME DataFrame object for an
     unchanged table, which then unifies everywhere downstream for free.
     Object-store URIs (no local listing) skip the memo and always load
-    fresh — correct, just unmemoized. Same immutable-input caveat as every
-    session memo here: an in-place mutation that somehow leaves sidecar
-    bytes AND file names identical would serve the pre-mutation plan."""
+    fresh — correct, just unmemoized. The listing fingerprints each data
+    file as (name, size, mtime_ns), so even a same-name in-place rewrite
+    that leaves the sidecar byte-identical rotates the key; the memo is
+    FIFO-capped at ``_BTR_READ_MEMO_CAP`` entries (eviction is always
+    safe — it only forfeits plan unification for that table)."""
     import hashlib
     import json as _json
 
@@ -820,16 +828,33 @@ def load_btr_table(spark, table_dir: str):
         _json.dumps(meta, sort_keys=True, default=str).encode()
     ).hexdigest()
     data_dir = os.path.join(local, "data")
-    listing = tuple(sorted(os.listdir(data_dir))) if os.path.isdir(data_dir) else ()
+    if os.path.isdir(data_dir):
+        entries = []
+        for name in sorted(os.listdir(data_dir)):
+            try:
+                st = os.stat(os.path.join(data_dir, name))
+                entries.append((name, st.st_size, st.st_mtime_ns))
+            except OSError:
+                # raced with a compactor delete — name alone still rotates
+                entries.append((name, -1, -1))
+        listing = tuple(entries)
+    else:
+        listing = ()
     key = (os.path.realpath(local), sidecar, listing)
     memo = session_memo(spark, "_btrblocks_btr_read_memo")
     hit = memo.get(key)
     if hit is not None:
+        # refresh dict position so FIFO eviction behaves LRU-ish: a hot,
+        # repeatedly-opened table must outlive stale one-shot entries
+        del memo[key]
+        memo[key] = hit
         return hit
     # one live entry per table path: a changed table must not pin its
     # predecessor's DataFrame (or grow one entry per historical version)
     for k in [k for k in memo if k[0] == key[0]]:
         del memo[k]
+    while len(memo) >= _BTR_READ_MEMO_CAP:
+        del memo[next(iter(memo))]
     df = _load()
     memo[key] = df
     return df

@@ -668,3 +668,73 @@ def test_load_btr_table_unifies_repeat_reads(spark, sf_dir, tmp_path):
     import os as _os
 
     assert sum(1 for k in read_memo if k[0] == _os.path.realpath(out)) == 1
+
+
+def test_load_btr_table_maintenance_cap_and_rewrite(spark, sf_dir, tmp_path):
+    """Round-7 hardening of the btr read memo (VERDICT r6 #2/#7 + ADVICE):
+
+    1. maintenance commits between two load_btr_table calls (append,
+       compact) serve the NEW data and evict the stale per-path entry;
+    2. the memo is FIFO-capped at _BTR_READ_MEMO_CAP — sweeping more
+       tables than the cap stays bounded, and a HOT entry survives the
+       sweep because a hit refreshes its eviction position (LRU-ish);
+    3. a same-name in-place data-file rewrite that leaves the sidecar
+       byte-identical still rotates the key, because the listing
+       fingerprints (name, size, mtime_ns), not names alone."""
+    import os
+
+    from btrblocks_spark.format.maintenance import compact
+    from btrblocks_spark.sources.btr_datasource import (
+        _BTR_READ_MEMO_CAP,
+        load_btr_table,
+    )
+    from btrblocks_spark.tables import session_memo
+
+    spark.dataSource.register(BtrBlocksDataSource)
+    read_memo = session_memo(spark, "_btrblocks_btr_read_memo")
+    read_memo.clear()  # isolate from earlier tests in this session
+
+    out = str(tmp_path / "docs")
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    write_table(docs, out, ["doc_id"], table_name="documents")
+
+    # --- 1. versioned-table identity across maintenance commits ---
+    a = load_btr_table(spark, out)
+    assert a.count() == 30
+    docs.limit(5).write.format("btrblocks").mode("append").option(
+        "path", out
+    ).save()
+    b = load_btr_table(spark, out)
+    assert b is not a, "append must rotate the memo key"
+    assert b.count() == 35
+    compact(spark, out)
+    c = load_btr_table(spark, out)
+    assert c is not b, "compact must rotate the memo key"
+    assert c.count() == 35
+    real = os.path.realpath(out)
+    assert sum(1 for k in read_memo if k[0] == real) == 1, (
+        "one live entry per path — older versions must be evicted"
+    )
+
+    # --- 3. in-place rewrite with unchanged names/sidecar rotates too ---
+    data_dir = os.path.join(out, "data")
+    victim = os.path.join(data_dir, sorted(os.listdir(data_dir))[0])
+    with open(victim, "ab") as fh:
+        fh.write(b"\0")  # same name, new (size, mtime_ns)
+    d = load_btr_table(spark, out)
+    assert d is not c, "in-place rewrite must not serve the stale plan"
+
+    # --- 2. cap + LRU refresh ---
+    read_memo.clear()
+    hot = load_btr_table(spark, out)
+    small = docs.limit(3)
+    for i in range(_BTR_READ_MEMO_CAP + 4):
+        p = str(tmp_path / f"t{i}")
+        write_table(small, p, ["doc_id"], table_name="documents")
+        load_btr_table(spark, p)
+        # touch the hot table every round: the hit must refresh its slot
+        assert load_btr_table(spark, out) is hot
+    assert len(read_memo) <= _BTR_READ_MEMO_CAP
+    assert any(k[0] == real for k in read_memo), (
+        "hot entry evicted despite per-hit refresh"
+    )
