@@ -419,3 +419,85 @@ def sort_key_advisor(
         ]
     )
     return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def fd_advisor(
+    df,
+    pairs: list[tuple[str, str]],
+    exact: bool = False,
+    rsd: float = 0.05,
+):
+    """Functional-dependency profile over candidate (determinant,
+    dependent) column pairs: det → dep holds iff n_distinct(det) ==
+    n_distinct(det, dep) — a held FD means the dependent column is
+    derivable from the determinant's dictionary, so a column-group
+    encoding (shared dict / 1:1 mapping table) beats encoding the columns
+    independently (the column-GROUP analog of the reference's per-column
+    stats/NumberStats.hpp / stats/StringStats.hpp).
+
+    Default is the SKETCHED estimator, the same shape as
+    ``sort_key_advisor``: one ``approx_count_distinct`` (HLL++, relative
+    error ``rsd``) per determinant and per pair, all in one pass with NO
+    Expand — the shuffle carries fixed-size HLL register sets (KBs)
+    instead of the exact plan's |aggs|-fold row expansion. Because two
+    independent sketches of the same cardinality differ by ~rsd each, the
+    sketched verdict uses a slack band: fd_holds iff est_pairs ≤ est_det ·
+    (1 + 4·rsd). An FD violated by less than the sketch band is
+    indistinguishable from held — acceptable for an ADVISOR (a near-held
+    FD still compresses well under the column-group encoding); marginal
+    cases get the exact pass. ``exact=True`` restores bit-exact
+    countDistinct and strict equality (what the oracle-checked
+    ``format_fd_profile`` query uses).
+
+    Returns rows (det_col, dep_col, n_det, n_pairs, fd_holds,
+    deps_per_det), one per pair, computed from a single aggregate row."""
+    from pyspark.sql import functions as F
+
+    dets = list(dict.fromkeys(det for det, _ in pairs))
+
+    def nd_det(c: str):
+        # bare-column distincts drop NULLs identically in both modes
+        agg = F.countDistinct(c) if exact else F.approx_count_distinct(c, rsd)
+        return agg.alias(f"nd_{c}")
+
+    def nd_pair(c: str, d: str):
+        if exact:
+            return F.countDistinct(c, d).alias(f"np_{c}_{d}")
+        # NULL out tuples with a NULL member so the sketch counts the SAME
+        # domain countDistinct does (a struct is never NULL, so a bare
+        # struct(c, d) would add NULL-bearing tuples the exact path drops)
+        tup = F.when(F.col(c).isNotNull() & F.col(d).isNotNull(), F.struct(c, d))
+        return F.approx_count_distinct(tup, rsd).alias(f"np_{c}_{d}")
+
+    m = df.agg(
+        *[nd_det(c) for c in dets],
+        *[nd_pair(c, d) for c, d in pairs],
+    )
+    slack = 1.0 if exact else 1.0 + 4.0 * rsd
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.col(f"nd_{det}").cast("long").alias("n_det"),
+                F.col(f"np_{det}_{dep}").cast("long").alias("n_pairs"),
+                (
+                    F.col(f"np_{det}_{dep}") == F.col(f"nd_{det}")
+                    if exact
+                    else F.col(f"np_{det}_{dep}")
+                    <= F.col(f"nd_{det}") * F.lit(slack)
+                ).alias("fd_holds"),
+                # empty base table: 0 determinant values → NULL ratio
+                # (oracle x/0 parity), never an ANSI abort
+                F.round(
+                    F.try_divide(
+                        F.col(f"np_{det}_{dep}").cast("double"),
+                        F.col(f"nd_{det}").cast("double"),
+                    ),
+                    6,
+                ).alias("deps_per_det"),
+            )
+            for det, dep in pairs
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")

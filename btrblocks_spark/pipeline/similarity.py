@@ -694,6 +694,47 @@ def binary_topk(
     )
 
 
+def _mmr_cand_sims(
+    vecs: DataFrame,
+    query_ids: list[int],
+    k_candidates: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MMR inputs: the top-k candidate table (q_id, neighbor_id,
+    r6 = 6-dp cosine ×1e6 as an exact integer) and the candidate-pairwise
+    similarity table (q_id, na, nb, s6) — |queries|·k and |queries|·k²
+    rows. Both are pinned eagerly (localCheckpoint) so the corpus top-k
+    scan and the pairwise-sim joins run ONCE however many selection
+    stages/rounds reference them (without the pin the unrolled plan
+    re-derived the whole chain ~20×: 72 scans/99 exchanges, PLANS.md)."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
+                       id_col=id_col).select(
+        "q_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1000000).cast("long").alias("r6"),
+    ).localCheckpoint(eager=True)
+    pairs = (
+        cand.select("q_id", F.col("neighbor_id").alias("na"))
+        .join(cand.select("q_id", F.col("neighbor_id").alias("nb")), "q_id")
+        .filter(F.col("na") != F.col("nb"))
+    )
+    va = corpus.select(F.col("vec_id").alias("na"), F.col("v").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("nb"), F.col("v").alias("vb"))
+    sims = (
+        pairs.join(va, "na")
+        .join(vb, "nb")
+        .select(
+            "q_id", "na", "nb",
+            F.round(F.round(cosine_try_expr("va", "vb"), 6) * 1000000)
+            .cast("long").alias("s6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return cand, sims
+
+
 def mmr_rerank(
     vecs: DataFrame,
     query_ids: list[int],
@@ -723,34 +764,7 @@ def mmr_rerank(
     corpus; every later stage operates on those reduced tables keyed by
     q_id. The corpus is scanned once for the top-k and twice for
     candidate vectors — never pairwise against itself."""
-    corpus = _as_double(vecs, vec_col, id_col)
-    # cand (|queries|·k rows) and sims (·k² rows) feed every unrolled
-    # stage; pinned eagerly so the top-k scan and the pairwise-sim joins
-    # run ONCE instead of once per stage reference (without the pin the
-    # plan re-derives the whole candidate chain ~20×)
-    cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
-                       id_col=id_col).select(
-        "q_id",
-        "neighbor_id",
-        F.round(F.col("cosine") * 1000000).cast("long").alias("r6"),
-    ).localCheckpoint(eager=True)
-    pairs = (
-        cand.select("q_id", F.col("neighbor_id").alias("na"))
-        .join(cand.select("q_id", F.col("neighbor_id").alias("nb")), "q_id")
-        .filter(F.col("na") != F.col("nb"))
-    )
-    va = corpus.select(F.col("vec_id").alias("na"), F.col("v").alias("va"))
-    vb = corpus.select(F.col("vec_id").alias("nb"), F.col("v").alias("vb"))
-    sims = (
-        pairs.join(va, "na")
-        .join(vb, "nb")
-        .select(
-            "q_id", "na", "nb",
-            F.round(F.round(cosine_try_expr("va", "vb"), 6) * 1000000)
-            .cast("long").alias("s6"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    cand, sims = _mmr_cand_sims(vecs, query_ids, k_candidates, vec_col, id_col)
 
     def argmax(df, score, keep):
         b = df.groupBy(*keep).agg(
@@ -814,6 +828,91 @@ def mmr_rerank(
             F.col(sc).cast("long").alias("mmr_num"),
         )
         out = part if out is None else out.unionAll(part)
+    return out.select(
+        "q_id", "sel_rank", "vec_id", "mmr_num",
+        (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
+    )
+
+
+def mmr_rerank_k(
+    vecs: DataFrame,
+    query_ids: list[int],
+    picks: int = 3,
+    k_candidates: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MMR re-ranking for ARBITRARY result-set size — the generalization of
+    the unrolled 3-pick ``mmr_rerank`` a RAG context window (k=10+) needs.
+    Same semantics, scoring, and tie-breaks: greedy argmax of the exact
+    integer ``7·r6 − 3·max_{s∈selected} s6`` per round, smaller id wins
+    ties; a query with fewer than ``picks`` candidates returns the partial
+    picks MMR could make.
+
+    Shape: instead of unrolling one join-chain per pick (whose plan grows
+    quadratically with k), the greedy state is carried ROUND to ROUND in
+    two small tables — the per-query remaining-candidate table with a
+    running ``maxp`` (max similarity to anything already selected) and the
+    one-row-per-query pick — each fenced with localCheckpoint(eager=True)
+    per round (the dedup_clusters iterative convention), so round t+1's
+    plan starts from round t's materialized result instead of re-deriving
+    t rounds of joins. ``maxp`` is updated INCREMENTALLY: one equi-join
+    per round against the pairwise table restricted to the round's pick
+    (nb = pick), never a rejoin against the whole selected set.
+
+    Scale: per round, the working set is |queries|·k rows joined with
+    |queries|·k pick-restricted sim rows — rounds cost O(picks · |q|·k),
+    not O(|q|·k²), and nothing rescans the corpus after the shared
+    candidate build. Equivalence to the unrolled chain at picks=3 is
+    pinned by test_similarity."""
+    cand, sims = _mmr_cand_sims(vecs, query_ids, k_candidates, vec_col, id_col)
+
+    rem = cand.withColumn("maxp", F.lit(None).cast("long"))
+    parts: list[DataFrame] = []
+    for rk in range(1, picks + 1):
+        # coalesce(maxp, 0): round 1 has no selected set, so the penalty
+        # term is 0 (score = 7·r6, matching the unrolled stage 1); later
+        # rounds every remaining candidate carries a real maxp because the
+        # pairwise table covers all candidate pairs of a query
+        score = F.lit(7) * F.col("r6") - F.lit(3) * F.coalesce(
+            F.col("maxp"), F.lit(0)
+        )
+        best = rem.groupBy("q_id").agg(
+            F.max(
+                F.struct(score.alias("sc"), (-F.col("neighbor_id")).alias("ni"))
+            ).alias("b")
+        )
+        pick = best.select(
+            "q_id", (-F.col("b.ni")).alias("pick"), F.col("b.sc").alias("score")
+        ).localCheckpoint(eager=True)  # referenced by output AND the update
+        parts.append(
+            pick.select(
+                "q_id",
+                F.lit(rk).cast("long").alias("sel_rank"),
+                F.col("pick").alias("vec_id"),
+                F.col("score").cast("long").alias("mmr_num"),
+            )
+        )
+        if rk == picks:
+            break
+        simt = sims.join(
+            pick.select("q_id", F.col("pick").alias("nb")), ["q_id", "nb"]
+        ).select("q_id", F.col("na").alias("neighbor_id"), F.col("s6").alias("pt"))
+        rem = (
+            rem.join(pick.select("q_id", "pick"), "q_id")
+            .filter(F.col("neighbor_id") != F.col("pick"))
+            .join(simt, ["q_id", "neighbor_id"], "left")
+            # greatest skips NULLs: first update (maxp NULL) yields pt
+            .select(
+                "q_id", "neighbor_id", "r6",
+                F.greatest("maxp", "pt").alias("maxp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
     return out.select(
         "q_id", "sel_rank", "vec_id", "mmr_num",
         (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),

@@ -95,6 +95,7 @@ EAGER_BUILD = frozenset(
         "frequency_domain_roundtrip",
         "retrieval_hard_negatives",
         "retrieval_mmr_rerank",
+        "retrieval_mmr_rerank_k",
         "scan_csv_roundtrip",
         "scan_jsonl_roundtrip",
         "scan_predicate_bitmap",

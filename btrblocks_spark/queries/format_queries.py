@@ -804,40 +804,35 @@ def format_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats encoding the columns independently.
 
     Scale: one pass; multiple exact distinct aggregates expand the scan
-    |pairs|-fold (Spark's Expand) — at 100 TB swap count_distinct for
-    approx_count_distinct (HLL) with identical plan shape; exact here so the
-    oracle compare is bit-tight."""
+    |pairs|-fold (Spark's Expand) — exact here so the oracle compare is
+    bit-tight. The production path is ``format_fd_profile_approx`` below:
+    the same verdicts from HLL sketches with no Expand and a KB-scale
+    shuffle (the ``format_sort_advisor`` / ``_approx`` pattern)."""
+    from btrblocks_spark.format.planner import fd_advisor
+
     p = load_table(spark, sf_dir, "part")
-    dets = list(dict.fromkeys(det for det, _ in _FD_PAIRS))
-    m = p.agg(
-        *[F.countDistinct(det).alias(f"nd_{det}") for det in dets],
-        *[
-            F.countDistinct(det, dep).alias(f"np_{det}_{dep}")
-            for det, dep in _FD_PAIRS
-        ],
-    )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(det).alias("det_col"),
-                F.lit(dep).alias("dep_col"),
-                F.col(f"nd_{det}").cast("long").alias("n_det"),
-                F.col(f"np_{det}_{dep}").cast("long").alias("n_pairs"),
-                (F.col(f"np_{det}_{dep}") == F.col(f"nd_{det}")).alias("fd_holds"),
-                # empty base table: 0 determinant values → NULL ratio
-                # (oracle x/0 parity), never an ANSI abort
-                F.round(
-                    F.try_divide(
-                        F.col(f"np_{det}_{dep}").cast("double"),
-                        F.col(f"nd_{det}").cast("double"),
-                    ),
-                    6,
-                ).alias("deps_per_det"),
-            )
-            for det, dep in _FD_PAIRS
-        ]
-    )
-    return m.select(F.explode(rows).alias("r")).select("r.*")
+    return fd_advisor(p, _FD_PAIRS, exact=True)
+
+
+@register("format_fd_profile_approx")
+def format_fd_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the FD profiler: the same det → dep verdicts
+    from ``approx_count_distinct`` (HLL++, rsd 0.05) sketches — one pass,
+    NO Expand, shuffle = fixed-size register sets per aggregate per
+    partition instead of the |aggs|-fold row expansion (the last Expand
+    scan in the fleet after round-6 sketched the sort advisor). fd_holds
+    uses a 1+4·rsd slack band because two independent sketches of the same
+    domain differ by ~rsd each; an FD violated by less than the band reads
+    as held — fine for an encoding ADVISOR (a near-held FD still
+    compresses well under a column-group encoding). Registered rows-only:
+    HLL estimates are engine-specific, so no bit-exact cross-engine oracle
+    exists — the exact variant above carries the value-parity check, and
+    test_plans pins that both variants emit the SAME fd_holds verdicts on
+    testdata while this plan stays Expand-free."""
+    from btrblocks_spark.format.planner import fd_advisor
+
+    p = load_table(spark, sf_dir, "part")
+    return fd_advisor(p, _FD_PAIRS, exact=False)
 
 
 _SORT_CANDIDATES = ["l_shipdate", "l_returnflag", "l_quantity", "l_partkey", "l_suppkey"]

@@ -5043,6 +5043,24 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS)
 
 
+@register("retrieval_mmr_rerank_k")
+def q_mmr_rerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MMR form for arbitrary result-set sizes (a RAG
+    context window wants k=10+, not 3): the iterative round-fenced greedy
+    loop (similarity.mmr_rerank_k) at picks=6 over the same top-8
+    candidate pool. Registered rows-only: the operator's exact semantics
+    are value-pinned two ways — the unrolled picks=3 chain above carries
+    the full SQL oracle, and test_pipeline pins round-k == unrolled at
+    picks=3 (same picks, ranks, AND integer scores) plus prefix-stability
+    of rounds 1-3 at picks=6 — so a second 6-stage SQL transcription would
+    re-test the same arithmetic at triple the sweep cost."""
+    from btrblocks_spark.pipeline.similarity import mmr_rerank_k
+
+    return mmr_rerank_k(
+        load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, picks=6
+    )
+
+
 @register(
     "curation_priority_sample",
     oracle=f"""

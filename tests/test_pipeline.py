@@ -1635,3 +1635,43 @@ def test_mmr_rerank_fewer_than_three_candidates(spark):
     rows = {(r["sel_rank"], r["vec_id"]) for r in out.collect()}
     assert {r for r, _v in rows} == {1, 2}  # two picks, never zero
     assert (1, 1) in rows  # most-relevant first
+
+
+def test_mmr_rerank_k_matches_unrolled_at_3_and_extends(spark, sf_dir):
+    """Round-7 (VERDICT r6 #5): the iterative mmr_rerank_k must reproduce
+    the unrolled 3-pick chain EXACTLY at picks=3 (same picks, ranks, and
+    integer scores) on real embeddings, and at picks>3 it must (a) keep
+    the first 3 rounds identical (greedy MMR is prefix-stable), (b) never
+    repeat a pick within a query, and (c) return partial picks for a
+    query with fewer candidates than picks."""
+    from btrblocks_spark.pipeline.similarity import mmr_rerank, mmr_rerank_k
+    from btrblocks_spark.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qids = [1, 2, 3]
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["sel_rank"], r["vec_id"], r["mmr_num"])
+            for r in df.collect()
+        )
+
+    unrolled = rows(mmr_rerank(vecs, qids))
+    iterative = rows(mmr_rerank_k(vecs, qids, picks=3))
+    assert iterative == unrolled and len(unrolled) == 9
+
+    k6 = rows(mmr_rerank_k(vecs, qids, picks=6))
+    assert [t for t in k6 if t[1] <= 3] == unrolled  # prefix-stable
+    per_q = {}
+    for q, _rk, v, _s in k6:
+        per_q.setdefault(q, []).append(v)
+    for q, picks in per_q.items():
+        assert len(picks) == 6 and len(set(picks)) == 6, q
+
+    # partial picks: 2-candidate corpus, picks=5 → exactly 2 rows
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = rows(mmr_rerank_k(tiny, [0], picks=5))
+    assert [(q, rk) for q, rk, _v, _s in got] == [(0, 1), (0, 2)]

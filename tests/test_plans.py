@@ -625,3 +625,27 @@ def test_sort_advisor_approx_expand_free_same_choice(spark, sf_dir):
         ]
 
     assert best("format_sort_advisor_approx") == best("format_sort_advisor")
+
+
+def test_fd_profile_approx_expand_free_same_verdicts(spark, sf_dir):
+    """Round-7: the production FD profiler (HLL sketches) must plan WITHOUT
+    the Expand node of the exact variant (the fleet's last Expand scan
+    after the sort advisor was sketched in round 6) and must emit the SAME
+    per-pair fd_holds verdicts as exact countDistinct on testdata."""
+    exact_plan = plan_of(QUERIES["format_fd_profile"](spark, sf_dir))
+    approx_plan = plan_of(QUERIES["format_fd_profile_approx"](spark, sf_dir))
+    assert "Expand" in exact_plan  # the cost being avoided is real
+    assert "Expand" not in approx_plan
+
+    def verdicts(name):
+        return {
+            (r["det_col"], r["dep_col"]): r["fd_holds"]
+            for r in QUERIES[name](spark, sf_dir).collect()
+        }
+
+    ve, va = verdicts("format_fd_profile"), verdicts("format_fd_profile_approx")
+    assert set(ve) == set(va)
+    assert ve == va
+    # the testdata profile must exercise BOTH verdict classes or the
+    # equality above proves nothing
+    assert any(ve.values()) and not all(ve.values())
