@@ -201,6 +201,10 @@ HEADLINE = [
     "curation_priority_sample",
     "stats_cramers_v",
     "text_vocab_coverage",
+    "ann_sq8_recon_error",
+    "curation_neyman_allocation",
+    "stats_theil_sen",
+    "format_column_group_plan",
 ]
 
 

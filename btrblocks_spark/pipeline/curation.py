@@ -421,3 +421,69 @@ def domain_entropy(
         )
         .orderBy("grp")
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    budget: int = 10000,
+    stratum_col: str = "source",
+    metric_col: str = "n_chars",
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation (Neyman 1934): given a
+    total sample budget B, allocate to stratum h in proportion to
+    ``N_h · S_h`` (stratum size × within-stratum std-dev of the survey
+    metric) — the allocation that minimizes the variance of the stratified
+    mean estimator. This is the principled upgrade to proportional
+    sampling for corpus curation: a source whose quality metric varies
+    wildly gets MORE of the audit/sample budget than an equally-sized
+    homogeneous one.
+
+    Determinism: N_h, Σx, Σx² are exact integer aggregates; S_h is ONE
+    scalar IEEE expression over them (the stats_welch_ttest convention);
+    each stratum's weight N_h·S_h is rounded to 6 dp and the total is the
+    DECIMAL(18,6) sum of those rounded terms (order-independent); the
+    final allocation floors ``B × share`` in exact DECIMAL arithmetic so
+    no engine disagreement on .5 boundaries is possible. A single-row
+    stratum (S undefined, n−1 = 0) degrades to NULL weight → 0 allocation
+    via coalesce, on both engines.
+
+    Scale: one map-side-combinable groupBy to O(#strata) rows; the total
+    is a broadcast-sized second aggregate; nothing after the first shuffle
+    touches the corpus."""
+    m = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(F.col(metric_col).cast("long")).alias("s"),
+        F.sum(F.col(metric_col).cast("long") * F.col(metric_col).cast("long")).alias(
+            "q"
+        ),
+    )
+    sd = F.sqrt(
+        F.try_divide(
+            F.col("q").cast("double")
+            - (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n_h"),
+            F.col("n_h") - 1,
+        )
+    )
+    terms = m.select(
+        "stratum",
+        F.col("n_h").cast("long").alias("n_h"),
+        F.round(sd, 6).alias("sd"),
+        F.round(F.col("n_h") * sd, 6).cast("decimal(18,6)").alias("w"),
+    )
+    tot = terms.agg(
+        F.sum(F.coalesce(F.col("w"), F.lit(0).cast("decimal(18,6)"))).alias("w_tot")
+    )
+    share = F.round(
+        F.try_divide(F.col("w").cast("double"), F.col("w_tot").cast("double")), 6
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "sd",
+        share.alias("neyman_share"),
+        F.floor(
+            F.coalesce(share, F.lit(0.0)).cast("decimal(18,6)") * F.lit(budget)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )

@@ -483,6 +483,56 @@ def sq8_topk(
     )
 
 
+def sq8_recon_error(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """SQ8 quantization-error audit: per-vector reconstruction MSE
+    ``Σ_i (v_i − recon_i)² / dims``, profiled to ONE row — n_vecs, mean
+    MSE, max MSE, and the worst vector's id. This is the measurement that
+    decides whether 8-bit scalar quantization is safe for a corpus (mean
+    error well under typical neighbor gaps) or whether it needs PQ /
+    full-precision re-ranking — the vector-store twin of the format
+    layer's scheme regression guard (compression must not silently cost
+    accuracy).
+
+    Determinism: per-vector MSE is one left-fold IEEE expression rounded
+    to 6 dp; the mean sums those 6-dp values in DECIMAL(18,6)
+    (order-independent) before one final scalar division; the worst
+    vector is max(struct(mse, −id)) — exact tie-break on smaller id.
+
+    Scale: one O(dims) range aggregate (64 rows shuffled per partition),
+    then one narrow map over the corpus and one map-side-combinable
+    global aggregate — no joins, no windows, no per-vector shuffle."""
+    corpus = _as_double(vecs, vec_col, id_col)
+    rg = sq8_ranges(corpus)
+    err = corpus.crossJoin(F.broadcast(rg)).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                f"aggregate(zip_with(v, {_SQ8_RECON}, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+            )
+            / F.expr("size(v)").cast("double"),
+            6,
+        ).alias("mse6"),
+    )
+    prof = err.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("mse6").cast("decimal(18,6)")).alias("mse_sum"),
+        F.max(
+            F.struct(F.col("mse6").alias("m"), (-F.col("vec_id")).alias("ni"))
+        ).alias("worst"),
+    )
+    return prof.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(
+            F.try_divide(F.col("mse_sum").cast("double"), F.col("n_vecs")), 6
+        ).alias("mean_mse"),
+        F.col("worst.m").alias("max_mse"),
+        (-F.col("worst.ni")).cast("long").alias("worst_vec_id"),
+    )
+
+
 def _pq_min_struct(j: int) -> str:
     """SQL expr: struct of (per-subspace L2 distance, centroid id, centroid
     sub-vector) minimized over the broadcast codebook array — natural struct

@@ -899,3 +899,159 @@ def format_sort_advisor_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return sort_key_advisor(li, _SORT_CANDIDATES, _SORT_DATA_COLS, exact=False)
+
+
+# column-group encoding plan: candidate (determinant, dependent) pairs over
+# orders plus a DERIVED class column (substr of priority) — the generated-
+# column case is exactly where a column-group encoding wins outright, and the
+# four pairs cover all three verdict classes: FD held with positive savings
+# (priority -> its class), FD held but pointless (unique key det: grouping
+# saves nothing), and FD violated (both directions of status/priority).
+_CG_PAIRS = [
+    ("o_orderpriority", "prio_class"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderkey", "o_orderstatus"),
+]
+_CG_COLS = list(dict.fromkeys(c for p in _CG_PAIRS for c in p))
+
+
+def _cg_cb_sql(nd: str) -> str:
+    return f"CASE WHEN {nd} <= 256 THEN 1 WHEN {nd} <= 65536 THEN 2 ELSE 4 END"
+
+
+def _cg_oracle() -> str:
+    ctes = [
+        "base AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        "substr(o_orderpriority, 1, 1) AS prio_class FROM orders)",
+        "nr AS (SELECT count(*) AS n_rows FROM base)",
+    ]
+    for c in _CG_COLS:
+        ctes.append(
+            f"c_{c} AS (SELECT count(*) AS nd, coalesce(sum(strlen(a)), 0) AS ab "
+            f"FROM (SELECT DISTINCT CAST({c} AS VARCHAR) AS a FROM base))"
+        )
+    selects = []
+    for i, (det, dep) in enumerate(_CG_PAIRS):
+        ctes.append(
+            f"p_{i} AS (SELECT count(*) AS np FROM "
+            f"(SELECT DISTINCT CAST({det} AS VARCHAR), CAST({dep} AS VARCHAR) FROM base))"
+        )
+        cb_det, cb_dep = _cg_cb_sql(f"c_{det}.nd"), _cg_cb_sql(f"c_{dep}.nd")
+        indep = f"(c_{det}.ab + c_{dep}.ab + n_rows * (({cb_det}) + ({cb_dep})))"
+        group = f"(c_{det}.ab + c_{dep}.ab + c_{det}.nd * ({cb_dep}) + n_rows * ({cb_det}))"
+        selects.append(
+            f"SELECT '{det}' AS det_col, '{dep}' AS dep_col, n_rows::BIGINT AS n_rows, "
+            f"c_{det}.nd::BIGINT AS n_det, c_{dep}.nd::BIGINT AS n_dep, np::BIGINT AS n_pairs, "
+            f"np = c_{det}.nd AS fd_holds, "
+            f"{indep}::BIGINT AS est_indep_bytes, {group}::BIGINT AS est_group_bytes, "
+            f"(CASE WHEN np = c_{det}.nd THEN {indep} - {group} ELSE 0 END)::BIGINT AS est_savings_bytes, "
+            f"(np = c_{det}.nd AND {indep} - {group} > 0) AS group_recommended "
+            f"FROM nr CROSS JOIN c_{det} CROSS JOIN c_{dep} CROSS JOIN p_{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("format_column_group_plan", oracle=_cg_oracle())
+def format_column_group_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-GROUP encoding plan — the decision step downstream of
+    ``format_fd_profile``: for each candidate det → dep pair, size a
+    shared-dictionary group encoding against independent per-column
+    encoding and recommend grouping iff the FD holds AND the sizing wins.
+    Byte model (the writer's own dictionary cascade, format/writer.py):
+    independent = both dicts + n_rows codes for each column; grouped = both
+    dicts + ONE n_rows code stream for the determinant + an nd_det-entry
+    mapping table for the dependent (its per-row code stream disappears —
+    each det dictionary entry stores its dep code once). Code width is the
+    dict8/dict16/dict32 ladder the planner already uses. The derived
+    ``prio_class`` column demonstrates the generated-column case: its
+    whole code stream is recoverable from the priority dictionary, so
+    savings ≈ n_rows bytes.
+
+    Determinism: every quantity is an exact integer (distinct counts,
+    byte-length sums over distinct values, integer size arithmetic) — no
+    FP anywhere.
+
+    Scale: ONE scan explodes each row into |cols|+|pairs| tagged tuples,
+    one distinct and an O(kinds)-row groupBy produce every cardinality and
+    dict-byte figure — bounded by Σ distinct values, never re-scanning the
+    table per pair. This is the exact, oracle-checked planning form; at
+    100 TB the same verdicts come from ``planner.fd_advisor`` sketches +
+    chunk-stats dictionary sizes (format_fd_profile_approx's path)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.substring("o_orderpriority", 1, 1).alias("prio_class"),
+    )
+    tagged = []
+    for c in _CG_COLS:
+        tagged.append(
+            F.struct(
+                F.lit(f"c:{c}").alias("kind"),
+                F.col(c).cast("string").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+            )
+        )
+    for det, dep in _CG_PAIRS:
+        tagged.append(
+            F.struct(
+                F.lit(f"p:{det}~{dep}").alias("kind"),
+                F.col(det).cast("string").alias("a"),
+                F.col(dep).cast("string").alias("b"),
+            )
+        )
+    g = (
+        base.select(F.explode(F.array(*tagged)).alias("r"))
+        .select("r.*")
+        .distinct()
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum(F.octet_length("a")), F.lit(0)).alias("ab"),
+        )
+    )
+    # O(kinds) rows -> one wide scalar row (the fd_advisor pivot pattern)
+    keys = [f"c:{c}" for c in _CG_COLS] + [f"p:{d}~{p}" for d, p in _CG_PAIRS]
+    wide = g.agg(
+        *[
+            F.first(F.when(F.col("kind") == k, F.col(m)), ignorenulls=True).alias(
+                f"{m}_{k}"
+            )
+            for k in keys
+            for m in ("nd", "ab")
+        ]
+    )
+    nr = base.agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def cb(nd):
+        return F.when(nd <= 256, 1).when(nd <= 65536, 2).otherwise(4)
+
+    rows = []
+    for det, dep in _CG_PAIRS:
+        nd_det, nd_dep = F.col(f"nd_c:{det}"), F.col(f"nd_c:{dep}")
+        ab_det, ab_dep = F.col(f"ab_c:{det}"), F.col(f"ab_c:{dep}")
+        np_ = F.col(f"nd_p:{det}~{dep}")
+        indep = ab_det + ab_dep + F.col("n_rows") * (cb(nd_det) + cb(nd_dep))
+        group = ab_det + ab_dep + nd_det * cb(nd_dep) + F.col("n_rows") * cb(nd_det)
+        held = np_ == nd_det
+        rows.append(
+            F.struct(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                nd_det.cast("long").alias("n_det"),
+                nd_dep.cast("long").alias("n_dep"),
+                np_.cast("long").alias("n_pairs"),
+                held.alias("fd_holds"),
+                indep.cast("long").alias("est_indep_bytes"),
+                group.cast("long").alias("est_group_bytes"),
+                F.when(held, indep - group).otherwise(F.lit(0))
+                .cast("long").alias("est_savings_bytes"),
+                (held & ((indep - group) > 0)).alias("group_recommended"),
+            )
+        )
+    return (
+        wide.crossJoin(F.broadcast(nr))
+        .select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+    )

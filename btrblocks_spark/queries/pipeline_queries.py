@@ -902,6 +902,43 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_neyman_allocation",
+    oracle="""
+WITH m AS (
+  SELECT source AS stratum, count(*) AS n_h,
+         sum(CAST(n_chars AS BIGINT)) AS s,
+         sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS q
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT stratum, n_h::BIGINT AS n_h,
+         -- nullif: a single-row stratum has undefined S_h -> NULL on both
+         -- engines (the stats_welch_ttest degenerate-denominator rule)
+         round(sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h)
+                    / nullif(n_h - 1, 0)), 6) AS sd,
+         CAST(round(n_h * sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h)
+                               / nullif(n_h - 1, 0)), 6) AS DECIMAL(18,6)) AS w
+  FROM m
+),
+tot AS (SELECT sum(coalesce(w, 0)) AS w_tot FROM t)
+SELECT stratum, n_h, sd,
+       round(CAST(w AS DOUBLE) / nullif(CAST(w_tot AS DOUBLE), 0), 6) AS neyman_share,
+       CAST(floor(CAST(coalesce(round(CAST(w AS DOUBLE) / nullif(CAST(w_tot AS DOUBLE), 0), 6), 0)
+                       AS DECIMAL(18,6)) * 10000) AS BIGINT) AS n_alloc
+FROM t CROSS JOIN tot
+""",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over sources
+    (curation.neyman_allocation): audit/sample budget ∝ N_h·S_h of the
+    per-doc char-length metric — high-variance sources get more budget
+    than equally-sized homogeneous ones."""
+    from btrblocks_spark.pipeline.curation import neyman_allocation
+
+    return neyman_allocation(load_table(spark, sf_dir, "documents"), budget=10000)
+
+
+@register(
     "curation_pack_sequences",
     oracle="""
 WITH t AS (
@@ -1945,6 +1982,37 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.pipeline.similarity import sq8_topk
 
     return sq8_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
+
+
+@register(
+    "ann_sq8_recon_error",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_SQ8_RECON_SQL},
+err AS (
+  SELECT e.vec_id,
+         round(list_reduce(list_transform(range(1, 65),
+                 i -> (e.v[i] - recon.rv[i]) * (e.v[i] - recon.rv[i])),
+               (x, y) -> x + y) / 64, 6) AS mse6
+  FROM e JOIN recon ON e.vec_id = recon.vec_id
+)
+SELECT count(*)::BIGINT AS n_vecs,
+       round(CAST(sum(CAST(mse6 AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         AS mean_mse,
+       max(mse6) AS max_mse,
+       first(vec_id ORDER BY mse6 DESC, vec_id)::BIGINT AS worst_vec_id
+FROM err
+""",
+)
+def q_ann_sq8_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization-error audit (similarity.sq8_recon_error): per-vector
+    reconstruction MSE profiled to one row (n, mean, max, worst id) — the
+    measurement that decides whether 8-bit scalar quantization is safe for
+    a corpus or needs PQ / full-precision re-ranking; the vector-store twin
+    of the format layer's scheme regression guard."""
+    from btrblocks_spark.pipeline.similarity import sq8_recon_error
+
+    return sq8_recon_error(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -2186,3 +2186,96 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "stats_theil_sen",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS y
+  FROM orders GROUP BY 1
+),
+slopes AS (
+  SELECT round(CAST(b.y - a.y AS DOUBLE) / (b.d - a.d), 6) AS slope6
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+sl AS (
+  SELECT count(*) AS n_pairs, round(quantile_cont(slope6, 0.5), 6) AS sen_slope
+  FROM slopes
+),
+ic AS (
+  SELECT round(quantile_cont(
+           round(y - sen_slope * (d - DATE '1970-01-01'), 6), 0.5), 6)
+           AS intercept
+  FROM daily CROSS JOIN sl
+)
+SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+       n_pairs::BIGINT AS n_pairs, sen_slope, intercept
+FROM sl CROSS JOIN ic
+""",
+)
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the daily order-count series:
+    slope = median over ALL day pairs (i < j) of (y_j − y_i)/(x_j − x_i),
+    intercept = median of (y − slope·x) — the magnitude companion to
+    events_trend_test's Mann-Kendall DIRECTION test (same robustness
+    story: both are rank/median statistics a 29%-outlier contamination
+    cannot move, unlike stats_linear_regression's least squares).
+
+    Determinism: day counts and day deltas are exact integers; each pair
+    slope and each intercept term is ONE IEEE division/expression rounded
+    to 6 dp, so both engines take the median of identical value sets; the
+    median itself interpolates two 6-dp values (any last-bit interpolation
+    skew is 9 orders below the final 6-dp rounding).
+
+    Scale: the pair set is CALENDAR-bounded, not row-bounded — the daily
+    aggregate is O(days) (~2.6 k rows over TPC-H's 7 years, the same at
+    100 TB), broadcast to a BroadcastNestedLoopJoin for the i<j pairing
+    (never a shuffled cartesian), so pairs ≈ days²/2 ≈ 3 M tiny rows
+    regardless of corpus size; both medians are single exact aggregates
+    over those bounded sets."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    slopes = (
+        F.broadcast(a)
+        .join(b, F.col("d1") < F.col("d2"))
+        .select(
+            F.round(
+                (F.col("y2") - F.col("y1")).cast("double")
+                / F.datediff("d2", "d1"),
+                6,
+            ).alias("slope6")
+        )
+    )
+    sl = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope6, 0.5)"), 6).alias("sen_slope"),
+    )
+    ic = (
+        daily.crossJoin(F.broadcast(sl))
+        .select(
+            F.round(
+                F.col("y")
+                - F.col("sen_slope") * F.datediff("d", F.lit("1970-01-01")),
+                6,
+            ).alias("t")
+        )
+        .agg(F.round(F.expr("percentile(t, 0.5)"), 6).alias("intercept"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "sen_slope",
+            "intercept",
+        )
+    )

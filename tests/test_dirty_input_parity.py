@@ -54,6 +54,10 @@ DOC_QUERIES = [
     "retrieval_hard_negatives",
     "dedup_local_clustering",
     "text_vocab_coverage",
+    # NULL source → its own (single-row) stratum on both engines: S_h is
+    # undefined there, so the degenerate nullif/try_divide guard and the
+    # coalesce-to-0 weight must agree cross-engine
+    "curation_neyman_allocation",
 ]
 
 TPCH_QUERIES = [
@@ -67,6 +71,8 @@ TPCH_QUERIES = [
     "stats_moments",
     "stats_percentile_profile",
     "format_table_digest",
+    "stats_theil_sen",
+    "format_column_group_plan",
 ]
 
 EVENT_QUERIES = [
