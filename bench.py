@@ -205,6 +205,9 @@ HEADLINE = [
     "curation_neyman_allocation",
     "stats_theil_sen",
     "format_column_group_plan",
+    "ann_ndcg_audit",
+    "events_kaplan_meier",
+    "events_poisson_rate_test",
 ]
 
 

@@ -2846,3 +2846,220 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_gap_sec"),
         )
     )
+
+
+@register(
+    "events_kaplan_meier",
+    """
+WITH s AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ns
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT user_id, ns,
+         lead(ns) OVER (PARTITION BY user_id ORDER BY ns, event_id) AS nxt
+  FROM s
+),
+mx AS (SELECT max(ns) AS end_ns FROM s),
+u AS (
+  SELECT (nxt - ns) // 3600000000000 AS dur, 1 AS is_death
+  FROM g WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT (end_ns - ns) // 3600000000000 AS dur, 0 AS is_death
+  FROM g CROSS JOIN mx WHERE nxt IS NULL
+),
+hist AS (
+  SELECT dur, count(*) AS n_users, sum(is_death) AS n_deaths
+  FROM u GROUP BY dur
+),
+lt AS (
+  SELECT dt.dur AS t, dt.n_deaths AS d_t,
+         sum(h.n_users) AS n_t
+  FROM hist dt JOIN hist h ON h.dur >= dt.dur
+  WHERE dt.n_deaths > 0
+  GROUP BY dt.dur, dt.n_deaths
+),
+terms AS (
+  SELECT t, d_t, n_t,
+         CASE WHEN n_t > d_t
+              THEN CAST(round(ln(1 - CAST(d_t AS DOUBLE) / n_t), 6)
+                        AS DECIMAL(18,6)) END AS term
+  FROM lt
+)
+SELECT a.t::BIGINT AS t, a.n_t::BIGINT AS n_at_risk, a.d_t::BIGINT AS n_deaths,
+       round(CAST(a.d_t AS DOUBLE) / a.n_t, 6) AS hazard,
+       CASE WHEN count(*) = count(b.term)
+            THEN round(CAST(sum(b.term) AS DOUBLE), 6) END AS log_survival
+FROM terms a JOIN terms b ON b.t <= a.t
+GROUP BY a.t, a.n_t, a.d_t
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate (Kaplan & Meier 1958) of
+    TIME-TO-NEXT-EVENT: every consecutive same-user event gap (in whole
+    hours) is a complete observation ('death' = the next event arrived);
+    each user's final gap — last event to the observation-window end — is
+    right-CENSORED (we only know the next event takes LONGER than that).
+    Output is the life table — death time t, at-risk count n_t (gaps with
+    duration ≥ t, censored included until their censor time), deaths d_t,
+    hazard d_t/n_t — plus log-survival ln S(t) = Σ_{t'≤t} ln(1 − d/n),
+    the engagement-latency curve (P[next event within t hours] =
+    1 − e^{lnS}) that correctly uses censored tails where a naive gap
+    histogram (events_interarrival_dist) silently drops them. S(t)
+    reaches exactly 0 if the longest at-risk cohort all die (d=n): ln is
+    undefined there, so log_survival degrades to NULL for that tail on
+    both engines (the CASE guard).
+
+    Determinism: hour durations, death/at-risk counts are exact integers
+    (nanos integer-div); each hazard and each ln factor is ONE IEEE
+    expression rounded to 6 dp; the cumulative sum adds DECIMAL(18,6)
+    terms (order-independent) via the triangular prefix join, never a
+    running window.
+
+    Scale: the gap pass is one lead() over a user_id-KEYED window (the
+    sessionize shuffle shape); the duration histogram is O(distinct hour
+    durations) — CALENDAR-bounded by the observation window, identical at
+    100 TB — and the at-risk and prefix computations are triangular joins
+    over that bounded table, so nothing downstream of the keyed shuffle
+    scales with row count."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s = ev.select("user_id", "event_id", F.col("ts").alias("ns"))
+    w = Window.partitionBy("user_id").orderBy("ns", "event_id")
+    g = s.withColumn("nxt", F.lead("ns").over(w))
+    mx = s.agg(F.max("ns").alias("end_ns"))
+    deaths = g.filter(F.col("nxt").isNotNull()).select(
+        F.expr("(nxt - ns) div 3600000000000").alias("dur"),
+        F.lit(1).alias("is_death"),
+    )
+    cens = (
+        g.filter(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(end_ns - ns) div 3600000000000").alias("dur"),
+            F.lit(0).alias("is_death"),
+        )
+    )
+    u = deaths.unionAll(cens)
+    hist = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("is_death").alias("n_deaths")
+    )
+    dt = hist.filter(F.col("n_deaths") > 0).select(
+        F.col("dur").alias("t"), F.col("n_deaths").alias("d_t")
+    )
+    lt = (
+        F.broadcast(dt)
+        .join(hist, F.col("dur") >= F.col("t"))
+        .groupBy("t", "d_t")
+        .agg(F.sum("n_users").alias("n_t"))
+    )
+    terms = lt.select(
+        "t", "d_t", "n_t",
+        F.when(
+            F.col("n_t") > F.col("d_t"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t")), 6
+            ).cast("decimal(18,6)"),
+        ).alias("term"),
+    )
+    a = terms.select(
+        F.col("t").alias("at"), F.col("d_t").alias("ad"), F.col("n_t").alias("an")
+    )
+    pref = (
+        F.broadcast(a)
+        .join(terms, F.col("t") <= F.col("at"))
+        .groupBy("at", "ad", "an")
+        .agg(
+            F.count(F.lit(1)).alias("c_all"),
+            F.count("term").alias("c_def"),
+            F.sum("term").alias("s"),
+        )
+    )
+    return pref.select(
+        F.col("at").cast("long").alias("t"),
+        F.col("an").cast("long").alias("n_at_risk"),
+        F.col("ad").cast("long").alias("n_deaths"),
+        F.round(F.col("ad").cast("double") / F.col("an"), 6).alias("hazard"),
+        F.when(
+            F.col("c_all") == F.col("c_def"),
+            F.round(F.col("s").cast("double"), 6),
+        ).alias("log_survival"),
+    )
+
+
+@register(
+    "events_poisson_rate_test",
+    """
+WITH s AS (
+  SELECT event_type, epoch_ns(ts) AS ns FROM events WHERE ts IS NOT NULL
+),
+w AS (SELECT min(ns) AS lo, max(ns) AS hi FROM s),
+c AS (
+  SELECT event_type,
+         sum(CASE WHEN ns < lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN ns >= lo + (hi - lo) // 2 THEN 1 ELSE 0 END) AS c2
+  FROM s CROSS JOIN w GROUP BY event_type
+),
+h AS (
+  SELECT round(CAST((SELECT (hi - lo) // 2 FROM w) AS DOUBLE)
+               / 3600000000000, 6) AS half_hours
+)
+SELECT event_type, c1::BIGINT AS c1, c2::BIGINT AS c2,
+       round(c1 / half_hours, 6) AS rate1_per_hour,
+       round(c2 / half_hours, 6) AS rate2_per_hour,
+       round(CAST(c2 AS DOUBLE) / nullif(c1, 0), 6) AS rate_ratio,
+       round(2 * (sqrt(CAST(c2 AS DOUBLE)) - sqrt(CAST(c1 AS DOUBLE))), 6)
+         AS z_sqrt
+FROM c CROSS JOIN h
+""",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-shift test per event type: split the observation
+    window into two equal-exposure halves and compare arrival rates with
+    the variance-stabilizing square-root transform — for Poisson counts
+    with equal exposure, z = 2(√c₂ − √c₁) is approximately standard
+    normal under H₀ (equal rates), so |z| > 2-3 flags a genuine rate
+    change (error-budget regressions, traffic shifts). The parametric
+    counts-based companion to events_trend_test (rank-based direction)
+    and events_cusum_changepoint (location of the shift).
+
+    Determinism: the half boundary is integer nanos arithmetic; the two
+    counts are exact conditional integer aggregates; every rate/ratio/z
+    is ONE scalar IEEE expression over those integers rounded to 6 dp;
+    c₁=0 degrades the ratio to NULL on both engines (nullif/try_divide).
+
+    Scale: one map-side-combinable conditional aggregate per event type
+    after one global min/max scan — two passes, no joins wider than the
+    broadcast scalar, no windows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s = ev.select("event_type", F.col("ts").alias("ns"))
+    w = s.agg(F.min("ns").alias("lo"), F.max("ns").alias("hi"))
+    mid = F.col("lo") + F.expr("(hi - lo) div 2")
+    c = (
+        s.crossJoin(F.broadcast(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ns") < mid, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("ns") >= mid, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    h = w.select(
+        F.round(
+            F.expr("(hi - lo) div 2").cast("double") / F.lit(3600000000000.0), 6
+        ).alias("half_hours")
+    )
+    return c.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.round(F.col("c1") / F.col("half_hours"), 6).alias("rate1_per_hour"),
+        F.round(F.col("c2") / F.col("half_hours"), 6).alias("rate2_per_hour"),
+        F.round(
+            F.try_divide(F.col("c2").cast("double"), F.nullif(F.col("c1"), F.lit(0))),
+            6,
+        ).alias("rate_ratio"),
+        F.round(
+            F.lit(2)
+            * (F.sqrt(F.col("c2").cast("double")) - F.sqrt(F.col("c1").cast("double"))),
+            6,
+        ).alias("z_sqrt"),
+    )

@@ -1010,13 +1010,17 @@ def format_column_group_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.octet_length("a")), F.lit(0)).alias("ab"),
         )
     )
-    # O(kinds) rows -> one wide scalar row (the fd_advisor pivot pattern)
+    # O(kinds) rows -> one wide scalar row (the fd_advisor pivot pattern);
+    # coalesce to 0: on an EMPTY base table g has no rows at all, and the
+    # oracle's per-kind distinct CTEs emit count(*)=0 / ab=0 — NULL here
+    # would diverge in shape (the round-6 empty-input review class)
     keys = [f"c:{c}" for c in _CG_COLS] + [f"p:{d}~{p}" for d, p in _CG_PAIRS]
     wide = g.agg(
         *[
-            F.first(F.when(F.col("kind") == k, F.col(m)), ignorenulls=True).alias(
-                f"{m}_{k}"
-            )
+            F.coalesce(
+                F.first(F.when(F.col("kind") == k, F.col(m)), ignorenulls=True),
+                F.lit(0),
+            ).alias(f"{m}_{k}")
             for k in keys
             for m in ("nd", "ab")
         ]

@@ -2753,6 +2753,115 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_NDCG_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+truth AS ({_ORACLE_REG["ann_cosine_topk"]}),
+ivf AS ({_ORACLE_REG["ann_ivf_topk"]}),
+pq AS ({_ORACLE_REG["ann_pq_topk"]}),
+lsh AS ({_ORACLE_REG["ann_lsh_bucketed"]}),
+methods AS (
+  SELECT 'exact' AS method, q_id, rank, neighbor_id FROM truth
+  UNION ALL SELECT 'ivf', q_id, rank, neighbor_id FROM ivf
+  UNION ALL SELECT 'pq', q_id, rank, neighbor_id FROM pq
+  UNION ALL SELECT 'lsh', q_id, rank, neighbor_id FROM lsh
+),
+rel AS (
+  SELECT m.method, m.q_id, m.rank,
+         round({_cosine_sql('eq.v', 'en.v')}, 6) AS rel
+  FROM methods m
+  JOIN e eq ON eq.vec_id = m.q_id
+  JOIN e en ON en.vec_id = m.neighbor_id
+),
+dcg AS (
+  SELECT method, q_id,
+         CAST(sum(CAST(round((CASE WHEN rel > 0 THEN rel ELSE 0 END)
+                             / log2(rank + 1), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) AS dcg
+  FROM rel GROUP BY 1, 2
+),
+ideal AS (SELECT q_id, dcg AS idcg FROM dcg WHERE method = 'exact')
+SELECT d.method, d.q_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       round(d.dcg / nullif(i.idcg, 0), 6) AS ndcg
+FROM dcg d JOIN ideal i ON i.q_id = d.q_id
+WHERE d.method <> 'exact'
+"""
+
+
+@register("ann_ndcg_audit", oracle=_ANN_NDCG_ORACLE)
+def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality audit: NDCG@5 of each approximate ANN method (IVF, PQ,
+    LSH) against brute-force cosine truth — the GRADED refinement of
+    ann_recall_audit (recall treats a rank-5 hit like rank-1 and every
+    miss alike; NDCG grades each retrieved neighbor by its EXACT cosine
+    and discounts by log2(rank+1), so near-miss neighbors still earn
+    credit and rank inversions cost). Read together, the two audits are
+    the accuracy dial for choosing a 100 TB vector index.
+
+    Determinism: relevance is the exact 6-dp cosine recomputed per
+    retrieved pair (never the method's approximate score); each DCG term
+    is rounded to 6 dp and summed in DECIMAL(18,6) (order-independent);
+    negative cosines clamp to 0 (NDCG's non-negative-gain premise);
+    the final ratio try_divides so an all-zero ideal degrades to NULL on
+    both engines.
+
+    Scale: composes the four registered ANN chains verbatim; everything
+    after them runs on O(methods × queries × k) rows — negligible."""
+    from btrblocks_spark.pipeline.dedup import cosine_try_expr
+    from btrblocks_spark.pipeline.similarity import _as_double
+
+    e = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+    parts = [
+        q_ann_cosine_topk(spark, sf_dir).select(
+            F.lit("exact").alias("method"), "q_id", "rank", "neighbor_id"
+        ),
+        q_ann_ivf(spark, sf_dir).select(
+            F.lit("ivf").alias("method"), "q_id", "rank", "neighbor_id"
+        ),
+        q_ann_pq_topk(spark, sf_dir).select(
+            F.lit("pq").alias("method"), "q_id", "rank", "neighbor_id"
+        ),
+        q_ann_lsh(spark, sf_dir).select(
+            F.lit("lsh").alias("method"), "q_id", "rank", "neighbor_id"
+        ),
+    ]
+    methods = parts[0]
+    for p in parts[1:]:
+        methods = methods.unionByName(p)
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rel = (
+        methods.join(F.broadcast(eq), "q_id")
+        .join(F.broadcast(en), "neighbor_id")
+        .select(
+            "method", "q_id", "rank",
+            F.round(cosine_try_expr("qv", "nv"), 6).alias("rel"),
+        )
+    )
+    term = F.round(
+        F.when(F.col("rel") > 0, F.col("rel")).otherwise(F.lit(0.0))
+        / F.log2(F.col("rank") + 1),
+        6,
+    ).cast("decimal(18,6)")
+    dcg = rel.groupBy("method", "q_id").agg(
+        F.sum(term).cast("double").alias("dcg")
+    )
+    ideal = dcg.filter(F.col("method") == "exact").select(
+        "q_id", F.col("dcg").alias("idcg")
+    )
+    return (
+        dcg.filter(F.col("method") != "exact")
+        .join(F.broadcast(ideal), "q_id")
+        .select(
+            "method", "q_id",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(
+                F.try_divide(F.col("dcg"), F.nullif(F.col("idcg"), F.lit(0.0))), 6
+            ).alias("ndcg"),
+        )
+    )
+
+
 _WEIGHTED_SAMPLE_ORACLE = f"""
 WITH q AS ({_ORACLE_REG["text_quality"]}),
 u AS (

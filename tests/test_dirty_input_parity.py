@@ -101,6 +101,10 @@ EVENT_QUERIES = [
     "events_ewma_smoothed",
     "events_peak_detection",
     "events_seasonal_decompose",
+    # NULL ts rows must vanish from the gap stream / window halves before
+    # any lead()/boundary arithmetic on both engines
+    "events_kaplan_meier",
+    "events_poisson_rate_test",
 ]
 
 MEDIA_QUERIES = [  # NULL-text → empty-payload contract
