@@ -206,6 +206,7 @@ HEADLINE = [
     "stats_theil_sen",
     "format_column_group_plan",
     "ann_ndcg_audit",
+    "dedup_method_impact",
     "events_kaplan_meier",
     "events_poisson_rate_test",
 ]

@@ -915,6 +915,8 @@ def mmr_rerank_k(
     not O(|q|·k²), and nothing rescans the corpus after the shared
     candidate build. Equivalence to the unrolled chain at picks=3 is
     pinned by test_similarity."""
+    if picks < 1:
+        raise ValueError(f"mmr_rerank_k: picks must be >= 1, got {picks}")
     cand, sims = _mmr_cand_sims(vecs, query_ids, k_candidates, vec_col, id_col)
 
     rem = cand.withColumn("maxp", F.lit(None).cast("long"))

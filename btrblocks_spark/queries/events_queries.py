@@ -3004,8 +3004,10 @@ h AS (
                / 3600000000000, 6) AS half_hours
 )
 SELECT event_type, c1::BIGINT AS c1, c2::BIGINT AS c2,
-       round(c1 / half_hours, 6) AS rate1_per_hour,
-       round(c2 / half_hours, 6) AS rate2_per_hour,
+       -- nullif: a zero-width window (all events at one instant) must
+       -- degrade to NULL rates on both engines, not DuckDB-IEEE inf
+       round(c1 / nullif(half_hours, 0), 6) AS rate1_per_hour,
+       round(c2 / nullif(half_hours, 0), 6) AS rate2_per_hour,
        round(CAST(c2 AS DOUBLE) / nullif(c1, 0), 6) AS rate_ratio,
        round(2 * (sqrt(CAST(c2 AS DOUBLE)) - sqrt(CAST(c1 AS DOUBLE))), 6)
          AS z_sqrt
@@ -3051,8 +3053,12 @@ def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("c1").cast("long").alias("c1"),
         F.col("c2").cast("long").alias("c2"),
-        F.round(F.col("c1") / F.col("half_hours"), 6).alias("rate1_per_hour"),
-        F.round(F.col("c2") / F.col("half_hours"), 6).alias("rate2_per_hour"),
+        F.round(
+            F.try_divide(F.col("c1"), F.nullif(F.col("half_hours"), F.lit(0.0))), 6
+        ).alias("rate1_per_hour"),
+        F.round(
+            F.try_divide(F.col("c2"), F.nullif(F.col("half_hours"), F.lit(0.0))), 6
+        ).alias("rate2_per_hour"),
         F.round(
             F.try_divide(F.col("c2").cast("double"), F.nullif(F.col("c1"), F.lit(0))),
             6,

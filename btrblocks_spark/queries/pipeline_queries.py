@@ -2753,6 +2753,80 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_IMPACT_ORACLE = f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+ex AS ({_ORACLE_REG["dedup_exact"]}),
+mh AS ({_ORACLE_REG["dedup_minhash_lsh"]}),
+sh AS ({_ORACLE_REG["dedup_simhash_pairs"]}),
+ng AS ({_ORACLE_REG["dedup_ngram_jaccard"]}),
+flags AS (
+  SELECT 'exact' AS method,
+         coalesce(sum(dup_count - 1), 0) AS n_flagged FROM ex
+  UNION ALL SELECT 'minhash_lsh', count(DISTINCT doc_b) FROM mh
+  UNION ALL SELECT 'simhash', count(DISTINCT doc_b) FROM sh
+  UNION ALL SELECT 'ngram_jaccard', count(DISTINCT doc_b) FROM ng
+)
+SELECT method, n_docs::BIGINT AS n_docs, n_flagged::BIGINT AS n_flagged,
+       round(CAST(n_flagged AS DOUBLE) / nullif(n_docs, 0), 6) AS flag_rate
+FROM flags CROSS JOIN nd ORDER BY method
+"""
+
+
+@register("dedup_method_impact", oracle=_DEDUP_IMPACT_ORACLE)
+def q_dedup_method_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-level impact ledger: for each dedup method (exact content
+    hash, MinHash-LSH candidates, SimHash bands, exact n-gram Jaccard),
+    how many documents a keep-smallest-id policy would remove and what
+    share of the corpus that is — the side-by-side removal-rate table a
+    curation run reads to pick its dedup aggressiveness (exact ≪ near-dup
+    rates; a near-dup level flagging 10× more than the exact level is the
+    signal to audit its threshold, cf. dedup_lsh_recall). Composes the
+    four registered chains verbatim (same params), so the oracle is their
+    oracles composed.
+
+    Scale: each chain is its own bounded shape (memoized pair tables —
+    doc_b distinct-counts touch ids only); the ledger itself is four
+    scalar aggregates unioned."""
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    parts = [
+        q_dedup_exact(spark, sf_dir).agg(
+            F.lit("exact").alias("method"),
+            F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0)).alias("n_flagged"),
+        ),
+        q_minhash_lsh(spark, sf_dir).agg(
+            F.lit("minhash_lsh").alias("method"),
+            F.countDistinct("doc_b").alias("n_flagged"),
+        ),
+        q_simhash_pairs(spark, sf_dir).agg(
+            F.lit("simhash").alias("method"),
+            F.countDistinct("doc_b").alias("n_flagged"),
+        ),
+        q_ngram_jaccard(spark, sf_dir).agg(
+            F.lit("ngram_jaccard").alias("method"),
+            F.countDistinct("doc_b").alias("n_flagged"),
+        ),
+    ]
+    flags = parts[0]
+    for p in parts[1:]:
+        flags = flags.unionByName(p)
+    return (
+        flags.crossJoin(F.broadcast(nd))
+        .select(
+            "method",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+            F.round(
+                F.try_divide(
+                    F.col("n_flagged").cast("double"), F.nullif(F.col("n_docs"), F.lit(0))
+                ),
+                6,
+            ).alias("flag_rate"),
+        )
+        .orderBy("method")
+    )
+
+
 _ANN_NDCG_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 truth AS ({_ORACLE_REG["ann_cosine_topk"]}),

@@ -58,6 +58,9 @@ DOC_QUERIES = [
     # undefined there, so the degenerate nullif/try_divide guard and the
     # coalesce-to-0 weight must agree cross-engine
     "curation_neyman_allocation",
+    # composes four dedup chains whose NULL/empty-text behaviors must
+    # agree through the distinct-doc_b counts
+    "dedup_method_impact",
 ]
 
 TPCH_QUERIES = [
