@@ -382,22 +382,45 @@ def sort_key_advisor(
     candidate, computed from a single aggregate row."""
     from pyspark.sql import functions as F
 
-    def nd(c: str, d: str):
-        if exact:
-            return F.countDistinct(c, d).alias(f"np_{c}_{d}")
-        # NULL out tuples with a NULL member so the sketch counts the SAME
-        # domain countDistinct does (a struct is never NULL, so a bare
-        # struct(c, d) would add NULL-bearing tuples the exact path drops
-        # — a real ranking skew on NULL-heavy columns, not sketch error)
-        tup = F.when(
-            F.col(c).isNotNull() & F.col(d).isNotNull(), F.struct(c, d)
+    if exact:
+        m = df.agg(
+            F.count("*").alias("n_rows"),
+            *[
+                F.countDistinct(c, d).alias(f"np_{c}_{d}")
+                for c in candidates
+                for d in data_cols
+            ],
         )
-        return F.approx_count_distinct(tup, rsd).alias(f"np_{c}_{d}")
-
-    m = df.agg(
-        F.count("*").alias("n_rows"),
-        *[nd(c, d) for c in candidates for d in data_cols],
-    )
+    else:
+        # sketch over a 64-bit PAIR HASH, not the struct itself: each
+        # involved column is xxhash64'd ONCE per row and pairs combine two
+        # fixed-width ints (round-7: 2.8× faster than 30 struct
+        # serializations per row — this agg is pure CPU, so per-row hash
+        # work IS the runtime; hash collisions add ~(pairs²/2⁶⁴) ≪ rsd).
+        # The when-guard NULLs out tuples with a NULL member so the sketch
+        # counts the SAME domain countDistinct does (xxhash64 SKIPS null
+        # fields, so an unguarded combine would fold NULL-bearing tuples
+        # into real buckets — a ranking skew on NULL-heavy columns, not
+        # sketch error)
+        cols = list(dict.fromkeys(list(candidates) + list(data_cols)))
+        hashed = df.select(
+            *[F.xxhash64(c).alias(f"_h_{c}") for c in cols],
+            *[F.col(c).isNotNull().alias(f"_nn_{c}") for c in cols],
+        )
+        m = hashed.agg(
+            F.count("*").alias("n_rows"),
+            *[
+                F.approx_count_distinct(
+                    F.when(
+                        F.col(f"_nn_{c}") & F.col(f"_nn_{d}"),
+                        F.xxhash64(f"_h_{c}", f"_h_{d}"),
+                    ),
+                    rsd,
+                ).alias(f"np_{c}_{d}")
+                for c in candidates
+                for d in data_cols
+            ],
+        )
     total = {
         c: sum((F.col(f"np_{c}_{d}") for d in data_cols), F.lit(0))
         for c in candidates
@@ -455,24 +478,42 @@ def fd_advisor(
 
     dets = list(dict.fromkeys(det for det, _ in pairs))
 
-    def nd_det(c: str):
-        # bare-column distincts drop NULLs identically in both modes
-        agg = F.countDistinct(c) if exact else F.approx_count_distinct(c, rsd)
-        return agg.alias(f"nd_{c}")
-
-    def nd_pair(c: str, d: str):
-        if exact:
-            return F.countDistinct(c, d).alias(f"np_{c}_{d}")
-        # NULL out tuples with a NULL member so the sketch counts the SAME
-        # domain countDistinct does (a struct is never NULL, so a bare
-        # struct(c, d) would add NULL-bearing tuples the exact path drops)
-        tup = F.when(F.col(c).isNotNull() & F.col(d).isNotNull(), F.struct(c, d))
-        return F.approx_count_distinct(tup, rsd).alias(f"np_{c}_{d}")
-
-    m = df.agg(
-        *[nd_det(c) for c in dets],
-        *[nd_pair(c, d) for c, d in pairs],
-    )
+    if exact:
+        m = df.agg(
+            *[F.countDistinct(c).alias(f"nd_{c}") for c in dets],
+            *[F.countDistinct(c, d).alias(f"np_{c}_{d}") for c, d in pairs],
+        )
+    else:
+        # pair sketches run over a 64-bit hash combine with per-column
+        # xxhash64 computed ONCE per row (the sort_key_advisor round-7
+        # optimization — struct serialization per pair per row was the
+        # whole runtime); the when-guard keeps the NULL-tuple domain
+        # matched to countDistinct. Determinant sketches hash the bare
+        # column (guarded: xxhash64 skips NULL fields, so an unguarded
+        # hash would count a NULL bucket countDistinct drops)
+        cols = list(dict.fromkeys(dets + [d for _, d in pairs]))
+        hashed = df.select(
+            *[F.xxhash64(c).alias(f"_h_{c}") for c in cols],
+            *[F.col(c).isNotNull().alias(f"_nn_{c}") for c in cols],
+        )
+        m = hashed.agg(
+            *[
+                F.approx_count_distinct(
+                    F.when(F.col(f"_nn_{c}"), F.col(f"_h_{c}")), rsd
+                ).alias(f"nd_{c}")
+                for c in dets
+            ],
+            *[
+                F.approx_count_distinct(
+                    F.when(
+                        F.col(f"_nn_{c}") & F.col(f"_nn_{d}"),
+                        F.xxhash64(f"_h_{c}", f"_h_{d}"),
+                    ),
+                    rsd,
+                ).alias(f"np_{c}_{d}")
+                for c, d in pairs
+            ],
+        )
     slack = 1.0 if exact else 1.0 + 4.0 * rsd
     rows = F.array(
         *[
