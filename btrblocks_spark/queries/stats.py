@@ -2257,25 +2257,32 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.expr("percentile(slope6, 0.5)"), 6).alias("sen_slope"),
     )
+    # thread sen_slope/n_pairs THROUGH the intercept aggregate (first()
+    # over the constant broadcast row) so `sl` is referenced exactly once —
+    # a second reference would re-evaluate the whole O(days²) slope scan
     ic = (
         daily.crossJoin(F.broadcast(sl))
         .select(
+            "n_pairs",
+            "sen_slope",
             F.round(
                 F.col("y")
                 - F.col("sen_slope") * F.datediff("d", F.lit("1970-01-01")),
                 6,
-            ).alias("t")
+            ).alias("t"),
         )
-        .agg(F.round(F.expr("percentile(t, 0.5)"), 6).alias("intercept"))
+        .agg(
+            # coalesce: an empty daily table leaves first() NULL, but the
+            # oracle's count(*) over zero slopes is 0
+            F.coalesce(F.first("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.first("sen_slope").alias("sen_slope"),
+            F.round(F.expr("percentile(t, 0.5)"), 6).alias("intercept"),
+        )
     )
     nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    return (
-        nd.crossJoin(F.broadcast(sl))
-        .crossJoin(F.broadcast(ic))
-        .select(
-            "n_days",
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            "sen_slope",
-            "intercept",
-        )
+    return nd.crossJoin(F.broadcast(ic)).select(
+        "n_days",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "sen_slope",
+        "intercept",
     )

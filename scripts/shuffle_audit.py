@@ -56,7 +56,15 @@ def main() -> int:
 
     import bench  # HEADLINE list + noop materializer
 
-    spark = get_spark(app_name="shuffle-audit")
+    # retain every stage: _stage_totals diffs CUMULATIVE sums over the
+    # retained-stage list, so the default 1000-stage eviction makes late
+    # windows lose more history than they gain and report NEGATIVE deltas
+    # (first seen at 165 headline queries, round 7)
+    spark = get_spark(
+        app_name="shuffle-audit",
+        extra_conf={"spark.ui.retainedStages": "100000",
+                    "spark.ui.retainedJobs": "100000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
