@@ -554,7 +554,13 @@ def main() -> None:
         try:
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "BENCH_DETAIL.json")) as fh:
-                committed = json.load(fh).get("queries", {}) or {}
+                _detail = json.load(fh)
+            # the committed reference is only meaningful at ITS scale
+            # factor: benching a different SF against sf0.1 numbers would
+            # misfire the backstop (larger SF) or never fire it (smaller)
+            committed = (
+                _detail.get("queries", {}) or {}
+            ) if _detail.get("sf") == (float(sf) if sf else None) else {}
         except Exception:  # first run / missing artifact: no backstop
             committed = {}
         sanity_budget = 10
