@@ -209,6 +209,7 @@ HEADLINE = [
     "dedup_method_impact",
     "events_kaplan_meier",
     "events_poisson_rate_test",
+    "stats_jackknife_group",
 ]
 
 

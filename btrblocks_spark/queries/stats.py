@@ -2286,3 +2286,120 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sen_slope",
         "intercept",
     )
+
+
+@register(
+    "stats_jackknife_group",
+    """
+WITH g AS (
+  SELECT o_orderstatus AS grp, count(*) AS n_g,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s_g
+  FROM orders GROUP BY o_orderstatus
+),
+tot AS (SELECT sum(n_g) AS n, sum(s_g) AS s, count(*) AS n_groups FROM g),
+loo AS (
+  SELECT grp, n_g,
+         round(CAST(s - s_g AS DOUBLE) / nullif(n - n_g, 0) / 100, 6)
+           AS theta_i
+  FROM g CROSS JOIN tot
+),
+jb AS (
+  SELECT round(CAST(sum(CAST(theta_i AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS theta_bar
+  FROM loo
+),
+dev AS (
+  SELECT CAST(round((theta_i - theta_bar) * (theta_i - theta_bar), 6)
+              AS DECIMAL(18,6)) AS d2
+  FROM loo CROSS JOIN jb
+)
+SELECT n::BIGINT AS n_rows, n_groups::BIGINT AS n_groups,
+       round(CAST(s AS DOUBLE) / nullif(n, 0) / 100, 6) AS mean_price,
+       round(sqrt(CAST(n_groups - 1 AS DOUBLE) / nullif(n_groups, 0)
+                  * CAST((SELECT CAST(sum(d2) AS DOUBLE) FROM dev)
+                         AS DOUBLE)), 6) AS jackknife_se
+FROM tot
+""",
+)
+def stats_jackknife_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife (Kott 2001, the survey-statistics standard
+    error machine): the mean order price is re-estimated leaving out each
+    o_orderstatus group in turn (θ_i), and SE = sqrt((G−1)/G · Σ(θ_i −
+    θ̄)²) — the distribution-free standard error companion to
+    stats_bootstrap_ci that needs only G re-aggregations of GROUP sums,
+    never a resample pass over rows (the property that matters at 100 TB:
+    the bootstrap scans the data once per replicate batch, the jackknife
+    reads one tiny per-group sum table).
+
+    Determinism: group sums are exact integer cents; every θ_i is ONE
+    scalar IEEE expression over them rounded to 6 dp; the θ̄ and Σ(θ_i−θ̄)²
+    reductions sum 6-dp DECIMAL(18,6) terms (order-independent); nullif
+    guards pin the degenerate single-group/empty cases to NULL on both
+    engines.
+
+    Scale: one map-side-combinable groupBy to O(G) rows; everything after
+    runs on the G-row table."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    loo = g.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            F.try_divide(
+                (F.col("s") - F.col("s_g")).cast("double"),
+                F.nullif(F.col("n") - F.col("n_g"), F.lit(0)),
+            )
+            / 100,
+            6,
+        ).alias("theta_i")
+    )
+    jb = loo.agg(
+        F.round(
+            F.try_divide(
+                F.sum(F.col("theta_i").cast("decimal(18,6)")).cast("double"),
+                F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("theta_bar")
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(jb))
+        .select(
+            F.round(
+                (F.col("theta_i") - F.col("theta_bar"))
+                * (F.col("theta_i") - F.col("theta_bar")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("d2")
+        )
+        .agg(F.sum("d2").cast("double").alias("ssq"))
+    )
+    return tot.crossJoin(F.broadcast(dev)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.round(
+            F.try_divide(F.col("s").cast("double"), F.nullif(F.col("n"), F.lit(0)))
+            / 100,
+            6,
+        ).alias("mean_price"),
+        F.round(
+            F.sqrt(
+                F.try_divide(
+                    (F.col("n_groups") - 1).cast("double"),
+                    F.nullif(F.col("n_groups"), F.lit(0)),
+                )
+                * F.col("ssq")
+            ),
+            6,
+        ).alias("jackknife_se"),
+    )
