@@ -457,10 +457,19 @@ def neyman_allocation(
             "q"
         ),
     )
+    # clamp the variance numerator at 0 via explicit CASE (never
+    # greatest(): it SKIPS NULLs): q − s²/n is an FP cancellation, and a
+    # (near-)constant-metric stratum with n·x² past 2^53 can land a hair
+    # below zero — DuckDB's sqrt ABORTS on negatives while Spark returns
+    # NaN, so without the clamp the whole oracle query dies (round-7
+    # review finding). A NULL numerator (all-NULL metric) stays NULL.
+    numer = (
+        F.col("q").cast("double")
+        - (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n_h")
+    )
     sd = F.sqrt(
         F.try_divide(
-            F.col("q").cast("double")
-            - (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n_h"),
+            F.when(numer < 0, F.lit(0.0)).otherwise(numer),
             F.col("n_h") - 1,
         )
     )

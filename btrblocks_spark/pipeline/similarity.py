@@ -505,14 +505,19 @@ def sq8_recon_error(
     global aggregate — no joins, no windows, no per-vector shuffle."""
     corpus = _as_double(vecs, vec_col, id_col)
     rg = sq8_ranges(corpus)
+    # try_divide by size(v): an empty array must degrade to NULL mse, not
+    # raise DIVIDE_BY_ZERO under ANSI (the module's degrade-to-NULL
+    # convention; round-7 review finding)
     err = corpus.crossJoin(F.broadcast(rg)).select(
         "vec_id",
         F.round(
-            F.expr(
-                f"aggregate(zip_with(v, {_SQ8_RECON}, "
-                "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
-            )
-            / F.expr("size(v)").cast("double"),
+            F.try_divide(
+                F.expr(
+                    f"aggregate(zip_with(v, {_SQ8_RECON}, "
+                    "(x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+                ),
+                F.expr("size(v)").cast("double"),
+            ),
             6,
         ).alias("mse6"),
     )
@@ -785,6 +790,22 @@ def _mmr_cand_sims(
     return cand, sims
 
 
+def _mmr_output(parts: list[DataFrame]) -> DataFrame:
+    """Shared MMR result contract: union the per-rank pick frames (already
+    shaped q_id/sel_rank/vec_id/mmr_num) and attach ``mmr_score`` =
+    mmr_num / 1e7 (the exact-integer 7·r6 − 3·s6 score over its fixed
+    scale). ONE owner for the output schema and the score divisor so the
+    unrolled chain and the round-k loop cannot drift apart (their
+    equivalence at picks=3 is test-pinned)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "q_id", "sel_rank", "vec_id", "mmr_num",
+        (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
+    )
+
+
 def mmr_rerank(
     vecs: DataFrame,
     query_ids: list[int],
@@ -867,21 +888,18 @@ def mmr_rerank(
     # each rank projects from ITS OWN stage frame: a query with fewer than
     # 3 candidates (tiny or heavily filtered corpus) still returns the 1-2
     # picks MMR could make, instead of vanishing because stage 3 was empty
-    out = None
-    for rk, (frame, pick, sc) in enumerate(
-        [(s1, "s1", "sc1"), (s2, "s2", "sc2"), (s3, "s3", "sc3")], start=1
-    ):
-        part = frame.select(
+    parts = [
+        frame.select(
             "q_id",
             F.lit(rk).cast("long").alias("sel_rank"),
             F.col(pick).alias("vec_id"),
             F.col(sc).cast("long").alias("mmr_num"),
         )
-        out = part if out is None else out.unionAll(part)
-    return out.select(
-        "q_id", "sel_rank", "vec_id", "mmr_num",
-        (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
-    )
+        for rk, (frame, pick, sc) in enumerate(
+            [(s1, "s1", "sc1"), (s2, "s2", "sc2"), (s3, "s3", "sc3")], start=1
+        )
+    ]
+    return _mmr_output(parts)
 
 
 def mmr_rerank_k(
@@ -962,10 +980,4 @@ def mmr_rerank_k(
             .localCheckpoint(eager=True)
         )
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.select(
-        "q_id", "sel_rank", "vec_id", "mmr_num",
-        (F.col("mmr_num").cast("double") / F.lit(10000000.0)).alias("mmr_score"),
-    )
+    return _mmr_output(parts)

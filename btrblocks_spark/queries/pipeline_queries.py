@@ -910,15 +910,28 @@ WITH m AS (
          sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS q
   FROM documents GROUP BY source
 ),
+tn AS (
+  -- CASE clamp at 0: the q − s²/n cancellation can dip a hair negative
+  -- for a (near-)constant-metric stratum once n·x² passes 2^53, and
+  -- DuckDB's sqrt ABORTS on negatives where Spark yields NaN; a NULL
+  -- numerator (all-NULL metric) must STAY NULL, so CASE, not greatest()
+  SELECT stratum, n_h,
+         CASE WHEN (CAST(q AS DOUBLE)
+                    - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h) < 0
+              THEN 0
+              ELSE CAST(q AS DOUBLE)
+                   - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h
+         END AS numer
+  FROM m
+),
 t AS (
   SELECT stratum, n_h::BIGINT AS n_h,
          -- nullif: a single-row stratum has undefined S_h -> NULL on both
          -- engines (the stats_welch_ttest degenerate-denominator rule)
-         round(sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h)
-                    / nullif(n_h - 1, 0)), 6) AS sd,
-         CAST(round(n_h * sqrt((CAST(q AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h)
-                               / nullif(n_h - 1, 0)), 6) AS DECIMAL(18,6)) AS w
-  FROM m
+         round(sqrt(numer / nullif(n_h - 1, 0)), 6) AS sd,
+         CAST(round(n_h * sqrt(numer / nullif(n_h - 1, 0)), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM tn
 ),
 tot AS (SELECT sum(coalesce(w, 0)) AS w_tot FROM t)
 SELECT stratum, n_h, sd,
@@ -1990,10 +2003,13 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_SQ8_RECON_SQL},
 err AS (
+  -- divide by the row's OWN length (nullif-guarded), matching the Spark
+  -- side's size(v): a non-64-dim or empty vector degrades to NULL mse on
+  -- both engines instead of diverging (round-7 review finding)
   SELECT e.vec_id,
-         round(list_reduce(list_transform(range(1, 65),
+         round(list_reduce(list_transform(range(1, len(e.v) + 1),
                  i -> (e.v[i] - recon.rv[i]) * (e.v[i] - recon.rv[i])),
-               (x, y) -> x + y) / 64, 6) AS mse6
+               (x, y) -> x + y) / nullif(len(e.v), 0), 6) AS mse6
   FROM e JOIN recon ON e.vec_id = recon.vec_id
 )
 SELECT count(*)::BIGINT AS n_vecs,
@@ -2903,9 +2919,13 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         methods = methods.unionByName(p)
     eq = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    # broadcast the TINY side (methods ≈ |methods|·|queries|·k rows) into
+    # both vector lookups so the corpus streams — hinting the corpus
+    # itself would ship every vector to the driver and all executors
+    # twice (round-7 review finding; the cosine_topk convention)
     rel = (
-        methods.join(F.broadcast(eq), "q_id")
-        .join(F.broadcast(en), "neighbor_id")
+        F.broadcast(F.broadcast(methods).join(eq, "q_id"))
+        .join(en, "neighbor_id")
         .select(
             "method", "q_id", "rank",
             F.round(cosine_try_expr("qv", "nv"), 6).alias("rel"),
