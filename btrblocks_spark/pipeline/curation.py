@@ -452,6 +452,12 @@ def neyman_allocation(
     touches the corpus."""
     m = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_h"),
+        # nm = NON-NULL metric count: S_h's moments (s, q) skip NULL
+        # metric values, so the variance must divide by the same row
+        # count or NULL-heavy strata get an inflated S_h and steal
+        # budget (round-8 ADVICE). n_h (the full stratum size) still
+        # weights the allocation — Neyman's N_h is population size.
+        F.count(F.col(metric_col)).alias("nm"),
         F.sum(F.col(metric_col).cast("long")).alias("s"),
         F.sum(F.col(metric_col).cast("long") * F.col(metric_col).cast("long")).alias(
             "q"
@@ -462,15 +468,19 @@ def neyman_allocation(
     # (near-)constant-metric stratum with n·x² past 2^53 can land a hair
     # below zero — DuckDB's sqrt ABORTS on negatives while Spark returns
     # NaN, so without the clamp the whole oracle query dies (round-7
-    # review finding). A NULL numerator (all-NULL metric) stays NULL.
+    # review finding). A NULL numerator (all-NULL metric: s and q are
+    # NULL, and nm − 1 = −1 never divides by zero) stays NULL.
     numer = (
         F.col("q").cast("double")
-        - (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n_h")
+        - F.try_divide(
+            F.col("s").cast("double") * F.col("s").cast("double"),
+            F.col("nm").cast("double"),
+        )
     )
     sd = F.sqrt(
         F.try_divide(
             F.when(numer < 0, F.lit(0.0)).otherwise(numer),
-            F.col("n_h") - 1,
+            F.col("nm") - 1,
         )
     )
     terms = m.select(

@@ -940,13 +940,19 @@ def mmr_rerank_k(
     rem = cand.withColumn("maxp", F.lit(None).cast("long"))
     parts: list[DataFrame] = []
     for rk in range(1, picks + 1):
-        # coalesce(maxp, 0): round 1 has no selected set, so the penalty
-        # term is 0 (score = 7·r6, matching the unrolled stage 1); later
-        # rounds every remaining candidate carries a real maxp because the
-        # pairwise table covers all candidate pairs of a query
-        score = F.lit(7) * F.col("r6") - F.lit(3) * F.coalesce(
-            F.col("maxp"), F.lit(0)
-        )
+        # round 1 has no selected set, so the score is the bare relevance
+        # 7·r6 (matching the unrolled stage 1). Later rounds subtract
+        # 3·maxp with NO coalesce: greatest() skips NULLs, so maxp is NULL
+        # only when EVERY pairwise sim to the selected set was NULL (a
+        # degenerate zero-norm/NULL-element vector) — and the unrolled
+        # chain gives exactly that candidate a NULL score (7·r6 − 3·NULL),
+        # which sorts below every real score in the argmax struct. A
+        # coalesce(maxp, 0) here would instead score it UNPENALIZED and
+        # let it win, diverging from the unrolled form (round-8 ADVICE).
+        if rk == 1:
+            score = F.lit(7) * F.col("r6")
+        else:
+            score = F.lit(7) * F.col("r6") - F.lit(3) * F.col("maxp")
         best = rem.groupBy("q_id").agg(
             F.max(
                 F.struct(score.alias("sc"), (-F.col("neighbor_id")).alias("ni"))

@@ -906,30 +906,36 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH m AS (
   SELECT source AS stratum, count(*) AS n_h,
+         -- nm = NON-NULL metric count: s and q skip NULL metrics, so the
+         -- variance divides by nm, not n_h (round-8 ADVICE); n_h (full
+         -- stratum size) still weights the allocation as Neyman's N_h
+         count(n_chars) AS nm,
          sum(CAST(n_chars AS BIGINT)) AS s,
          sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS q
   FROM documents GROUP BY source
 ),
 tn AS (
-  -- CASE clamp at 0: the q − s²/n cancellation can dip a hair negative
+  -- CASE clamp at 0: the q − s²/nm cancellation can dip a hair negative
   -- for a (near-)constant-metric stratum once n·x² passes 2^53, and
   -- DuckDB's sqrt ABORTS on negatives where Spark yields NaN; a NULL
   -- numerator (all-NULL metric) must STAY NULL, so CASE, not greatest()
-  SELECT stratum, n_h,
+  SELECT stratum, n_h, nm,
          CASE WHEN (CAST(q AS DOUBLE)
-                    - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h) < 0
+                    - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / nullif(CAST(nm AS DOUBLE), 0)) < 0
               THEN 0
               ELSE CAST(q AS DOUBLE)
-                   - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / n_h
+                   - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / nullif(CAST(nm AS DOUBLE), 0)
          END AS numer
   FROM m
 ),
 t AS (
   SELECT stratum, n_h::BIGINT AS n_h,
-         -- nullif: a single-row stratum has undefined S_h -> NULL on both
-         -- engines (the stats_welch_ttest degenerate-denominator rule)
-         round(sqrt(numer / nullif(n_h - 1, 0)), 6) AS sd,
-         CAST(round(n_h * sqrt(numer / nullif(n_h - 1, 0)), 6)
+         -- nullif: a stratum with <2 measured rows has undefined S_h ->
+         -- NULL on both engines (stats_welch_ttest degenerate rule)
+         round(sqrt(numer / nullif(nm - 1, 0)), 6) AS sd,
+         CAST(round(n_h * sqrt(numer / nullif(nm - 1, 0)), 6)
               AS DECIMAL(18,6)) AS w
   FROM tn
 ),

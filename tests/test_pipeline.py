@@ -1675,3 +1675,68 @@ def test_mmr_rerank_k_matches_unrolled_at_3_and_extends(spark, sf_dir):
     )
     got = rows(mmr_rerank_k(tiny, [0], picks=5))
     assert [(q, rk) for q, rk, _v, _s in got] == [(0, 1), (0, 2)]
+
+
+def test_mmr_rerank_k_degenerate_vector_matches_unrolled(spark):
+    """Round-8 ADVICE #1: a zero-norm candidate's pairwise cosine is NULL
+    on both sides, so in the unrolled chain its stage-2+ score is NULL
+    (7·r6 − 3·NULL) and it can never beat a real score. The iterative
+    loop used to coalesce(maxp, 0) and score it UNPENALIZED as 7·r6,
+    letting it win — the two forms must stay identical on degenerate
+    vectors too. Corpus: query 0, three well-formed candidates, and a
+    zero-norm vector 9 that lands in the candidate pool (its cosine to
+    the query is NULL → ranked last, but k_candidates covers it)."""
+    from btrblocks_spark.pipeline.similarity import mmr_rerank, mmr_rerank_k
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.8, 0.0, 0.2]),
+            (3, [0.0, 1.0, 0.0]),
+            (9, [0.0, 0.0, 0.0]),  # zero norm → NULL cosine everywhere
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def rows(df):
+        return sorted(
+            (r["q_id"], r["sel_rank"], r["vec_id"], r["mmr_num"])
+            for r in df.collect()
+        )
+
+    unrolled = rows(mmr_rerank(vecs, [0], k_candidates=8))
+    iterative = rows(mmr_rerank_k(vecs, [0], picks=3, k_candidates=8))
+    assert iterative == unrolled
+    # the zero-norm vector must never be picked while real candidates
+    # remain: with 4 candidates and picks=3, 9 stays out entirely
+    assert all(v != 9 for _q, _rk, v, _s in iterative)
+
+
+def test_neyman_allocation_null_metrics_use_nonnull_count(spark):
+    """Round-8 ADVICE #2: the within-stratum variance's n must be the
+    NON-NULL metric count (the moments s, q skip NULLs), or NULL-heavy
+    strata get an inflated S_h and steal budget. Stratum a: metric
+    [10, 20, NULL, NULL] → sd = stddev_samp([10, 20]) = 7.071068 (the
+    old n_h=4 form gave sqrt((500 − 900/4)/3) ≈ 9.57). n_h stays the
+    FULL stratum size (Neyman's N_h) in the weight."""
+    from btrblocks_spark.pipeline.curation import neyman_allocation
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 10), ("a", 20), ("a", None), ("a", None),
+            ("b", 5), ("b", 5), ("b", 5),
+            ("c", None),  # all-NULL metric → NULL sd, 0 allocation
+        ],
+        "source string, n_chars int",
+    )
+    out = {
+        r["stratum"]: r
+        for r in neyman_allocation(docs, budget=100).collect()
+    }
+    assert out["a"]["n_h"] == 4
+    assert abs(out["a"]["sd"] - 7.071068) < 1e-9
+    assert out["b"]["sd"] == 0.0
+    assert out["c"]["sd"] is None and out["c"]["n_alloc"] == 0
+    # all weight sits on a (w = 4·7.071068); b and c contribute 0
+    assert out["a"]["n_alloc"] == 100 and out["b"]["n_alloc"] == 0
