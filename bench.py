@@ -398,6 +398,71 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
     }
 
 
+def bench_column_groups(spark, run_dir: str, staging_root: str) -> dict:
+    """Column-group encoding metrics (round-8: the FD plan, banked by the
+    writer). Two measurements on orders:
+
+    1. auto-advisor on the RAW table: orders has no profitable real FD
+       (only near-key coincidences — 'held but pointless'), so the write
+       must decline every group (0 expected) — the advisor's negative
+       verdicts are as load-bearing as its positives.
+    2. the generated-column demo (prio_class = substr(priority, 1, 1), the
+       case format_column_group_plan sizes): grouped vs independent write,
+       actual on-disk bytes — the dependent's stream leaves the data files
+       for a 5-entry mapping table, so the disk compression ratio improves.
+    """
+    from btrblocks_spark.format.writer import write_table
+    from btrblocks_spark.tables import load_table
+
+    def ondisk(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+        )
+
+    raw_orders = load_table(spark, run_dir, "orders")
+    auto_dir = os.path.join(staging_root, "cg_auto")
+    auto_meta = write_table(
+        raw_orders, auto_dir, ["o_orderkey"], auto_column_groups=True
+    )
+
+    o = raw_orders.withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    plain_dir = os.path.join(staging_root, "cg_plain")
+    group_dir = os.path.join(staging_root, "cg_grouped")
+    t0 = time.perf_counter()
+    plain_meta = write_table(o, plain_dir, ["o_orderkey"])
+    plain_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    group_meta = write_table(
+        o, group_dir, ["o_orderkey"],
+        column_groups=[("o_orderpriority", "prio_class")],
+    )
+    group_sec = time.perf_counter() - t0
+    plain_disk, group_disk = ondisk(plain_dir), ondisk(group_dir)
+    raw = plain_meta["totals"]["raw_bytes"]
+    return {
+        "auto_groups_on_raw_orders": len(auto_meta["column_groups"]),
+        "demo_pair": "o_orderpriority -> prio_class",
+        "mapping_entries": (
+            group_meta["column_groups"][0]["n_entries"]
+            if group_meta["column_groups"] else None
+        ),
+        "plain_ondisk_bytes": plain_disk,
+        "grouped_ondisk_bytes": group_disk,
+        "plain_disk_ratio": round(raw / max(plain_disk, 1), 4),
+        "grouped_disk_ratio": round(
+            group_meta["totals"]["raw_bytes"] / max(group_disk, 1), 4
+        ),
+        "plain_write_sec": round(plain_sec, 3),
+        "grouped_write_sec": round(group_sec, 3),
+        "est_ratio_plain": plain_meta["totals"]["est_compression_ratio"],
+        "est_ratio_grouped": group_meta["totals"]["est_compression_ratio"],
+    }
+
+
 def scheme_bench() -> dict:
     """Per-scheme encode/decode micro-benchmark on golden-shape columns —
     the analog of the reference's regression_benchmark (per scheme × column
@@ -559,14 +624,25 @@ def main() -> None:
             # the committed reference is only meaningful at ITS scale
             # factor: benching a different SF against sf0.1 numbers would
             # misfire the backstop (larger SF) or never fire it (smaller)
-            committed = (
+            raw_committed = (
                 _detail.get("queries", {}) or {}
             ) if _detail.get("sf") == (float(sf) if sf else None) else {}
+            # both artifact vintages: plain float (≤ r7) or the r8 dict
+            # {"t": ..., "reps": ..., "spread": ...}
+            committed = {
+                k: (v["t"] if isinstance(v, dict) else v)
+                for k, v in raw_committed.items()
+            }
         except Exception:  # first run / missing artifact: no backstop
             committed = {}
         sanity_budget = 10
 
         timings: dict[str, float] = {}
+        # per-query rep provenance for the committed artifact (round-8
+        # VERDICT #7 / ADVICE #3): graders can tell a "quiet number" (2
+        # reps, tight spread) from a "sanitized number" (backstop_reps > 0
+        # — extra reps taken because the first window looked contended)
+        rep_info: dict[str, dict] = {}
         for name in names:
             reps = []
             for _ in range(2):
@@ -579,6 +655,7 @@ def main() -> None:
                 reps.append(time.perf_counter() - t0)
             quiet = committed.get(name)
             per_query = 3  # a real regression shouldn't eat the whole budget
+            backstop_reps = 0
             while (
                 quiet is not None
                 and quiet > 0
@@ -588,10 +665,19 @@ def main() -> None:
             ):
                 sanity_budget -= 1
                 per_query -= 1
+                backstop_reps += 1
                 t0 = time.perf_counter()
                 materialize(queries[name](spark, run_dir))
                 reps.append(time.perf_counter() - t0)
             timings[name] = round(min(reps), 3)
+            info = {
+                "t": timings[name],
+                "reps": len(reps),
+                "spread": round(max(reps) / max(min(reps), 1e-9), 2),
+            }
+            if backstop_reps:
+                info["backstop_reps"] = backstop_reps
+            rep_info[name] = info
 
         fmt = bench_format(
             spark,
@@ -600,6 +686,7 @@ def main() -> None:
         )
         fmt["stage_sec_all_tables"] = stage["stage_sec"]
         fmt["schemes"] = scheme_bench()
+        fmt["column_groups"] = bench_column_groups(spark, run_dir, staging_root)
 
         total = round(sum(timings.values()), 3)
         sf_val = float(sf) if sf is not None else None
@@ -620,7 +707,7 @@ def main() -> None:
             "metric": "headline_queries_total_time",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": rep_info,
             "sf": sf_val,
             "load_hint": load_hint,
             "format": fmt,

@@ -80,6 +80,13 @@ class BtrBlocksConfig:
     # bloom filters on the order/lookup keys, sized from planner NDV stats
     # (row-group skipping for equality predicates on non-sorted keys)
     bloom_filter_keys: bool = True
+    # column-group encoding (write_table(column_groups=...) / auto):
+    # mapping tables are broadcast at read time, so the entry count is
+    # capped; auto grouping requires rows >= nd(det) * group_min_shrink —
+    # a mapping near table size saves nothing (the "held but pointless"
+    # verdict class of format_column_group_plan)
+    max_group_entries: int = 1 << 20
+    group_min_shrink: int = 8
 
     def with_(self, **kw) -> "BtrBlocksConfig":
         return replace(self, **kw)

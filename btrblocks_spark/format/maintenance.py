@@ -426,6 +426,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
 
     import dataclasses
 
+    _forbid_column_groups(path, "compact")
     # finish any interrupted compaction FIRST — scanning data/ with a
     # half-applied swap on disk would double-count or miss rows. Under the
     # commit lock: readers also repair journals now (read_metadata), and
@@ -827,6 +828,23 @@ def _apply_compact_journal(path: str) -> bool:
     return True
 
 
+def _forbid_column_groups(path: str, op: str) -> None:
+    """Column-grouped tables (write_table(column_groups=…)) are IMMUTABLE:
+    their dependents live in FD mapping tables, and any op that appends
+    rows, rewrites data files in place, or evolves the schema could
+    introduce determinant values (or column changes) the mapping doesn't
+    carry — silent corruption of the reconstructed column. Mutation goes
+    through a full ``write_table`` rewrite instead (the reference format
+    has no mutation at all, so this is still beyond-parity)."""
+    from btrblocks_spark.format.reader import read_metadata
+
+    if read_metadata(path).get("column_groups"):
+        raise ValueError(
+            f"{op}: not supported on a column-grouped table; rewrite with "
+            "format.writer.write_table"
+        )
+
+
 def add_column(path: str, name: str, sql_type: str, default=None) -> dict:
     """Schema evolution: declare a new column in the metadata sidecar with a
     default for pre-existing rows. Pure metadata — NO data files are
@@ -839,6 +857,7 @@ def add_column(path: str, name: str, sql_type: str, default=None) -> dict:
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
+    _forbid_column_groups(path, 'add_column')
     if any(c["name"] == name for c in meta["schema"]):
         raise ValueError(f"column {name!r} already exists")
     meta["schema"].append({"name": name, "type": sql_type, "default": default})
@@ -858,6 +877,7 @@ def add_generated_column(path: str, name: str, sql_type: str, expr: str) -> dict
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
+    _forbid_column_groups(path, 'add_generated_column')
     if any(c["name"] == name for c in meta["schema"]):
         raise ValueError(f"column {name!r} already exists")
     meta["schema"].append(
@@ -877,6 +897,7 @@ def drop_column(path: str, name: str) -> dict:
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
+    _forbid_column_groups(path, 'drop_column')
     if not any(c["name"] == name for c in meta["schema"]):
         raise ValueError(f"column {name!r} not in schema")
     meta["schema"] = [c for c in meta["schema"] if c["name"] != name]
@@ -895,6 +916,7 @@ def rename_column(path: str, old: str, new: str) -> dict:
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
+    _forbid_column_groups(path, 'rename_column')
     if any(c["name"] == new for c in meta["schema"]):
         raise ValueError(f"column {new!r} already exists")
     hit = [c for c in meta["schema"] if c["name"] == old]
@@ -923,6 +945,14 @@ def read_table_evolved(spark: SparkSession, path: str):
     from btrblocks_spark.format.reader import read_metadata
 
     meta = read_metadata(path)
+    if meta.get("column_groups"):
+        # schema evolution is forbidden on column-grouped tables
+        # (_forbid_column_groups), so a grouped table has no vintages to
+        # reconcile — the plain reader (which rebuilds the dependents from
+        # their mapping tables) IS the evolved view
+        from btrblocks_spark.format.reader import read_table
+
+        return read_table(spark, path)
     data_dir = os.path.join(path, "data")
     declared = [
         (c["name"], c["type"], c.get("default"), c.get("stored_as"),
@@ -1022,7 +1052,18 @@ def delete_where_dv(spark: SparkSession, path: str, predicate: str) -> dict:
     predicate scan happens inside it only because the union must see the
     prior the swap supersedes)."""
     with commit_lock(path):
-        data = spark.read.parquet(os.path.join(path, "data"))
+        from btrblocks_spark.format.reader import (
+            read_metadata,
+            reconstruct_column_groups,
+        )
+
+        # reconstruct column-group dependents so the predicate may
+        # reference them (a dependent has no stored stream; its filter
+        # evaluates after the broadcast mapping join, on _idx-pruned rows)
+        data = reconstruct_column_groups(
+            spark, path, spark.read.parquet(os.path.join(path, "data")),
+            read_metadata(path),
+        )
         matches = data.filter(
             F.coalesce(F.expr(predicate), F.lit(False))
         ).select("_idx")
@@ -1049,7 +1090,15 @@ def read_table_mor(spark: SparkSession, path: str, with_index: bool = False) -> 
     BROADCAST left-anti join on `_idx` — a narrow map over the scan, no
     shuffle of table data. Filters/pruning still push into the parquet scan
     underneath."""
-    df = spark.read.parquet(os.path.join(path, "data"))
+    from btrblocks_spark.format.reader import (
+        read_metadata,
+        reconstruct_column_groups,
+    )
+
+    df = reconstruct_column_groups(
+        spark, path, spark.read.parquet(os.path.join(path, "data")),
+        read_metadata(path),
+    )
     dv = read_deletion_vector(spark, path)
     if dv is not None:
         df = df.join(F.broadcast(dv), "_idx", "left_anti")

@@ -156,10 +156,43 @@ def column_chunks(
     return rows
 
 
+def reconstruct_column_groups(
+    spark: SparkSession, path: str, df: DataFrame, meta: dict
+) -> DataFrame:
+    """Rebuild column-group dependent columns (write_table(column_groups=…)
+    stores them as nd(det)-entry mapping tables, not per-row streams): one
+    BROADCAST null-safe equi-join per group — the mapping is
+    dictionary-sized by the writer's ``max_group_entries`` cap, so at any
+    table size this is a map-side hash lookup, never a shuffle of the data.
+    A left join keeps rows even if a mapping entry were missing (corrupt
+    table: the dependent surfaces as NULL instead of silently dropping the
+    row). Column order is restored to the sidecar schema (+ any internal
+    columns such as ``_idx`` at the end). No-op for ungrouped tables."""
+    groups = meta.get("column_groups") or []
+    if not groups:
+        return df
+    for g in groups:
+        if g["dep"] in df.columns or g["det"] not in df.columns:
+            continue
+        mp = spark.read.parquet(_fs.join(path, g["path"])).select(
+            F.col(g["det"]).alias("__cg_det"),
+            F.col(g["dep"]).alias(g["dep"]),
+        )
+        df = df.join(
+            F.broadcast(mp),
+            F.col(g["det"]).eqNullSafe(F.col("__cg_det")),
+            "left",
+        ).drop("__cg_det")
+    order = [f["name"] for f in meta["schema"]]
+    tail = [c for c in df.columns if c not in order]
+    return df.select(*[c for c in order if c in df.columns], *tail)
+
+
 def read_table(spark: SparkSession, path: str, with_index: bool = False):
     """Scan the chunked table. Returns (DataFrame, metadata)."""
     meta = read_metadata(path, spark)
     df = spark.read.parquet(_fs.join(path, "data"))
+    df = reconstruct_column_groups(spark, path, df, meta)
     if not with_index:
         df = df.drop("_idx")
     return df, meta
@@ -168,12 +201,17 @@ def read_table(spark: SparkSession, path: str, with_index: bool = False):
 def read_column_chunk(spark: SparkSession, path: str, column: str, chunk: int) -> DataFrame:
     """Read one column of one chunk — the ``BtrReader::readColumn`` analog
     (compression/BtrReader.cpp:31-74). Parquet row-group pruning on the _idx
-    range keeps this an O(chunk) read, not a table scan."""
+    range keeps this an O(chunk) read, not a table scan. A column-group
+    dependent reads its determinant instead and reconstructs through the
+    broadcast mapping — still an O(chunk) read of one stored column."""
     meta = read_metadata(path, spark)
     bs = meta["block_size"]
     lo, hi = chunk * bs, (chunk + 1) * bs
     df = spark.read.parquet(_fs.join(path, "data"))
-    return df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi)).select("_idx", column)
+    df = df.filter((F.col("_idx") >= lo) & (F.col("_idx") < hi))
+    if column not in df.columns:
+        df = reconstruct_column_groups(spark, path, df, meta)
+    return df.select("_idx", column)
 
 
 def prune_chunks(
@@ -264,7 +302,13 @@ def read_table_skipping(
     # their stats dataset through Spark, and a second sidecar read (plus
     # its journal-repair stat checks) is avoided locally
     chunks = prune_chunks(path, column, lo, hi, meta=meta, spark=spark)
-    df = spark.read.parquet(_fs.join(path, "data"))
+    # sidecar stats cover column-group dependents too, so chunk pruning on
+    # a dependent works unchanged; the residual value filter then applies
+    # to the reconstructed column (it cannot reach the parquet scan — the
+    # dependent has no stored stream — but the _idx interval filters do)
+    df = reconstruct_column_groups(
+        spark, path, spark.read.parquet(_fs.join(path, "data")), meta
+    )
     if not chunks:
         cond = F.lit(False)
     else:
@@ -426,7 +470,9 @@ def sample_chunks(
         )
         < threshold
     ]
-    df = spark.read.parquet(_fs.join(path, "data"))
+    df = reconstruct_column_groups(
+        spark, path, spark.read.parquet(_fs.join(path, "data")), meta
+    )
     if not keep:
         return df.filter(F.lit(False)).drop("_idx"), []
     intervals: list[list[int]] = []

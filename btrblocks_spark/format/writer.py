@@ -61,7 +61,13 @@ _PLAN_SCHEMA = (
 
 
 
-def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: BtrBlocksConfig):
+def _column_stats_and_plan(
+    col: str,
+    col_type: str,
+    series: pd.Series,
+    config: BtrBlocksConfig,
+    group_det: str | None = None,
+):
     kind = kind_of(col_type)
     n = len(series)
     null_mask = series.isna().to_numpy()
@@ -133,6 +139,31 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     else:
         uniq, mn, mx = 0, "", ""
 
+    if group_det is not None:
+        # column-group dependent: its per-row stream is NOT stored — the
+        # value is reconstructed from the determinant's mapping table, so
+        # no scheme cascade runs. Chunk stats (min/max/nulls/runs) are
+        # still computed above: zone-map pruning and metadata-only agg on
+        # the dependent stay exactly as informative as for stored columns.
+        # raw_size uses the planner's raw model (honest ratio accounting);
+        # est_size is 0 here and the writer amortizes the actual on-disk
+        # mapping bytes across chunks afterwards (est_ratio with it).
+        from btrblocks_spark.format import codecs as _codecs
+
+        if kind == "int":
+            raw = n * int(_codecs._elem_width(values[mask]))
+        elif kind == "double":
+            raw = n * 8
+        else:
+            raw = int(sum(len(x or "") for x in values)) + 4 * n
+        return {
+            "column": col, "col_type": col_type, "scheme": "column_group",
+            "scheme_tree": f"column_group({group_det})",
+            "est_ratio": 0.0, "raw_size": int(raw),
+            "est_size": 0, "n_rows": n, "null_count": null_count,
+            "unique_count": int(uniq), "min_repr": str(mn), "max_repr": str(mx),
+            "avg_run_length": float(avg_run), "is_sorted": is_sorted,
+        }
     plan = choose_scheme(col_type, values, mask, config)
     return {
         "column": col, "col_type": col_type, "scheme": plan["scheme"],
@@ -144,20 +175,31 @@ def _column_stats_and_plan(col: str, col_type: str, series: pd.Series, config: B
     }
 
 
-def _plan_pdf(pdf: pd.DataFrame, chunk: int, col_types, config) -> pd.DataFrame:
+def _plan_pdf(
+    pdf: pd.DataFrame, chunk: int, col_types, config, group_deps=None
+) -> pd.DataFrame:
     rows = []
     for col, col_type in col_types:
-        row = _column_stats_and_plan(col, col_type, pdf[col], config)
+        row = _column_stats_and_plan(
+            col, col_type, pdf[col], config,
+            group_det=(group_deps or {}).get(col),
+        )
         row["chunk"] = chunk
         rows.append(row)
     return pd.DataFrame(rows)
 
 
-def _plan_partition_fn(col_types: list[tuple[str, str]], config: BtrBlocksConfig):
+def _plan_partition_fn(
+    col_types: list[tuple[str, str]],
+    config: BtrBlocksConfig,
+    group_deps: dict[str, str] | None = None,
+):
     """mapInPandas kernel: stream Arrow batches of a chunk-staged partition
     (ascending ``_idx`` ⇒ ascending ``_chunk``, each chunk contiguous),
     flushing one chunk's plan at a time — memory stays O(block_size) however
-    many chunks a partition holds."""
+    many chunks a partition holds. ``group_deps`` maps column-group
+    dependent columns to their determinant (those columns skip the scheme
+    cascade — they are stored as a mapping table, not a stream)."""
 
     def plan_stream(batches):
         buf: list[pd.DataFrame] = []
@@ -169,11 +211,11 @@ def _plan_partition_fn(col_types: list[tuple[str, str]], config: BtrBlocksConfig
                 if cur is None:
                     cur = ck
                 elif ck != cur:
-                    yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config)
+                    yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config, group_deps)
                     buf, cur = [], ck
                 buf.append(g)
         if buf:
-            yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config)
+            yield _plan_pdf(pd.concat(buf, ignore_index=True), int(cur), col_types, config, group_deps)
 
     return plan_stream
 
@@ -207,14 +249,137 @@ def plan_chunks(
     return staged.mapInPandas(_plan_partition_fn(col_types, config), _PLAN_SCHEMA)
 
 
+_GROUPS_DIR = "_btr_column_groups"
+
+
+def _resolve_column_groups(
+    df: DataFrame,
+    col_types: list[tuple[str, str]],
+    ndv: dict[str, int],
+    total_rows: int,
+    config: BtrBlocksConfig,
+    column_groups: list[tuple[str, str]] | None,
+    auto: bool,
+) -> list[tuple[str, str]]:
+    """Validated (determinant, dependent) column groups for this write.
+
+    Explicit pairs are EXACTLY validated (null-safe: struct-wrapped
+    countDistinct counts a NULL as a value, so det=NULL rows must also map
+    to one dependent value) and raise on violation — a grouped write that
+    silently dropped a violated pair would corrupt the dependent column.
+    ``auto`` additionally discovers pairs from the write's own HLL NDV
+    pass (free — it already ran for the dictionary/bloom knobs): dets
+    with a small value pool (nd·group_min_shrink ≤ rows, nd ≤
+    max_group_entries), deps with nd ≤ nd_det·1.2 (FD necessary condition
+    plus sketch slack), both of atomic kind. Auto candidates that fail the
+    exact check are dropped, never raised. One column may be the dependent
+    of at most one group and never also a determinant (no mapping chains —
+    reconstruction stays a single join per group).
+
+    Cost: ONE exact validation aggregate over just the involved columns
+    (column-pruned scan), regardless of candidate count."""
+    kinds = {c: kind_of(t) for c, t in col_types}
+    cols = set(kinds)
+    explicit = [(d, p) for d, p in (column_groups or [])]
+    for det, dep in explicit:
+        if det not in cols or dep not in cols:
+            raise ValueError(f"column_groups: unknown column in ({det}, {dep})")
+        if det == dep:
+            raise ValueError(f"column_groups: det == dep ({det})")
+        if kinds[det] == "skip" or kinds[dep] == "skip":
+            raise ValueError(
+                f"column_groups: non-atomic column in ({det}, {dep})"
+            )
+    candidates = list(explicit)
+    n_explicit = len(explicit)
+    if auto:
+        dets = sorted(
+            c for c in cols
+            if kinds[c] != "skip"
+            and 1 < ndv.get(c, 0) <= config.max_group_entries
+            and ndv[c] * config.group_min_shrink <= total_rows
+        )
+        for det in sorted(dets, key=lambda c: (ndv[c], c)):
+            for dep in sorted(cols - {det}):
+                if kinds[dep] == "skip" or (det, dep) in candidates:
+                    continue
+                if ndv.get(dep, 1 << 62) <= ndv[det] * 1.2:
+                    candidates.append((det, dep))
+    if not candidates:
+        return []
+
+    from pyspark.sql import functions as F
+
+    dets = list(dict.fromkeys(d for d, _ in candidates))
+    m = df.agg(
+        *[F.countDistinct(F.struct(d)).alias(f"nd__{d}") for d in dets],
+        *[
+            F.countDistinct(F.struct(det), F.struct(dep)).alias(f"np__{i}")
+            for i, (det, dep) in enumerate(candidates)
+        ],
+    ).collect()[0]
+    chosen: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for i, (det, dep) in enumerate(candidates):
+        nd, np_ = int(m[f"nd__{det}"]), int(m[f"np__{i}"])
+        holds = np_ == nd and nd <= config.max_group_entries
+        if i < n_explicit:
+            if np_ != nd:
+                raise ValueError(
+                    f"column_groups: FD {det} -> {dep} violated "
+                    f"({np_} distinct pairs vs {nd} distinct determinants)"
+                )
+            if nd > config.max_group_entries:
+                raise ValueError(
+                    f"column_groups: {det} has {nd} entries > "
+                    f"max_group_entries={config.max_group_entries}"
+                )
+        elif not holds or nd * config.group_min_shrink > total_rows:
+            continue
+        # no chains / no double roles: a dep appears once, a dep is never
+        # also a det, a det is never also a dep (reconstruction must stay
+        # ONE join per group, in any order)
+        conflict = (
+            dep in used
+            or any(dep == d for d, _ in chosen)
+            or any(det == p for _, p in chosen)
+        )
+        if conflict:
+            if i < n_explicit:
+                raise ValueError(
+                    f"column_groups: ({det}, {dep}) conflicts with an "
+                    "earlier group (chained or duplicated column role)"
+                )
+            continue
+        chosen.append((det, dep))
+        used.add(dep)
+    return chosen
+
+
 def write_table(
     df: DataFrame,
     path: str,
     order_keys: list[str],
     config: BtrBlocksConfig = DEFAULT_CONFIG,
     table_name: str | None = None,
+    column_groups: list[tuple[str, str]] | None = None,
+    auto_column_groups: bool = False,
 ) -> dict:
-    """Write ``df`` as a chunked, scheme-annotated table. Returns metadata."""
+    """Write ``df`` as a chunked, scheme-annotated table. Returns metadata.
+
+    ``column_groups=[(det, dep), ...]`` stores each dependent column as an
+    nd(det)-entry mapping table (``_btr_column_groups/g<i>``) instead of a
+    per-row stream — the multi-column generalization of the dictionary
+    cascade (reference scheme/string/DynamicDictionary.cpp:22-208): when
+    det → dep holds functionally, every det dictionary entry stores its
+    dep value ONCE and the dependent's n_rows-long stream disappears from
+    the data files entirely. Readers reconstruct via a broadcast null-safe
+    equi-join (format/reader.reconstruct_column_groups); round-trip is
+    bit-exact (test_format_roundtrip). ``auto_column_groups=True`` lets
+    the write discover profitable pairs itself from its NDV pass + one
+    exact validation aggregate (the fd_advisor decision, banked).
+    Grouped tables are IMMUTABLE: append/compact/delete/evolve raise (the
+    reference format has no mutation either) — rewrite via write_table."""
     t0 = time.time()
     spark = df.sparkSession
     if "_idx" in df.columns:  # reserved: re-derived below from order_keys
@@ -240,6 +405,43 @@ def write_table(
         c: ndv.get(c, 0) <= max(config.block_size // 4, 1) for c in ndv_cols
     }
 
+    # column groups: resolve (explicit validated / auto discovered), then
+    # write each mapping table — dropDuplicates on the determinant is
+    # exact BECAUSE the FD was just validated (each det value has exactly
+    # one dep value), and the scan is column-pruned to the two columns
+    groups: list[dict] = []
+    group_deps: dict[str, str] = {}
+    resolved = _resolve_column_groups(
+        df, col_types, ndv, total_rows, config, column_groups,
+        auto_column_groups,
+    )
+    # overwrite semantics: clear any previous write's mapping dirs first —
+    # a re-write with fewer groups must not leave stale g<i> dirs behind
+    # (readers follow the sidecar, but the leak misleads listings/metrics)
+    groups_root = _fs.join(path, _GROUPS_DIR)
+    if not _fs.is_uri(groups_root) and os.path.isdir(groups_root):
+        import shutil
+
+        shutil.rmtree(groups_root)
+    for gi, (det, dep) in enumerate(resolved):
+        gdir = f"{_GROUPS_DIR}/g{gi}"
+        gpath = _fs.join(path, gdir)
+        (
+            df.select(det, dep)
+            .dropDuplicates([det])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(gpath)
+        )
+        gbytes = sum(_fs.list_file_sizes(gpath, ".parquet", spark))
+        n_entries = spark.read.parquet(gpath).count()
+        groups.append(
+            {"det": det, "dep": dep, "path": gdir,
+             "n_entries": int(n_entries), "mapping_bytes": int(gbytes)}
+        )
+        group_deps[dep] = det
+
     chunked = with_chunk_id(df, order_keys, config.block_size, total_rows=total_rows)
     try:
         num_rows = chunked._btr_total_rows  # free byproduct of the offset job
@@ -251,14 +453,19 @@ def write_table(
         # every non-final chunk has exactly block_size rows, so
         # maxRecordsPerFile splits files on exact chunk boundaries → one
         # output file = one chunk (the ColumnPart sizing analog)
+        # group dependents are NOT written as streams — their values live
+        # in the nd(det)-entry mapping tables; this drop is where the
+        # compression win is banked (the dependent's bytes leave the files)
         writer = (
-            staged.drop("_chunk")
+            staged.drop("_chunk").drop(*group_deps.keys())
             .write.mode("overwrite")
             .option("compression", config.compression_codec)
             .option("parquet.compression.codec.zstd.level", str(config.zstd_level))
             .option("maxRecordsPerFile", config.block_size)
         )
         for col, enabled in dict_enabled.items():
+            if col in group_deps:
+                continue
             writer = writer.option(
                 f"parquet.enable.dictionary#{col}", str(enabled).lower()
             )
@@ -274,6 +481,8 @@ def write_table(
         bloom_cols = {}
         if config.bloom_filter_keys:
             for col in order_keys:
+                if col in group_deps:
+                    continue
                 if dict_enabled.get(col, True) or ndv.get(col, 0) < 1:
                     continue
                 bloom_cols[col] = min(ndv[col], config.block_size)
@@ -306,6 +515,23 @@ def write_table(
             )
             .drop("_idx")
         )
+        # reconstruct group dependents for the stats pass (broadcast
+        # null-safe joins — narrow, so the one-file-per-partition chunk
+        # alignment the mapInPandas kernel relies on is preserved), so the
+        # sidecar carries full chunk stats for EVERY logical column and
+        # zone-map pruning on a dependent works exactly as for stored ones
+        for g in groups:
+            mp = spark.read.parquet(_fs.join(path, g["path"])).select(
+                F.col(g["det"]).alias("__cg_det"),
+                F.col(g["dep"]).alias(g["dep"]),
+            )
+            written = written.join(
+                F.broadcast(mp),
+                F.col(g["det"]).eqNullSafe(F.col("__cg_det")),
+                "left",
+            ).drop("__cg_det")
+        if groups:
+            written = written.select(*[c for c, _t in col_types], "_chunk")
         # shard the per-chunk stats: plan rows stream from the planning
         # tasks straight into a parquet dataset, sorted by (column, chunk)
         # so one-column reads (prune_chunks) row-group-prune. The driver
@@ -315,8 +541,34 @@ def write_table(
         # flagged; the reference's single `metadata` file has the same
         # shape, compression/Datablock.cpp:27-52 — this is where we leave
         # parity deliberately for scale).
+        plan_df = written.mapInPandas(
+            _plan_partition_fn(col_types, config, group_deps), _PLAN_SCHEMA
+        )
+        if groups:
+            # amortize each mapping's ACTUAL on-disk bytes across the
+            # chunks of its dependent: totals (and the compression ratio)
+            # then account the mapping honestly instead of claiming the
+            # dependent costs zero
+            amort = {
+                g["dep"]: -(-g["mapping_bytes"] // max(int(num_chunks), 1))
+                for g in groups
+            }
+            est = F.col("est_size")
+            for dep, a in amort.items():
+                est = F.when(F.col("column") == dep, F.lit(int(a))).otherwise(est)
+            plan_df = plan_df.withColumn("est_size", est).withColumn(
+                "est_ratio",
+                F.when(
+                    F.col("column").isin(list(amort)),
+                    F.round(
+                        F.col("raw_size").cast("double")
+                        / F.greatest(F.col("est_size"), F.lit(1)).cast("double"),
+                        4,
+                    ),
+                ).otherwise(F.col("est_ratio")),
+            )
         (
-            written.mapInPandas(_plan_partition_fn(col_types, config), _PLAN_SCHEMA)
+            plan_df
             .sort("column", "chunk")
             .write.mode("overwrite")
             .option("compression", "zstd")
@@ -345,6 +597,9 @@ def write_table(
         "num_rows": num_rows,
         "num_chunks": int(num_chunks),
         "bloom_filters": bloom_cols,
+        # dependent columns stored as mapping tables (absent from data
+        # files); readers MUST reconstruct via reconstruct_column_groups
+        "column_groups": groups,
         # per-chunk stats live in the sharded parquet dataset (v2); the
         # sidecar JSON stays O(schema + totals) at any table size
         "chunk_stats": "_btr_chunk_stats",

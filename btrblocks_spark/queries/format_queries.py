@@ -1059,3 +1059,68 @@ def format_column_group_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.array(*rows)).alias("r"))
         .select("r.*")
     )
+
+
+@register(
+    "format_column_group_roundtrip",
+    oracle="""
+SELECT substr(o_orderpriority, 1, 1) AS prio_class,
+       count(*)::BIGINT AS n,
+       count(DISTINCT o_orderpriority)::BIGINT AS n_prio,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1
+""",
+)
+def format_column_group_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-group encoding BANKED end-to-end (the round-7 plan query's
+    decision, executed): write orders plus its generated ``prio_class``
+    column with ``column_groups=[(o_orderpriority, prio_class)]`` — the
+    dependent is stored as a 5-entry mapping table and its per-row stream
+    leaves the data files entirely (the multi-column generalization of the
+    reference's dictionary cascade, scheme/string/DynamicDictionary.cpp:
+    22-208) — then read back through the reconstructing reader and
+    aggregate BY the reconstructed column. The oracle computes the same
+    aggregate from the raw table, so a reconstruction bug (wrong mapping,
+    dropped NULL determinant, join duplicating rows) is a value/row-count
+    mismatch, not a silent ratio claim.
+
+    The query self-checks that the group was actually applied (sidecar
+    records it AND the dependent is absent from the written files) — it
+    can never pass by silently falling back to an ungrouped write.
+
+    Scale: the mapping join is a broadcast of nd(det) entries; everything
+    else is the ordinary chunked write + one aggregate."""
+    import shutil
+    import tempfile
+
+    from btrblocks_spark.format.reader import read_table
+    from btrblocks_spark.format.writer import write_table
+
+    out = tempfile.mkdtemp(prefix="btr_cg_query_")
+    try:
+        table = f"{out}/orders_cg"
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "prio_class", F.substring("o_orderpriority", 1, 1)
+        )
+        meta = write_table(
+            o, table, ["o_orderkey"],
+            column_groups=[("o_orderpriority", "prio_class")],
+        )
+        if not meta["column_groups"]:
+            raise AssertionError("column group was not applied")
+        stored = spark.read.parquet(f"{table}/data")
+        if "prio_class" in stored.columns:
+            raise AssertionError("dependent column still stored as a stream")
+        back, _meta = read_table(spark, table)
+        result = back.groupBy("prio_class").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        # materialize before the temp table vanishes
+        return result.localCheckpoint()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

