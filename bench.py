@@ -563,6 +563,24 @@ def scheme_bench() -> dict:
         }
         if kind == "string":
             row["dec_pyobj_mb_s"] = round(raw / 1e6 / max(obj_sec, 1e-9), 1)
+        if scheme == "fsst":
+            # the PRODUCTION encode contract (round-8): the symbol table
+            # trains once per COLUMN PART and is reused across its chunks
+            # (the reference's shape, scheme/string/Fsst.cpp:17-80 —
+            # training is a fixed ~20 ms per 64 KiB sample, which dominates
+            # single-chunk encode). enc_mb_s above keeps the cold
+            # train-every-call number for comparability; this row reports
+            # the reused-table throughput and the one-off train cost.
+            table = enc.streams["table"]
+            reuse_sec = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                codecs.encode(kind, scheme, values, fsst_table=table)
+                reuse_sec = min(reuse_sec, time.perf_counter() - t0)
+            row["enc_reused_table_mb_s"] = round(
+                raw / 1e6 / max(reuse_sec, 1e-9), 1
+            )
+            row["table_train_ms"] = round((enc_sec - reuse_sec) * 1000, 1)
         out[f"{kind}.{scheme}"] = row
     return out
 

@@ -699,29 +699,51 @@ def decode_double(e: Encoded) -> np.ndarray:
 # String codecs (object arrays of str; None at null positions)
 # ---------------------------------------------------------------------------
 
-def encode_string(scheme: str, values, mask: np.ndarray | None = None, depth: int = 3) -> Encoded:
+def encode_string(
+    scheme: str,
+    values,
+    mask: np.ndarray | None = None,
+    depth: int = 3,
+    fsst_table=None,
+) -> Encoded:
     v = np.asarray(values, dtype=object)
     n = len(v)
-    if mask is None:
-        mask = np.array([x is not None for x in v], dtype=bool)
-    filled = v.copy()
-    filled[~mask] = ""
-    set_vals = filled[mask]
-    e = Encoded(scheme=scheme, n=n, mask=mask)
-    msize = _mask_size(mask)
-    # char-length sum via Arrow (utf8_length == len(str) per element): the
-    # per-string Python genexpr was the single biggest cost of the string
-    # encode hot path (~40% at 256k strings/chunk)
+    # Arrow-FIRST prep: one pa.array conversion yields the null mask
+    # (is_valid), the filled view (fill_null) and the char-length sum —
+    # the per-element Python passes ([x is not None] listcomp + v.copy())
+    # cost ~2× the C encode kernel itself at 256k strings/chunk. The
+    # object-array `filled` is only materialized for the schemes that
+    # store Python strings; the fsst path encodes straight from the Arrow
+    # buffers and never pays it.
     _arrow = None
+    filled = None
     try:
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        _arrow = pa.array(filled, type=pa.large_utf8())
+        if mask is None:
+            a0 = pa.array(v, type=pa.large_utf8())
+            mask = a0.is_valid().to_numpy(zero_copy_only=False)
+        else:
+            mask = np.asarray(mask, dtype=bool)
+            a0 = pa.array(v, type=pa.large_utf8(), mask=~mask)
+        _arrow = pc.fill_null(a0, "")
         total_len = int(pc.sum(pc.utf8_length(_arrow)).as_py() or 0)
     except Exception:  # noqa: BLE001 — odd cell types: per-element fallback
         _arrow = None
+        if mask is None:
+            mask = np.array([x is not None for x in v], dtype=bool)
+        filled = v.copy()
+        filled[~mask] = ""
         total_len = int(sum(len(x) for x in filled))
+    if filled is None and scheme != "fsst":
+        # Arrow's direct object materialization (~290 MB/s), not a Python
+        # per-element loop; identical contents to the fallback above
+        filled = _arrow.to_numpy(zero_copy_only=False)
+    if filled is not None:
+        set_vals = filled[mask]
+    e = Encoded(scheme=scheme, n=n, mask=mask)
+    msize = _mask_size(mask)
 
     if scheme == "uncompressed":
         e.streams = {"values": filled}
@@ -752,17 +774,37 @@ def encode_string(scheme: str, values, mask: np.ndarray | None = None, depth: in
     elif scheme == "fsst":
         # real FSST (format/fsst.py): one symbol table per chunk, per-string
         # greedy encode, offsets cascaded as an integer stream — the layout
-        # of the reference's Fsst.cpp:17-80
-        # train consumes a bounded sample — only encode the strings it can
-        # actually read (64 KiB cap), not the whole column
-        sample, budget = [], _fsst._TRAIN_CAP_BYTES
-        for x in filled:
-            if budget <= 0:
-                break
-            b = x.encode("utf-8")
-            sample.append(b)
-            budget -= len(b)
-        table = _fsst.train(sample)
+        # of the reference's Fsst.cpp:17-80.
+        # ``fsst_table`` reuses a caller-trained table across the chunks of
+        # one column part (the reference trains per column part, not per
+        # chunk, scheme/string/Fsst.cpp:17-80 — training is a fixed ~20 ms
+        # per 64 KiB sample, which dominates a single chunk's encode);
+        # every chunk still serializes the table it used, so decode stays
+        # chunk-local. Without it, train consumes a bounded sample — only
+        # the strings it can actually read (64 KiB cap), never the column.
+        if fsst_table is not None:
+            table = fsst_table
+        else:
+            sample, budget = [], _fsst._TRAIN_CAP_BYTES
+            if _arrow is not None:
+                # materialize only the sample prefix from the Arrow array
+                i = 0
+                while budget > 0 and i < n:
+                    for x in _arrow.slice(i, 2048).to_pylist():
+                        if budget <= 0:
+                            break
+                        b = x.encode("utf-8")
+                        sample.append(b)
+                        budget -= len(b)
+                    i += 2048
+            else:
+                for x in filled:
+                    if budget <= 0:
+                        break
+                    b = x.encode("utf-8")
+                    sample.append(b)
+                    budget -= len(b)
+            table = _fsst.train(sample)
         payload, code_lengths = _fsst.compress_column(table, filled, arr=_arrow)
         e.streams = {"table": table, "payload": payload, "code_lengths": code_lengths}
         e.size_bytes = (
@@ -840,13 +882,15 @@ def decode_string_arrow(e: Encoded):
 # Unified entry points
 # ---------------------------------------------------------------------------
 
-def encode(kind: str, scheme: str, values, mask=None, depth: int = 3) -> Encoded:
+def encode(
+    kind: str, scheme: str, values, mask=None, depth: int = 3, fsst_table=None
+) -> Encoded:
     if kind == "int":
         return encode_int(scheme, values, mask, depth)
     if kind == "double":
         return encode_double(scheme, values, mask, depth)
     if kind == "string":
-        return encode_string(scheme, values, mask, depth)
+        return encode_string(scheme, values, mask, depth, fsst_table=fsst_table)
     raise ValueError(f"unknown kind {kind}")
 
 

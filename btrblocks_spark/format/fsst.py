@@ -201,7 +201,7 @@ def _train_gains_native(sample: list[bytes], max_symbols: int) -> SymbolTable | 
 
         # identical byte strings have identical length, so gains merge
         # within a length group: occurrences × L = count × L
-        cands: list[tuple[int, int, int]] = []  # (total_gain, L, value)
+        g_parts, l_parts, v_parts = [], [], []
         for L in range(1, MAX_SYMBOL_LEN + 1):
             grp = np.concatenate([svals[slens == L], pvals[plens == L]])
             if not grp.size:
@@ -215,14 +215,25 @@ def _train_gains_native(sample: list[bytes], max_symbols: int) -> SymbolTable | 
                 # that order inside gain ties
                 order = np.argsort(-totals, kind="stable")[:max_symbols]
                 u, totals = u[order], totals[order]
-            cands.extend(
-                (int(g), L, int(v)) for g, v in zip(totals.tolist(), u.tolist())
-            )
-        # exact global ordering: gain desc, then symbol bytes asc (the
-        # Python Counter loop's stable tie-break)
-        cands.sort(key=lambda gv: (-gv[0], gv[2].to_bytes(gv[1], "big")))
+            g_parts.append(totals)
+            l_parts.append(np.full(len(u), L, dtype=np.int64))
+            v_parts.append(u)
+        # exact global ordering, fully vectorized: gain desc, then symbol
+        # BYTES asc (the Python Counter loop's stable tie-break). Byte
+        # order across lengths == (left-aligned value asc, length asc):
+        # equal left-aligned prefixes compare by length (shorter = prefix =
+        # smaller), so lexsort on (L, leftval, -gain) reproduces the
+        # to_bytes comparison without building 5k Python byte keys
+        gains = np.concatenate(g_parts) if g_parts else np.zeros(0, np.int64)
+        ls = np.concatenate(l_parts) if l_parts else np.zeros(0, np.int64)
+        vs = np.concatenate(v_parts) if v_parts else np.zeros(0, np.uint64)
+        left = vs << ((8 - ls) * 8).astype(np.uint64)
+        order = np.lexsort((ls, left, -gains))[:max_symbols]
         table = SymbolTable(
-            [v.to_bytes(L, "big") for _, L, v in cands[:max_symbols]]
+            [
+                int(vs[i]).to_bytes(int(ls[i]), "big")
+                for i in order.tolist()
+            ]
         )
     return table
 
@@ -755,13 +766,22 @@ def compress_column(table: SymbolTable, values, arr=None) -> tuple[bytes, np.nda
     except ValueError:
         raise
     except Exception:  # noqa: BLE001
-        return compress_batch_concat(table, [str(x).encode("utf-8") for x in values])
+        return compress_batch_concat(table, _utf8_list(values, arr))
 
     res = _native_kernel(table, _pad8(buf), str_off, encode=True)
     if res is None:
-        return compress_batch_concat(table, [str(x).encode("utf-8") for x in values])
+        return compress_batch_concat(table, _utf8_list(values, arr))
     out, out_off = res
     return out.tobytes(), np.diff(out_off)
+
+
+def _utf8_list(values, arr) -> list[bytes]:
+    """Slow-path input materialization: callers may pass values=None when
+    they hold the column only as an Arrow array (codecs' Arrow-first
+    prep); fall back through the array then."""
+    if values is None:
+        values = arr.to_pylist()
+    return [str(x).encode("utf-8") for x in values]
 
 
 def decompress_column(

@@ -48,60 +48,141 @@ typedef struct {
     uint8_t code;
 } Sym;
 
-/* multi-byte candidates grouped by their FIRST TWO bytes (groups stay
- * tiny even when many symbols share a first byte), sorted by length desc
- * so the first hit IS the greedy longest match; 1-byte symbols live in a
- * direct 256-entry lookup probed after the multi-byte groups miss. */
+/* Single-lookup matcher (the published fsst shortCodes design, Boncz/
+ * Neumann/Leis PVLDB'19 §4): shortCodes[first-2-bytes] packs the ENTIRE
+ * len<=2 decision — best len-2 symbol, else the first byte's len-1
+ * symbol, else escape — into one uint32, so the common path is one table
+ * load + arithmetic. Symbols of len>=3 are rare per prefix: their
+ * candidates live in a compact sentinel-terminated group (sorted len
+ * desc, so the first masked hit IS the greedy longest match) reached only
+ * when the shortCodes entry carries a group pointer.
+ *
+ * shortCodes packing: bits 0-7 code (ESCAPE for the escape action), bits
+ * 8-11 input advance (1 or 2), bit 14 escape flag, bit 15 "len>=3
+ * candidates exist for this 2-byte prefix" (the long path then hash-keys
+ * on the FIRST THREE bytes — all len>=3 candidates at a position share
+ * its exact 3-byte prefix, so one bucket holds every possible match,
+ * sorted len desc; 2-byte grouping degenerated to ~7-entry linear scans
+ * on low-alphabet text). byte1[] is the same packing for the rem==1 tail.
+ *
+ * The emit is BRANCHLESS (the paper's avoidBranch device): always write
+ * the action code AND the literal byte, then advance the output cursor
+ * by 1 + escape-bit — a mispredicted escape/no-escape branch per token
+ * (data-dependent, ~50% on mixed text) costs more than the always-write.
+ * The overwrite slack is covered by the encode capacity contract
+ * (out_cap >= 2 bytes per input byte + 16). */
+#define SC_ESC (1u << 14)
+#define SC_LONG (1u << 15)
+#define SC_ADV(sc) (((sc) >> 8) & 0xFu)
+#define HSLOTS 2048 /* open-addressed 3-byte-key buckets, <=254 occupied */
+
+static inline uint32_t hash3(uint32_t key) {
+    return (key * 2654435761u) >> 21; /* 11 bits */
+}
+
 typedef struct {
-    Sym syms[MAX_SYMS];
-    int32_t head[65536];  /* start index per first-2-byte key, -1 = none */
-    int16_t cnt[65536];
-    int16_t code1[256];   /* 1-byte symbol code, -1 = none */
+    uint32_t shortCodes[65536];
+    uint32_t byte1[256];
+    uint32_t hkey[HSLOTS];   /* 3-byte key + 1, 0 = empty */
+    uint16_t hstart[HSLOTS]; /* start index into longSyms */
+    Sym longSyms[2 * MAX_SYMS + 2]; /* <=254 entries + one sentinel/group */
 } Table;
 
 static void build_table(const uint8_t *sym_bytes, const uint8_t *sym_lens,
                         int nsym, Table *t) {
-    static const int NB = 65536;
-    memset(t->cnt, 0, sizeof(t->cnt));
-    for (int b = 0; b < 256; b++) t->code1[b] = -1;
+    /* pass 1: len-1 actions (default escape; code field holds ESCAPE so
+     * the branchless emit writes the right first byte either way) */
     const uint8_t *p = sym_bytes;
+    for (int b = 0; b < 256; b++)
+        t->byte1[b] = SC_ESC | (1u << 8) | ESCAPE;
     for (int i = 0; i < nsym; i++) {
-        if (sym_lens[i] >= 2) t->cnt[(p[0] << 8) | p[1]]++;
+        if (sym_lens[i] == 1) t->byte1[p[0]] = (1u << 8) | (uint32_t)i;
         p += sym_lens[i];
     }
-    int32_t off = 0;
-    for (int b = 0; b < NB; b++) {
-        t->head[b] = t->cnt[b] ? off : -1;
-        off += t->cnt[b];
+    /* pass 2: every 2-byte window defaults to its first byte's action */
+    for (int g = 0; g < 65536; g++) t->shortCodes[g] = t->byte1[g >> 8];
+    p = sym_bytes;
+    for (int i = 0; i < nsym; i++) {
+        if (sym_lens[i] == 2)
+            t->shortCodes[(p[0] << 8) | p[1]] = (2u << 8) | (uint32_t)i;
+        p += sym_lens[i];
     }
-    int32_t fill[65536];
-    memcpy(fill, t->head, sizeof(fill));
+    /* pass 3: len>=3 candidates as sentinel-terminated runs per distinct
+     * FIRST-3-BYTE key (insertion-sorted len desc; equal-length symbols
+     * sharing one prefix are distinct byte strings — at most one matches),
+     * reached through an open-addressed hash; the 2-byte shortCodes entry
+     * only carries a "worth probing" flag. All len>=3 candidates at an
+     * input position share its exact 3-byte prefix, so ONE bucket holds
+     * every possible match. Group discovery is a tiny O(nsym * ngroups)
+     * scan: nsym <= 254. */
+    int32_t head[MAX_SYMS];  /* group start per distinct 3-byte key */
+    int32_t gkey[MAX_SYMS];
+    int cnt[MAX_SYMS];
+    int ngroups = 0, fill = 0;
     p = sym_bytes;
     for (int i = 0; i < nsym; i++) {
         int L = sym_lens[i];
-        if (L == 1) {
-            t->code1[p[0]] = (int16_t)i;
-            p += L;
-            continue;
+        if (L < 3) { p += L; continue; }
+        int key = (p[0] << 16) | (p[1] << 8) | p[2];
+        int gi = -1;
+        for (int k = 0; k < ngroups; k++)
+            if (gkey[k] == key) { gi = k; break; }
+        if (gi < 0) {
+            gi = ngroups++;
+            gkey[gi] = key;
+            cnt[gi] = 0;
         }
-        uint64_t v = 0;
-        for (int j = 0; j < L; j++) v = (v << 8) | p[j];
-        v <<= (8 - L) * 8; /* left-align */
-        /* insertion sort by len desc within the group (groups are tiny;
-         * equal-length same-prefix symbols are distinct byte strings, at
-         * most one can match) */
-        int b = (p[0] << 8) | p[1];
-        int32_t pos = fill[b]++;
-        while (pos > t->head[b] && t->syms[pos - 1].len < L) {
-            t->syms[pos] = t->syms[pos - 1];
-            pos--;
-        }
-        t->syms[pos].val = v;
-        t->syms[pos].mask = ~0ULL << ((8 - L) * 8);
-        t->syms[pos].len = (uint8_t)L;
-        t->syms[pos].code = (uint8_t)i;
+        cnt[gi]++;
         p += L;
     }
+    for (int k = 0; k < ngroups; k++) {
+        head[k] = fill;
+        fill += cnt[k] + 1;            /* + sentinel */
+        t->longSyms[fill - 1].len = 0; /* sentinel */
+        cnt[k] = 0;                    /* reused as per-group fill */
+    }
+    p = sym_bytes;
+    for (int i = 0; i < nsym; i++) {
+        int L = sym_lens[i];
+        if (L < 3) { p += L; continue; }
+        int key = (p[0] << 16) | (p[1] << 8) | p[2];
+        int gi = 0;
+        for (int k = 0; k < ngroups; k++)
+            if (gkey[k] == key) { gi = k; break; }
+        uint64_t v = 0;
+        for (int j = 0; j < L; j++) v = (v << 8) | p[j];
+        v <<= (8 - L) * 8;
+        int pos = head[gi] + cnt[gi]++;
+        while (pos > head[gi] && t->longSyms[pos - 1].len < L) {
+            t->longSyms[pos] = t->longSyms[pos - 1];
+            pos--;
+        }
+        t->longSyms[pos].val = v;
+        t->longSyms[pos].mask = ~0ULL << ((8 - L) * 8);
+        t->longSyms[pos].len = (uint8_t)L;
+        t->longSyms[pos].code = (uint8_t)i;
+        p += L;
+    }
+    memset(t->hkey, 0, sizeof(t->hkey));
+    for (int k = 0; k < ngroups; k++) {
+        uint32_t h = hash3((uint32_t)gkey[k]);
+        while (t->hkey[h]) h = (h + 1) & (HSLOTS - 1);
+        t->hkey[h] = (uint32_t)gkey[k] + 1;
+        t->hstart[h] = (uint16_t)head[k];
+        t->shortCodes[gkey[k] >> 8] |= SC_LONG;
+    }
+}
+
+/* probe the len>=3 bucket for the exact 3-byte input prefix; returns the
+ * sentinel-terminated run, or NULL when absent */
+static inline const Sym *probe3(const Table *t, uint32_t key3) {
+    uint32_t h = hash3(key3);
+    uint32_t want = key3 + 1;
+    while (t->hkey[h]) {
+        if (t->hkey[h] == want) return &t->longSyms[t->hstart[h]];
+        h = (h + 1) & (HSLOTS - 1);
+    }
+    return 0;
 }
 
 static inline uint64_t load_be(const uint8_t *p) {
@@ -122,7 +203,8 @@ int64_t fsst_encode_batch(
     const uint8_t *sym_bytes, const uint8_t *sym_lens, int nsym,
     const uint8_t *buf, const int64_t *str_off, int64_t nstr,
     uint8_t *out, int64_t out_cap, int64_t *out_off) {
-    Table t;
+    static Table t; /* 0.75 MB: off the stack; cffi calls are serialized
+                       per process (GIL held around the call) */
     build_table(sym_bytes, sym_lens, nsym, &t);
     int64_t o = 0;
     out_off[0] = 0;
@@ -130,36 +212,40 @@ int64_t fsst_encode_batch(
         int64_t i = str_off[s], end = str_off[s + 1];
         if (o + 2 * (end - i) > out_cap) return -1;
         while (i < end) {
-            uint8_t b = buf[i];
             int64_t rem = end - i;
-            int matched = 0;
+            uint32_t sc;
             if (rem >= 2) {
-                int g = (b << 8) | buf[i + 1];
-                int32_t h = t.head[g];
-                if (h >= 0) {
-                    int16_t c = t.cnt[g];
-                    uint64_t w = load_be(buf + i);
-                    for (int32_t k = h; k < h + c; k++) {
-                        const Sym *sy = &t.syms[k];
-                        if (sy->len <= rem && ((w ^ sy->val) & sy->mask) == 0) {
-                            out[o++] = sy->code;
-                            i += sy->len;
-                            matched = 1;
-                            break;
+                uint32_t g = ((uint32_t)buf[i] << 8) | buf[i + 1];
+                sc = t.shortCodes[g];
+                if ((sc & SC_LONG) && rem >= 3) {
+                    uint32_t key3 = (g << 8) | buf[i + 2];
+                    const Sym *sy = probe3(&t, key3);
+                    if (sy) {
+                        uint64_t w = load_be(buf + i);
+                        int hit = 0;
+                        for (; sy->len; sy++) {
+                            if (sy->len <= rem &&
+                                ((w ^ sy->val) & sy->mask) == 0) {
+                                out[o++] = sy->code;
+                                i += sy->len;
+                                hit = 1;
+                                break;
+                            }
                         }
+                        if (hit) continue;
                     }
                 }
+            } else {
+                sc = t.byte1[buf[i]];
             }
-            if (!matched && t.code1[b] >= 0) {
-                out[o++] = (uint8_t)t.code1[b];
-                i++;
-                matched = 1;
-            }
-            if (!matched) {
-                out[o++] = ESCAPE;
-                out[o++] = b;
-                i++;
-            }
+            /* branchless emit: write (code, literal) unconditionally,
+             * bump output by 1 + escape-bit, input by the packed advance.
+             * The extra byte is in-bounds: the per-string capacity check
+             * guarantees >= 2 output bytes per remaining input byte. */
+            out[o] = (uint8_t)sc;
+            out[o + 1] = buf[i];
+            o += 1 + ((sc >> 14) & 1u);
+            i += SC_ADV(sc);
         }
         out_off[s + 1] = o;
     }
@@ -173,7 +259,7 @@ int64_t fsst_parse_tokens(
     const uint8_t *sym_bytes, const uint8_t *sym_lens, int nsym,
     const uint8_t *buf, const int64_t *str_off, int64_t nstr,
     int16_t *toks, int64_t cap) {
-    Table t;
+    static Table t;
     build_table(sym_bytes, sym_lens, nsym, &t);
     int64_t o = 0;
     for (int64_t s = 0; s < nstr; s++) {
@@ -181,34 +267,38 @@ int64_t fsst_parse_tokens(
         if (o + (end - i) + 1 > cap) return -1;
         if (s) toks[o++] = -1;
         while (i < end) {
-            uint8_t b = buf[i];
             int64_t rem = end - i;
-            int matched = 0;
+            uint32_t sc;
             if (rem >= 2) {
-                int g = (b << 8) | buf[i + 1];
-                int32_t h = t.head[g];
-                if (h >= 0) {
-                    int16_t c = t.cnt[g];
-                    uint64_t w = load_be(buf + i);
-                    for (int32_t k = h; k < h + c; k++) {
-                        const Sym *sy = &t.syms[k];
-                        if (sy->len <= rem && ((w ^ sy->val) & sy->mask) == 0) {
-                            toks[o++] = sy->code;
-                            i += sy->len;
-                            matched = 1;
-                            break;
+                uint32_t g = ((uint32_t)buf[i] << 8) | buf[i + 1];
+                sc = t.shortCodes[g];
+                if ((sc & SC_LONG) && rem >= 3) {
+                    uint32_t key3 = (g << 8) | buf[i + 2];
+                    const Sym *sy = probe3(&t, key3);
+                    if (sy) {
+                        uint64_t w = load_be(buf + i);
+                        int hit = 0;
+                        for (; sy->len; sy++) {
+                            if (sy->len <= rem &&
+                                ((w ^ sy->val) & sy->mask) == 0) {
+                                toks[o++] = sy->code;
+                                i += sy->len;
+                                hit = 1;
+                                break;
+                            }
                         }
+                        if (hit) continue;
                     }
                 }
+            } else {
+                sc = t.byte1[buf[i]];
             }
-            if (!matched && t.code1[b] >= 0) {
-                toks[o++] = t.code1[b];
+            if (sc & SC_ESC) {
+                toks[o++] = (int16_t)(256 + buf[i]);
                 i++;
-                matched = 1;
-            }
-            if (!matched) {
-                toks[o++] = (int16_t)(256 + b);
-                i++;
+            } else {
+                toks[o++] = (int16_t)(sc & 0xFFu);
+                i += SC_ADV(sc);
             }
         }
     }
