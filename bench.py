@@ -210,6 +210,10 @@ HEADLINE = [
     "events_kaplan_meier",
     "events_poisson_rate_test",
     "stats_jackknife_group",
+    "format_column_group_roundtrip",
+    "ann_operating_curve",
+    "stats_jackknife_hash",
+    "events_kaplan_meier_by_type",
 ]
 
 

@@ -67,6 +67,7 @@ EAGER_BUILD = frozenset(
         "agg_percentiles_disc",
         "ann_binary_topk",
         "ann_kmeans_refine",
+        "ann_operating_curve",
         "basket_association_rules",
         "customer_ltv_cohorts",
         "customer_rfm_segments",
@@ -85,6 +86,7 @@ EAGER_BUILD = frozenset(
         "embedding_second_moment",
         "events_attribution",
         "events_kaplan_meier",
+        "events_kaplan_meier_by_type",
         "events_mad_anomaly",
         "format_chunk_stats",
         "format_column_group_roundtrip",
@@ -105,6 +107,7 @@ EAGER_BUILD = frozenset(
         "stats_column_entropy",
         "stats_heavy_hitters",
         "stats_jackknife_group",
+        "stats_jackknife_hash",
         "stats_ks_drift",
         "stats_mutual_information",
         "stats_string_profile",

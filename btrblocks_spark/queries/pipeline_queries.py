@@ -480,10 +480,12 @@ def q_ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_bucketed",
-    oracle=f"""
-WITH {_sketch_cte(4)},
+def _lsh_oracle_sql(num_planes: int) -> str:
+    """LSH-bucketed top-5 oracle parameterized by sign-plane count —
+    single source for ann_lsh_bucketed (planes=4) and the round-8
+    operating-curve sweep."""
+    return f"""
+WITH {_sketch_cte(num_planes)},
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM sk WHERE vec_id IN (0,1,2,3,4,5,6,7)),
 scored AS (
   SELECT q_id, sk.vec_id AS neighbor_id,
@@ -496,15 +498,18 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
-""",
-)
+"""
+
+
+@register("ann_lsh_bucketed", oracle=_lsh_oracle_sql(4))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"), _ANN_QUERY_IDS, k=5)
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_oracle_sql(nprobe: int) -> str:
+    """IVF top-5 oracle parameterized by probe count — single source for
+    ann_ivf_topk (nprobe=2) and the round-8 operating-curve sweep."""
+    return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 31 = 0),
 asg AS (
@@ -524,7 +529,7 @@ probe AS (
 scored AS (
   SELECT q_id, cells.vec_id AS neighbor_id,
          round({_cosine_sql('qv', 'cells.v')}, 6) AS cosine
-  FROM (SELECT * FROM probe WHERE rn <= 2) p JOIN cells USING (cell)
+  FROM (SELECT * FROM probe WHERE rn <= {nprobe}) p JOIN cells USING (cell)
   WHERE cells.vec_id != q_id
 ),
 ranked AS (
@@ -533,8 +538,10 @@ ranked AS (
   FROM scored
 )
 SELECT q_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
-""",
-)
+"""
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle_sql(2))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer (centroids = vec_id % 31 == 0),
     nearest-cell assignment, nprobe=2 probing. See similarity.ivf_topk."""
@@ -5462,4 +5469,229 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("covered_tokens") / F.col("n_tokens").cast("double"), 6
             ).alias("covered_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN operating curve (round-8 VERDICT #4)
+# ---------------------------------------------------------------------------
+
+_CURVE_CONFIGS = [("ivf", 1), ("ivf", 2), ("ivf", 4), ("lsh", 2), ("lsh", 4), ("lsh", 6)]
+
+
+def _ann_curve_oracle() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"truth AS ({_ORACLE_REG['ann_cosine_topk']})",
+    ]
+    arms = []
+    for method, param in _CURVE_CONFIGS:
+        sql = _ivf_oracle_sql(param) if method == "ivf" else _lsh_oracle_sql(param)
+        ctes.append(f"{method}_{param} AS ({sql})")
+        arms.append(
+            f"SELECT '{method}' AS method, {param} AS param, q_id, rank, "
+            f"neighbor_id FROM {method}_{param}"
+        )
+    methods = "\nUNION ALL ".join(arms)
+    rel_term = (
+        "CAST(round((CASE WHEN rel > 0 THEN rel ELSE 0 END)"
+        " / log2(rank + 1), 6) AS DECIMAL(18,6))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+methods AS ({methods}),
+hits AS (
+  SELECT method, param, count(*) AS n_hits
+  FROM methods m JOIN truth t
+    ON t.q_id = m.q_id AND t.neighbor_id = m.neighbor_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT count(*) AS n_truth FROM truth),
+rel AS (
+  SELECT m.method, m.param, m.q_id, m.rank,
+         round({_cosine_sql('eq.v', 'en.v')}, 6) AS rel
+  FROM methods m
+  JOIN e eq ON eq.vec_id = m.q_id
+  JOIN e en ON en.vec_id = m.neighbor_id
+),
+dcg AS (
+  SELECT method, param, q_id,
+         CAST(sum({rel_term}) AS DOUBLE) AS dcg
+  FROM rel GROUP BY 1, 2, 3
+),
+trel AS (
+  SELECT t.q_id, t.rank, round({_cosine_sql('eq.v', 'en.v')}, 6) AS rel
+  FROM truth t
+  JOIN e eq ON eq.vec_id = t.q_id
+  JOIN e en ON en.vec_id = t.neighbor_id
+),
+ideal AS (
+  SELECT q_id, CAST(sum({rel_term}) AS DOUBLE) AS idcg
+  FROM trel GROUP BY 1
+),
+nd AS (
+  SELECT d.method, d.param,
+         CAST(round(d.dcg / nullif(i.idcg, 0), 6) AS DECIMAL(18,6)) AS ndcg
+  FROM dcg d JOIN ideal i ON i.q_id = d.q_id
+),
+cfg AS (
+  SELECT * FROM (VALUES {", ".join(f"('{m}', {p})" for m, p in _CURVE_CONFIGS)})
+  AS t(method, param)
+)
+SELECT cfg.method, cfg.param::BIGINT AS param,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits, n_truth::BIGINT AS n_truth,
+       round(coalesce(h.n_hits, 0)
+             / nullif(CAST(n_truth AS DOUBLE), 0), 6) AS recall_at_k,
+       round(CAST((SELECT sum(ndcg) FROM nd
+                   WHERE nd.method = cfg.method AND nd.param = cfg.param)
+                  AS DOUBLE)
+             / nullif((SELECT count(*) FROM nd
+                       WHERE nd.method = cfg.method AND nd.param = cfg.param),
+                      0), 6)
+         AS mean_ndcg
+FROM cfg
+LEFT JOIN hits h ON h.method = cfg.method AND h.param = cfg.param
+CROSS JOIN tot
+ORDER BY cfg.method, cfg.param
+"""
+    )
+
+
+@register("ann_operating_curve", oracle=_ann_curve_oracle())
+def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN OPERATING CURVE (round-8 VERDICT #4): recall@5 and mean NDCG@5
+    of IVF at nprobe ∈ {1,2,4} and sign-LSH at {2,4,6} hyperplanes, all
+    against the same brute-force cosine truth — the accuracy-vs-cost curve
+    a 100 TB index choice actually reads (one fixed config, as in
+    ann_recall_audit, tells you where you ARE; the curve tells you what a
+    doubling of probes/buckets BUYS). IVF recall rises with nprobe; LSH
+    recall falls as planes split the corpus into smaller buckets.
+
+    Determinism: the ann_ndcg_audit conventions verbatim — relevance is
+    the exact 6-dp cosine per retrieved pair, DCG terms round to 6 dp and
+    sum in DECIMAL(18,6), NDCG rounds to 6 dp and the per-config mean sums
+    those rounded values in DECIMAL before ONE final division.
+
+    Scale: the corpus projection is PINNED (localCheckpoint, eager →
+    EAGER_BUILD) and every sweep arm derives from it — one FileScan of
+    embeddings for a 6-config sweep (the shared-candidate-projection shape
+    the round-7 VERDICT asked of the audit family); each arm is the
+    registered chain's own bucketed/probed plan, and everything downstream
+    runs on O(configs × queries × k) rows."""
+    from btrblocks_spark.pipeline.dedup import cosine_try_expr
+    from btrblocks_spark.pipeline.similarity import (
+        _as_double,
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    truth = cosine_topk(emb, _ANN_QUERY_IDS, k=5).select(
+        "q_id", "rank", "neighbor_id"
+    ).localCheckpoint(eager=True)
+
+    parts = []
+    for method, param in _CURVE_CONFIGS:
+        if method == "ivf":
+            arm = ivf_topk(emb, _ANN_QUERY_IDS, k=5, centroid_stride=31,
+                           nprobe=param)
+        else:
+            arm = lsh_bucketed_topk(emb, _ANN_QUERY_IDS, k=5,
+                                    num_planes=param)
+        parts.append(
+            arm.select(
+                F.lit(method).alias("method"),
+                F.lit(param).cast("long").alias("param"),
+                "q_id", "rank", "neighbor_id",
+            )
+        )
+    methods = parts[0]
+    for pz in parts[1:]:
+        methods = methods.unionByName(pz)
+    methods = methods.localCheckpoint(eager=True)  # reused by hits AND rel
+
+    hits = (
+        methods.join(truth.select("q_id", "neighbor_id"),
+                     ["q_id", "neighbor_id"])
+        .groupBy("method", "param")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    tot = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+
+    e = _as_double(emb, "embedding", "vec_id")
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+
+    def dcg_of(df, keys):
+        rel = (
+            F.broadcast(F.broadcast(df).join(eq, "q_id"))
+            .join(en, "neighbor_id")
+            .select(
+                *keys, "q_id",
+                F.round(
+                    F.when(
+                        F.round(cosine_try_expr("qv", "nv"), 6) > 0,
+                        F.round(cosine_try_expr("qv", "nv"), 6),
+                    ).otherwise(F.lit(0.0))
+                    / F.log2(F.col("rank") + 1),
+                    6,
+                ).cast("decimal(18,6)").alias("term"),
+            )
+        )
+        return rel.groupBy(*keys, "q_id").agg(
+            F.sum("term").cast("double").alias("dcg")
+        )
+
+    dcg = dcg_of(methods, ["method", "param"])
+    ideal = dcg_of(truth, []).select("q_id", F.col("dcg").alias("idcg"))
+    nd = (
+        dcg.join(F.broadcast(ideal), "q_id")
+        .select(
+            "method", "param",
+            F.round(F.try_divide(F.col("dcg"), F.nullif("idcg", F.lit(0.0))), 6)
+            .cast("decimal(18,6)")
+            .alias("ndcg"),
+        )
+        .groupBy("method", "param")
+        .agg(
+            F.round(
+                F.try_divide(
+                    F.sum("ndcg").cast("double"), F.count(F.lit(1))
+                ),
+                6,
+            ).alias("mean_ndcg")
+        )
+    )
+    # config SKELETON: an arm that retrieved no truth hits (or nothing at
+    # all — a plane count whose buckets isolate every query) must still
+    # appear on the curve with recall 0 / NULL ndcg, on both engines
+    skel = spark.createDataFrame(
+        [(m, p) for m, p in _CURVE_CONFIGS], "method string, param long"
+    )
+    return (
+        skel.join(hits, ["method", "param"], "left")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(nd), ["method", "param"], "left")
+        .select(
+            "method", "param",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "n_truth",
+            # nullif: an empty corpus (0 truth rows) degrades recall to
+            # NULL on both engines instead of an ANSI divide-by-zero
+            # (round-8 empty-table probe finding)
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_hits", F.lit(0)),
+                    F.nullif(F.col("n_truth").cast("double"), F.lit(0.0)),
+                ),
+                6,
+            ).alias("recall_at_k"),
+            "mean_ndcg",
+        )
+        .orderBy("method", "param")
     )

@@ -80,6 +80,10 @@ TPCH_QUERIES = [
     # it — every leave-one-out estimate must shift identically on both
     # engines
     "stats_jackknife_group",
+    # same NULL-price shift, but over 32 hash buckets (every bucket is
+    # hit by the md5-keyed assignment, so the dirty row lands somewhere
+    # deterministic on both engines)
+    "stats_jackknife_hash",
 ]
 
 EVENT_QUERIES = [
@@ -111,6 +115,9 @@ EVENT_QUERIES = [
     # NULL ts rows must vanish from the gap stream / window halves before
     # any lead()/boundary arithmetic on both engines
     "events_kaplan_meier",
+    # per-type curves additionally see the NULL-event_type row, which must
+    # be excluded from every curve identically on both engines
+    "events_kaplan_meier_by_type",
     "events_poisson_rate_test",
 ]
 
