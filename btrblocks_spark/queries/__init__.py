@@ -67,7 +67,9 @@ EAGER_BUILD = frozenset(
         "agg_percentiles_disc",
         "ann_binary_topk",
         "ann_kmeans_refine",
+        "ann_ndcg_audit",
         "ann_operating_curve",
+        "ann_recall_audit",
         "basket_association_rules",
         "customer_ltv_cohorts",
         "customer_rfm_segments",
@@ -78,6 +80,7 @@ EAGER_BUILD = frozenset(
         "dedup_kcore",
         "dedup_local_clustering",
         "dedup_lsh_recall",
+        "dedup_method_impact",
         "dedup_lsh_tuned_recall",
         "dedup_pagerank",
         "dedup_tfidf_cosine",

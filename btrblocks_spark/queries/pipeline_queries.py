@@ -2749,17 +2749,32 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector store. Composes the four registered ANN chains verbatim (same
     params), so the oracle is their oracles composed.
 
-    Scale: each chain is its own bounded shape; the audit join runs over
-    O(queries x k) rows — negligible."""
-    truth = q_ann_cosine_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    Scale: the corpus projection is PINNED (localCheckpoint, eager →
+    EAGER_BUILD) and every chain derives from it — ONE FileScan of
+    embeddings instead of the 13 the verbatim chain composition paid
+    (round-8 VERDICT #2's shared-candidate-projection fix); each chain
+    keeps its registered parameters exactly, so the composed oracle is
+    unchanged. The audit join runs over O(queries x k) rows."""
+    from btrblocks_spark.pipeline.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+        pq_topk,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    truth = cosine_topk(emb, _ANN_QUERY_IDS, k=5).select("q_id", "neighbor_id")
     parts = [
-        q_ann_ivf(spark, sf_dir).select(
-            F.lit("ivf").alias("method"), "q_id", "neighbor_id"
-        ),
-        q_ann_pq_topk(spark, sf_dir).select(
+        ivf_topk(emb, _ANN_QUERY_IDS, k=5, centroid_stride=31, nprobe=2)
+        .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id"),
+        pq_topk(emb, _ANN_QUERY_IDS, k=5).select(
             F.lit("pq").alias("method"), "q_id", "neighbor_id"
         ),
-        q_ann_lsh(spark, sf_dir).select(
+        lsh_bucketed_topk(emb, _ANN_QUERY_IDS, k=5).select(
             F.lit("lsh").alias("method"), "q_id", "neighbor_id"
         ),
     ]
@@ -2813,25 +2828,37 @@ def q_dedup_method_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     four registered chains verbatim (same params), so the oracle is their
     oracles composed.
 
-    Scale: each chain is its own bounded shape (memoized pair tables —
-    doc_b distinct-counts touch ids only); the ledger itself is four
-    scalar aggregates unioned."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale: the documents projection is PINNED (localCheckpoint, eager →
+    EAGER_BUILD) and all four chains derive from it — ONE FileScan of
+    documents instead of the seven the verbatim composition paid (round-8
+    VERDICT #2's shared-projection fix; every chain keeps its registered
+    default parameters, so the composed oracle is unchanged). Each chain
+    is its own bounded shape (memoized pair tables — doc_b
+    distinct-counts touch ids only); the ledger itself is four scalar
+    aggregates unioned."""
+    from btrblocks_spark.pipeline.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").localCheckpoint(eager=True)
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     parts = [
-        q_dedup_exact(spark, sf_dir).agg(
+        dedup_exact(docs).agg(
             F.lit("exact").alias("method"),
             F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0)).alias("n_flagged"),
         ),
-        q_minhash_lsh(spark, sf_dir).agg(
+        minhash_lsh_pairs(docs).agg(
             F.lit("minhash_lsh").alias("method"),
             F.countDistinct("doc_b").alias("n_flagged"),
         ),
-        q_simhash_pairs(spark, sf_dir).agg(
+        simhash_near_pairs(docs).agg(
             F.lit("simhash").alias("method"),
             F.countDistinct("doc_b").alias("n_flagged"),
         ),
-        q_ngram_jaccard(spark, sf_dir).agg(
+        ngram_jaccard_pairs(docs).agg(
             F.lit("ngram_jaccard").alias("method"),
             F.countDistinct("doc_b").alias("n_flagged"),
         ),
@@ -2907,23 +2934,38 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final ratio try_divides so an all-zero ideal degrades to NULL on
     both engines.
 
-    Scale: composes the four registered ANN chains verbatim; everything
-    after them runs on O(methods × queries × k) rows — negligible."""
+    Scale: the corpus projection is PINNED (localCheckpoint, eager →
+    EAGER_BUILD) and every chain derives from it — ONE FileScan of
+    embeddings instead of the 15 the verbatim chain composition paid
+    (round-8 VERDICT #2's shared-candidate-projection fix); each chain
+    keeps its registered parameters exactly, so the composed oracle is
+    unchanged. Everything after the chains runs on O(methods × queries ×
+    k) rows — negligible."""
     from btrblocks_spark.pipeline.dedup import cosine_try_expr
-    from btrblocks_spark.pipeline.similarity import _as_double
+    from btrblocks_spark.pipeline.similarity import (
+        _as_double,
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+        pq_topk,
+    )
 
-    e = _as_double(load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    e = _as_double(emb, "embedding", "vec_id")
     parts = [
-        q_ann_cosine_topk(spark, sf_dir).select(
+        cosine_topk(emb, _ANN_QUERY_IDS, k=5).select(
             F.lit("exact").alias("method"), "q_id", "rank", "neighbor_id"
         ),
-        q_ann_ivf(spark, sf_dir).select(
-            F.lit("ivf").alias("method"), "q_id", "rank", "neighbor_id"
-        ),
-        q_ann_pq_topk(spark, sf_dir).select(
+        ivf_topk(emb, _ANN_QUERY_IDS, k=5, centroid_stride=31, nprobe=2)
+        .select(F.lit("ivf").alias("method"), "q_id", "rank", "neighbor_id"),
+        pq_topk(emb, _ANN_QUERY_IDS, k=5).select(
             F.lit("pq").alias("method"), "q_id", "rank", "neighbor_id"
         ),
-        q_ann_lsh(spark, sf_dir).select(
+        lsh_bucketed_topk(emb, _ANN_QUERY_IDS, k=5).select(
             F.lit("lsh").alias("method"), "q_id", "rank", "neighbor_id"
         ),
     ]

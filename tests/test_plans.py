@@ -659,11 +659,10 @@ def test_fd_profile_approx_expand_free_same_verdicts(spark, sf_dir):
 # 5×, stats_theil_sen 4×, events_kaplan_meier 12×) were FIXED via pinned
 # reduced intermediates and are deliberately NOT listed.
 _MULTI_SCAN_OK = {
-    "ann_filtered_topk", "ann_ivf_topk", "ann_ndcg_audit", "ann_pq_topk",
-    "ann_recall_audit", "ann_sq8_topk", "curation_dsir_resample",
+    "ann_filtered_topk", "ann_ivf_topk", "ann_pq_topk", "ann_sq8_topk", "curation_dsir_resample",
     "curation_dsir_topk", "curation_theil_inequality",
     "curation_training_batches", "customer_pareto_share",
-    "dedup_cross_source_leakage", "dedup_method_impact",
+    "dedup_cross_source_leakage",
     "dedup_minhash_estimate", "dedup_minhash_lsh",
     "dedup_similarity_histogram", "events_audience_overlap", "events_funnel",
     "events_poisson_rate_test", "events_trend_test", "filter_scalar_subquery",
