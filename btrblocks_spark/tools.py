@@ -49,11 +49,35 @@ def cmd_csvtobtr(args, spark=None) -> int:
     cfg = DEFAULT_CONFIG if args.block_size is None else DEFAULT_CONFIG.with_(
         block_size=args.block_size
     )
-    meta = write_table(df, args.btr, keys, cfg)
+    # --column-groups: 'auto' lets the write discover FD-held profitable
+    # pairs from its own NDV pass; 'det:dep[,det:dep...]' pins explicit
+    # pairs (exactly validated — a violated FD aborts the write)
+    groups = None
+    auto_groups = False
+    if args.column_groups:
+        if args.column_groups.strip().lower() == "auto":
+            auto_groups = True
+        else:
+            groups = [
+                tuple(p.split(":", 1))
+                for p in args.column_groups.split(",")
+                if ":" in p
+            ]
+    meta = write_table(
+        df, args.btr, keys, cfg,
+        column_groups=groups, auto_column_groups=auto_groups,
+    )
+    gmsg = (
+        " column_groups=["
+        + ", ".join(f"{g['det']}->{g['dep']}" for g in meta["column_groups"])
+        + "]"
+        if meta.get("column_groups")
+        else ""
+    )
     print(
         f"wrote {meta['num_rows']} rows / {meta['num_chunks']} chunks to {args.btr} "
         f"(est ratio {meta['totals']['est_compression_ratio']}x, "
-        f"{meta['write_seconds']}s)"
+        f"{meta['write_seconds']}s){gmsg}"
     )
     if args.verify:
         ok = round_trip_verify(df, spark, args.btr)
@@ -146,6 +170,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     c.add_argument("--order-keys", default="")
     c.add_argument("--block-size", type=int, default=None)
     c.add_argument("--verify", action="store_true")
+    c.add_argument(
+        "--column-groups",
+        default="",
+        help="'auto' (FD-discovered shared-dict groups) or 'det:dep,...'",
+    )
     c.set_defaults(fn=cmd_csvtobtr)
 
     c = sub.add_parser("btrtocsv", help="compressed table -> CSV export")

@@ -730,3 +730,59 @@ def test_jsonl_quarantine_skips_blank_lines(spark, tmp_path):
     assert good.count() == 2
     assert bad.count() == 1  # only the genuinely malformed line
     assert "{bad json" in bad.collect()[0]["raw_line"]
+
+
+def test_cli_csvtobtr_column_groups(spark, tmpdir):
+    """--column-groups (round-8): an explicit det:dep pair writes the
+    dependent as a mapping table (banked — absent from the data files),
+    -verify round-trips through the reconstructing reader, and 'auto'
+    discovers the same FD on its own."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    from btrblocks_spark.format.reader import read_metadata
+    from btrblocks_spark.tools import main
+
+    csv_in = os.path.join(tmpdir, "in.csv")
+    with open(csv_in, "w") as fh:
+        for i in range(400):
+            fh.write(f"{i}|cat_{i % 5}|label_of_{i % 5}\n")
+    yml = os.path.join(tmpdir, "schema.yaml")
+    with open(yml, "w") as fh:
+        fh.write(
+            "columns:\n"
+            "  - {name: k, type: integer}\n"
+            "  - {name: det, type: string}\n"
+            "  - {name: dep, type: string}\n"
+        )
+
+    btr = os.path.join(tmpdir, "tbl_cg")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main(
+            ["csvtobtr", "--csv", csv_in, "--yaml", yml, "--btr", btr,
+             "--order-keys", "k", "--block-size", "64",
+             "--column-groups", "det:dep", "--verify"],
+            spark=spark,
+        )
+    assert rc == 0 and "verify: OK" in out.getvalue()
+    assert "column_groups=[det->dep]" in out.getvalue()
+    meta = read_metadata(btr)
+    assert meta["column_groups"][0]["n_entries"] == 5
+    assert "dep" not in spark.read.parquet(f"{btr}/data").columns
+
+    btr2 = os.path.join(tmpdir, "tbl_auto")
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main(
+            ["csvtobtr", "--csv", csv_in, "--yaml", yml, "--btr", btr2,
+             "--order-keys", "k", "--block-size", "64",
+             "--column-groups", "auto", "--verify"],
+            spark=spark,
+        )
+    assert rc == 0 and "verify: OK" in out.getvalue()
+    pairs = {(g["det"], g["dep"]) for g in read_metadata(btr2)["column_groups"]}
+    # det<->dep is a bijection here (both 5-valued, FD holds both ways);
+    # auto picks ONE direction and never chains the other
+    assert pairs in ({("det", "dep")}, {("dep", "det")})
