@@ -175,8 +175,14 @@ def _file_may_match(path: str, filters: list[Filter]) -> bool:
 
 def _groups_payload(path: str, columns: tuple) -> tuple:
     """((det, dep, abs_mapping_dir), ...) for the requested column-group
-    dependents of the table at ``path`` — () for ungrouped tables."""
-    meta = read_metadata(path)
+    dependents of the table at ``path`` — () for ungrouped tables, and ()
+    when no sidecar is readable (the stream reader is constructed against
+    bare data dirs in recovery paths; a sidecar-less table cannot carry
+    groups, so reading it plain is the correct degradation)."""
+    try:
+        meta = read_metadata(path)
+    except Exception:  # noqa: BLE001 — no/unreadable sidecar: no groups
+        return ()
     return tuple(
         (g["det"], g["dep"], os.path.join(path, g["path"]))
         for g in (meta.get("column_groups") or [])
