@@ -255,7 +255,8 @@ def stage_tables(spark, sf_dir: str, staging_root: str) -> dict:
     os.makedirs(sf_view, exist_ok=True)
     t0 = time.perf_counter()
     metas = {}
-    for name in TABLE_NAMES:
+
+    def stage_one(name: str) -> tuple[str, dict | None]:
         link = os.path.join(sf_view, f"{name}.parquet")
         if name in STAGE_TABLES:
             from btrblocks_spark.config import DEFAULT_CONFIG
@@ -267,14 +268,32 @@ def stage_tables(spark, sf_dir: str, staging_root: str) -> dict:
                 else DEFAULT_CONFIG
             )
             dest = os.path.join(staging_root, name)
+            spark.sparkContext.setJobDescription(f"stage: {name}")
             meta = write_table(
                 load_table(spark, sf_dir, name), dest, spec["keys"],
                 config=cfg, table_name=name,
             )
-            metas[name] = meta
             os.symlink(os.path.join(dest, "data"), link)
-        else:
-            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+            return name, meta
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+        return name, None
+
+    # the staged writes are independent — overlap them (guide §2.6) so one
+    # write's many small driver-coordinated phases (NDV agg, boundary
+    # sampling, plan pass) back-fill another's idle tail. lineitem runs
+    # SOLO first: its write_seconds is the artifact's `write_sec` metric
+    # and must stay comparable to prior rounds' uncontended measurement.
+    # Job descriptions are thread-local, so each write labels its own jobs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    name, meta = stage_one("lineitem")
+    metas[name] = meta
+    rest = [n for n in TABLE_NAMES if n != "lineitem"]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for name, meta in pool.map(stage_one, rest):
+            if meta is not None:
+                metas[name] = meta
+    spark.sparkContext.setJobDescription(None)
     return {
         "stage_sec": round(time.perf_counter() - t0, 3),
         "sf_view": sf_view,
@@ -666,6 +685,9 @@ def main() -> None:
         # — extra reps taken because the first window looked contended)
         rep_info: dict[str, dict] = {}
         for name in names:
+            # guide §1.5: label the jobs so the UI/event log maps stages
+            # back to the query being timed (thread-local, no timing cost)
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             reps = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -700,6 +722,7 @@ def main() -> None:
             if backstop_reps:
                 info["backstop_reps"] = backstop_reps
             rep_info[name] = info
+        spark.sparkContext.setJobDescription(None)
 
         fmt = bench_format(
             spark,

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -251,6 +252,10 @@ def plan_chunks(
 
 _GROUPS_DIR = "_btr_column_groups"
 
+# serializes the session-global maxPartitionBytes window of the plan pass
+# so independent write_table calls can run concurrently (see its use)
+_PLAN_CONF_LOCK = threading.Lock()
+
 
 def _resolve_column_groups(
     df: DataFrame,
@@ -260,8 +265,16 @@ def _resolve_column_groups(
     config: BtrBlocksConfig,
     column_groups: list[tuple[str, str]] | None,
     auto: bool,
-) -> list[tuple[str, str]]:
-    """Validated (determinant, dependent) column groups for this write.
+    precomputed: dict[str, int] | None = None,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Validated (determinant, dependent) column groups for this write,
+    plus the exact distinct-determinant counts the validation measured
+    (``{det: nd}`` — the writer reuses them as the mapping entry counts,
+    skipping a read-back count job per group).
+
+    ``precomputed`` carries the ``_btr_nd__<det>`` / ``_btr_np__<i>``
+    validation aggregates when the caller already ran them fused into its
+    NDV job (explicit groups) — this function then runs NO job at all.
 
     Explicit pairs are EXACTLY validated (null-safe: struct-wrapped
     countDistinct counts a NULL as a value, so det=NULL rows must also map
@@ -306,22 +319,35 @@ def _resolve_column_groups(
                 if ndv.get(dep, 1 << 62) <= ndv[det] * 1.2:
                     candidates.append((det, dep))
     if not candidates:
-        return []
+        return [], {}
 
     from pyspark.sql import functions as F
 
     dets = list(dict.fromkeys(d for d, _ in candidates))
-    m = df.agg(
-        *[F.countDistinct(F.struct(d)).alias(f"nd__{d}") for d in dets],
-        *[
-            F.countDistinct(F.struct(det), F.struct(dep)).alias(f"np__{i}")
-            for i, (det, dep) in enumerate(candidates)
-        ],
-    ).collect()[0]
+    if precomputed is not None and not auto:
+        # explicit-only: the validation aggregates already ran fused into
+        # the caller's NDV job (same countDistinct expressions, same
+        # candidate order) — zero additional jobs here
+        m = {f"nd__{d}": precomputed[f"_btr_nd__{d}"] for d in dets}
+        m.update(
+            {
+                f"np__{i}": precomputed[f"_btr_np__{i}"]
+                for i in range(len(candidates))
+            }
+        )
+    else:
+        m = df.agg(
+            *[F.countDistinct(F.struct(d)).alias(f"nd__{d}") for d in dets],
+            *[
+                F.countDistinct(F.struct(det), F.struct(dep)).alias(f"np__{i}")
+                for i, (det, dep) in enumerate(candidates)
+            ],
+        ).collect()[0]
     chosen: list[tuple[str, str]] = []
     used: set[str] = set()
+    nd_by_det: dict[str, int] = {d: int(m[f"nd__{d}"]) for d in dets}
     for i, (det, dep) in enumerate(candidates):
-        nd, np_ = int(m[f"nd__{det}"]), int(m[f"np__{i}"])
+        nd, np_ = nd_by_det[det], int(m[f"np__{i}"])
         holds = np_ == nd and nd <= config.max_group_entries
         if i < n_explicit:
             if np_ != nd:
@@ -353,7 +379,7 @@ def _resolve_column_groups(
             continue
         chosen.append((det, dep))
         used.add(dep)
-    return chosen
+    return chosen, nd_by_det
 
 
 def write_table(
@@ -392,15 +418,52 @@ def write_table(
     # (T1's unique_count at table granularity, HLL instead of exact)
     ndv = {}
     ndv_cols = [c for c, _t in col_types]
+    # EXPLICIT column groups ride their exact validation aggregates in the
+    # same job (round-8, guide §1.2 "don't scan twice"): the FD check needs
+    # countDistinct(det) and countDistinct(det, dep) — both computable
+    # alongside the HLL pass, so an explicit-group write validates with
+    # ZERO extra jobs. Auto mode still needs the HLL results first to pick
+    # candidates, so it keeps its own (second) validation aggregate.
+    group_val_aggs = []
+    if column_groups and not auto_column_groups:
+        kinds = {c: kind_of(t) for c, t in col_types}
+
+        def _valid(d: str, p: str) -> bool:
+            # mirror of _resolve_column_groups' pre-agg validation: an
+            # invalid pair raises THERE (same errors as before); this fused
+            # agg must not touch it first (a skip-kind map column would
+            # fail the agg with the wrong exception)
+            return (
+                d in kinds and p in kinds and d != p
+                and kinds[d] != "skip" and kinds[p] != "skip"
+            )
+
+        val_dets = list(dict.fromkeys(
+            d for d, p in column_groups if _valid(d, p)
+        ))
+        group_val_aggs = [
+            F.count_distinct(F.struct(d)).alias(f"_btr_nd__{d}")
+            for d in val_dets
+        ] + [
+            F.count_distinct(F.struct(d), F.struct(p)).alias(f"_btr_np__{i}")
+            for i, (d, p) in enumerate(column_groups)
+            if _valid(d, p)
+        ]
     # the exact row count rides along in the same agg job (one combined
     # full-column pass) and is handed to the chunker, which then skips its
     # own count job — the source is scanned once less at scale
     ndv_row = df.agg(
         F.count(F.lit(1)).alias("_btr_total"),
         *[F.approx_count_distinct(c).alias(c) for c in ndv_cols],
+        *group_val_aggs,
     ).collect()[0]
     ndv = {c: int(ndv_row[c]) for c in ndv_cols}
     total_rows = int(ndv_row["_btr_total"])
+    group_val = (
+        {k: int(ndv_row[k]) for k in ndv_row.asDict() if k.startswith("_btr_n")}
+        if group_val_aggs
+        else None
+    )
     dict_enabled = {
         c: ndv.get(c, 0) <= max(config.block_size // 4, 1) for c in ndv_cols
     }
@@ -411,9 +474,9 @@ def write_table(
     # one dep value), and the scan is column-pruned to the two columns
     groups: list[dict] = []
     group_deps: dict[str, str] = {}
-    resolved = _resolve_column_groups(
+    resolved, group_nd = _resolve_column_groups(
         df, col_types, ndv, total_rows, config, column_groups,
-        auto_column_groups,
+        auto_column_groups, precomputed=group_val,
     )
     # overwrite semantics: clear any previous write's mapping dirs first —
     # a re-write with fewer groups must not leave stale g<i> dirs behind
@@ -435,7 +498,11 @@ def write_table(
             .parquet(gpath)
         )
         gbytes = sum(_fs.list_file_sizes(gpath, ".parquet", spark))
-        n_entries = spark.read.parquet(gpath).count()
+        # entry count = exact distinct determinants, already measured by the
+        # validation aggregate (dropDuplicates([det]) emits exactly one row
+        # per distinct det, NULL included — same null-as-value semantics as
+        # countDistinct(struct(det))); no read-back count job
+        n_entries = group_nd[det]
         groups.append(
             {"det": det, "dep": dep, "path": gdir,
              "n_entries": int(n_entries), "mapping_bytes": int(gbytes)}
@@ -504,6 +571,13 @@ def write_table(
     max_file = max(_fs.list_file_sizes(data_path, ".parquet", spark), default=1)
     stats_path = _fs.join(path, "_btr_chunk_stats")
     spark_conf = spark.conf
+    # maxPartitionBytes is SESSION-global: concurrent write_table calls
+    # (guide §2.6 — callers overlap independent table writes to back-fill
+    # each other's stage tails) must not interleave set/restore or one
+    # write's plan could split a chunk file across two read partitions and
+    # emit duplicate plan rows. The lock serializes only this plan window;
+    # the heavy chunk/exchange/parquet work above overlaps freely.
+    _PLAN_CONF_LOCK.acquire()
     prev_mpb = spark_conf.get("spark.sql.files.maxPartitionBytes")
     spark_conf.set("spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20)))
     try:
@@ -576,6 +650,7 @@ def write_table(
         )
     finally:
         spark_conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        _PLAN_CONF_LOCK.release()
 
     # totals from the (tiny, columnar) stats dataset — a 2-column agg job,
     # never a per-chunk driver loop

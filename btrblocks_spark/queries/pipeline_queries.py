@@ -3422,11 +3422,19 @@ def q_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = prs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"]).count()
-    n_edges = prs.count()
-    n_nodes = deg.count()
-    n_wedges = deg.agg(
-        F.sum(F.expr("(d * (d - 1)) div 2")).alias("w")
-    ).collect()[0]["w"] or 0
+    # one agg job over the degree table yields all three scalars (guide
+    # §1.2 — don't re-scan for separately collectable aggregates):
+    # nodes = degree rows, edges = Σd/2 exactly (every undirected edge
+    # contributes 2 degree entries), wedges = Σ d·(d−1)/2. Replaces three
+    # jobs (prs.count, deg.count, wedge agg) with one.
+    grow = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("w"),
+    ).collect()[0]
+    n_nodes = grow["n_nodes"]
+    n_edges = grow["n_edges"] or 0
+    n_wedges = grow["w"] or 0
     gcc = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
     return spark.createDataFrame(
         [(int(n_edges), int(n_nodes), int(tri), int(n_wedges), float(gcc))],
@@ -3507,8 +3515,17 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
 
-    n_nodes = degrees(edges).count()
-    n_edges = edges.count()
+    def graph_size(e: DataFrame) -> tuple[int, int]:
+        # one agg job for both scalars: nodes = degree rows, edges = Σd/2
+        # exactly (each edge contributes two degree entries) — replaces a
+        # separate degrees().count() + e.count() pair (guide §1.2)
+        row = degrees(e).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(d) div 2").alias("m"),
+        ).collect()[0]
+        return int(row["n"]), int(row["m"] or 0)
+
+    n_nodes, n_edges = graph_size(edges)
     core = edges
     for _ in range(_KCORE_ROUNDS):
         keep = degrees(core).filter(F.col("d") >= 2).select("node")
@@ -3516,10 +3533,14 @@ def q_dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             core.join(keep.withColumnRenamed("node", "doc_a"), "doc_a", "leftsemi")
             .join(keep.withColumnRenamed("node", "doc_b"), "doc_b", "leftsemi")
             .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: still truncates the growing lineage (each
+            # round's plan references the checkpoint node, not the whole
+            # chain), but the blocks materialize inside the ONE final agg
+            # job instead of one eager job per round — 3 fixed rounds cost
+            # 1 action, not 4 (guide §1.2: fewer passes)
+            .localCheckpoint(eager=False)
         )
-    n_nodes_core = degrees(core).count()
-    n_edges_core = core.count()
+    n_nodes_core, n_edges_core = graph_size(core)
     return spark.createDataFrame(
         [(int(n_nodes), int(n_edges), int(n_nodes_core), int(n_edges_core))],
         "n_nodes long, n_edges long, n_nodes_2core long, n_edges_2core long",

@@ -812,14 +812,30 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("cum_r"), F.col("t_r").cast("double"))
             - F.try_divide(F.col("cum_n"), F.col("t_n").cast("double"))
         ).alias("gap"),
+        # totals ride along (constant per row via the broadcast tot) so the
+        # final agg needs no second collect of tot
+        "t_r",
+        "t_n",
     )
-    tot_row = tot.collect()[0]
-    best = gaps.agg(F.max("gap").alias("ks")).collect()[0]["ks"]
-    arg = (
-        None
-        if best is None  # degenerate input: NULL stat row, like the oracle
-        else gaps.filter(F.col("gap") == best).agg(F.min("bucket")).collect()[0][0]
-    )
+    # ONE agg job replaces three sequential collects (tot, max gap, argmax
+    # — the last two each re-evaluated the triangular join; guide §1.2):
+    # max-gap and its min bucket come from one struct max — max(struct(gap,
+    # -bucket)) orders by gap first, then by -bucket, so the winner carries
+    # the SMALLEST bucket among maximal gaps (ties on the 1e-6-rounded gap
+    # value resolve identically to the old min-where-equal pass). A NULL
+    # gap (degenerate one-arm input) makes the struct's first field NULL;
+    # max ignores nothing here — structs with NULL fields sort below
+    # non-NULL gaps, and an all-NULL column yields a NULL-gapped winner,
+    # reproducing the old best-is-None behavior.
+    row = gaps.agg(
+        F.max(F.struct(F.col("gap"), (-F.col("bucket")).alias("nb"))).alias("w"),
+        F.first("t_r").alias("t_r"),
+        F.first("t_n").alias("t_n"),
+    ).collect()[0]
+    tot_row = {"t_r": row["t_r"], "t_n": row["t_n"]}
+    w = row["w"]
+    best = None if w is None else w["gap"]
+    arg = None if best is None else -w["nb"]
 
     def _i(x):
         return None if x is None else int(x)

@@ -2342,3 +2342,41 @@ def test_column_group_compression_banked(spark, sf_dir, tmp_path):
         meta["totals"]["est_compression_ratio"]
         > plain_meta["totals"]["est_compression_ratio"]
     )
+
+
+def test_concurrent_write_table_plan_isolation(spark, sf_dir, tmp_path):
+    """Two write_table calls running CONCURRENTLY (the bench's staging
+    overlap, guide §2.6) must not interleave the session-global
+    maxPartitionBytes window of each other's plan pass: each table's
+    sidecar must hold exactly one plan row per (column, chunk) and the
+    round trip must stay bit-exact. Covers the _PLAN_CONF_LOCK added in
+    round 8."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    cfg = DEFAULT_CONFIG.with_(block_size=1024)
+    dests = {
+        "orders": (orders, str(tmp_path / "c_orders"), ["o_orderkey"]),
+        "events": (events, str(tmp_path / "c_events"), ["event_id"]),
+    }
+
+    def write_one(name):
+        df, dest, keys = dests[name]
+        return name, write_table(df, dest, keys, cfg, name)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        metas = dict(pool.map(write_one, list(dests)))
+
+    for name, (df, dest, _keys) in dests.items():
+        meta = metas[name]
+        stats = spark.read.parquet(f"{dest}/_btr_chunk_stats")
+        dupes = (
+            stats.groupBy("column", "chunk").count().filter(F.col("count") > 1)
+        )
+        assert dupes.count() == 0, f"{name}: duplicated plan rows"
+        n_cols = len(meta["schema"])
+        assert stats.count() == n_cols * meta["num_chunks"]
+        back = spark.read.parquet(f"{dest}/data").drop("_idx")
+        assert back.count() == df.count()
+        assert frames_equal(back, df.select(*back.columns))
