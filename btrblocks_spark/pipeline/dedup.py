@@ -264,7 +264,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     into <= 3 bytes — best-effort extra recall, not a guarantee. For
     guaranteed distance-6 recall use 7 bands (pigeonhole d+1) at ~2x the
     band rows; the verification filter is exact either way, so precision
-    is unaffected by banding."""
+    is unaffected by banding.
+
+    Session-memoized per (corpus plan, max_hamming) — the standalone
+    simhash query and the method-impact ledger consume the same pair
+    table (round-8; see ``_memoized_by_plan``)."""
+    return _memoized_by_plan(
+        docs,
+        ("simhash_near_pairs", max_hamming),
+        lambda: _simhash_near_pairs_build(docs, max_hamming),
+    )
+
+
+def _simhash_near_pairs_build(docs: DataFrame, max_hamming: int) -> DataFrame:
     sigs = simhash_signatures(docs)
     # single-pass banding (posexplode) — the signature subtree runs once
     # per join side. Unlike minhash (fine-grained md5 band buckets), the
@@ -317,17 +329,39 @@ def _inverted_index_pairs(
     NOTE measured dead end: "map-side dedup" via array_distinct on the
     per-doc gram array is 4x SLOWER than this distinct shuffle
     (array_distinct is quadratic on string arrays), and the sort+adjacent
-    -filter variant is worse still. Shuffle-based distinct IS the shape."""
-    from pyspark.sql.window import Window
+    -filter variant is worse still. Shuffle-based distinct IS the shape.
 
+    Round-8 (guide §2.3/§2.4): the df-cap and per-doc-size counts moved
+    from order-less WINDOWS (each a full shuffle of the shingle stream +
+    WindowExec) to groupBy aggregates joined back — the aggregate output
+    is tiny (O(docs) / O(distinct shingles)), AQE broadcasts it, and the
+    distinct's exchange is reused for both the aggregate and the stream
+    side, so one full-stream shuffle per count disappears; at corpus scale
+    a sort-merge join costs what the window did, never more. Counts are
+    identical integers, so every downstream value is unchanged (oracle
+    re-verified). The whole chain is session-memoized per (corpus plan,
+    n, max_doc_freq): ngram_jaccard / containment / the method-impact
+    ledger all consume the same pair table (see ``_memoized_by_plan``)."""
+    return _memoized_by_plan(
+        docs,
+        ("inverted_index_pairs", n, max_doc_freq),
+        lambda: _inverted_index_pairs_build(docs, n, max_doc_freq),
+    )
+
+
+def _inverted_index_pairs_build(
+    docs: DataFrame, n: int, max_doc_freq: int | None
+) -> DataFrame:
     shd = shingles(docs, n).distinct()
     if max_doc_freq is not None:
+        dfc = shd.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         shd = (
-            shd.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            shd.join(dfc, "shingle")
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    sized = shd.withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sized = shd.join(sizes, "doc_id")
     pairs = _bucket_pairs(sized, ["shingle"], ["doc_id", "sz"])
     a_first = F.col("a.doc_id") <= F.col("b.doc_id")
     return (

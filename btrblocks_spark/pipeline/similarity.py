@@ -183,15 +183,24 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cells: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: score only vectors in the ``nprobe``
     cells whose centroids are nearest to the query. Each corpus vector
-    lives in exactly one cell, so no candidate dedup is needed."""
+    lives in exactly one cell, so no candidate dedup is needed.
+
+    ``cells``/``cents`` let a caller sweeping several ``nprobe`` values
+    share ONE cell assignment (the expensive corpus × centroid fold) across
+    arms — the assignment is nprobe-independent, so results are unchanged
+    (ann_operating_curve does this; same-results pinned by its oracle)."""
     corpus = _as_double(vecs, vec_col, id_col)
-    cents = _centroid_array(_stride_cents(corpus, centroid_stride))
-    # hand the centroid array down: building it is a corpus filter +
-    # collect_list aggregation, and ivf_cells would otherwise redo it
-    cells = ivf_cells(vecs, centroid_stride, vec_col, id_col, cents=cents)
+    if cents is None:
+        cents = _centroid_array(_stride_cents(corpus, centroid_stride))
+    if cells is None:
+        # hand the centroid array down: building it is a corpus filter +
+        # collect_list aggregation, and ivf_cells would otherwise redo it
+        cells = ivf_cells(vecs, centroid_stride, vec_col, id_col, cents=cents)
     queries = _with_norm(
         corpus.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -314,10 +323,19 @@ def lsh_bucketed_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    sk: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket vectors. With 4 planes the
-    corpus splits into <=16 buckets — each query scans ~1/16 of the data."""
-    sk = embedding_sketch(vecs, num_planes, dim, vec_col, id_col)
+    corpus splits into <=16 buckets — each query scans ~1/16 of the data.
+
+    ``sk`` lets a caller sweeping several plane counts share one sketch:
+    the p-plane bucket is exactly the low p bits of a wider sketch (bit j
+    of the bucket is plane j's sign, independent of the plane count), so
+    ``sketch(P).bucket & (2^p - 1) == sketch(p).bucket`` bit-for-bit —
+    ann_operating_curve derives its three LSH arms from ONE 6-plane
+    sketch that way (same-results pinned by its oracle)."""
+    if sk is None:
+        sk = embedding_sketch(vecs, num_planes, dim, vec_col, id_col)
     queries = sk.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
     )

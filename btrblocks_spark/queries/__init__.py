@@ -80,7 +80,6 @@ EAGER_BUILD = frozenset(
         "dedup_kcore",
         "dedup_local_clustering",
         "dedup_lsh_recall",
-        "dedup_method_impact",
         "dedup_lsh_tuned_recall",
         "dedup_pagerank",
         "dedup_tfidf_cosine",

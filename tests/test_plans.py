@@ -664,6 +664,17 @@ _MULTI_SCAN_OK = {
     "curation_training_batches", "customer_pareto_share",
     "dedup_cross_source_leakage",
     "dedup_minhash_estimate", "dedup_minhash_lsh",
+    # method_impact composes four memo-keyed chains over the RAW documents
+    # plan (one scan per chain, each shared session-wide with its
+    # standalone query) — a per-query localCheckpoint pin would fork the
+    # memo key every run and defeat that sharing (round-8)
+    "dedup_method_impact",
+    # the capped inverted index counts document frequency AND per-doc size
+    # as aggregates joined back onto the same distinct-shingle stream
+    # (round-8 window→join rewrite): three references to one subtree in
+    # the initial plan; at runtime the distinct's exchange is reused, so
+    # the table is scanned once (and the whole chain is session-memoized)
+    "dedup_ngram_jaccard_capped",
     "dedup_similarity_histogram", "events_audience_overlap", "events_funnel",
     "events_poisson_rate_test", "events_trend_test", "filter_scalar_subquery",
     "merge_scd2_customers", "multimodal_ahash_neardup",
