@@ -777,17 +777,21 @@ def _mmr_cand_sims(
     """Shared MMR inputs: the top-k candidate table (q_id, neighbor_id,
     r6 = 6-dp cosine ×1e6 as an exact integer) and the candidate-pairwise
     similarity table (q_id, na, nb, s6) — |queries|·k and |queries|·k²
-    rows. Both are pinned eagerly (localCheckpoint) so the corpus top-k
-    scan and the pairwise-sim joins run ONCE however many selection
-    stages/rounds reference them (without the pin the unrolled plan
-    re-derived the whole chain ~20×: 72 scans/99 exchanges, PLANS.md)."""
+    rows. Both are pinned (localCheckpoint) so the corpus top-k scan and
+    the pairwise-sim joins run ONCE however many selection stages/rounds
+    reference them (without the pin the unrolled plan re-derived the whole
+    chain ~20×: 72 scans/99 exchanges, PLANS.md). The pins are LAZY
+    (round-8): the plans are truncated identically, but materialization
+    folds into the first consuming action instead of one scheduled job per
+    pin — on the |q|·k-row working set the per-job overhead dominated
+    (guide §1.2: fewer passes; the MMR family ran ~14 jobs per call)."""
     corpus = _as_double(vecs, vec_col, id_col)
     cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
                        id_col=id_col).select(
         "q_id",
         "neighbor_id",
         F.round(F.col("cosine") * 1000000).cast("long").alias("r6"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = (
         cand.select("q_id", F.col("neighbor_id").alias("na"))
         .join(cand.select("q_id", F.col("neighbor_id").alias("nb")), "q_id")
@@ -803,7 +807,7 @@ def _mmr_cand_sims(
             F.round(F.round(cosine_try_expr("va", "vb"), 6) * 1000000)
             .cast("long").alias("s6"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return cand, sims
 
@@ -901,7 +905,7 @@ def mmr_rerank(
     ).select(
         "q_id", "s1", "sc1", "s2", "sc2",
         F.col("pick").alias("s3"), F.col("score").alias("sc3"),
-    ).localCheckpoint(eager=True)  # one row per query; unioned 3 ways below
+    ).localCheckpoint(eager=False)  # one row per query; unioned 3 ways below
 
     # each rank projects from ITS OWN stage frame: a query with fewer than
     # 3 candidates (tiny or heavily filtered corpus) still returns the 1-2
@@ -978,7 +982,7 @@ def mmr_rerank_k(
         )
         pick = best.select(
             "q_id", (-F.col("b.ni")).alias("pick"), F.col("b.sc").alias("score")
-        ).localCheckpoint(eager=True)  # referenced by output AND the update
+        ).localCheckpoint(eager=False)  # referenced by output AND the update
         parts.append(
             pick.select(
                 "q_id",
@@ -1001,7 +1005,7 @@ def mmr_rerank_k(
                 "q_id", "neighbor_id", "r6",
                 F.greatest("maxp", "pt").alias("maxp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
     return _mmr_output(parts)

