@@ -231,8 +231,17 @@ def materialize(df) -> None:
 STAGE_TABLES = {
     "lineitem": {"keys": ["l_orderkey", "l_linenumber"]},
     "orders": {"keys": ["o_orderkey"]},
+    # events stays at the default 64Ki chunks (2 files at sf0.1): an A/B
+    # at 4Ki chunks sped only the one CPU-bound consumer (bootstrap's 32×
+    # md5 fan-out, fixed in the query itself instead) while taxing every
+    # shuffle-bound events query ~+0.1 s of per-file scan overhead × 26
+    # queries — a net loss. Measured, not assumed (round 8).
     "events": {"keys": ["event_id"]},
-    "documents": {"keys": ["doc_id"]},
+    # documents: 5k rows fit ONE 64Ki chunk = one file = one scan task
+    # running ALL of shingling/tokenization/minhash map work before the
+    # first shuffle. 256-row chunks ≈ 20 files fan the text/dedup map
+    # stages across cores, exactly like embeddings.
+    "documents": {"keys": ["doc_id"], "block_size": 256},
     # embeddings: small rows but CPU-heavy consumers (PQ/IVF/k-means encode
     # arithmetic). One chunk per ~256 vectors gives the multi-file layout a
     # production vector store has (65536-row chunks at real scale), so the

@@ -486,28 +486,40 @@ def write_table(
         import shutil
 
         shutil.rmtree(groups_root)
-    for gi, (det, dep) in enumerate(resolved):
-        gdir = f"{_GROUPS_DIR}/g{gi}"
-        gpath = _fs.join(path, gdir)
-        (
-            df.select(det, dep)
-            .dropDuplicates([det])
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(gpath)
-        )
-        gbytes = sum(_fs.list_file_sizes(gpath, ".parquet", spark))
-        # entry count = exact distinct determinants, already measured by the
-        # validation aggregate (dropDuplicates([det]) emits exactly one row
-        # per distinct det, NULL included — same null-as-value semantics as
-        # countDistinct(struct(det))); no read-back count job
-        n_entries = group_nd[det]
-        groups.append(
-            {"det": det, "dep": dep, "path": gdir,
-             "n_entries": int(n_entries), "mapping_bytes": int(gbytes)}
-        )
-        group_deps[dep] = det
+    group_deps = {dep: det for det, dep in resolved}
+
+    def _write_mappings() -> list[dict]:
+        out: list[dict] = []
+        for gi, (det, dep) in enumerate(resolved):
+            gdir = f"{_GROUPS_DIR}/g{gi}"
+            gpath = _fs.join(path, gdir)
+            (
+                df.select(det, dep)
+                .dropDuplicates([det])
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(gpath)
+            )
+            gbytes = sum(_fs.list_file_sizes(gpath, ".parquet", spark))
+            # entry count = exact distinct determinants, already measured
+            # by the validation aggregate (dropDuplicates([det]) emits one
+            # row per distinct det, NULL included — same null-as-value
+            # semantics as countDistinct(struct(det))); no read-back count
+            out.append(
+                {"det": det, "dep": dep, "path": gdir,
+                 "n_entries": int(group_nd[det]), "mapping_bytes": int(gbytes)}
+            )
+        return out
+
+    # the mapping writes are independent of the chunk/data write (the data
+    # files don't reference them; only the PLAN pass reads them back), so
+    # they overlap the chunker + main write on a helper thread (guide §2.6
+    # back-fill) and are joined before the plan pass needs the files.
+    from concurrent.futures import ThreadPoolExecutor
+
+    _map_pool = ThreadPoolExecutor(max_workers=1)
+    _map_fut = _map_pool.submit(_write_mappings) if resolved else None
 
     chunked = with_chunk_id(df, order_keys, config.block_size, total_rows=total_rows)
     try:
@@ -560,6 +572,12 @@ def write_table(
         writer.parquet(data_path)
     finally:
         unpersist_index(chunked)
+
+    # join the overlapped mapping writes before the plan pass reads them
+    try:
+        groups = _map_fut.result() if _map_fut is not None else []
+    finally:
+        _map_pool.shutdown(wait=True)
 
     # plan over the WRITTEN table: every chunk is exactly one file. Setting
     # maxPartitionBytes to just above the largest file keeps every chunk

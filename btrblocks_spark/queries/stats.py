@@ -1954,6 +1954,17 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
+    # parallelism floor (guide §2.5 — input layout as the ceiling): the
+    # 32× replicate fan-out and its per-replicate md5 run INSIDE the scan
+    # stage, so a small table in 1-2 files did all ~3.2M hashes on 1-2
+    # tasks. When (and only when) the scan has fewer partitions than
+    # cores, spread the narrow base once — a tiny shuffle of (type, id,
+    # cents). At scale the scan already has thousands of partitions and
+    # this branch is a no-op, so nothing is shuffled. Sums are exact
+    # integers, so the re-bucketing cannot change any replicate mean.
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
     rep = base.select(
         "event_type",
         "cents",
