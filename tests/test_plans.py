@@ -669,11 +669,16 @@ _MULTI_SCAN_OK = {
     # standalone query) — a per-query localCheckpoint pin would fork the
     # memo key every run and defeat that sharing (round-8)
     "dedup_method_impact",
-    # the capped inverted index counts document frequency AND per-doc size
-    # as aggregates joined back onto the same distinct-shingle stream
-    # (round-8 window→join rewrite): three references to one subtree in
-    # the initial plan; at runtime the distinct's exchange is reused, so
-    # the table is scanned once (and the whole chain is session-memoized)
+    # the inverted-index chain counts document frequency and/or per-doc
+    # size as aggregates joined back onto the same distinct-shingle stream
+    # (round-8 window→join rewrite): up to three references to one reused
+    # subtree in the initial plan — and the memoized chain's plan gains an
+    # InMemoryRelation rendering (one more printed copy of the subtree)
+    # once any earlier consumer materialized it, so the count is
+    # session-state-dependent. Runtime scans documents once either way
+    # (reused exchange + session memo).
+    "dedup_containment",
+    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_similarity_histogram", "events_audience_overlap", "events_funnel",
     "events_poisson_rate_test", "events_trend_test", "filter_scalar_subquery",
