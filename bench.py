@@ -685,7 +685,14 @@ def main() -> None:
             }
         except Exception:  # first run / missing artifact: no backstop
             committed = {}
-        sanity_budget = 10
+        # global budget 10 → 18 (round-8): the r8 refresh run burned all 10
+        # on early-fleet queries and left later ones carrying pure
+        # contention numbers the backstop exists to catch
+        # (curation_quality_funnel recorded 7.55 s with reps=2 against a
+        # 0.23 s quiet reference — the budget was empty by then). The
+        # per-query cap of 3 still bounds what a genuinely regressed query
+        # can consume, and every extra rep is disclosed via backstop_reps.
+        sanity_budget = 18
 
         timings: dict[str, float] = {}
         # per-query rep provenance for the committed artifact (round-8

@@ -27,6 +27,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 
 
@@ -418,6 +419,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     from btrblocks_spark.config import DEFAULT_CONFIG
     from btrblocks_spark.format.reader import read_metadata
     from btrblocks_spark.format.writer import (
+        _observed_or_readback_totals,
         _plan_partition_fn,
         _PLAN_SCHEMA,
         _stage_by_chunk,
@@ -592,9 +594,22 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
                 prefix_df = spark.read.parquet(
                     os.path.join(path, "_btr_chunk_stats")
                 ).filter(F.col("chunk") < keep_k)
+            # hash-by-column + in-partition sort, totals via observe(): a
+            # global sort's range-boundary sampling would re-execute the
+            # plan kernel, and the read-back aggregate was a second job —
+            # same round-8 rewrite as write_table's plan pass (the
+            # chunk_stats_rows accessor re-sorts driver-side, so only the
+            # per-column clustering matters for row-group pruning)
+            obs = Observation()
             (
                 prefix_df.unionByName(planned_df)
-                .sort("column", "chunk")
+                .observe(
+                    obs,
+                    F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
+                    F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
+                )
+                .repartition("column")
+                .sortWithinPartitions("column", "chunk")
                 .write.mode("overwrite")
                 .option("compression", "zstd")
                 .parquet(stats_tmp)
@@ -602,13 +617,10 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
 
-        tot = (
-            spark.read.parquet(stats_tmp)
-            .agg(
-                F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
-                F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
-            )
-            .collect()[0]
+        # 0-row edge (empty metrics row) falls back to a read-back agg —
+        # see writer._observed_or_readback_totals
+        total_raw, total_est = _observed_or_readback_totals(
+            obs, spark, stats_tmp
         )
     except Exception:
         # a rival compact that committed mid-stage REMOVED our fragment
@@ -622,7 +634,6 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     meta["chunk_stats"] = "_btr_chunk_stats"
     meta["num_rows"] = base + int(n_frag)
     meta["num_chunks"] = keep_k + int(new_chunks)
-    total_raw, total_est = int(tot["raw"]), int(tot["est"])
     meta["totals"] = {
         "raw_bytes": total_raw,
         "est_compressed_bytes": total_est,

@@ -47,6 +47,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
 
 from btrblocks_spark.config import DEFAULT_CONFIG, BtrBlocksConfig
 from btrblocks_spark.format import fs as _fs
@@ -255,6 +256,28 @@ _GROUPS_DIR = "_btr_column_groups"
 # serializes the session-global maxPartitionBytes window of the plan pass
 # so independent write_table calls can run concurrently (see its use)
 _PLAN_CONF_LOCK = threading.Lock()
+
+
+def _observed_or_readback_totals(obs, spark, stats_path: str) -> tuple[int, int]:
+    """raw/est byte totals from the stats write's own observe() metrics —
+    one job instead of write + read-back agg. A 0-row write collapses to an
+    empty relation whose CollectMetrics never runs, so ``obs.get`` hands
+    back a schemaless empty row py4j cannot convert; fall back to the
+    (pre-round-8) read-back aggregate, which computes the identical totals
+    from the committed stats files."""
+    try:
+        tot = obs.get
+        return int(tot["raw"]), int(tot["est"])
+    except Exception:
+        tot = (
+            spark.read.parquet(stats_path)
+            .agg(
+                F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
+                F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
+            )
+            .collect()[0]
+        )
+        return int(tot["raw"]), int(tot["est"])
 
 
 def _resolve_column_groups(
@@ -659,9 +682,25 @@ def write_table(
                     ),
                 ).otherwise(F.col("est_ratio")),
             )
+        # (column, chunk) clustering via HASH repartition + in-partition
+        # sort, NOT a global sort: range partitioning's boundary sampling
+        # re-executes the child — i.e. the whole mapInPandas plan kernel
+        # ran a SECOND time just to pick sort boundaries (round-8, guide
+        # §1.2). Hash-by-column keeps each column's rows contiguous and
+        # chunk-sorted, which is all prune_chunks' row-group pruning needs
+        # (the accessor re-sorts driver-side anyway); the exchange moves
+        # only tiny stats rows. The totals ride the SAME job as observe()
+        # metrics instead of a read-back aggregate — two jobs become one.
+        obs = Observation()
         (
             plan_df
-            .sort("column", "chunk")
+            .observe(
+                obs,
+                F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
+                F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
+            )
+            .repartition("column")
+            .sortWithinPartitions("column", "chunk")
             .write.mode("overwrite")
             .option("compression", "zstd")
             .parquet(stats_path)
@@ -670,17 +709,7 @@ def write_table(
         spark_conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
         _PLAN_CONF_LOCK.release()
 
-    # totals from the (tiny, columnar) stats dataset — a 2-column agg job,
-    # never a per-chunk driver loop
-    tot = (
-        spark.read.parquet(stats_path)
-        .agg(
-            F.coalesce(F.sum("raw_size"), F.lit(0)).alias("raw"),
-            F.coalesce(F.sum("est_size"), F.lit(0)).alias("est"),
-        )
-        .collect()[0]
-    )
-    total_raw, total_est = int(tot["raw"]), int(tot["est"])
+    total_raw, total_est = _observed_or_readback_totals(obs, spark, stats_path)
     metadata = {
         "format": "btrblocks-spark/v2",
         "table": table_name or os.path.basename(path.rstrip("/")),

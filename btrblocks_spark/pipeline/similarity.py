@@ -194,6 +194,33 @@ def ivf_topk(
     share ONE cell assignment (the expensive corpus × centroid fold) across
     arms — the assignment is nprobe-independent, so results are unchanged
     (ann_operating_curve does this; same-results pinned by its oracle)."""
+    scored = _ivf_scored(
+        vecs, query_ids, centroid_stride, nprobe, vec_col, id_col, cells, cents
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _ivf_scored(
+    vecs: DataFrame,
+    query_ids: list[int],
+    centroid_stride: int,
+    nprobe: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF candidate set BEFORE the top-k rank: (q_id, neighbor_id,
+    cosine) for every probed-cell pair. Split out so a sweep
+    (ann_operating_curve) can union several arms' candidates and rank them
+    in ONE window pass — row_number partitioned by (arm, q_id) over the
+    same (cosine desc, neighbor_id asc) order is bit-identical per arm to
+    the per-arm window ``ivf_topk`` applies."""
     corpus = _as_double(vecs, vec_col, id_col)
     if cents is None:
         cents = _centroid_array(_stride_cents(corpus, centroid_stride))
@@ -221,7 +248,7 @@ def ivf_topk(
         )
         .select("q_id", "qv", F.expr("-_p.ncid").alias("cell"))
     )
-    scored = (
+    return (
         F.broadcast(probed)
         .join(cells, "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -230,12 +257,6 @@ def ivf_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "neighbor_id", "cosine")
     )
 
 
@@ -334,12 +355,33 @@ def lsh_bucketed_topk(
     ``sketch(P).bucket & (2^p - 1) == sketch(p).bucket`` bit-for-bit —
     ann_operating_curve derives its three LSH arms from ONE 6-plane
     sketch that way (same-results pinned by its oracle)."""
+    scored = _lsh_scored(vecs, query_ids, num_planes, dim, vec_col, id_col, sk)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _lsh_scored(
+    vecs: DataFrame,
+    query_ids: list[int],
+    num_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sk: DataFrame | None = None,
+) -> DataFrame:
+    """The LSH same-bucket candidate set BEFORE the top-k rank — the
+    ``_ivf_scored`` counterpart for sweep callers that rank several arms'
+    candidates in one window pass."""
     if sk is None:
         sk = embedding_sketch(vecs, num_planes, dim, vec_col, id_col)
     queries = sk.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
     )
-    scored = (
+    return (
         F.broadcast(queries)
         .join(sk, "bucket")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -348,12 +390,6 @@ def lsh_bucketed_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine_try_expr("qv", "v"), 6).alias("cosine"),
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "neighbor_id", "cosine")
     )
 
 

@@ -5646,15 +5646,17 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round-7 VERDICT asked of the audit family); each arm is the
     registered chain's own bucketed/probed plan, and everything downstream
     runs on O(configs × queries × k) rows."""
+    from pyspark.sql.window import Window
+
     from btrblocks_spark.pipeline.dedup import cosine_try_expr, embedding_sketch
     from btrblocks_spark.pipeline.similarity import (
         _as_double,
         _centroid_array,
+        _ivf_scored,
+        _lsh_scored,
         _stride_cents,
         cosine_topk,
         ivf_cells,
-        ivf_topk,
-        lsh_bucketed_topk,
     )
 
     emb = (
@@ -5677,14 +5679,20 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ivf_cells(emb, 31, cents=cents).localCheckpoint(eager=False)
     sk6 = embedding_sketch(emb, 6, 64).localCheckpoint(eager=False)
 
+    # each arm contributes its CANDIDATE set (pre-rank); the six arms then
+    # rank in ONE window pass partitioned by (method, param, q_id) — the
+    # per-partition order (cosine desc, neighbor_id asc) is exactly the
+    # window each standalone chain applies, so every arm's rows are
+    # bit-identical to ivf_topk/lsh_bucketed_topk output (the composed
+    # oracle re-verifies this). Round-8: 6 window exchanges → 1.
     parts = []
     for method, param in _CURVE_CONFIGS:
         if method == "ivf":
-            arm = ivf_topk(emb, _ANN_QUERY_IDS, k=5, centroid_stride=31,
-                           nprobe=param, cells=cells, cents=cents)
+            arm = _ivf_scored(emb, _ANN_QUERY_IDS, centroid_stride=31,
+                              nprobe=param, cells=cells, cents=cents)
         else:
-            arm = lsh_bucketed_topk(
-                emb, _ANN_QUERY_IDS, k=5, num_planes=param,
+            arm = _lsh_scored(
+                emb, _ANN_QUERY_IDS, num_planes=param,
                 sk=sk6.select(
                     "vec_id", "v",
                     F.col("bucket").bitwiseAND(F.lit((1 << param) - 1))
@@ -5695,13 +5703,21 @@ def q_ann_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             arm.select(
                 F.lit(method).alias("method"),
                 F.lit(param).cast("long").alias("param"),
-                "q_id", "rank", "neighbor_id",
+                "q_id", "neighbor_id", "cosine",
             )
         )
-    methods = parts[0]
+    cand = parts[0]
     for pz in parts[1:]:
-        methods = methods.unionByName(pz)
-    methods = methods.localCheckpoint(eager=True)  # reused by hits AND rel
+        cand = cand.unionByName(pz)
+    w_arm = Window.partitionBy("method", "param", "q_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    methods = (
+        cand.withColumn("rank", F.row_number().over(w_arm))
+        .filter(F.col("rank") <= 5)
+        .select("method", "param", "q_id", "rank", "neighbor_id")
+        .localCheckpoint(eager=True)  # reused by hits AND rel
+    )
 
     hits = (
         methods.join(truth.select("q_id", "neighbor_id"),

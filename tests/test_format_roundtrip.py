@@ -2380,3 +2380,21 @@ def test_concurrent_write_table_plan_isolation(spark, sf_dir, tmp_path):
         back = spark.read.parquet(f"{dest}/data").drop("_idx")
         assert back.count() == df.count()
         assert frames_equal(back, df.select(*back.columns))
+
+
+def test_empty_table_write_totals_and_roundtrip(spark, sf_dir, tmp_path):
+    """A 0-row write must survive the observe()-metrics totals path: the
+    empty relation elides CollectMetrics, so the totals fall back to the
+    read-back aggregate (writer._observed_or_readback_totals) — totals 0,
+    schema preserved, read-back empty."""
+    df = load_table(spark, sf_dir, "nation").limit(0)
+    dest = str(tmp_path / "empty_tbl")
+    meta = write_table(df, dest, ["n_nationkey"], DEFAULT_CONFIG, "nation")
+    assert meta["num_rows"] == 0
+    assert meta["totals"]["raw_bytes"] == 0
+    assert meta["totals"]["est_compressed_bytes"] == 0
+    back, _meta2 = read_table(spark, dest)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in df.schema.fields
+    ]
