@@ -1280,7 +1280,11 @@ def pagerank_pairs(pairs: DataFrame, iterations: int = 3, damping_pct: int = 85)
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # pin the graph once: without this every iteration's plan re-derives
     # the (expensive) upstream pair pipeline — lineage grows with the
-    # iteration count (measured 80s -> ~10s at sf0.001 for 3 rounds)
+    # iteration count (measured 80s -> ~10s at sf0.001 for 3 rounds).
+    # The pins must stay EAGER: each iteration broadcasts an aggregate of
+    # deg (ncount), and broadcast subtrees execute as separate jobs that
+    # race ahead of a lazy checkpoint's first materialization — measured
+    # 1.4 s -> 14.4 s at sf0.1 when these were briefly lazy (round-8).
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     nodes = deg.select(F.col("src").alias("node"), "deg")

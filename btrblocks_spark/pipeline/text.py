@@ -1080,10 +1080,19 @@ def source_overlap(docs: DataFrame, n: int = 3) -> DataFrame:
     |sources| (dozens), NOT by document count — the output is the
     |sources|² matrix, driver-scale. Jaccard/containment are exact integer
     ratios evaluated as one scalar division each."""
+    # the distinct (source, shingle) set feeds THREE branches (the
+    # broadcast per-source sizes and the self-join's left and right) — pin
+    # it EAGERLY so the explode+distinct pipeline runs once instead of
+    # once per branch (the initial plan held 8 FileScans of documents
+    # before this). Eager, not lazy: the sizes are broadcast, and
+    # broadcast subtrees execute as separate jobs that race ahead of a
+    # lazy checkpoint's materialization (round-8; the registered caller is
+    # in EAGER_BUILD accordingly).
     sh = (
         shingles(docs.select(F.col("source"), F.col("text")), n=n, id_col="source")
         .withColumnRenamed("doc_id", "source")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
     left = sh.select(F.col("source").alias("src_a"), "shingle")

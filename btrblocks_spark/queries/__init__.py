@@ -112,9 +112,11 @@ EAGER_BUILD = frozenset(
         "stats_jackknife_hash",
         "stats_ks_drift",
         "stats_mutual_information",
+        "stats_quantile_sketch",
         "stats_string_profile",
         "stats_theil_sen",
         "text_bpe_merges",
+        "text_source_overlap",
         "text_vocab_coverage",
         "training_logreg_quality",
     }

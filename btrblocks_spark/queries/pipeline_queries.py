@@ -2767,7 +2767,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    truth = cosine_topk(emb, _ANN_QUERY_IDS, k=5).select("q_id", "neighbor_id")
+    # truth is referenced twice (the hit join AND the broadcast
+    # denominator) — pin the O(queries x k)-row table EAGERLY so the
+    # brute-force chain evaluates once, not twice. Eager, not lazy: the
+    # denominator is broadcast, and broadcast subtrees execute as separate
+    # jobs that race ahead of a lazy checkpoint's materialization
+    # (round-8; builder already EAGER_BUILD for the emb pin).
+    truth = (
+        cosine_topk(emb, _ANN_QUERY_IDS, k=5)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     parts = [
         ivf_topk(emb, _ANN_QUERY_IDS, k=5, centroid_stride=31, nprobe=2)
         .select(F.lit("ivf").alias("method"), "q_id", "neighbor_id"),
@@ -2996,9 +3006,16 @@ def q_ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.log2(F.col("rank") + 1),
         6,
     ).cast("decimal(18,6)")
+    # dcg is referenced twice (the audit rows AND the broadcast ideal
+    # lookup) — pin the O(methods x queries)-row aggregate EAGERLY so the
+    # four ANN chains upstream evaluate once, not once per reference (the
+    # initial plan held 42 Exchanges before this). Eager, not lazy: the
+    # ideal side is broadcast, and broadcast subtrees execute as separate
+    # jobs that race ahead of a lazy checkpoint's materialization
+    # (round-8; builder already EAGER_BUILD for the emb pin).
     dcg = rel.groupBy("method", "q_id").agg(
         F.sum(term).cast("double").alias("dcg")
-    )
+    ).localCheckpoint(eager=True)
     ideal = dcg.filter(F.col("method") == "exact").select(
         "q_id", F.col("dcg").alias("idcg")
     )

@@ -1767,7 +1767,15 @@ def stats_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase bucketed pattern (_distributed.py) — local cum-sum per
     # 65536-cent bucket, then a driver-scale bucket-offset fixup; no
     # global window anywhere
-    freq = keyed.groupBy("v").agg(F.count("*").alias("n"))
+    # the reduced (value, count) table feeds THREE branches (local cum-sum,
+    # broadcast bucket meta, broadcast grand total) — pin it EAGERLY so the
+    # lineitem aggregation runs once instead of once per branch; the sketch
+    # side keeps its own pushed-down scan (two total passes, each columnar
+    # — the right 100 TB trade vs pinning the full keyed stream). Eager,
+    # not lazy: two branches are broadcast, and broadcast subtrees execute
+    # as separate jobs that race ahead of a lazy checkpoint's
+    # materialization (round-8; builder added to EAGER_BUILD).
+    freq = keyed.groupBy("v").agg(F.count("*").alias("n")).localCheckpoint(eager=True)
     b = freq.withColumn("_b", F.expr("v DIV 65536"))
     w_local = (
         Window.partitionBy("_b")

@@ -686,10 +686,10 @@ _MULTI_SCAN_OK = {
     "quality_constraint_audit", "retrieval_phrase_search",
     "retrieval_query_likelihood", "retrieval_rrf_hybrid", "stats_chi_square",
     "stats_cramers_v", "stats_kendall_tau", "stats_mann_whitney_u",
-    "stats_quantile_sketch", "stats_spearman", "stats_weighted_median",
+    "stats_spearman", "stats_weighted_median",
     "text_bigram_perplexity", "text_bm25_topk", "text_decontaminate",
     "text_dsir_weights", "text_kneser_ney_bigram", "text_source_divergence",
-    "text_source_overlap", "text_unigram_surprisal",
+    "text_unigram_surprisal",
 }
 
 _BASE_TABLES = (
