@@ -140,6 +140,7 @@ def with_global_index(
     index_col: str = "_idx",
     num_partitions: int | None = None,
     total_rows: int | None = None,
+    bounds: list[tuple] | None = None,
 ) -> DataFrame:
     """Add a 0-based dense global row index ordered by ``order_keys``.
 
@@ -153,6 +154,15 @@ def with_global_index(
     callers that already ran an aggregate over ``df`` (e.g. the writer's
     NDV pass) fold the count into that job and hand it down, saving one
     full pass over the source at scale.
+
+    ``bounds``: pass precomputed range boundaries (tuples over a PREFIX of
+    ``order_keys``) to skip the boundary-sample job as well — the writer
+    rides ``percentile_approx`` of the first key in its NDV job (round-9,
+    guide §1.2: the boundaries only steer partition BALANCE, so any
+    deterministic cut list yields identical output; prefix bounds leave
+    ties on the later keys in one range, which only skews balance when the
+    first key is heavily duplicated — callers fall back to the sample job
+    in that case).
     """
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
@@ -172,8 +182,12 @@ def with_global_index(
         )
 
     total = df.count() if total_rows is None else int(total_rows)
-    bounds = _sample_boundaries(df, order_keys, num_partitions, total)
-    tagged = df.withColumn("_pid", _pid_column(df, order_keys, bounds))
+    if bounds is None:
+        bounds = _sample_boundaries(df, order_keys, num_partitions, total)
+    else:
+        bounds = [tuple(b) for b in bounds if b is not None]
+    key_prefix = order_keys[: len(bounds[0])] if bounds else order_keys
+    tagged = df.withColumn("_pid", _pid_column(df, key_prefix, bounds))
 
     counts = {
         r["_pid"]: r["cnt"]
@@ -211,6 +225,7 @@ def with_chunk_id(
     index_col: str = "_idx",
     strategy: str = "sequential",
     total_rows: int | None = None,
+    bounds: list[tuple] | None = None,
 ) -> DataFrame:
     """Add chunk id = global_index // block_size (``SplitStrategy``,
     reference storage/Relation.hpp:7, storage/Relation.cpp:42-69).
@@ -231,7 +246,8 @@ def with_chunk_id(
         indexed._btr_total_rows = total
     elif strategy == "sequential":
         indexed = with_global_index(
-            df, order_keys, index_col=index_col, total_rows=total_rows
+            df, order_keys, index_col=index_col, total_rows=total_rows,
+            bounds=bounds,
         )
     else:
         raise ValueError(f"unknown split strategy: {strategy!r}")

@@ -421,6 +421,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
     from btrblocks_spark.format.writer import (
         _observed_or_readback_totals,
         _plan_partition_fn,
+        _PLAN_CONF_LOCK,
         _PLAN_SCHEMA,
         _stage_by_chunk,
     )
@@ -565,6 +566,12 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
             ),
             default=1,
         )
+        # same lock as write_table's plan window (ADVICE r8 #3): the conf is
+        # session-global, and a compact overlapping a concurrent write_table
+        # (a supported pattern since the bench staging overlap) must not
+        # interleave set/restore — a clobbered window could split a chunk
+        # file across read partitions and emit duplicate plan rows.
+        _PLAN_CONF_LOCK.acquire()
         prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set(
             "spark.sql.files.maxPartitionBytes", str(max_file + (1 << 20))
@@ -616,6 +623,7 @@ def compact(spark: SparkSession, path: str, config=None) -> dict:
             )
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            _PLAN_CONF_LOCK.release()
 
         # 0-row edge (empty metrics row) falls back to a read-back agg —
         # see writer._observed_or_readback_totals

@@ -474,14 +474,42 @@ def write_table(
         ]
     # the exact row count rides along in the same agg job (one combined
     # full-column pass) and is handed to the chunker, which then skips its
-    # own count job — the source is scanned once less at scale
+    # own count job — the source is scanned once less at scale. The
+    # chunker's range BOUNDARIES ride here too (round-9, guide §1.2):
+    # percentile_approx of the first order key replaces the chunker's
+    # separate boundary-sample job when that key is numeric/temporal —
+    # boundaries only steer partition balance, so any deterministic cut
+    # list yields identical output (the values become driver-side literals
+    # in the _pid expression either way).
+    _k0 = order_keys[0] if order_keys else None
+    _k0_type = dict(col_types).get(_k0, "")
+    num_parts = max(spark.sparkContext.defaultParallelism, 8)
+    pct_expr = []
+    # percentile_approx accepts numeric input only — string/temporal first
+    # keys keep the chunker's tuple-sample job
+    if _k0_type in ("tinyint", "smallint", "int", "bigint", "float", "double") and num_parts > 1:
+        qs = [i / num_parts for i in range(1, num_parts)]
+        pct_expr = [
+            F.percentile_approx(_k0, qs, 10000).alias("_btr_bounds")
+        ]
     ndv_row = df.agg(
         F.count(F.lit(1)).alias("_btr_total"),
         *[F.approx_count_distinct(c).alias(c) for c in ndv_cols],
         *group_val_aggs,
+        *pct_expr,
     ).collect()[0]
     ndv = {c: int(ndv_row[c]) for c in ndv_cols}
     total_rows = int(ndv_row["_btr_total"])
+    bounds: list[tuple] | None = None
+    if pct_expr and ndv.get(_k0, 0) >= 20 * num_parts:
+        # dedupe equal cuts exactly like _sample_boundaries; a heavily
+        # duplicated first key (< 20 distinct values per partition) keeps
+        # the tuple-sample path for balance on the tie-breaking keys
+        raw_bounds = ndv_row["_btr_bounds"] or []
+        bounds = []
+        for b in raw_bounds:
+            if b is not None and (not bounds or (b,) != bounds[-1]):
+                bounds.append((b,))
     group_val = (
         {k: int(ndv_row[k]) for k in ndv_row.asDict() if k.startswith("_btr_n")}
         if group_val_aggs
@@ -544,62 +572,72 @@ def write_table(
     _map_pool = ThreadPoolExecutor(max_workers=1)
     _map_fut = _map_pool.submit(_write_mappings) if resolved else None
 
-    chunked = with_chunk_id(df, order_keys, config.block_size, total_rows=total_rows)
+    # the helper thread MUST be joined even when the chunk/data write below
+    # raises (ADVICE r8 #2): otherwise a zombie thread keeps writing
+    # _btr_column_groups/g<i> dirs after write_table has raised, and a
+    # retry to the same path can interleave with it.
     try:
-        num_rows = chunked._btr_total_rows  # free byproduct of the offset job
-        num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
-
-        staged = _stage_by_chunk(chunked, int(num_chunks))
-        data_path = _fs.join(path, "data")
-        # chunk-aligned layout: rows are _idx-sorted within partitions and
-        # every non-final chunk has exactly block_size rows, so
-        # maxRecordsPerFile splits files on exact chunk boundaries → one
-        # output file = one chunk (the ColumnPart sizing analog)
-        # group dependents are NOT written as streams — their values live
-        # in the nd(det)-entry mapping tables; this drop is where the
-        # compression win is banked (the dependent's bytes leave the files)
-        writer = (
-            staged.drop("_chunk").drop(*group_deps.keys())
-            .write.mode("overwrite")
-            .option("compression", config.compression_codec)
-            .option("parquet.compression.codec.zstd.level", str(config.zstd_level))
-            .option("maxRecordsPerFile", config.block_size)
+        chunked = with_chunk_id(
+            df, order_keys, config.block_size, total_rows=total_rows,
+            bounds=bounds,
         )
-        for col, enabled in dict_enabled.items():
-            if col in group_deps:
-                continue
-            writer = writer.option(
-                f"parquet.enable.dictionary#{col}", str(enabled).lower()
+        try:
+            num_rows = chunked._btr_total_rows  # free byproduct of the offset job
+            num_chunks = max((num_rows + config.block_size - 1) // config.block_size, 1)
+
+            staged = _stage_by_chunk(chunked, int(num_chunks))
+            data_path = _fs.join(path, "data")
+            # chunk-aligned layout: rows are _idx-sorted within partitions
+            # and every non-final chunk has exactly block_size rows, so
+            # maxRecordsPerFile splits files on exact chunk boundaries → one
+            # output file = one chunk (the ColumnPart sizing analog)
+            # group dependents are NOT written as streams — their values live
+            # in the nd(det)-entry mapping tables; this drop is where the
+            # compression win is banked (the dependent's bytes leave the files)
+            writer = (
+                staged.drop("_chunk").drop(*group_deps.keys())
+                .write.mode("overwrite")
+                .option("compression", config.compression_codec)
+                .option("parquet.compression.codec.zstd.level", str(config.zstd_level))
+                .option("maxRecordsPerFile", config.block_size)
             )
-        # stats-driven bloom filters on the lookup keys: the reader's point
-        # lookup (the reference's `lookup` stub, scheme/CompressionScheme.hpp:45)
-        # then skips row groups whose bloom rejects the key — the chunk-stats
-        # min/max pruning analog for equality on non-sorted keys. Expected NDV
-        # per row group is the table NDV capped at the chunk size, so bloom
-        # bytes track actual cardinality instead of parquet's 1M default.
-        # Dictionary-encoded keys are excluded on purpose: the dict page
-        # already answers membership exactly (and parquet-mr omits blooms
-        # for fully-dict chunks anyway).
-        bloom_cols = {}
-        if config.bloom_filter_keys:
-            for col in order_keys:
+            for col, enabled in dict_enabled.items():
                 if col in group_deps:
                     continue
-                if dict_enabled.get(col, True) or ndv.get(col, 0) < 1:
-                    continue
-                bloom_cols[col] = min(ndv[col], config.block_size)
-                writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
                 writer = writer.option(
-                    f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_cols[col])
+                    f"parquet.enable.dictionary#{col}", str(enabled).lower()
                 )
-        writer.parquet(data_path)
-    finally:
-        unpersist_index(chunked)
+            # stats-driven bloom filters on the lookup keys: the reader's point
+            # lookup (the reference's `lookup` stub, scheme/CompressionScheme.hpp:45)
+            # then skips row groups whose bloom rejects the key — the chunk-stats
+            # min/max pruning analog for equality on non-sorted keys. Expected NDV
+            # per row group is the table NDV capped at the chunk size, so bloom
+            # bytes track actual cardinality instead of parquet's 1M default.
+            # Dictionary-encoded keys are excluded on purpose: the dict page
+            # already answers membership exactly (and parquet-mr omits blooms
+            # for fully-dict chunks anyway).
+            bloom_cols = {}
+            if config.bloom_filter_keys:
+                for col in order_keys:
+                    if col in group_deps:
+                        continue
+                    if dict_enabled.get(col, True) or ndv.get(col, 0) < 1:
+                        continue
+                    bloom_cols[col] = min(ndv[col], config.block_size)
+                    writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{col}", str(bloom_cols[col])
+                    )
+            writer.parquet(data_path)
+        finally:
+            unpersist_index(chunked)
 
-    # join the overlapped mapping writes before the plan pass reads them
-    try:
+        # join the overlapped mapping writes before the plan pass reads them
         groups = _map_fut.result() if _map_fut is not None else []
     finally:
+        # joins the helper even when the chunk write raised: shutdown waits
+        # for the in-flight mapping write, so no zombie thread outlives a
+        # failed write_table (ADVICE r8 #2)
         _map_pool.shutdown(wait=True)
 
     # plan over the WRITTEN table: every chunk is exactly one file. Setting

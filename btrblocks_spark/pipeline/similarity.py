@@ -820,7 +820,17 @@ def _mmr_cand_sims(
     (round-8): the plans are truncated identically, but materialization
     folds into the first consuming action instead of one scheduled job per
     pin — on the |q|·k-row working set the per-job overhead dominated
-    (guide §1.2: fewer passes; the MMR family ran ~14 jobs per call)."""
+    (guide §1.2: fewer passes; the MMR family ran ~14 jobs per call).
+
+    BROADCAST-RACE CAVEAT (ADVICE r8 #4): lazy pins are only safe while
+    every consumer materializes them inside ONE job. If a future edit puts
+    any reference to these tables under a BROADCAST exchange (AQE happily
+    broadcasts tiny tables into self-joins), the broadcast subtree runs as
+    its own job that races ahead of the pin's first materialization and
+    re-derives the whole corpus top-k chain per reference — the exact
+    failure that regressed dedup_pagerank 1.4→14.4 s before its pins were
+    reverted to eager. If the MMR plans ever grow a broadcast over `cand`
+    or `sims`, flip these two pins back to eager=True."""
     corpus = _as_double(vecs, vec_col, id_col)
     cand = cosine_topk(vecs, query_ids, k=k_candidates, vec_col=vec_col,
                        id_col=id_col).select(

@@ -2788,7 +2788,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("lsh").alias("method"), "q_id", "neighbor_id"
         ),
     ]
-    methods = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # the three approximate chains are each referenced once, but leaving
+    # them in-plan kept 36 Exchanges of chain derivation in the final plan
+    # (round-9, VERDICT r8 #6) — pin the O(methods × queries × k)-row
+    # union EAGERLY like ann_ndcg_audit pins dcg, so the audit's own plan
+    # is two tiny LogicalRDD joins. Eager, not lazy: the denominator side
+    # is broadcast, and broadcast subtrees race ahead of a lazy
+    # checkpoint's materialization (the documented pagerank regression).
+    methods = (
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+        .localCheckpoint(eager=True)
+    )
     hits = methods.join(truth, ["q_id", "neighbor_id"]).groupBy("method").agg(
         F.count("*").cast("long").alias("n_hits")
     )
