@@ -2799,17 +2799,21 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts[0].unionByName(parts[1]).unionByName(parts[2])
         .localCheckpoint(eager=True)
     )
-    hits = methods.join(truth, ["q_id", "neighbor_id"]).groupBy("method").agg(
-        F.count("*").cast("long").alias("n_hits")
-    )
-    tot = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    hits = methods.join(F.broadcast(truth), ["q_id", "neighbor_id"]).groupBy(
+        "method"
+    ).agg(F.count("*").cast("long").alias("n_hits"))
+    # n_truth from the PINNED truth table, collected at build time (the
+    # table is already materialized by its eager checkpoint; this is the
+    # scalar-fusion convention, not an extra pass) — a crossJoin against a
+    # broadcast single-row agg would add two more exchanges for the same
+    # constant
+    n_truth = truth.count()
     return (
-        hits.crossJoin(F.broadcast(tot))
-        .select(
+        hits.select(
             "method",
             "n_hits",
-            "n_truth",
-            F.round(F.col("n_hits") / F.col("n_truth").cast("double"), 6).alias(
+            F.lit(int(n_truth)).cast("long").alias("n_truth"),
+            F.round(F.col("n_hits") / F.lit(float(n_truth)), 6).alias(
                 "recall_at_k"
             ),
         )

@@ -1,10 +1,10 @@
-"""Capture `explain("formatted")` for named queries into plans/r08/.
+"""Capture `explain("formatted")` for named queries into plans/r09/.
 
 Usage: python scripts/capture_plan.py <before|after> <query> [query ...]
        python scripts/capture_plan.py <before|after> --top <file-with-names>
 
 Runs against $SPARK_GRAFT_SF_DIR (default sf0.1) so the captured plan is the
-one the bench times. Writes plans/r08/<query>_<tag>.txt.
+one the bench times. Writes plans/r09/<query>_<tag>.txt.
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ def main() -> int:
     names = sys.argv[2:]
     assert tag in ("before", "after"), tag
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("/root/repo", "plans", "r08")
+    out_dir = os.path.join("/root/repo", "plans", "r09")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="capture-plan")

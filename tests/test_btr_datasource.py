@@ -32,6 +32,7 @@ def _load(spark, path):
     return spark.read.format("btrblocks").option("path", path).load()
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_roundtrip_exact(spark, written_orders):
     path, src = written_orders
     back = _load(spark, path)
@@ -40,6 +41,7 @@ def test_roundtrip_exact(spark, written_orders):
     assert back.exceptAll(src).isEmpty() and src.exceptAll(back).isEmpty()
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_filters_apply_correctly(spark, written_orders):
     path, src = written_orders
     back = _load(spark, path)
@@ -118,6 +120,7 @@ def test_stream_reader_incremental_chunks(spark, written_orders, tmp_path):
     assert spark.read.parquet(sink).count() == n_src + 17
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_datasource_append_write_path(spark, sf_dir, tmp_path):
     """df.write.format("btrblocks").mode("append") lands chunk-shaped files,
     logs the append, reads back through the same source, and compact()
@@ -168,6 +171,7 @@ def test_datasource_append_write_path(spark, sf_dir, tmp_path):
         nation.write.format("btrblocks").mode("overwrite").save(path)
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
     """df.writeStream.format("btrblocks"): microbatches land as committed
     chunk files (no .inflight residue), the append log records one entry
@@ -235,6 +239,7 @@ def test_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
     assert _load(spark, dst_path).count() == nation.count() + 3
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
     """Crash between the WAL intent write and the renames must not lose or
     duplicate the batch: replaying the same batchId completes the FIRST
@@ -288,6 +293,7 @@ def test_streaming_sink_torn_commit_recovers(spark, sf_dir, tmp_path):
         BtrBlocksStreamWriter({"path": dst}, nation.schema)
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_compact_journal_crash_recovery(spark, sf_dir, tmp_path, monkeypatch):
     """A compaction that crashes at its commit point (journal written,
     swap not applied) must lose nothing: the table still reads complete,
@@ -593,6 +599,7 @@ def test_staged_files_invisible_to_plain_parquet_reader(spark, sf_dir, tmp_path)
             assert not f.startswith("."), f
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_footer_pruning_never_drops_nan_rows(spark, tmp_path):
     """Parquet footer min/max EXCLUDE NaN while Spark orders NaN greater
     than everything — so a chunk file whose stats say max=1.0 may still
@@ -670,6 +677,7 @@ def test_load_btr_table_unifies_repeat_reads(spark, sf_dir, tmp_path):
     assert sum(1 for k in read_memo if k[0] == _os.path.realpath(out)) == 1
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_load_btr_table_maintenance_cap_and_rewrite(spark, sf_dir, tmp_path):
     """Round-7 hardening of the btr read memo (VERDICT r6 #2/#7 + ADVICE):
 

@@ -67,6 +67,7 @@ def _count_replaces(fn) -> int:
     return counter.calls
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_batch_append_commit_crash_matrix(spark, sf_dir, tmp_path):
     """df.write.format('btrblocks') commit: crash at every os.replace step;
     recover_pending_appends (or abort rollback) must land on exactly the
@@ -160,6 +161,7 @@ def test_exactly_once_append_crash_matrix(spark, sf_dir, tmp_path):
         assert [e["state"] for e in log] == ["committed"], f"crash@{k}"
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_copy_into_crash_matrix(spark, sf_dir, tmp_path):
     """copy_into: crash at every os.replace of the journal protocol, then
     RETRY the same call — each source file's rows must land exactly once

@@ -14,11 +14,14 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from scripts.audit_oracle_types import audit
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_no_decimal_in_any_oracle_output():
     offenders = audit(SF_DIR)
     assert offenders == {}, (

@@ -72,6 +72,7 @@ def test_no_cartesian_in_headline(spark, sf_dir):
 _CROSS_OK = {"join_cross"}
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_no_cartesian_in_any_registered_query(spark, sf_dir):
     """Fleet-wide scale gate: no registered query may plan an un-broadcast
     cartesian product — at 100 TB that is always a bug, not a strategy."""
@@ -304,6 +305,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_cust")
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_no_global_window_in_any_registered_query(spark, sf_dir):
     """Fleet-wide scale gate: no registered query may sort ALL rows into one
     task for a window function (Window above Exchange SinglePartition).
@@ -671,12 +673,13 @@ _MULTI_SCAN_OK = {
     "dedup_method_impact",
     # the inverted-index chain counts document frequency and/or per-doc
     # size as aggregates joined back onto the same distinct-shingle stream
-    # (round-8 window→join rewrite): up to three references to one reused
-    # subtree in the initial plan — and the memoized chain's plan gains an
-    # InMemoryRelation rendering (one more printed copy of the subtree)
-    # once any earlier consumer materialized it, so the count is
-    # session-state-dependent. Runtime scans documents once either way
-    # (reused exchange + session memo).
+    # (round-8 window→join rewrite; round-9 moved the sizes joins AFTER the
+    # pair aggregation so the k² pair stream carries only doc ids): up to
+    # three references to one reused subtree in the initial plan — and the
+    # memoized chain's plan gains an InMemoryRelation rendering (one more
+    # printed copy of the subtree) once any earlier consumer materialized
+    # it, so the count is session-state-dependent. Runtime scans documents
+    # once either way (reused exchange + session memo).
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
@@ -709,6 +712,7 @@ def _scan_counts(plan: str) -> dict[str, int]:
     return counts
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_no_redundant_base_scans_in_any_registered_query(spark, sf_dir):
     """Fleet-wide scale gate (round-8 VERDICT #2): no registered query's
     initial physical plan may scan the same base table more than twice —

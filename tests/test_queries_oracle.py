@@ -52,6 +52,7 @@ def test_register_query_views_sql_surface(spark, sf_dir):
     assert n > 0
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_register_query_views_default_is_metadata_only(spark, sf_dir):
     """Default registration (no names) must be pure metadata: no Spark job
     may run while building/registering the non-EAGER_BUILD views — the

@@ -92,6 +92,7 @@ def test_chunked_append_sink(spark, events_dir, tmpdir):
     assert spark.read.parquet(os.path.join(out, "data")).count() == src_n
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_sessionize_stateful(spark, events_dir):
     stream = stream_source(spark, events_dir)
     q = _run_to_memory(sessionize(stream, gap_seconds=600), "sessions_test")
@@ -949,6 +950,7 @@ def test_chunked_append_checkpoint_reset_never_clobbers(spark, events_dir, tmpdi
     assert spark.read.parquet(data).count() == 3 * (n + 1)
 
 
+@pytest.mark.slow  # excluded from the default (driver-window) run; see pytest.ini
 def test_sessionize_tolerates_null_event_time(spark, tmpdir):
     """A null event timestamp must be dropped, not poison session state:
     NaT's int64-min sentinel used to make the next real event close a
