@@ -315,6 +315,20 @@ def stage_tables(spark, sf_dir: str, staging_root: str) -> dict:
 
     name, meta = stage_one("lineitem")
     metas[name] = meta
+    # write_sec robustness (round-9): every query gets best-of-N reps, but
+    # the write metric was a single reading and swung 6→34 s with host
+    # windows. A SECOND solo lineitem write (full recompute to a scratch
+    # dir, discarded) gives write_sec the same best-of-2 treatment; both
+    # reps are disclosed in the detail artifact (write_sec_reps).
+    spark.sparkContext.setJobDescription("stage: lineitem (write_sec rep 2)")
+    scratch = os.path.join(staging_root, "_lineitem_rep2")
+    meta2 = write_table(
+        load_table(spark, sf_dir, "lineitem"), scratch,
+        STAGE_TABLES["lineitem"]["keys"], table_name="lineitem",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    meta["write_seconds_reps"] = [meta["write_seconds"], meta2["write_seconds"]]
+    meta["write_seconds"] = min(meta["write_seconds_reps"])
     rest = [n for n in TABLE_NAMES if n != "lineitem"]
     with ThreadPoolExecutor(max_workers=2) as pool:
         for name, meta in pool.map(stage_one, rest):
@@ -437,6 +451,7 @@ def bench_format(spark, data_dir: str, meta: dict) -> dict:
         "chunks": meta["num_chunks"],
         "chunk_skipping": skip,
         "write_sec": meta["write_seconds"],
+        "write_sec_reps": meta.get("write_seconds_reps"),
         "raw_bytes": raw,
         "ondisk_bytes": ondisk,
         "disk_compression_ratio": round(raw / max(ondisk, 1), 4),

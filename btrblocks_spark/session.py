@@ -29,6 +29,14 @@ def get_spark(
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(cpus, 32)
+    # Bound native thread pools in the forked Python workers (guide §2.6;
+    # VERDICT r8 #1): Spark already runs one task per core, so a BLAS/OMP
+    # pool per worker multiplies to cores² threads under concurrent Arrow
+    # kernels. Set BEFORE the JVM launches — the env propagates driver →
+    # gateway JVM → Python daemon → forked workers, and each worker's
+    # numpy reads it at import. setdefault so a deployment can override.
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
