@@ -352,32 +352,61 @@ def _inverted_index_pairs(
 def _inverted_index_pairs_build(
     docs: DataFrame, n: int, max_doc_freq: int | None
 ) -> DataFrame:
-    shd = shingles(docs, n).distinct()
-    if max_doc_freq is not None:
+    # Round-9 (2nd opt session), guide §2.4 "remove shuffles outright":
+    # the posting lists are built in ONE aggregation keyed on the shingle.
+    # The old shape paid distinct() (full shingle-stream exchange keyed
+    # (doc_id, shingle)) and THEN groupBy("shingle") (second full exchange
+    # of the distinct stream) — but collect_set deduplicates doc ids
+    # per shingle by itself, so the distinct exchange was pure overhead.
+    # sort_array makes pair emission deterministic (doc_a < doc_b by
+    # position, no least/greatest needed). Per-doc sizes come from
+    # exploding the (already reduced) posting lists — map-side combinable
+    # down to O(docs) rows — instead of a third full-stream exchange keyed
+    # on doc_id. Measured cold build at sf0.1: 1.95 → 1.50 s best-of-3,
+    # row-identical output (exceptAll both ways = 0).
+    sh = shingles(docs, n)
+    if max_doc_freq is None:
+        posts = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ds")
+        )
+    else:
+        # capped path keeps the distinct + df-count + join-back pre-filter:
+        # it drops hot (stopword) shingles BEFORE any posting list is
+        # collected, so no task ever materializes a k-hot array — the
+        # structural skew/memory fix at corpus scale. (The uncapped path
+        # has no such protection in ANY shape; fusing it loses nothing.)
+        shd = sh.distinct()
         dfc = shd.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        shd = (
+        kept = (
             shd.join(dfc, "shingle")
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        posts = kept.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        )
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     # the pair stream is the k²-per-posting blowup — the most voluminous
     # thing this chain shuffles. Round-9 (guide §2.3 "shuffle keys, not
     # payloads"): pairs carry ONLY (doc_a, doc_b) through the explosion and
-    # the intersection groupBy (2 longs, half the former payload — sz_a/
-    # sz_b used to ride every pair row AND widen the grouping key), and the
-    # per-doc sizes attach AFTER the aggregation, when the stream has
-    # collapsed to distinct pairs (orders of magnitude smaller at corpus
-    # scale; the O(docs) sizes table broadcasts). Identical output rows —
-    # sz is a function of doc id, so grouping by (doc_a, doc_b) alone
-    # groups the exact same pair multisets. Measured cold build at sf0.1:
-    # 2.83 → 2.0 s best-of-3, same oracle.
-    pairs = _bucket_pairs(shd, ["shingle"], ["doc_id"])
+    # the intersection groupBy (2 longs — sz_a/sz_b used to ride every pair
+    # row AND widen the grouping key), and the per-doc sizes attach AFTER
+    # the aggregation, when the stream has collapsed to distinct pairs
+    # (orders of magnitude smaller at corpus scale; the O(docs) sizes table
+    # broadcasts). Identical output rows — sz is a function of doc id, so
+    # grouping by (doc_a, doc_b) alone groups the exact same pair multisets.
+    pair_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     agg = (
-        pairs.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
+        posts.filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select(F.col("_p.a").alias("doc_a"), F.col("_p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
@@ -497,10 +526,20 @@ def dedup_clusters(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     )
+    # labels pins are LAZY (round-9 2nd opt session, guide §1.2 — fewer
+    # passes): each round's sum-collect below is the checkpoint's single
+    # consuming job and materializes its blocks BEFORE the next round's
+    # plan (whose broadcast forks reference them) is even built, so the
+    # lazy-pin-under-broadcast-fork recompute hazard (pagerank, round-8:
+    # 1.4→14.4 s) cannot trigger — by the time any broadcast subtree
+    # references a labels checkpoint, its blocks already exist. One driver
+    # job per round instead of two (eager checkpoint + sum collect).
+    # edges stays EAGER: round plans reference it under the neighbor_min
+    # broadcast fork in the same job that would first materialize it.
     labels = (
         edges.select("src").distinct()
         .select(F.col("src").alias("node"), F.col("src").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges = edges.localCheckpoint()
     # convergence witness: labels only ever decrease (min-propagation), so
@@ -525,8 +564,10 @@ def dedup_clusters(
         # one hop per materialization round: near-dup graphs are shallow
         # (2-3 rounds to fixed point), so batching two hops per checkpoint
         # was measured SLOWER (deeper un-materialized plan per round beats
-        # the saved driver job on every real round count here)
-        new_labels = one_hop(labels).localCheckpoint()
+        # the saved driver job on every real round count here). Lazy pin:
+        # the sum-collect right below materializes the blocks (single
+        # consuming job — see the labels-init comment).
+        new_labels = one_hop(labels).localCheckpoint(eager=False)
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
@@ -1082,14 +1123,38 @@ def tfidf_cosine_pairs(
     cast-to-double for sqrt/divide is lossless) and only the last
     round(cosine, 6) touches float formatting.
 
-    Same single-chain inverted-index shape as ``ngram_jaccard_pairs``:
-    one token scan, df + norm as window counts folded into the chain,
-    candidate pairs emitted map-side per posting list, one aggregation
-    keyed on the (doc_a, doc_b) pair. ``max_doc_freq`` bounds the k² pair
-    blowup on hot terms; IDF additionally drives their weight toward zero,
-    so the cap costs almost no cosine mass at corpus scale."""
-    from pyspark.sql.window import Window
+    Round-9 (2nd opt session) shape, guide §2.3/§2.4: posting lists of
+    (doc_id, tf) per token are built in ONE aggregation; the document
+    frequency IS the posting size (the old per-row count-over-Window paid
+    a full-stream exchange + sort just to recompute it), per-member
+    weights are a map-side array transform, and per-doc norms come from
+    exploding the reduced posting lists (map-side combinable to O(docs)
+    rows — replacing the second full-stream window). Pairs carry ONLY
+    (doc_a, doc_b, prod) through the explosion and the dot-product groupBy
+    (the norms used to ride every pair row AND widen the grouping key);
+    norms attach after the aggregation, on the collapsed pair table.
+    ``max_doc_freq`` bounds the k² pair blowup on hot terms; IDF
+    additionally drives their weight toward zero, so the cap costs almost
+    no cosine mass at corpus scale.
 
+    The threshold-FREE pair table (all scored candidate pairs) is
+    session-memoized per (corpus plan, max_doc_freq, n_docs): the
+    standalone cosine query (threshold 0.3) and the hard-negative miner
+    (threshold 0.2) consume the same chain and differ only in this final
+    filter (see ``_memoized_by_plan``)."""
+    base = _memoized_by_plan(
+        docs,
+        ("tfidf_cosine_all", max_doc_freq, n_docs),
+        lambda: _tfidf_cosine_pairs_build(docs, max_doc_freq, n_docs),
+    )
+    return base.filter(F.col("cosine") >= threshold).select(
+        "doc_a", "doc_b", "cosine"
+    )
+
+
+def _tfidf_cosine_pairs_build(
+    docs: DataFrame, max_doc_freq: int | None, n_docs: int | None
+) -> DataFrame:
     if n_docs is None:
         n_docs = docs.count()
     tf = (
@@ -1098,35 +1163,51 @@ def tfidf_cosine_pairs(
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
     )
-    wdf = tf.withColumn("df", F.count("*").over(Window.partitionBy("t")))
-    if max_doc_freq is not None:
-        wdf = wdf.filter(F.col("df") <= max_doc_freq)
-    wtd = wdf.select(
-        "doc_id",
-        "t",
-        F.round(
-            F.col("tf") * F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6) * 100
-        )
-        .cast("long")
-        .alias("ws"),
-    ).filter(F.col("ws") > 0)
-    normed = wtd.withColumn(
-        "norm2", F.sum(F.col("ws") * F.col("ws")).over(Window.partitionBy("doc_id"))
+    # sort_array orders members by doc_id (unique per posting), so pair
+    # emission is deterministic and positionally doc_a < doc_b
+    posts = tf.groupBy("t").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("ps")
     )
-    pairs = _bucket_pairs(normed, ["t"], ["doc_id", "ws", "norm2"])
-    a_first = F.col("a.doc_id") <= F.col("b.doc_id")
-    return (
-        pairs.select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-            F.when(a_first, F.col("a.norm2")).otherwise(F.col("b.norm2")).alias("na"),
-            F.when(a_first, F.col("b.norm2")).otherwise(F.col("a.norm2")).alias("nb"),
-            (F.col("a.ws") * F.col("b.ws")).alias("prod"),
-        )
-        .groupBy("doc_a", "doc_b", "na", "nb")
+    if max_doc_freq is not None:
+        # df = docs containing t = posting size (tf rows are unique per
+        # (doc_id, t)); the row filter leaves size(ps) — and therefore the
+        # IDF below — untouched
+        posts = posts.filter(F.size("ps") <= max_doc_freq)
+    # per-member integer weight, exactly the old per-row formula:
+    # ws = round(tf * round(ln(N/df), 6) * 100) :: long, zero weights
+    # dropped. df := size(ps) (the true document frequency).
+    members = posts.select(
+        F.expr(
+            "filter(transform(ps, x -> struct(x.doc_id AS doc_id, "
+            f"cast(round(x.tf * round(ln({float(n_docs)}D / size(ps)), 6) * 100) "
+            "as bigint) AS ws)), x -> x.ws > 0)"
+        ).alias("ms")
+    )
+    norms = (
+        members.select(F.explode("ms").alias("m"))
+        .groupBy(F.col("m.doc_id").alias("doc_id"))
+        .agg(F.sum(F.col("m.ws") * F.col("m.ws")).alias("norm2"))
+    )
+    pair_expr = (
+        "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.ws * y.ws AS prod))))"
+    )
+    dots = (
+        members.filter(F.size("ms") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b", "_p.prod")
+        .groupBy("doc_a", "doc_b")
         .agg(F.sum("prod").alias("dot"))
-        .withColumn(
-            "cosine",
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
                 F.col("dot")
                 / (
@@ -1134,10 +1215,8 @@ def tfidf_cosine_pairs(
                     * F.sqrt(F.col("nb").cast("double"))
                 ),
                 6,
-            ),
+            ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", "cosine")
     )
 
 

@@ -361,11 +361,18 @@ def test_key_skew_single_scan(spark, sf_dir):
 
 
 def test_tfidf_single_documents_scan(spark, sf_dir):
-    """The inverted-index chain evaluates the token pipeline once — one
-    documents scan, pairs generated from collected postings (no self-join
-    of two scan subtrees)."""
+    """The tfidf chain evaluates the token pipeline once per session at
+    runtime: posting lists are ONE aggregation keyed on the token, pairs
+    are generated map-side from the collected postings (no self-join of
+    two scan subtrees), and the threshold-free pair table is
+    session-memoized. The INITIAL plan prints the shared postings subtree
+    up to three times (dot-product side + the two post-aggregation norm
+    join sides — round-9 2nd session: norms attach AFTER the pair
+    aggregation so the k² pair stream carries only ids+products; the
+    postings exchange is reused across the printed copies, and a memo hit
+    renders the whole chain as one InMemoryRelation), never more."""
     plan = plan_of(QUERIES["dedup_tfidf_cosine"](spark, sf_dir))
-    assert plan.count("documents.parquet") == 1
+    assert plan.count("documents.parquet") <= 3
 
 
 def test_pq_codebook_broadcast_no_shuffle_encode(spark, sf_dir):
@@ -683,6 +690,12 @@ _MULTI_SCAN_OK = {
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    # same join-back shape as the inverted-index chain (round-9 2nd
+    # session): tfidf norms attach AFTER the pair aggregation, so the
+    # initial plan references the shared postings subtree three times
+    # (dots + two norm join sides) — one reused exchange at runtime, and
+    # the whole threshold-free chain is session-memoized
+    "dedup_tfidf_cosine",
     "dedup_similarity_histogram", "events_audience_overlap", "events_funnel",
     "events_poisson_rate_test", "events_trend_test", "filter_scalar_subquery",
     "merge_scd2_customers", "multimodal_ahash_neardup",
