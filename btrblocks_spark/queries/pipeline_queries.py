@@ -2442,15 +2442,22 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp/fp/fn, precision, recall — the metric that decides num_perm/bands
     tuning before a 100 TB dedup run.
 
-    Scale: truth comes from the PREFIX-FILTERED exact-Jaccard chain
-    (jaccard_prefix_pairs — provably identical output to the plain
-    inverted-index join, test-enforced, at a fraction of the candidate
-    fan-out/shuffle); candidates from LSH banding; the confusion join is
-    over pair-id sets (tiny relative to the corpus)."""
-    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs
+    Truth = the session-shared exact inverted-index pair table
+    (ngram_jaccard_pairs at threshold 0.5) — the SAME memoized table the
+    dedup pass itself mines (round-9 2nd session; previously the audit
+    built a SECOND exact-truth table through jaccard_prefix_pairs, so one
+    session computed the identical pair set twice through two different
+    chains; the prefix-filtered builder stays registered and oracle-audited
+    as dedup_jaccard_prefix and remains the right cold-start BUILDER at
+    corpus scale — here the table already exists). The oracle constructs
+    truth from the raw distinct-shingle join, i.e. exactly this chain's
+    semantics (the prefix chain matches it modulo 32-bit shingle-hash
+    collisions). Candidates from LSH banding; the confusion join is over
+    pair-id sets (tiny relative to the corpus)."""
+    from btrblocks_spark.pipeline.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    truth = jaccard_prefix_pairs(docs).select("doc_a", "doc_b").withColumn(
+    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").withColumn(
         "in_t", F.lit(1)
     )
     lsh = minhash_lsh_pairs(docs).withColumn("in_l", F.lit(1))
@@ -2661,12 +2668,16 @@ def q_lsh_tuned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     just under the 0.9 target; the oracle SQL hardcodes the same 24/12). The
     recall_at_t column is the evidence that the sizer's capture-probability
     model holds on real shingle data — the pre-flight check before
-    committing a 100 TB dedup to a parameter choice."""
-    from btrblocks_spark.pipeline.dedup import jaccard_prefix_pairs, lsh_params
+    committing a 100 TB dedup to a parameter choice.
+
+    Truth = the session-shared ngram_jaccard_pairs table, same rationale
+    as dedup_lsh_recall (round-9 2nd session): one exact-truth table per
+    session, not two builders of the identical pair set."""
+    from btrblocks_spark.pipeline.dedup import lsh_params, ngram_jaccard_pairs
 
     num_perm, bands = lsh_params(threshold=0.5)
     docs = load_table(spark, sf_dir, "documents")
-    truth = jaccard_prefix_pairs(docs).select("doc_a", "doc_b").withColumn(
+    truth = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").withColumn(
         "in_t", F.lit(1)
     )
     lsh = minhash_lsh_pairs(docs, num_perm=num_perm, bands=bands).withColumn(

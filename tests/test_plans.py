@@ -690,6 +690,17 @@ _MULTI_SCAN_OK = {
     "dedup_containment",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    # the recall audits consume the session-shared ngram_jaccard_pairs
+    # truth (round-9 2nd session — one exact-truth table per session, not
+    # a second builder of the same pair set) plus the minhash candidate
+    # memo: their initial plans print both memo-keyed chains' subtrees
+    # (the inverted-index chain itself prints its postings aggregate under
+    # each post-agg size join — see the dedup_ngram_jaccard entry), and
+    # memo hits render as InMemoryRelation copies, so the printed count is
+    # session-state-dependent. Runtime scans documents at most once per
+    # chain per session (reused exchange + session memo).
+    "dedup_lsh_recall",
+    "dedup_lsh_tuned_recall",
     # same join-back shape as the inverted-index chain (round-9 2nd
     # session): tfidf norms attach AFTER the pair aggregation, so the
     # initial plan references the shared postings subtree three times
